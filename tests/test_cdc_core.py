@@ -1,0 +1,213 @@
+"""North-rule suites: replay-equivalence, crash-resume, schema-evolution,
+tombstone-GC (FIXTURES.md §5), plus unit checks on the LWW kernels."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tenzir_ray.cdc.lake import Lake, lww_reduce, url_buckets
+from tenzir_ray.cdc.wal import WalSpec, extract_text, generate_wal, list_epochs
+from tests.oracle import replay_wal
+
+SPEC = WalSpec(n_events=4000, n_urls=600, n_epochs=5, seed=7)
+EVOLVED = WalSpec(
+    n_events=4000, n_urls=600, n_epochs=6, seed=11,
+    epoch_add_title=2, epoch_widen_lang=3, epoch_rename_text=4,
+)
+
+
+def _final_df(lake: Lake) -> pd.DataFrame:
+    t = lake.read_table()
+    df = t.to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def _assert_state_equals_oracle(lake: Lake, wal_dir: str):
+    got = _final_df(lake)
+    want = replay_wal(wal_dir)
+    assert list(got["url"]) == list(want["url"])
+    # per-row invariant: byte-identical extracted text per url
+    assert list(got["text"]) == list(want["text"])
+    assert list(got["lang"].fillna("∅")) == list(want["lang"].fillna("∅"))
+    pd.testing.assert_series_equal(
+        got["warc_ts"], want["warc_ts"], check_names=False
+    )
+    assert list(got["html"]) == list(want["html"])
+
+
+# ------------------------------------------------------------- unit level
+
+
+def test_lww_reduce_keeps_latest_writer():
+    t = pa.table(
+        {
+            "url": ["a", "b", "a", "a", "b"],
+            "warc_ts": pa.array([1, 5, 3, 3, 5], pa.timestamp("ns")),
+            "lsn": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "v": [10, 20, 30, 40, 50],
+        }
+    )
+    out = lww_reduce(t).to_pydict()
+    assert out["url"] == ["a", "b"]
+    assert out["v"] == [40, 50]  # a: ts=3 tie → lsn 3 wins; b: lsn 4 wins
+
+
+def test_url_buckets_deterministic():
+    urls = pa.array([f"https://x.com/{i}" for i in range(100)])
+    b1, b2 = url_buckets(urls, 16), url_buckets(urls, 16)
+    assert np.array_equal(b1, b2)
+    assert b1.min() >= 0 and b1.max() < 16
+
+
+def test_extract_text_deterministic():
+    h = b"<html><body><p>hello  world</p></body></html>"
+    assert extract_text(h) == "hello world"
+    assert extract_text(None) is None
+
+
+# -------------------------------------------------------- replay suites
+
+
+def test_replay_equivalence(tmp_path):
+    """Same final state for in-order replay, shuffled epoch order, and
+    different partition counts; equal to the sequential pandas oracle."""
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+
+    lake1 = Lake(str(tmp_path / "lake1"), partitions=2, salt=1)
+    lake1.apply_wal(wal)
+    _assert_state_equals_oracle(lake1, wal)
+
+    # shuffled epoch order (LWW is order-free)
+    lake2 = Lake(str(tmp_path / "lake2"), partitions=8, salt=2)
+    epochs = list_epochs(wal)
+    for e, files in [epochs[i] for i in [3, 0, 4, 1, 2]]:
+        lake2.apply_epoch(e, files)
+    df1, df2 = _final_df(lake1), _final_df(lake2)
+    pd.testing.assert_frame_equal(df1, df2)
+
+
+def test_crash_resume_idempotent(tmp_path):
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    epochs = list_epochs(wal)
+
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=2)
+    # "crash" after first two epochs
+    for e, files in epochs[:2]:
+        lake.apply_epoch(e, files)
+    assert lake.committed_epochs() == {0, 1}
+
+    # resume from manifests: apply_wal skips committed epochs
+    results = Lake(str(tmp_path / "lake")).apply_wal(wal)
+    assert [r["skipped"] for r in results] == [True, True, False, False, False]
+    _assert_state_equals_oracle(lake, wal)
+
+    # re-running a committed epoch is a no-op
+    before = _final_df(lake)
+    r = lake.apply_epoch(0, epochs[0][1])
+    assert r["skipped"]
+    pd.testing.assert_frame_equal(before, _final_df(lake))
+
+
+def test_partial_epoch_resume(tmp_path):
+    """Bucket manifests make a half-written epoch resumable: pre-commit one
+    bucket manifest by running the epoch once, drop the done marker, rerun."""
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    epochs = list_epochs(wal)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    lake.apply_epoch(0, epochs[0][1])
+    done = os.path.join(lake.root, "_manifest", "e00000.done")
+    os.remove(done)  # simulate crash after bucket commits, before epoch mark
+    r = lake.apply_epoch(0, epochs[0][1])
+    assert not r["skipped"] and os.path.exists(done)
+    for e, files in epochs[1:]:
+        lake.apply_epoch(e, files)
+    _assert_state_equals_oracle(lake, wal)
+
+
+def test_schema_evolution(tmp_path):
+    """E1 add `title`, E2 widen `lang` dict→string, E3 rename text→body:
+    final schema is the unified schema; pre-evolution rows null-promoted;
+    text invariant still holds through the rename."""
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, EVOLVED)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=2)
+    lake.apply_wal(wal)
+
+    schema = lake.schema()
+    assert schema.field("title").type == pa.string()
+    assert schema.field("lang").type == pa.string()  # widened, not dictionary
+    assert "text" in schema.names and "body" not in schema.names  # alias map
+
+    got = _final_df(lake)
+    want = replay_wal(wal)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["text"]) == list(want["text"])
+    # rows last written before E1 have null title; after E1, t-<idx> titles
+    assert got["title"].isna().any()
+    assert got["title"].notna().any()
+
+
+def test_tombstone_gc(tmp_path):
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=2)
+    lake.apply_wal(wal)
+
+    # DELETEs hide rows immediately via merge-on-read
+    alive = lake.read_table()
+    with_t = lake.read_table(with_tombstones=True, keep_engine_cols=True)
+    n_tomb = with_t.filter(
+        pa.compute.equal(with_t["op"], pa.scalar("DELETE"))
+    ).num_rows
+    assert n_tomb > 0
+    assert alive.num_rows == with_t.num_rows - n_tomb
+
+    before = _final_df(lake)
+    stats = lake.compact(gc_before_epoch=None)  # horizon passed → drop all
+    assert len(stats) > 0
+    after = _final_df(lake)
+    pd.testing.assert_frame_equal(before, after)
+
+    # tombstones and dead versions physically absent from base files
+    with_t2 = lake.read_table(with_tombstones=True, keep_engine_cols=True)
+    assert with_t2.filter(
+        pa.compute.equal(with_t2["op"], pa.scalar("DELETE"))
+    ).num_rows == 0
+    assert with_t2.num_rows == alive.num_rows
+    # deltas are gone
+    import glob as g
+    assert not g.glob(os.path.join(lake.root, "p=*", "delta-*.parquet"))
+
+
+def test_ingest_after_compaction(tmp_path):
+    """Deltas landing after a compaction still win over the base (LSM)."""
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    epochs = list_epochs(wal)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    for e, files in epochs[:3]:
+        lake.apply_epoch(e, files)
+    lake.compact()
+    for e, files in epochs[3:]:
+        lake.apply_epoch(e, files)
+    _assert_state_equals_oracle(lake, wal)
+
+
+def test_lineage_metrics(tmp_path):
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=2)
+    lake.apply_wal(wal)
+    lin = lake.lineage().to_pandas()
+    assert set(lin["epoch"]) == {0, 1, 2, 3, 4}
+    assert (lin["events_per_s"] > 0).all()
+    assert (lin["max_lsn"] >= 0).all()
+    assert (lin["min_url"] <= lin["max_url"]).all()
+    # every bucket belongs to the partition it claims
+    assert ((lin["bucket"] // lake.salt) == lin["partition_id"]).all()
