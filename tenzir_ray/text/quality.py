@@ -1,0 +1,130 @@
+"""Text analysis for training-data curation: language id, quality scoring,
+token counting, document fingerprinting. One fused, vectorized
+``map_batches`` stage (regexes and stopword tables compiled once per actor).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language id (public-knowledge word lists, heavily truncated).
+_LANG_STOPWORDS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "que"},
+    "es": {"el", "la", "los", "de", "y", "es", "un", "una", "que", "en"},
+    "pt": {"o", "a", "os", "de", "e", "um", "uma", "que", "não", "para"},
+    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"},
+    "nl": {"de", "het", "een", "en", "van", "is", "dat", "op", "te", "niet"},
+}
+
+_TOKEN = re.compile(r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-z\d]", re.UNICODE)
+_WORD = re.compile(r"\w+", re.UNICODE)
+_PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+class DocumentAnalyzer:
+    """Actor-pool stage: per-document language id, quality metrics, token
+    count (BPE-ish regex), rolling-hash fingerprint. Setup in __init__
+    (once per actor), vectorized pandas string kernels per batch."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.token = _TOKEN
+        self.word = _WORD
+        self.punct = _PUNCT
+        self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+
+    def _lang_of(self, words: list[str]) -> str:
+        if not words:
+            return "und"
+        ws = set(words[:200])
+        best, score = "und", 0
+        for lang, stop in self.profiles.items():
+            s = len(ws & stop)
+            if s > score:
+                best, score = lang, s
+        return best
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_chars = np.zeros(n, np.int64)
+        n_tokens = np.zeros(n, np.int64)
+        n_words = np.zeros(n, np.int64)
+        punct_ratio = np.zeros(n, np.float64)
+        stop_ratio = np.zeros(n, np.float64)
+        mean_word_len = np.zeros(n, np.float64)
+        langs: list[str] = []
+        fingerprints = np.zeros(n, np.uint64)
+        all_stop = frozenset().union(*self.profiles.values())
+        for i, txt in enumerate(texts):
+            if not txt:
+                langs.append("und")
+                continue
+            n_chars[i] = len(txt)
+            low = txt.lower()
+            words = self.word.findall(low)
+            n_words[i] = len(words)
+            n_tokens[i] = len(self.token.findall(txt))
+            n_punct = len(self.punct.findall(txt))
+            punct_ratio[i] = n_punct / max(1, len(txt))
+            if words:
+                stop_ratio[i] = sum(w in all_stop for w in words) / len(words)
+                mean_word_len[i] = sum(map(len, words)) / len(words)
+            langs.append(self._lang_of(words))
+            # rolling-hash fingerprint over the word sequence (order-aware,
+            # whitespace-normalization-invariant)
+            h = np.uint64(1469598103934665603)
+            for w in words:
+                h = np.uint64((int(h) * 1099511628211 + hash(w)) & 0xFFFFFFFFFFFFFFFF)
+            fingerprints[i] = h
+        qual = (
+            np.clip(n_words / 100.0, 0, 1) * 0.4
+            + np.clip(stop_ratio * 4.0, 0, 1) * 0.3
+            + (1.0 - np.clip(punct_ratio * 5.0, 0, 1)) * 0.3
+        )
+        out = t
+        for name, arr in [
+            ("n_chars_m", pa.array(n_chars)),
+            ("n_tokens", pa.array(n_tokens)),
+            ("n_words", pa.array(n_words)),
+            ("punct_ratio", pa.array(punct_ratio)),
+            ("stopword_ratio", pa.array(stop_ratio)),
+            ("mean_word_len", pa.array(mean_word_len)),
+            ("lang_pred", pa.array(langs, pa.string())),
+            ("fingerprint", pa.array(fingerprints, pa.uint64())),
+            ("quality", pa.array(qual)),
+        ]:
+            out = out.append_column(name, arr)
+        return out
+
+
+def analyze_documents(
+    ds: Dataset, text_col: str = "text", concurrency=(1, 8), batch_size: int = 1024
+) -> Dataset:
+    """Fused text-analysis stage as an actor pool (regexes compiled once
+    per actor; batch size modest because documents are wide)."""
+    import functools
+
+    return ds.map_batches(
+        DocumentAnalyzer,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Cheap whitespace+regex token count (vectorized pandas str kernel) —
+    the stateless fast path when only counts are needed."""
+    s = t.column(text_col).to_pandas()
+    counts = s.str.count(r"\S+").fillna(0).astype(np.int64)
+    return t.append_column("n_tokens_ws", pa.array(counts.to_numpy()))

@@ -1,0 +1,134 @@
+"""Operator parity layer vs duckdb/pandas oracles on the driver testdata."""
+
+import duckdb
+import pandas as pd
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+import tenzir_ray.stages as ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem():
+    return rd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def events():
+    return rd.read_parquet(f"{SF}/events.parquet")
+
+
+def sql(q: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ["lineitem", "events", "orders", "customer", "nation", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(q).df()
+
+
+def test_where_select(lineitem):
+    out = ops.select(
+        ops.where(lineitem, lambda t: pc.greater(t["l_quantity"], 45.0)),
+        "l_orderkey", "l_quantity",
+    ).to_pandas()
+    want = sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
+    assert len(out) == len(want)
+    assert sorted(out["l_orderkey"]) == sorted(want["l_orderkey"])
+
+
+def test_set_and_rename(lineitem):
+    ds = ops.set_(lineitem, revenue=lambda t: pc.multiply(
+        t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+    ds = ops.rename(ds, rev="revenue")
+    got = ds.limit(5).to_pandas()
+    assert "rev" in got.columns
+    r0 = got.iloc[0]
+    assert abs(r0["rev"] - r0["l_extendedprice"] * (1 - r0["l_discount"])) < 1e-9
+
+
+def test_summarize_q1(lineitem):
+    out = ops.summarize(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        sum_qty=("sum", "l_quantity"),
+        avg_price=("mean", "l_extendedprice"),
+        n="count",
+    ).to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    want = sql("""
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) sum_qty,
+               avg(l_extendedprice) avg_price, count(*) n
+        FROM lineitem GROUP BY 1,2 ORDER BY 1,2""")
+    pd.testing.assert_frame_equal(
+        out[["l_returnflag", "l_linestatus"]], want[["l_returnflag", "l_linestatus"]])
+    assert (abs(out["sum_qty"] - want["sum_qty"]) < 1e-6).all()
+    assert (out["n"] == want["n"]).all()
+
+
+def test_sort_head_tail(events):
+    top5 = ops.head(ops.sort(events, "-value"), 5).to_pandas()
+    want = sql("SELECT * FROM events ORDER BY value DESC LIMIT 5")
+    assert list(top5["event_id"]) == list(want["event_id"])
+    t = ops.tail(ops.sort(events, "value"), 3).to_pandas()
+    assert list(t["value"]) == list(want["value"].iloc[:3][::-1])
+
+
+def test_top_rare(events):
+    got = ops.top(events, "event_type", 3).to_pandas()
+    want = sql("""SELECT event_type, count(*)::BIGINT count FROM events
+                  GROUP BY 1 ORDER BY count DESC LIMIT 3""")
+    assert list(got["count"]) == list(want["count"])
+    got_r = ops.rare(events, "event_type", 2).to_pandas()
+    want_r = sql("""SELECT event_type, count(*)::BIGINT count FROM events
+                    GROUP BY 1 ORDER BY count ASC LIMIT 2""")
+    assert list(got_r["count"]) == list(want_r["count"])
+
+
+def test_deduplicate(events):
+    got = ops.deduplicate(events, "user_id", order_by=["ts", "event_id"]).to_pandas()
+    want = sql("""SELECT * FROM events QUALIFY
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1""")
+    assert len(got) == len(want)
+    assert sorted(got["event_id"]) == sorted(want["event_id"])
+
+
+def test_enumerate_slice(events):
+    srt = ops.sort(events, "event_id")
+    sl = ops.slice_(srt, 10, 15).to_pandas()
+    assert list(sl["event_id"]) == list(range(10, 15))
+
+
+def test_unroll():
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet").limit(10)
+    out = ops.unroll(ds, "embedding").to_pandas()
+    want = sql(f"""SELECT vec_id, unnest(embedding) e
+                   FROM '{SF}/embeddings.parquet' LIMIT 1000""")
+    dim = len(out) // 10
+    assert len(out) == 10 * dim
+
+
+def test_flatten_unflatten(events):
+    nested = ops.unflatten(
+        ops.rename(events, **{"u.id": "user_id", "u.type": "event_type"}),
+        sep=".",
+    )
+    assert "u" in nested.schema().names
+    flat = ops.flatten(nested).to_pandas()
+    assert "u.id" in flat.columns
+
+
+def test_enrich(events):
+    import pyarrow.parquet as pq
+    # broadcast small-side lookup: user_id → constant label via dict
+    lookup = {i: f"u{i}" for i in range(200)}
+    out = ops.enrich(events, lookup, key="user_id", out_field="label").to_pandas()
+    hit = out[out["user_id"] < 200]
+    assert (hit["label"] == hit["user_id"].map(lambda i: f"u{i}")).all()
+
+
+def test_reverse(events):
+    fwd = ops.sort(events, "event_id").limit(4).to_pandas()
+    rev = ops.head(ops.reverse(ops.sort(events, "event_id")), 4).to_pandas()
+    assert list(rev["event_id"]) == list(
+        sql("SELECT event_id FROM events ORDER BY event_id DESC LIMIT 4")["event_id"])

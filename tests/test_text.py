@@ -1,0 +1,112 @@
+"""Training-data ops: dedup / quality / ANN over the documents and
+embeddings test tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from tenzir_ray.text import (
+    analyze_documents,
+    ann_cosine_topk,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from tenzir_ray.text.dedup import jaccard
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _dup_docs():
+    """Documents table with injected exact and near duplicates."""
+    base = duckdb.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet' LIMIT 50").df()
+    rows = [*base.to_dict("records")]
+    for i, r in enumerate(base.head(5).to_dict("records")):
+        rows.append({"doc_id": 1000 + i, "text": r["text"]})  # exact dup
+    for i, r in enumerate(base.head(5).to_dict("records")):
+        rows.append({"doc_id": 2000 + i, "text": r["text"] + " xyzzy"})  # near dup
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup():
+    df = _dup_docs()
+    ds = rd.from_pandas(df)
+    out = exact_dedup(ds, "text", keep_by="doc_id").to_pandas()
+    assert len(out) == 60 - 5  # 5 exact dups removed
+    # survivor of each dup pair is the min doc_id
+    assert not set(range(1000, 1005)) & set(out["doc_id"])
+
+
+def test_minhash_candidates_find_near_dups():
+    df = _dup_docs()
+    ds = rd.from_pandas(df)
+    cands = minhash_lsh_candidates(ds, "doc_id", "text").to_pandas()
+    paired = set()
+    for docs_ in cands["docs"]:
+        docs_ = list(docs_)
+        for d in docs_:
+            paired.add(d)
+    # all near-dup ids (2000+) must be caught with some original partner
+    assert set(range(2000, 2005)) <= paired
+    # near-dup jaccard really is high
+    assert jaccard(df["text"].iloc[0], df["text"].iloc[0] + " xyzzy") > 0.8
+
+
+def test_minhash_lsh_dedup_end_to_end():
+    df = _dup_docs()
+    ds = rd.from_pandas(df)
+    out = minhash_lsh_dedup(ds, "doc_id", "text").to_pandas()
+    # exact dups and near dups both collapse to the min-id representative
+    assert not set(range(1000, 1005)) & set(out["doc_id"])
+    assert not set(range(2000, 2005)) & set(out["doc_id"])
+    assert set(df.head(5)["doc_id"]) <= set(out["doc_id"])
+
+
+def test_simhash_dedup():
+    df = _dup_docs()
+    ds = rd.from_pandas(df)
+    out = simhash_dedup(ds, "doc_id", "text").to_pandas()
+    assert not set(range(1000, 1005)) & set(out["doc_id"])  # exact dups collapse
+
+
+def test_analyze_documents(docs):
+    out = analyze_documents(docs).to_pandas()
+    assert len(out) == docs.count()
+    assert (out["n_chars_m"] == out["text"].str.len()).all()
+    assert (out["n_words"] > 0).sum() > 0
+    assert out["quality"].between(0, 1).all()
+    assert out["lang_pred"].notna().all()
+    # fingerprint is whitespace-normalization invariant
+    from tenzir_ray.text.quality import DocumentAnalyzer
+    a = DocumentAnalyzer()
+    t1 = a(pa.table({"text": ["hello   world  foo"]}))
+    t2 = a(pa.table({"text": ["hello world foo"]}))
+    assert t1.column("fingerprint")[0] == t2.column("fingerprint")[0]
+
+
+def test_ann_cosine_topk():
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = duckdb.sql(f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'").df()
+    mat = np.stack(emb["embedding"].to_numpy())
+    q = mat[:3]  # use 3 corpus vectors as queries → self is the top hit
+    out = ann_cosine_topk(ds, q, k=5).to_pandas()
+    assert len(out) == 15
+    for qi in range(3):
+        sub = out[out["query"] == qi]
+        assert sub.iloc[0]["vec_id"] == emb["vec_id"].iloc[qi]
+        assert sub.iloc[0]["cosine"] > 0.999
+        # exact oracle: numpy full scan
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qv = q[qi] / np.linalg.norm(q[qi])
+        sims = mn @ qv
+        want = set(emb["vec_id"].to_numpy()[np.argsort(-sims)[:5]])
+        assert set(sub["vec_id"]) == want
