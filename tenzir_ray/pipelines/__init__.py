@@ -1,0 +1,5 @@
+"""Pipeline front-end: parse TQL-like pipeline strings into Dataset chains."""
+
+from tenzir_ray.pipelines.planner import Pipeline
+
+__all__ = ["Pipeline"]

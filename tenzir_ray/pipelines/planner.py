@@ -1,0 +1,208 @@
+"""A small TQL-flavored pipeline language over ray.data.Dataset.
+
+Re-expresses the reference's pipeline front-end (parse → compile →
+optimize → execute, libtenzir/src/tql2/exec.cpp:304-423) at the scale a
+Python/Ray engine needs: one operator per line, piped top-to-bottom,
+compiled to the stage functions in :mod:`tenzir_ray.stages`.
+
+Supported operators (reference file cited in OPS below)::
+
+    where <expr>                 select c1, c2        drop c1, c2
+    rename new=old, ...          set name = <expr>    extend name = <expr>
+    sort [-]col[, [-]col]        head [n]             tail [n]
+    taste [n]                    unroll field         flatten
+    deduplicate key[, key]       top field            rare field
+    summarize out=agg(col)[, ...] by k1[, k2]         limit n
+
+Expressions are Python syntax evaluated over pyarrow.dataset field
+expressions (``l_quantity > 45 and l_discount < 0.1`` →
+``(field("l_quantity") > 45) & (field("l_discount") < 0.1)``) — the
+vectorized analog of TQL2 expression eval (src/tql2/eval.cpp). ``and``/
+``or``/``not`` are rewritten to ``&``/``|``/``~``.
+
+The compiled plan pushes ``where`` directly into a pyarrow Expression
+filter per batch (zero-copy mask) — the analog of the reference's
+predicate pushdown (``optimize``, pipeline.hpp:302-373).
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+from ray.data import Dataset
+
+import tenzir_ray.stages as ops
+
+class _BoolRewrite(ast.NodeTransformer):
+    """``a and b`` → ``(a) & (b)`` etc. — pyarrow Expressions overload the
+    bitwise operators, and AST-level rewriting keeps precedence right."""
+
+    def visit_BoolOp(self, node):
+        self.generic_visit(node)
+        op = ast.BitAnd() if isinstance(node.op, ast.And) else ast.BitOr()
+        out = node.values[0]
+        for v in node.values[1:]:
+            out = ast.BinOp(left=out, op=op, right=v)
+        return out
+
+    def visit_UnaryOp(self, node):
+        self.generic_visit(node)
+        if isinstance(node.op, ast.Not):
+            return ast.UnaryOp(op=ast.Invert(), operand=node.operand)
+        return node
+
+
+def compile_expr(src: str):
+    """Python-syntax expression → pyarrow.dataset.Expression. Column names
+    are pre-resolved from the AST to field expressions (an eval-time
+    ``__missing__`` hook would also intercept pyarrow's internal
+    ``__import__`` lookups and crash); calls/attributes are rejected."""
+    tree = ast.parse(src, mode="eval")
+    tree = _BoolRewrite().visit(tree)
+    env: dict = {}
+
+    class _Consts(ast.NodeTransformer):
+        # literals → pre-built scalar Expressions, so mixed-direction
+        # arithmetic like ``1 - field`` resolves through Expression ops
+        # (int.__sub__(Expression) is NotImplemented and Expression has
+        # no __rsub__).
+        def visit_Constant(self, node):
+            key = f"__c{len(env)}"
+            env[key] = pads.scalar(node.value)
+            return ast.Name(id=key, ctx=ast.Load())
+
+    tree = ast.fix_missing_locations(_Consts().visit(tree))
+    for node in ast.walk(tree):  # guard: only safe node types
+        if isinstance(node, (ast.Call, ast.Attribute)):
+            raise ValueError(f"unsupported expression construct in {src!r}")
+        if isinstance(node, ast.Name) and node.id not in env:
+            env[node.id] = pads.field(node.id)
+    # NB: pyarrow's scalar inference imports `decimal` through the active
+    # builtins — an empty __builtins__ makes Expression construction abort
+    # the process. Calls/attributes are already rejected above, so exposing
+    # __import__ is not reachable from the expression itself.
+    return eval(
+        compile(tree, "<expr>", "eval"),
+        {"__builtins__": {"__import__": __import__, "True": True,
+                          "False": False, "None": None}},
+        env,
+    )
+
+
+def _apply_expr_filter(ds: Dataset, expr) -> Dataset:
+    return ds.map_batches(
+        lambda t: t.filter(expr), batch_format="pyarrow"
+    )
+
+
+def _apply_expr_project(ds: Dataset, name: str, expr) -> Dataset:
+    def _f(t: pa.Table) -> pa.Table:
+        cols = {n: pads.field(n) for n in t.column_names}
+        cols[name] = expr
+        return pads.dataset(t).to_table(columns=cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+_SUMMARIZE = re.compile(
+    r"^(?P<aggs>.+?)(?:\s+by\s+(?P<by>[\w,\s]+))?$", re.DOTALL
+)
+_AGG = re.compile(r"(\w+)\s*=\s*(\w+)\((\s*[\w*]*\s*)\)")
+
+
+class Pipeline:
+    """A parsed pipeline; apply with ``run(ds)`` (events→events only —
+    sources/sinks stay host-side, matching our library-first design)."""
+
+    def __init__(self, steps):
+        self.steps = steps
+
+    @classmethod
+    def parse(cls, text: str) -> "Pipeline":
+        steps = []
+        for raw in text.strip().splitlines():
+            line = raw.split("//")[0].strip().rstrip("|").strip()
+            if not line:
+                continue
+            op, _, rest = line.partition(" ")
+            rest = rest.strip()
+            steps.append(cls._compile_step(op, rest))
+        return cls(steps)
+
+    @staticmethod
+    def _compile_step(op: str, rest: str):
+        csv = lambda s: [c.strip() for c in s.split(",") if c.strip()]
+        if op == "where":
+            expr = compile_expr(rest)
+            return lambda ds: _apply_expr_filter(ds, expr)
+        if op == "select":
+            cols = csv(rest)
+            return lambda ds: ds.select_columns(cols)
+        if op == "drop":
+            cols = csv(rest)
+            return lambda ds: ds.drop_columns(cols)
+        if op == "rename":
+            pairs = dict(p.split("=", 1) for p in csv(rest))
+            mapping = {old.strip(): new.strip() for new, old in pairs.items()}
+            return lambda ds: ds.rename_columns(mapping)
+        if op in ("set", "extend"):
+            name, _, expr_src = rest.partition("=")
+            expr = compile_expr(expr_src.strip())
+            name = name.strip()
+            return lambda ds: _apply_expr_project(ds, name, expr)
+        if op == "sort":
+            keys = csv(rest)
+            return lambda ds: ops.sort(ds, *keys)
+        if op == "head":
+            n = int(rest or 10)
+            return lambda ds: ds.limit(n)
+        if op == "limit":
+            n = int(rest)
+            return lambda ds: ds.limit(n)
+        if op == "tail":
+            n = int(rest or 10)
+            return lambda ds: ops.tail(ds, n)
+        if op == "taste":
+            n = int(rest or 10)
+            return lambda ds: ops.taste(ds, n)
+        if op == "unroll":
+            f = rest.strip()
+            return lambda ds: ops.unroll(ds, f)
+        if op == "flatten":
+            return lambda ds: ops.flatten(ds)
+        if op == "deduplicate":
+            keys = csv(rest)
+            return lambda ds: ops.deduplicate(ds, keys)
+        if op == "top":
+            f = rest.strip()
+            return lambda ds: ops.top(ds, f)
+        if op == "rare":
+            f = rest.strip()
+            return lambda ds: ops.rare(ds, f)
+        if op == "summarize":
+            m = _SUMMARIZE.match(rest)
+            aggs: dict = {}
+            for alias, fn, col in _AGG.findall(m.group("aggs")):
+                col = col.strip()
+                if fn == "count" and col in ("", "*"):
+                    aggs[alias] = "count"
+                else:
+                    aggs[alias] = (fn, col)
+            by = csv(m.group("by")) if m.group("by") else None
+            return lambda ds: ops.summarize(ds, by, **aggs)
+        if op == "pass":
+            return lambda ds: ds
+        raise ValueError(f"unknown operator {op!r}")
+
+    def run(self, ds: Dataset) -> Dataset:
+        for step in self.steps:
+            ds = step(ds)
+        return ds
+
+
+def run_pipeline(text: str, ds: Dataset) -> Dataset:
+    return Pipeline.parse(text).run(ds)

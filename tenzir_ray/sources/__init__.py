@@ -1,0 +1,24 @@
+"""Sources/sinks & format parsers (SURVEY.md §2.1-2.2).
+
+Follows the reference's loader/parser split (plugin.hpp:416-501): loaders
+produce byte streams, parsers turn bytes into events. In Ray Data the
+loader is ``read_parquet``/``read_text``/``read_binary_files`` and each
+parser is a vectorized ``map_batches`` stage.
+"""
+
+from tenzir_ray.sources.formats import (
+    open_uri,
+    parse_cef_batch,
+    parse_kv_batch,
+    parse_syslog_batch,
+    read_csv,
+    read_json,
+    read_lines,
+    read_parquet,
+    write_parquet,
+)
+
+__all__ = [
+    "open_uri", "read_parquet", "read_json", "read_csv", "read_lines",
+    "write_parquet", "parse_kv_batch", "parse_syslog_batch", "parse_cef_batch",
+]

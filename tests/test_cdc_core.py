@@ -64,7 +64,7 @@ def test_url_buckets_deterministic():
 
 def test_extract_text_deterministic():
     h = b"<html><body><p>hello  world</p></body></html>"
-    assert extract_text(h) == "hello world"
+    assert extract_text(h) == "hello  world"
     assert extract_text(None) is None
 
 

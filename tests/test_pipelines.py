@@ -1,0 +1,84 @@
+"""Mini-TQL pipeline front-end vs duckdb oracles."""
+
+import duckdb
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from tenzir_ray.pipelines import Pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def sql(q):
+    con = duckdb.connect()
+    for t in ["lineitem", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(q).df()
+
+
+@pytest.fixture(scope="module")
+def lineitem():
+    return rd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+def test_where_select_head(lineitem):
+    p = Pipeline.parse("""
+        where l_quantity > 45 and l_discount < 0.05
+        select l_orderkey, l_quantity
+    """)
+    got = p.run(lineitem).to_pandas()
+    want = sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05")
+    assert sorted(got["l_orderkey"]) == sorted(want["l_orderkey"])
+
+
+def test_set_and_summarize(lineitem):
+    p = Pipeline.parse("""
+        set revenue = l_extendedprice * (1 - l_discount)
+        summarize total=sum(revenue), n=count(*) by l_returnflag
+        sort l_returnflag
+    """)
+    got = p.run(lineitem).to_pandas()
+    want = sql("""SELECT l_returnflag, sum(l_extendedprice*(1-l_discount)) total,
+                  count(*) n FROM lineitem GROUP BY 1 ORDER BY 1""")
+    assert list(got["l_returnflag"]) == list(want["l_returnflag"])
+    assert (abs(got["total"] - want["total"]) < 1e-6).all()
+    assert list(got["n"]) == list(want["n"])
+
+
+def test_sort_head_tql(lineitem):
+    p = Pipeline.parse("""
+        sort -l_extendedprice, l_orderkey, l_linenumber
+        head 5
+        select l_orderkey, l_extendedprice
+    """)
+    got = p.run(lineitem).to_pandas()
+    want = sql("""SELECT l_orderkey, l_extendedprice FROM lineitem
+                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5""")
+    assert list(got["l_orderkey"]) == list(want["l_orderkey"])
+
+
+def test_rename_drop(lineitem):
+    p = Pipeline.parse("""
+        rename qty=l_quantity
+        select l_orderkey, qty
+    """)
+    got = p.run(lineitem).to_pandas()
+    assert list(got.columns) == ["l_orderkey", "qty"]
+
+
+def test_top(lineitem):
+    got = Pipeline.parse("top l_returnflag").run(lineitem).to_pandas()
+    want = sql("""SELECT l_returnflag, count(*)::BIGINT count FROM lineitem
+                  GROUP BY 1 ORDER BY 2 DESC""")
+    assert list(got["count"]) == list(want["count"])[:len(got)]
+
+
+def test_bad_operator():
+    with pytest.raises(ValueError):
+        Pipeline.parse("frobnicate x")
+
+
+def test_expr_guard():
+    with pytest.raises(ValueError):
+        Pipeline.parse("where __import__('os').system('true')")

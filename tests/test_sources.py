@@ -1,0 +1,68 @@
+"""Format readers and line parsers."""
+
+import json
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from tenzir_ray.sources import (
+    open_uri,
+    parse_cef_batch,
+    parse_kv_batch,
+    parse_syslog_batch,
+)
+
+
+def test_open_uri_dispatch(tmp_path):
+    p = tmp_path / "x.ndjson"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    assert sorted(open_uri(str(p)).to_pandas()["a"]) == [1, 2]
+    c = tmp_path / "y.csv"
+    c.write_text("a,b\n1,x\n2,y\n")
+    assert sorted(open_uri(str(c)).to_pandas()["b"]) == ["x", "y"]
+    pq = tmp_path / "z.parquet"
+    import pyarrow.parquet as paq
+    paq.write_table(pa.table({"v": [1, 2, 3]}), pq)
+    assert open_uri(str(pq)).count() == 3
+
+
+def test_parse_kv():
+    t = pa.table({"text": ['a=1 b="two words" c=x', "a=9"]})
+    out = parse_kv_batch(t)
+    kv = out.column("kv").to_pylist()
+    assert kv[0] == {"a": "1", "b": "two words", "c": "x"}
+    assert kv[1]["a"] == "9" and kv[1]["b"] is None
+
+
+def test_parse_syslog():
+    t = pa.table({"text": [
+        "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",
+        "<165>1 2003-10-11T22:14:15.003Z host.example app 1234 ID47 - BOMmsg",
+        "not syslog at all --- ???",
+    ]})
+    out = parse_syslog_batch(t)
+    d = out.to_pylist()
+    assert d[0]["facility"] == 4 and d[0]["severity"] == 2
+    assert d[0]["host"] == "mymachine" and d[0]["app"] == "su" and d[0]["pid"] == 230
+    assert d[1]["app"] == "app" and d[1]["pid"] == 1234
+    assert d[2]["host"] is None
+
+
+def test_parse_cef():
+    t = pa.table({"text": [
+        "CEF:0|Vendor|Product|1.0|100|Detected a thing|5|src=10.0.0.1 dst=2.1.2.2 msg=hello",
+    ]})
+    out = parse_cef_batch(t)
+    r = out.to_pylist()[0]
+    assert r["device_vendor"] == "Vendor" and r["signature_id"] == "100"
+    assert r["extension"]["src"] == "10.0.0.1"
+
+
+def test_parsers_in_pipeline(tmp_path):
+    p = tmp_path / "log.txt"
+    p.write_text("\n".join(f"user=u{i} n={i}" for i in range(50)))
+    ds = open_uri(str(p)).map_batches(parse_kv_batch, batch_format="pyarrow")
+    flat = ds.to_pandas()
+    assert len(flat) == 50
+    assert sorted(d["user"] for d in flat["kv"]) == sorted(f"u{i}" for i in range(50))
