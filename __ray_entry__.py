@@ -286,6 +286,41 @@ def _flatten_unflatten(sf_dir: str):
     return ops.rename(flat, user_id="u.id", event_type="u.type")
 
 
+def _agg_extended(sf_dir: str):
+    """count_distinct / mode / min+max — the reference aggregation
+    functions beyond Ray's native set (SURVEY §2.7)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events")
+    return ops.summarize(
+        ds, "event_type",
+        users=("count_distinct", "user_id"),
+        md=("mode", "user_id"),
+        mx=("max", "value"),
+        n="count",
+    )
+
+
+def _tql_pipeline(sf_dir: str):
+    """The TQL-flavored pipeline front-end end-to-end (parse → compile →
+    run; reference exec path src/tql2/exec.cpp:304-423)."""
+    import pyarrow.compute as pc2
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = _read(sf_dir, "lineitem")
+    out = Pipeline.parse(
+        """
+        where l_quantity > 30 and l_discount < 0.08
+        set revenue = l_extendedprice * (1 - l_discount)
+        summarize revenue=sum(revenue), n=count(*) by l_returnflag, l_linestatus
+        """
+    ).run(ds)
+    import tenzir_ray.stages as ops
+
+    return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _cdc_replay,
@@ -307,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": _simhash_docs,
         "ann_topk": _ann_topk,
         "flatten_unflatten": _flatten_unflatten,
+        "agg_extended": _agg_extended,
+        "tql_pipeline": _tql_pipeline,
     }
 
 
@@ -393,5 +430,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "flatten_unflatten": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        "agg_extended": """
+            SELECT event_type, count(DISTINCT user_id) AS users,
+                   mode(user_id) AS md, max(value) AS mx, count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "tql_pipeline": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.08
+            GROUP BY l_returnflag, l_linestatus
         """,
     }

@@ -141,7 +141,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
+    # best-of-2 per level, interleaved: this sandbox's host is noisy
+    # (single-thread numpy varies ~3× run-to-run), so a single sample per
+    # level measures neighbor load, not scaling
+    runs = [one(8), one(32), one(8), one(32)]
+    lo = min(runs[0], runs[2], key=lambda r: r["value"])
+    hi = min(runs[1], runs[3], key=lambda r: r["value"])
     tput_lo, tput_hi = lo["cdc_events_per_s"], hi["cdc_events_per_s"]
     eff = (tput_hi / tput_lo) / (32 / 8)
     return {

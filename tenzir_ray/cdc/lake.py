@@ -63,6 +63,7 @@ from tenzir_ray.cdc.wal import list_epochs
 ENGINE_COLS = ("lsn", "op")
 _BUCKET = "__bucket"
 _EPOCH = "__epoch"
+_HASH = "__h"
 
 
 # ---------------------------------------------------------------- kernels
@@ -83,21 +84,53 @@ def lww_reduce(t: pa.Table, key: str = "url", within: str | None = None) -> pa.T
     keep each key's last row. Associative/commutative/idempotent → usable
     both as per-batch combiner and final reducer (reference analog:
     deduplicate, operators/deduplicate.cpp:126-260, inverted to keep the
-    *latest* writer)."""
+    *latest* writer).
+
+    Sorts by the 64-bit key hash first (int compares ≈2× cheaper than
+    string compares; the hash is reused as the shuffle bucket), with the
+    string key as tiebreak so hash collisions stay adjacent; the keep-last
+    boundary test is exact — collisions fall back to comparing the
+    (rare) hash-equal neighbor strings."""
     if t.num_rows <= 1:
         return t
+    added_hash = _HASH not in t.column_names
+    if added_hash:
+        t = t.append_column(
+            _HASH, pa.array(_key_hashes(t.column(key)).view(np.int64))
+        )
     keys = ([(within, "ascending")] if within else []) + [
-        (key, "ascending"), ("warc_ts", "ascending"), ("lsn", "ascending")
+        (_HASH, "ascending"), (key, "ascending"),
+        ("warc_ts", "ascending"), ("lsn", "ascending"),
     ]
     t = t.take(pc.sort_indices(t, sort_keys=keys))
-    codes = pc.dictionary_encode(t.column(key).combine_chunks()).indices.to_numpy()
-    keep = np.empty(len(codes), dtype=bool)
+    h = t.column(_HASH).combine_chunks().to_numpy()
+    keep = np.empty(len(h), dtype=bool)
     keep[-1] = True
-    np.not_equal(codes[1:], codes[:-1], out=keep[:-1])
+    np.not_equal(h[1:], h[:-1], out=keep[:-1])
     if within:
         w = t.column(within).combine_chunks().to_numpy(zero_copy_only=False)
         np.logical_or(keep[:-1], w[1:] != w[:-1], out=keep[:-1])
-    return t.filter(pa.array(keep))
+    # exact boundaries under hash collisions: hash-equal neighbors are
+    # usually same-url duplicates (re-crawls) — compare them vectorized,
+    # promoting the rare genuinely-colliding different-url pair back to
+    # a boundary
+    same = np.flatnonzero(~keep[:-1])
+    if len(same):
+        urls = t.column(key).combine_chunks()
+        left = urls.take(pa.array(same))
+        right = urls.take(pa.array(same + 1))
+        differs = pc.fill_null(pc.not_equal(left, right), True).to_numpy(
+            zero_copy_only=False
+        )
+        keep[same[differs]] = True
+    t = t.filter(pa.array(keep))
+    return t.drop_columns([_HASH]) if added_hash else t
+
+
+def _key_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pd.util.hash_array(col.to_numpy(zero_copy_only=False))
 
 
 _EPOCH_RE = re.compile(r"epoch=(\d+)")
@@ -131,12 +164,21 @@ def _normalize_batch(
         epochs = np.full(t.num_rows, epoch, np.int64)
     t = align_table(t, target, aliases)
     t = t.append_column(_EPOCH, pa.array(epochs))
+    # key hash added once here: reused by the combiner's sort, the bucket
+    # assignment below, and (via the stage files) the reducer's final sort
+    t = t.append_column(
+        _HASH, pa.array(_key_hashes(t.column("url")).view(np.int64))
+    )
     t = lww_reduce(t, within=_EPOCH)  # combine BEFORE parse: don't extract losers
     if extract and "html" in t.column_names and "text" in t.column_names:
         t = t.set_column(
             t.column_names.index("text"), "text", _extract_text_col(t.column("html"))
         )
-    return t.append_column(_BUCKET, pa.array(url_buckets(t.column("url"), n_buckets)))
+    # bucket reuses the key hash lww_reduce already computed
+    h = t.column(_HASH).combine_chunks().to_numpy().view(np.uint64)
+    return t.append_column(
+        _BUCKET, pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+    )
 
 
 def _is_delete(t: pa.Table) -> pa.ChunkedArray:
@@ -169,7 +211,9 @@ def _write_one(group: pa.Table, *, root: str, epoch: int, bucket: int,
         with open(mpath, "rb") as f:
             return json.load(f)
     n_in = group.num_rows
-    group = lww_reduce(group)
+    group = lww_reduce(group)  # reuses the staged __h column
+    if _HASH in group.column_names:
+        group = group.drop_columns([_HASH])
     group = group.take(pc.sort_indices(group, sort_keys=[("url", "ascending")]))
     pdir = os.path.join(root, f"p={pid:04d}")
     os.makedirs(pdir, exist_ok=True)
@@ -234,7 +278,7 @@ def _write_bucket(group: pa.Table, *, root: str, salt: int) -> pa.Table:
 # idempotent reduce = exactly-once commits (manifest-guarded as before).
 
 
-def _stage_batch(t: pa.Table, *, root: str) -> pa.Table:
+def _stage_batch(t: pa.Table, *, stage_dir: str) -> pa.Table:
     """Split a normalized batch by bucket, append one stage file per
     bucket, emit (bucket, path, rows) metadata rows."""
     if t.num_rows == 0:
@@ -250,11 +294,11 @@ def _stage_batch(t: pa.Table, *, root: str) -> pa.Table:
     out_b, out_p, out_r = [], [], []
     for s, e in zip(starts, ends):
         bucket = int(b[s])
-        bdir = os.path.join(root, "_stage", f"b{bucket:05d}")
+        bdir = os.path.join(stage_dir, f"b{bucket:05d}")
         os.makedirs(bdir, exist_ok=True)
         path = os.path.join(bdir, f"s-{uniq[0]}-{uniq[1]}-{s}.parquet")
         sub = t.slice(s, e - s).drop_columns([_BUCKET])
-        pq.write_table(sub, path, compression="lz4")
+        pq.write_table(sub, path, compression="snappy")
         out_b.append(bucket)
         out_p.append(path)
         out_r.append(e - s)
@@ -431,7 +475,8 @@ class Lake:
     """
 
     def __init__(self, root: str, partitions: int = 8, salt: int = 2,
-                 aliases: dict[str, str] | None = None, extract: bool = True):
+                 aliases: dict[str, str] | None = None, extract: bool = True,
+                 stage_dir: str | None = None):
         self.root = root
         cfg_path = os.path.join(root, "_config.json")
         if os.path.exists(cfg_path):
@@ -455,6 +500,18 @@ class Lake:
                 ).encode(),
             )
         self.G = self.P * self.salt
+        # Transient exchange staging: node-local fast storage (tmpfs when
+        # available — the same medium Ray's object store shuffles through;
+        # on a multi-node cluster this is local NVMe / the object store).
+        # NOT part of durable lake state; safe to lose between runs.
+        if stage_dir is not None:
+            self.stage_dir = stage_dir
+        elif os.path.isdir("/dev/shm"):
+            self.stage_dir = os.path.join(
+                "/dev/shm", "tenzir_ray_stage", root.strip("/").replace("/", "_")
+            )
+        else:
+            self.stage_dir = os.path.join(root, "_stage")
 
     # -------------------------------------------------- schema tracking
 
@@ -555,7 +612,7 @@ class Lake:
         # (bucket, path) metadata rides the Ray shuffle (see the comment
         # block above _stage_batch for why).
         meta = ds.map_batches(
-            partial(_stage_batch, root=self.root), batch_format="pyarrow"
+            partial(_stage_batch, stage_dir=self.stage_dir), batch_format="pyarrow"
         )
         manifests = meta.groupby("bucket").map_groups(
             partial(_reduce_bucket, root=self.root, salt=self.salt),
@@ -567,7 +624,7 @@ class Lake:
         # duplicates, and committed (epoch, bucket) pairs no-op)
         import shutil
 
-        shutil.rmtree(os.path.join(self.root, "_stage"), ignore_errors=True)
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
         wall = time.perf_counter() - t0
         by_epoch: dict[int, list] = {}
         for r in mrows:

@@ -201,12 +201,51 @@ def enumerate_(ds: Dataset, name: str = "index") -> Dataset:
 
 _AGGS: Mapping[str, Any] = {
     "count": Count, "sum": Sum, "min": Min, "max": Max, "mean": Mean,
-    "avg": Mean, "std": Std, "stddev": Std, "median": Quantile,
+    "avg": Mean, "std": Std, "stddev": Std,
 }
+
+# Aggregations beyond Ray's native set (reference
+# aggregation-functions/*.cpp, SURVEY §2.7): computed per group with
+# pyarrow kernels inside map_groups.
+
+
+def _agg_group_kernel(g: pa.Table, alias: str, fn: str, col: str | None):
+    c = g.column(col) if col else None
+    if fn == "count":
+        return pa.array([g.num_rows if c is None
+                         else int(pc.count(c).as_py())], pa.int64())
+    if fn == "count_distinct":
+        return pa.array([int(pc.count_distinct(c).as_py())], pa.int64())
+    if fn == "distinct":
+        vals = pc.unique(c.combine_chunks())
+        vals = vals.take(pc.sort_indices(vals))
+        return pa.array([vals.to_pylist()])
+    if fn == "collect":
+        return pa.array([c.to_pylist()])
+    if fn == "mode":
+        m = pc.mode(c, n=1)
+        return pa.array([m[0]["mode"].as_py() if len(m) else None])
+    if fn == "first":
+        return c.slice(0, 1)
+    if fn == "last":
+        return c.slice(len(c) - 1, 1)
+    if fn == "any":
+        return pa.array([bool(pc.any(c).as_py())])
+    if fn == "all":
+        return pa.array([bool(pc.all(c).as_py())])
+    if fn == "median":
+        return pa.array([pc.approximate_median(c).as_py()], pa.float64())
+    if fn in ("sum", "min", "max", "mean", "stddev"):
+        k = {"mean": pc.mean, "stddev": pc.stddev,
+             "sum": pc.sum, "min": pc.min, "max": pc.max}[fn]
+        return pa.array([k(c).as_py()])
+    raise ValueError(f"unknown aggregation {fn!r}")
 
 
 def summarize(
-    ds: Dataset, by: list[str] | str | None, **aggs: tuple[str, str] | str
+    ds: Dataset, by: list[str] | str | None,
+    order_by: list[str] | None = None,
+    **aggs: tuple[str, str] | str,
 ) -> Dataset:
     """Grouped aggregation (operators/summarize.cpp:79-142).
 
@@ -214,24 +253,50 @@ def summarize(
     groupby(k).aggregate(Sum(x, alias="total"), Count(alias="n")).
     Ray pre-aggregates per block before the shuffle (hash aggregate), the
     same partial/final split the reference implements by hand.
-    """
-    specs = []
+
+    Aggregations Ray lacks natively (count_distinct, distinct, collect,
+    mode, first/last, any/all, median — reference SURVEY §2.7) fall back
+    to a per-group pyarrow kernel via map_groups; ``order_by`` pins
+    first/last determinism (the reference relies on stream order, which
+    Ray Data does not guarantee)."""
+    parsed = []
     for alias, spec in aggs.items():
-        if isinstance(spec, str):
-            fn, col = spec, None
-        else:
-            fn, col = spec
-        cls = _AGGS[fn]
-        if fn == "count":
-            specs.append(cls(on=col, alias_name=alias) if col else cls(alias_name=alias))
-        elif fn == "median":
-            specs.append(cls(on=col, q=0.5, alias_name=alias))
-        else:
-            specs.append(cls(on=col, alias_name=alias))
-    if by is None:
-        return ds.aggregate(*specs)  # whole-stream
+        fn, col = (spec, None) if isinstance(spec, str) else spec
+        parsed.append((alias, fn, col))
+    native = all(fn in _AGGS and fn != "median" for _a, fn, _c in parsed)
     by = [by] if isinstance(by, str) else by
-    return ds.groupby(by).aggregate(*specs)
+    if native:
+        specs = []
+        for alias, fn, col in parsed:
+            cls = _AGGS[fn]
+            if fn == "count":
+                specs.append(cls(on=col, alias_name=alias)
+                             if col else cls(alias_name=alias))
+            else:
+                specs.append(cls(on=col, alias_name=alias))
+        if by is None:
+            return ds.aggregate(*specs)  # whole-stream
+        return ds.groupby(by).aggregate(*specs)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        if order_by:
+            g = g.take(pc.sort_indices(
+                g, sort_keys=[(c, "ascending") for c in order_by]))
+        cols: dict[str, Any] = {k: g.column(k).slice(0, 1) for k in (by or [])}
+        for alias, fn, col in parsed:
+            cols[alias] = _agg_group_kernel(g, alias, fn, col)
+        return pa.table(cols)
+
+    if by is None:
+        # whole-stream: single group via a constant key
+        tagged = ds.map_batches(
+            lambda t: t.append_column("__g", pa.nulls(t.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        )
+        return tagged.groupby("__g").map_groups(
+            lambda g: per_group(g.drop_columns(["__g"])), batch_format="pyarrow"
+        )
+    return ds.groupby(by).map_groups(per_group, batch_format="pyarrow")
 
 
 def top(ds: Dataset, field: str, k: int = 10) -> Dataset:

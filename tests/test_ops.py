@@ -132,3 +132,45 @@ def test_reverse(events):
     rev = ops.head(ops.reverse(ops.sort(events, "event_id")), 4).to_pandas()
     assert list(rev["event_id"]) == list(
         sql("SELECT event_id FROM events ORDER BY event_id DESC LIMIT 4")["event_id"])
+
+
+def test_summarize_extended(events):
+    got = ops.summarize(
+        events, "event_type",
+        users=("count_distinct", "user_id"),
+        md=("mode", "user_id"),
+        mx=("max", "value"),
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = sql("""SELECT event_type, count(DISTINCT user_id) users,
+                  mode(user_id) md, max(value) mx
+                  FROM events GROUP BY 1 ORDER BY 1""")
+    assert list(got["users"]) == list(want["users"])
+    assert list(got["md"]) == list(want["md"])
+    assert (abs(got["mx"] - want["mx"]) < 1e-9).all()
+
+
+def test_summarize_whole_stream_extended(events):
+    got = ops.summarize(
+        events, None, users=("count_distinct", "user_id"), n="count",
+    ).to_pandas()
+    want = sql("SELECT count(DISTINCT user_id) users, count(*) n FROM events")
+    assert got["users"].iloc[0] == want["users"].iloc[0]
+    assert got["n"].iloc[0] == want["n"].iloc[0]
+
+
+def test_summarize_first_last_collect(events):
+    got = ops.summarize(
+        events, "event_type", order_by=["ts", "event_id"],
+        first_id=("first", "event_id"),
+        last_id=("last", "event_id"),
+        ids=("collect", "event_id"),
+    ).to_pandas()
+    want = sql("""SELECT event_type,
+                  first(event_id ORDER BY ts, event_id) first_id,
+                  last(event_id ORDER BY ts, event_id) last_id,
+                  count(*) n
+                  FROM events GROUP BY 1""")
+    m = got.merge(want, on="event_type")
+    assert (m["first_id_x"] == m["first_id_y"]).all()
+    assert (m["last_id_x"] == m["last_id_y"]).all()
+    assert (m["ids"].map(len) == m["n"]).all()
