@@ -60,7 +60,7 @@ import pyarrow.parquet as pq
 from tenzir_ray.cdc.schema import DEFAULT_ALIASES, align_table, unify_schemas
 from tenzir_ray.cdc.wal import list_epochs
 
-ENGINE_COLS = ("lsn", "op")
+ENGINE_COLS = ("lsn", "op", "epoch_rec")
 _BUCKET = "__bucket"
 _EPOCH = "__epoch"
 _HASH = "__h"
@@ -144,6 +144,7 @@ from tenzir_ray.cdc.wal import extract_text_column as _extract_text_col
 def _normalize_batch(
     t: pa.Table, *, target: pa.Schema, aliases: dict[str, str], n_buckets: int,
     epoch: int | None = None, extract: bool = True,
+    raw_counts: dict | None = None,
 ) -> pa.Table:
     """Stateless map_batches stage: derive epoch (from the WAL segment
     path when batches mix epochs), align to the unified target schema,
@@ -166,19 +167,21 @@ def _normalize_batch(
     t = t.append_column(_EPOCH, pa.array(epochs))
     # key hash added once here: reused by the combiner's sort, the bucket
     # assignment below, and (via the stage files) the reducer's final sort
-    t = t.append_column(
-        _HASH, pa.array(_key_hashes(t.column("url")).view(np.int64))
-    )
+    h = _key_hashes(t.column("url"))
+    buckets = (h % np.uint64(n_buckets)).astype(np.int32)
+    t = t.append_column(_HASH, pa.array(h.view(np.int64)))
+    t = t.append_column(_BUCKET, pa.array(buckets))
+    if raw_counts is not None:  # pre-combine event volume per (bucket, epoch)
+        key = buckets.astype(np.int64) << np.int64(32) | epochs
+        uniq, counts = np.unique(key, return_counts=True)
+        for k, c in zip(uniq, counts):
+            raw_counts[(int(k >> 32), int(k & 0xFFFFFFFF))] = int(c)
     t = lww_reduce(t, within=_EPOCH)  # combine BEFORE parse: don't extract losers
     if extract and "html" in t.column_names and "text" in t.column_names:
         t = t.set_column(
             t.column_names.index("text"), "text", _extract_text_col(t.column("html"))
         )
-    # bucket reuses the key hash lww_reduce already computed
-    h = t.column(_HASH).combine_chunks().to_numpy().view(np.uint64)
-    return t.append_column(
-        _BUCKET, pa.array((h % np.uint64(n_buckets)).astype(np.int32))
-    )
+    return t
 
 
 def _is_delete(t: pa.Table) -> pa.ChunkedArray:
@@ -200,7 +203,7 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 
 def _write_one(group: pa.Table, *, root: str, epoch: int, bucket: int,
-               salt: int) -> dict:
+               salt: int, events_in: int | None = None) -> dict:
     """Write one (epoch, bucket) delta + its atomic idempotent manifest.
     Re-entry (Ray task retry / crash resume) sees the committed manifest
     and no-ops — the marker replay protocol (index.cpp:119-145)."""
@@ -210,7 +213,7 @@ def _write_one(group: pa.Table, *, root: str, epoch: int, bucket: int,
     if os.path.exists(mpath):  # committed by an earlier attempt → no-op
         with open(mpath, "rb") as f:
             return json.load(f)
-    n_in = group.num_rows
+    n_in = group.num_rows if events_in is None else events_in
     group = lww_reduce(group)  # reuses the staged __h column
     if _HASH in group.column_names:
         group = group.drop_columns([_HASH])
@@ -278,50 +281,91 @@ def _write_bucket(group: pa.Table, *, root: str, salt: int) -> pa.Table:
 # idempotent reduce = exactly-once commits (manifest-guarded as before).
 
 
-def _stage_batch(t: pa.Table, *, stage_dir: str) -> pa.Table:
-    """Split a normalized batch by bucket, append one stage file per
-    bucket, emit (bucket, path, rows) metadata rows."""
+_META_SCHEMA = pa.schema([
+    pa.field("bucket", pa.int32()),
+    pa.field("epoch", pa.int64()),
+    pa.field("path", pa.string()),
+    pa.field("raw_rows", pa.int64()),
+    pa.field("rows", pa.int64()),
+])
+
+
+def _map_stage_batch(
+    t: pa.Table, *, target: pa.Schema, aliases: dict[str, str],
+    n_buckets: int, extract: bool, stage_dir: str,
+) -> pa.Table:
+    """The fused map-side stage: normalize + combine + extract + stage
+    write, emitting one (bucket, epoch, path, raw_rows, rows) metadata row
+    per (bucket, epoch) touched. ``raw_rows`` counts PRE-combine events so
+    lineage reports true input volume (the combiner may collapse a hot url
+    thousandsfold — exactly the signal hot_buckets() needs to see)."""
+    t = _normalize_batch(
+        t, target=target, aliases=aliases, n_buckets=n_buckets,
+        extract=extract, raw_counts=(raw := {}),
+    )
     if t.num_rows == 0:
-        return pa.table({"bucket": pa.array([], pa.int32()),
-                         "path": pa.array([], pa.string()),
-                         "rows": pa.array([], pa.int64())})
-    t = t.take(pc.sort_indices(t, sort_keys=[(_BUCKET, "ascending")]))
+        return _META_SCHEMA.empty_table()
+    t = t.take(pc.sort_indices(
+        t, sort_keys=[(_BUCKET, "ascending"), (_EPOCH, "ascending")]))
     b = t.column(_BUCKET).combine_chunks().to_numpy()
-    bounds = np.flatnonzero(np.diff(b)) + 1
+    ep = t.column(_EPOCH).combine_chunks().to_numpy()
+    key = b.astype(np.int64) << np.int64(32) | ep
+    bounds = np.flatnonzero(np.diff(key)) + 1
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(b)]])
     uniq = os.getpid(), time.monotonic_ns()
-    out_b, out_p, out_r = [], [], []
+    rows = {k: [] for k in ("bucket", "epoch", "path", "raw_rows", "rows")}
+    # one stage file per bucket (all its epochs together; the reducer
+    # re-splits) — fewer files than per-(bucket, epoch)
+    cur_path = {}
     for s, e in zip(starts, ends):
-        bucket = int(b[s])
-        bdir = os.path.join(stage_dir, f"b{bucket:05d}")
-        os.makedirs(bdir, exist_ok=True)
-        path = os.path.join(bdir, f"s-{uniq[0]}-{uniq[1]}-{s}.parquet")
+        bucket, epoch = int(b[s]), int(ep[s])
+        if bucket not in cur_path:
+            bdir = os.path.join(stage_dir, f"b{bucket:05d}")
+            os.makedirs(bdir, exist_ok=True)
+            cur_path[bucket] = os.path.join(
+                bdir, f"s-{uniq[0]}-{uniq[1]}.parquet")
+        rows["bucket"].append(bucket)
+        rows["epoch"].append(epoch)
+        rows["path"].append(cur_path[bucket])
+        rows["raw_rows"].append(raw.get((bucket, epoch), e - s))
+        rows["rows"].append(e - s)
+    # write per-bucket slices (contiguous after the sort)
+    bb = np.flatnonzero(np.diff(b)) + 1
+    bstarts = np.concatenate([[0], bb])
+    bends = np.concatenate([bb, [len(b)]])
+    for s, e in zip(bstarts, bends):
         sub = t.slice(s, e - s).drop_columns([_BUCKET])
-        pq.write_table(sub, path, compression="snappy")
-        out_b.append(bucket)
-        out_p.append(path)
-        out_r.append(e - s)
-    return pa.table({"bucket": pa.array(out_b, pa.int32()),
-                     "path": pa.array(out_p, pa.string()),
-                     "rows": pa.array(out_r, pa.int64())})
+        pq.write_table(sub, cur_path[int(b[s])], compression="snappy")
+    return pa.table(rows, schema=_META_SCHEMA)
 
 
 def _reduce_bucket(group: pa.Table, *, root: str, salt: int) -> pa.Table:
     """Reduce one bucket: read its stage files, split per epoch, LWW-reduce
-    and commit each (epoch, bucket) delta + manifest."""
+    and commit each (epoch, bucket) delta + manifest. ``raw_rows`` from the
+    metadata rows carries true (pre-combine) event volume into lineage."""
     bucket = int(group.column("bucket")[0].as_py())
-    files = group.column("path").to_pylist()
+    files = sorted(set(group.column("path").to_pylist()))
+    raw_per_epoch: dict[int, int] = {}
+    for e, r in zip(group.column("epoch").to_pylist(),
+                    group.column("raw_rows").to_pylist()):
+        raw_per_epoch[int(e)] = raw_per_epoch.get(int(e), 0) + int(r)
     t = pa.concat_tables(
         [pq.read_table(f) for f in files], promote_options="permissive"
     )
     epochs = pc.unique(t.column(_EPOCH)).to_pylist()
     out = []
     for e in sorted(epochs):
-        sub = t.filter(pc.equal(t.column(_EPOCH), e)).drop_columns([_EPOCH])
+        sub = t.filter(pc.equal(t.column(_EPOCH), e))
+        # epoch-of-record persists in the delta (engine column): drives
+        # tombstone GC horizons at compaction (disk_monitor analog)
+        sub = sub.set_column(
+            sub.column_names.index(_EPOCH), "epoch_rec", sub.column(_EPOCH)
+        )
         out.append(
             _manifest_table(
-                _write_one(sub, root=root, epoch=int(e), bucket=bucket, salt=salt)
+                _write_one(sub, root=root, epoch=int(e), bucket=bucket,
+                           salt=salt, events_in=raw_per_epoch.get(int(e), 0))
             )
         )
     return pa.concat_tables(out)
@@ -367,13 +411,24 @@ def _live_files(root: str, pid: int) -> tuple[list[str], int]:
     return files, upto
 
 
-def _read_partition(root: str, pid: int, schema: pa.Schema) -> pa.Table | None:
+def _read_schema(schema: pa.Schema) -> pa.Schema:
+    """Stored data schema + persisted engine column (epoch-of-record)."""
+    if "epoch_rec" in schema.names:
+        return schema
+    return schema.append(pa.field("epoch_rec", pa.int64()))
+
+
+def _read_partition(
+    root: str, pid: int, schema: pa.Schema, filter=None
+) -> pa.Table | None:
     files, _ = _live_files(root, pid)
     if not files:
         return None
     # Explicit unified schema: older files lack later-added columns →
     # filled with nulls by the pyarrow dataset reader (merge-time evolution).
-    return pads.dataset(files, schema=schema, format="parquet").to_table()
+    return pads.dataset(
+        files, schema=_read_schema(schema), format="parquet"
+    ).to_table(filter=filter)
 
 
 def _merge_partition(
@@ -415,21 +470,35 @@ def _compact_partition(
         pid = int(pid)
         files, old_upto = _live_files(root, pid)
         deltas = [f for f in files if os.path.basename(f).startswith("delta-")]
-        if not deltas:
+        if not files:
             continue
         upto = max(
-            int(os.path.basename(f).split("-")[1][1:]) for f in deltas
+            [int(os.path.basename(f).split("-")[1][1:]) for f in deltas],
+            default=old_upto,
         )
         t = _read_partition(root, pid, schema)
         t = lww_reduce(t)
+        # GC horizon: tombstones recorded before the horizon epoch have
+        # protected every straggler replay they ever needed to — drop
+        # them physically; newer tombstones stay in the base to keep
+        # hiding any not-yet-compacted older version (disk_monitor
+        # retention analog, src/disk_monitor.cpp:241). None ⇒ horizon
+        # fully passed, all tombstones dead.
         if gc_before_epoch is None:
-            t = t.filter(pc.invert(_is_delete(t)))
+            dead = _is_delete(t)
         else:
-            # keep only tombstones still inside the GC horizon; a tombstone's
-            # epoch of record rides in its delta file, approximated here by
-            # its lsn mapping — we conservatively keep all tombstones when a
-            # horizon is set (they are few) and drop them all once passed.
-            pass
+            dead = pc.and_(
+                _is_delete(t),
+                pc.less(
+                    pc.fill_null(t.column("epoch_rec"), gc_before_epoch),
+                    gc_before_epoch,
+                ),
+            )
+        n_dead = int(pc.sum(dead).as_py() or 0)
+        if not deltas and n_dead == 0:
+            continue  # base-only partition with nothing to fold or GC
+        if n_dead:
+            t = t.filter(pc.invert(dead))
         t = t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
         pdir = os.path.join(root, f"p={pid:04d}")
         fpath = os.path.join(pdir, f"base-e{upto:05d}.parquet")
@@ -598,21 +667,19 @@ class Lake:
         ds = rd.read_parquet(
             all_files, include_paths=True, override_num_blocks=blocks
         )
-        ds = ds.map_batches(
+        # file-staged exchange: payload → per-bucket stage files; only
+        # (bucket, epoch, path, counts) metadata rides the Ray shuffle
+        # (see the comment block above _stage_batch for why).
+        meta = ds.map_batches(
             partial(
-                _normalize_batch,
+                _map_stage_batch,
                 target=target,
                 aliases=self.aliases,
                 n_buckets=self.G,
                 extract=self.extract,
+                stage_dir=self.stage_dir,
             ),
             batch_format="pyarrow",
-        )
-        # file-staged exchange: payload → per-bucket stage files; only
-        # (bucket, path) metadata rides the Ray shuffle (see the comment
-        # block above _stage_batch for why).
-        meta = ds.map_batches(
-            partial(_stage_batch, stage_dir=self.stage_dir), batch_format="pyarrow"
         )
         manifests = meta.groupby("bucket").map_groups(
             partial(_reduce_bucket, root=self.root, salt=self.salt),
@@ -716,6 +783,57 @@ class Lake:
             batch_size=1,
         )
         return out.take_all()
+
+    # ----------------------------------------------------------- lookup
+
+    def lookup(self, urls: list[str]) -> pa.Table:
+        """Point lookup of live rows for the given urls — the `export` /
+        `lookup` fast path (reference: catalog-pruned partition selection,
+        libtenzir/src/index.cpp:893-1030). Pruning is structural: a url's
+        partition is ``hash(url) % G // salt``, so only those partitions'
+        files are opened, with an ``isin`` row filter pushed into the
+        parquet scan."""
+        schema = self.schema()
+        if schema is None:
+            raise ValueError("empty lake")
+        h = _key_hashes(pa.array(urls, pa.string())).astype(np.uint64)
+        pids = sorted({int(b) // self.salt for b in h % np.uint64(self.G)})
+        flt = pads.field("url").isin(urls)
+        out = []
+        for pid in pids:
+            t = _read_partition(self.root, pid, schema, filter=flt)
+            if t is None or t.num_rows == 0:
+                continue
+            t = lww_reduce(t)
+            t = t.filter(pc.invert(_is_delete(t)))
+            out.append(t.drop_columns(
+                [c for c in ENGINE_COLS if c in t.column_names]))
+        if not out:
+            return pa.schema(
+                [f for f in schema if f.name not in ENGINE_COLS]
+            ).empty_table()
+        return pa.concat_tables(out, promote_options="permissive")
+
+    # -------------------------------------------------- skew diagnostics
+
+    def hot_buckets(self, factor: float = 4.0) -> list[dict]:
+        """Buckets whose per-epoch event volume exceeds ``factor`` × the
+        median — the detection half of salt-based skew splitting (the
+        mitigation half is (a) the per-batch LWW combiner, which collapses
+        hot single urls before the exchange, and (b) raising ``salt`` for
+        a new lake generation to split hot partitions across more writer
+        tasks)."""
+        lin = self.lineage()
+        if lin.num_rows == 0:
+            return []
+        df = lin.select(["bucket", "epoch", "events_in"]).to_pandas()
+        med = max(1.0, float(df["events_in"].median()))
+        hot = df[df["events_in"] > factor * med]
+        return [
+            {"bucket": int(r.bucket), "epoch": int(r.epoch),
+             "events_in": int(r.events_in), "x_median": float(r.events_in / med)}
+            for r in hot.itertuples()
+        ]
 
     # ---------------------------------------------------------- lineage
 

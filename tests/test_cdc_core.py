@@ -211,3 +211,60 @@ def test_lineage_metrics(tmp_path):
     assert (lin["min_url"] <= lin["max_url"]).all()
     # every bucket belongs to the partition it claims
     assert ((lin["bucket"] // lake.salt) == lin["partition_id"]).all()
+
+
+def test_lookup_point_reads(tmp_path):
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    lake = Lake(str(tmp_path / "lake"), partitions=8, salt=2)
+    lake.apply_wal(wal)
+    want = replay_wal(wal)
+    some = list(want["url"].iloc[[0, 5, 17]])
+    got = lake.lookup(some + ["https://nope.example.com/x"])
+    assert got.num_rows == 3
+    gd = dict(zip(got.column("url").to_pylist(), got.column("text").to_pylist()))
+    for u in some:
+        assert gd[u] == want.set_index("url")["text"][u]
+
+
+def test_gc_horizon_keeps_recent_tombstones(tmp_path):
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)  # 5 epochs, deletes from epoch 1 on
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    lake.apply_wal(wal)
+    alive_before = lake.read_table().num_rows
+    # horizon at epoch 3: tombstones recorded in epochs 3,4 survive
+    lake.compact(gc_before_epoch=3)
+    t = lake.read_table(with_tombstones=True, keep_engine_cols=True)
+    tombs = t.filter(pa.compute.equal(t["op"], pa.scalar("DELETE")))
+    assert tombs.num_rows > 0
+    assert set(tombs.column("epoch_rec").to_pylist()) <= {3, 4}
+    assert lake.read_table().num_rows == alive_before
+    # horizon fully passed → all tombstones gone
+    lake2_stats = lake.compact(gc_before_epoch=None)
+    t2 = lake.read_table(with_tombstones=True, keep_engine_cols=True)
+    assert t2.filter(pa.compute.equal(t2["op"], pa.scalar("DELETE"))).num_rows == 0
+    assert lake.read_table().num_rows == alive_before
+
+
+def test_hot_buckets_detects_skew(tmp_path):
+    import pyarrow.parquet as pq2
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, WalSpec(n_events=3000, n_urls=400, n_epochs=3, seed=3))
+    # inject a hot url: one url hammered 3000 times in epoch 1
+    f = os.path.join(wal, "epoch=00001", "part-000.parquet")
+    t = pq2.read_table(f)
+    hot = t.slice(0, 1).to_pydict()
+    big = {k: v * 3000 for k, v in hot.items()}
+    big["lsn"] = list(range(10_000_000, 10_003_000))
+    pq2.write_table(
+        pa.table(big, schema=t.schema), os.path.join(wal, "epoch=00001", "part-009.parquet")
+    )
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=2)
+    lake.apply_wal(wal)
+    hotb = lake.hot_buckets(factor=4.0)
+    assert any(h["events_in"] >= 3000 for h in hotb)
+    # combiner check: the hot url crossed the exchange pre-reduced — its
+    # bucket's delta contains exactly ONE row for it
+    got = lake.lookup([hot["url"][0]])
+    assert got.num_rows == 1
