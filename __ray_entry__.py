@@ -321,6 +321,58 @@ def _tql_pipeline(sf_dir: str):
     return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
 
 
+def _embedding_dedup(sf_dir: str):
+    """embedding-cosine near-dup removal (LSH buckets + in-bucket exact
+    cosine); rows-only — the LSH bucketing is not SQL-expressible."""
+    from tenzir_ray.text.ann import embedding_dedup
+
+    ds = _read(sf_dir, "embeddings")
+    return embedding_dedup(ds, threshold=0.99)
+
+
+def _ivf_ann(sf_dir: str):
+    """IVF-bucketed ANN (k-means lists + probed search); rows-only."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.ann import ivf_build, ivf_search
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.stack(emb.column("embedding").to_pylist()[:3]).astype(np.float32)
+    ds = _read(sf_dir, "embeddings")
+    cents, assigned = ivf_build(ds, n_lists=8)
+    return ivf_search(assigned, cents, mat, k=5, n_probe=4)
+
+
+def _multimodal_decode(sf_dir: str):
+    """image decode → resize → feature-extract actor-pool chain over an
+    opaque binary column (deterministic fake payloads synthesized from
+    doc ids; codecs stubbed — container has no image libs)."""
+    import ray.data as rd
+
+    from tenzir_ray.text.multimodal import (
+        ImageFeatures, ImageResizer, decode_images, encode_fake_image,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+    def attach(t):
+        import pyarrow as pa2
+
+        ids = t.column("doc_id").to_pylist()
+        imgs = [encode_fake_image(16 + i % 16, 16 + i % 8, 3, seed=i) for i in ids]
+        return t.append_column("image", pa2.array(imgs, pa2.binary()))
+
+    ds = docs.map_batches(attach, batch_format="pyarrow")
+    ds = decode_images(ds, batch_size=256, concurrency=(1, 4))
+    ds = ds.map_batches(ImageResizer, fn_constructor_kwargs={"out_w": 8, "out_h": 8},
+                        batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    ds = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=256,
+                        concurrency=(1, 4))
+    return ds.select_columns(
+        ["doc_id", "img_width", "img_height", "img_ok", "img_features"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _cdc_replay,
@@ -344,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_unflatten": _flatten_unflatten,
         "agg_extended": _agg_extended,
         "tql_pipeline": _tql_pipeline,
+        "embedding_dedup": _embedding_dedup,
+        "ivf_ann": _ivf_ann,
+        "multimodal_decode": _multimodal_decode,
     }
 
 

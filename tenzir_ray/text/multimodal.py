@@ -1,0 +1,171 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The pattern for 100 TB multimodal pipelines: payloads are opaque ``binary``
+columns; every decode / resize / feature-extract / frame-sample step is an
+**actor-pool** ``map_batches`` stage (decoder state built once per actor in
+``__init__``), with small ``batch_size`` because rows are megabytes.
+
+The real image/audio libraries (Pillow, ffmpeg, torchaudio) are not in
+this container, so the byte-level codecs are STUBS — a deterministic fake
+container format (``FAKE:`` header + raw payload) and clearly-marked
+``NotImplementedError`` raises for real formats. The Ray-side plumbing —
+schemas, actor signatures, batch sizing, output layout — is real and
+tested, and swapping the stub for Pillow/ffmpeg changes only the marked
+``_decode_payload`` bodies.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+# Fake container: b"FAKE" | u16 width | u16 height | u8 channels | pixels.
+_MAGIC = b"FAKE"
+
+
+def encode_fake_image(width: int, height: int, channels: int = 3,
+                      seed: int = 0) -> bytes:
+    """Deterministic fake image payload (test/fixture helper)."""
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=width * height * channels, dtype=np.uint8)
+    return _MAGIC + struct.pack("<HHB", width, height, channels) + pixels.tobytes()
+
+
+def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    """STUB decoder. Real formats raise; replace this body with
+    Pillow/libjpeg for production."""
+    if buf[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "only the deterministic FAKE container is decodable"
+        )
+    w, h, c = struct.unpack("<HHB", buf[4:9])
+    px = np.frombuffer(buf[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+    return px, w, h, c
+
+
+class ImageDecoder:
+    """Actor-pool stage: binary → decoded metadata + (optionally) pixels.
+
+    ``__init__`` is where a real decoder would load codec state / models
+    (runs once per actor); ``__call__`` decodes a batch. Output keeps the
+    pixel tensor as a flat binary column + shape metadata (Arrow-friendly,
+    zero-copy into numpy downstream)."""
+
+    def __init__(self, payload_col: str = "image", keep_pixels: bool = True):
+        self.col = payload_col
+        self.keep_pixels = keep_pixels
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        widths, heights, chans, pixels, ok = [], [], [], [], []
+        for buf in t.column(self.col).to_pylist():
+            if buf is None:
+                widths.append(None); heights.append(None)
+                chans.append(None); pixels.append(None); ok.append(False)
+                continue
+            try:
+                px, w, h, c = _decode_payload(buf)
+            except NotImplementedError:
+                widths.append(None); heights.append(None)
+                chans.append(None); pixels.append(None); ok.append(False)
+                continue
+            widths.append(w); heights.append(h); chans.append(c)
+            pixels.append(px.tobytes() if self.keep_pixels else None)
+            ok.append(True)
+        t = t.append_column("img_width", pa.array(widths, pa.int32()))
+        t = t.append_column("img_height", pa.array(heights, pa.int32()))
+        t = t.append_column("img_channels", pa.array(chans, pa.int8()))
+        t = t.append_column("img_ok", pa.array(ok, pa.bool_()))
+        if self.keep_pixels:
+            t = t.append_column("pixels", pa.array(pixels, pa.binary()))
+        return t
+
+
+class ImageResizer:
+    """Actor-pool stage: nearest-neighbor resize over decoded pixels
+    (numpy stride tricks; a real pipeline would use PIL/cv2 here)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = []
+        for buf, w, h, c in zip(
+            t.column("pixels").to_pylist(), t.column("img_width").to_pylist(),
+            t.column("img_height").to_pylist(), t.column("img_channels").to_pylist(),
+        ):
+            if buf is None:
+                out.append(None)
+                continue
+            px = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+            yi = (np.arange(self.out_h) * h // self.out_h)
+            xi = (np.arange(self.out_w) * w // self.out_w)
+            out.append(px[yi][:, xi].tobytes())
+        t = t.append_column("pixels_resized", pa.array(out, pa.binary()))
+        return t
+
+
+class ImageFeatures:
+    """Actor-pool stage: per-channel mean/std feature vector from pixels —
+    the feature-extraction slot (a real pipeline loads a vision model in
+    __init__ and runs batched inference here)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = []
+        for buf, w, h, c in zip(
+            t.column("pixels").to_pylist(), t.column("img_width").to_pylist(),
+            t.column("img_height").to_pylist(), t.column("img_channels").to_pylist(),
+        ):
+            if buf is None:
+                feats.append(None)
+                continue
+            px = np.frombuffer(buf, dtype=np.uint8).reshape(-1, c).astype(np.float32)
+            feats.append(
+                np.concatenate([px.mean(axis=0) / 255.0, px.std(axis=0) / 255.0])
+                .tolist()
+            )
+        return t.append_column("img_features", pa.array(feats, pa.list_(pa.float32())))
+
+
+def sample_video_frames(
+    t: pa.Table, *, payload_col: str = "video", every_n: int = 10
+) -> pa.Table:
+    """Frame-sampling stage (video = concatenated fake frames): one output
+    row per sampled frame. Stateless, vectorizes the row explosion; the
+    frame decode itself is the same stub."""
+    rows = {"frame_idx": [], "frame": []}
+    parents = []
+    for i, buf in enumerate(t.column(payload_col).to_pylist()):
+        if buf is None:
+            continue
+        # fake video container: frames are fixed-size fake images back to back
+        if buf[:4] != _MAGIC:
+            raise NotImplementedError("only FAKE video containers supported")
+        w, h, c = struct.unpack("<HHB", buf[4:9])
+        fsize = 9 + w * h * c
+        nframes = len(buf) // fsize
+        for f in range(0, nframes, every_n):
+            rows["frame_idx"].append(f)
+            rows["frame"].append(buf[f * fsize : (f + 1) * fsize])
+            parents.append(i)
+    base = t.take(pa.array(parents, pa.int64())).drop_columns([payload_col])
+    return base.append_column(
+        "frame_idx", pa.array(rows["frame_idx"], pa.int32())
+    ).append_column("frame", pa.array(rows["frame"], pa.binary()))
+
+
+def decode_images(ds: Dataset, payload_col: str = "image",
+                  batch_size: int = 64, concurrency=(1, 8)) -> Dataset:
+    """Wire the decoder actor pool: small batches (rows are MBs),
+    concurrency × num_cpus sized to leave room for up/downstream stages."""
+    return ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -16,5 +16,8 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # pandas conversion of uniform list<float> columns otherwise trips
+    # Ray's TensorArray auto-cast on batches with null rows
+    ctx.enable_tensor_extension_casting = False
     yield
     ray.shutdown()

@@ -110,3 +110,38 @@ def test_ann_cosine_topk():
         sims = mn @ qv
         want = set(emb["vec_id"].to_numpy()[np.argsort(-sims)[:5]])
         assert set(sub["vec_id"]) == want
+
+
+def test_embedding_dedup():
+    from tenzir_ray.text.ann import embedding_dedup
+    emb = duckdb.sql(f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' LIMIT 40").df()
+    rows = emb.to_dict("records")
+    # inject exact and near duplicates of row 0
+    v = np.array(rows[0]["embedding"], dtype=np.float32)
+    rows.append({"vec_id": 9000, "embedding": v.tolist()})
+    rows.append({"vec_id": 9001, "embedding": (v * 1.001 + 0.0005).tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = embedding_dedup(ds, threshold=0.98).to_pandas()
+    assert 9000 not in set(out["vec_id"])
+    assert 9001 not in set(out["vec_id"])
+    assert rows[0]["vec_id"] in set(out["vec_id"])
+    # distinct vectors survive
+    assert len(out) >= 35
+
+
+def test_ivf_build_and_search():
+    from tenzir_ray.text.ann import ivf_build, ivf_search
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    cents, assigned = ivf_build(ds, n_lists=8)
+    assert cents.shape[0] == 8
+    df = assigned.to_pandas()
+    assert df["ivf_list"].between(0, 7).all()
+    emb = duckdb.sql(f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'").df()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    q = mat[:2]
+    got = ivf_search(assigned, cents, q, k=5, n_probe=4).to_pandas()
+    # self-recall: each query's own vector lives in its top list → found
+    for qi in range(2):
+        sub = got[got["query"] == qi]
+        assert sub.iloc[0]["vec_id"] == emb["vec_id"].iloc[qi]
+        assert sub.iloc[0]["cosine"] > 0.999
