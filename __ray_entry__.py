@@ -373,6 +373,40 @@ def _multimodal_decode(sf_dir: str):
     )
 
 
+def _semi_join_orders(sf_dir: str):
+    """semi join via broadcast key set (contexts `where x in ctx`,
+    SURVEY §2.6)."""
+    import duckdb as dk
+
+    import tenzir_ray.stages as ops
+
+    keys = dk.sql(
+        f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' "
+        "WHERE c_mktsegment = 'BUILDING'"
+    ).df()["c_custkey"].tolist()
+    return ops.semi_join(_read(sf_dir, "orders"), keys, key="o_custkey")
+
+
+def _anti_join_orders(sf_dir: str):
+    import duckdb as dk
+
+    import tenzir_ray.stages as ops
+
+    keys = dk.sql(
+        f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' "
+        "WHERE c_mktsegment = 'BUILDING'"
+    ).df()["c_custkey"].tolist()
+    return ops.semi_join(_read(sf_dir, "orders"), keys, key="o_custkey", anti=True)
+
+
+def _slice_events(sf_dir: str):
+    """positional slice over an ordered stream (operators/slice.cpp:28)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events").sort("event_id")
+    return ops.slice_(ds, 100, 110)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _cdc_replay,
@@ -399,6 +433,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _embedding_dedup,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
+        "semi_join_orders": _semi_join_orders,
+        "anti_join_orders": _anti_join_orders,
+        "slice_events": _slice_events,
     }
 
 
@@ -490,6 +527,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS users,
                    mode(user_id) AS md, max(value) AS mx, count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "semi_join_orders": """
+            SELECT * FROM orders WHERE o_custkey IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """,
+        "anti_join_orders": """
+            SELECT * FROM orders WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """,
+        "slice_events": """
+            SELECT * FROM events ORDER BY event_id LIMIT 10 OFFSET 100
         """,
         "tql_pipeline": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,85 @@
+"""CLI: one-shot pipeline execution — the ``tenzir "pipeline"`` analog
+(reference exec path: tenzir/tenzir.cpp:56-130 →
+libtenzir/builtins/commands/exec.cpp; our compile path is
+tenzir_ray.pipelines.planner).
+
+Usage::
+
+    python -m tenzir_ray 'from F.parquet | where x > 1 | select a, b'
+    python -m tenzir_ray 'from F.csv | top event_type | write csv OUT_DIR'
+
+``from <uri>`` loads via extension dispatch (parquet/json/csv/lines, with
+.gz/.zst handled by Arrow); the final ``write json|csv|parquet [path]``
+sinks to a directory, or NDJSON on stdout when omitted (the reference's
+implicit ``write json to stdout``, src/exec_pipeline.cpp:155-210).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tenzir_ray")
+    ap.add_argument("pipeline", help="pipeline text (from … | ops … [| write …])")
+    ap.add_argument("--num-cpus", type=int, default=8)
+    ap.add_argument("--limit", type=int, default=None,
+                    help="cap stdout output rows")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from tenzir_ray.pipelines import Pipeline
+    from tenzir_ray.sources import open_uri
+
+    segs = Pipeline.split_ops(args.pipeline)
+    if not segs or not segs[0].startswith("from "):
+        print("error: pipeline must start with `from <uri>`", file=sys.stderr)
+        return 2
+    ds = open_uri(segs[0][len("from "):].strip())
+    sink = None
+    if segs and segs[-1].startswith(("write ", "to ")):
+        sink = segs.pop()
+    ds = Pipeline.parse("\n".join(segs[1:])).run(ds)
+
+    if sink:
+        parts = sink.split()
+        fmt = parts[1] if parts[0] == "write" else "parquet"
+        path = parts[-1] if len(parts) > 2 or parts[0] == "to" else None
+        if path is None:
+            for row in ds.iter_rows():
+                print(json.dumps(row, default=str))
+            ray.shutdown()
+            return 0
+        if fmt == "parquet":
+            ds.write_parquet(path)
+        elif fmt == "csv":
+            ds.write_csv(path)
+        elif fmt == "json":
+            ds.write_json(path)
+        else:
+            print(f"error: unknown sink format {fmt!r}", file=sys.stderr)
+            return 2
+    else:
+        it = ds.iter_rows()
+        for i, row in enumerate(it):
+            if args.limit is not None and i >= args.limit:
+                break
+            print(json.dumps(row, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -124,14 +124,23 @@ class Pipeline:
     @classmethod
     def parse(cls, text: str) -> "Pipeline":
         steps = []
-        for raw in text.strip().splitlines():
-            line = raw.split("//")[0].strip().rstrip("|").strip()
-            if not line:
-                continue
-            op, _, rest = line.partition(" ")
-            rest = rest.strip()
-            steps.append(cls._compile_step(op, rest))
+        for seg in cls.split_ops(text):
+            op, _, rest = seg.partition(" ")
+            steps.append(cls._compile_step(op, rest.strip()))
         return cls(steps)
+
+    @staticmethod
+    def split_ops(text: str) -> list[str]:
+        """Operator segments: newline- and ``|``-separated (TQL writes
+        one-liners as ``op | op | op``); ``//`` comments stripped."""
+        out = []
+        for raw in text.strip().splitlines():
+            line = raw.split("//")[0].strip()
+            for seg in line.split("|"):
+                seg = seg.strip()
+                if seg:
+                    out.append(seg)
+        return out
 
     @staticmethod
     def _compile_step(op: str, rest: str):

@@ -402,3 +402,55 @@ def enrich(
             return t
 
     return ds.map_batches(Enricher, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def semi_join(ds: Dataset, keys, key: str, anti: bool = False) -> Dataset:
+    """Semi/anti join against a broadcast key set (Tenzir expresses these
+    as ``where field in ctx`` over a lookup-table context — SURVEY §2.6).
+    ``keys`` may be a list/set or a pa.Table column. For huge key sets,
+    broadcast a Bloom filter instead (tenzir_ray.state.BloomFilter) and
+    re-verify the survivors."""
+    import ray
+
+    if isinstance(keys, pa.Table):
+        keys = keys.column(key).to_pylist()
+    ref = ray.put(frozenset(keys))
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = t.column(key).to_pylist()
+            mask = np.fromiter(
+                ((v in self.keys) != anti for v in vals), bool, count=len(vals)
+            )
+            return t.filter(pa.array(mask))
+
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def repeat(ds: Dataset, n: int) -> Dataset:
+    """Replay input n times (operators/repeat.cpp:32)."""
+    out = ds
+    for _ in range(n - 1):
+        out = out.union(ds)
+    return out
+
+
+def measure(ds: Dataset) -> Dataset:
+    """Replace stream with per-batch metrics events
+    (operators/measure.cpp:27)."""
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "events": pa.array([t.num_rows], pa.int64()),
+            "bytes": pa.array([t.nbytes], pa.int64()),
+        })
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def batch(ds: Dataset, n: int) -> Dataset:
+    """Rebatch to a target batch size (operators/batch.cpp:33). In Ray the
+    knob is map_batches(batch_size=…) on the consuming stage; this
+    materializes the boundary explicitly."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=n)

@@ -174,3 +174,21 @@ def test_summarize_first_last_collect(events):
     assert (m["first_id_x"] == m["first_id_y"]).all()
     assert (m["last_id_x"] == m["last_id_y"]).all()
     assert (m["ids"].map(len) == m["n"]).all()
+
+
+def test_semi_anti_join(events):
+    keep = set(range(0, 50))
+    got = ops.semi_join(events, keep, key="user_id").to_pandas()
+    want = sql("SELECT * FROM events WHERE user_id < 50")
+    assert len(got) == len(want)
+    got_a = ops.semi_join(events, keep, key="user_id", anti=True).to_pandas()
+    want_a = sql("SELECT * FROM events WHERE user_id >= 50")
+    assert len(got_a) == len(want_a)
+
+
+def test_repeat_measure_batch(events):
+    n = events.count()
+    assert ops.repeat(events, 3).count() == 3 * n
+    m = ops.measure(events).to_pandas()
+    assert m["events"].sum() == n and (m["bytes"] > 0).all()
+    assert ops.batch(events, 100).count() == n

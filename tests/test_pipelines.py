@@ -82,3 +82,29 @@ def test_bad_operator():
 def test_expr_guard():
     with pytest.raises(ValueError):
         Pipeline.parse("where __import__('os').system('true')")
+
+
+def test_pipe_separated_one_liner(lineitem):
+    got = Pipeline.parse(
+        "where l_quantity > 49 | select l_orderkey, l_quantity | head 5"
+    ).run(lineitem).to_pandas()
+    assert (got["l_quantity"] > 49).all() and len(got) == 5
+
+
+def test_cli_end_to_end(tmp_path):
+    import json as J
+    import subprocess, sys
+    out = subprocess.run(
+        [sys.executable, "-m", "tenzir_ray",
+         "from /root/testdata/sf0.001/events.parquet | top event_type",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rows = [J.loads(l) for l in out.stdout.strip().splitlines()]
+    assert len(rows) == 5 and rows[0]["count"] >= rows[-1]["count"]
+    bad = subprocess.run(
+        [sys.executable, "-m", "tenzir_ray", "where x > 1"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert bad.returncode == 2 and "from" in bad.stderr
