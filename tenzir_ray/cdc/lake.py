@@ -763,7 +763,26 @@ class Lake:
 
     # ------------------------------------------------------- compaction
 
-    def compact(self, gc_before_epoch: int | None = None):
+    def maybe_compact(self, max_deltas: int = 8,
+                      gc_before_epoch: int | None = None):
+        """Auto-compaction trigger: compact only partitions whose live
+        delta count exceeds ``max_deltas`` (reference: rebuild selects
+        undersized partitions <0.8× capacity on a 2 h cadence,
+        builtins/commands/rebuild.cpp:90-92, defaults.hpp:227 — here the
+        trigger is delta-stack depth, the LSM read-amplification metric)."""
+        hot = [
+            p for p in range(self.P)
+            if len([
+                f for f in _live_files(self.root, p)[0]
+                if os.path.basename(f).startswith("delta-")
+            ]) > max_deltas
+        ]
+        if not hot:
+            return []
+        return self.compact(gc_before_epoch=gc_before_epoch, pids=hot)
+
+    def compact(self, gc_before_epoch: int | None = None,
+                pids: list[int] | None = None):
         """Merge deltas into new per-partition bases; GC dead files and
         tombstones (see _compact_partition). Returns per-partition stats."""
         import ray.data as rd
@@ -771,7 +790,9 @@ class Lake:
         schema = self.schema()
         if schema is None:
             return []
-        ds = rd.from_items([{"pid": p} for p in range(self.P)])
+        ds = rd.from_items(
+            [{"pid": p} for p in (range(self.P) if pids is None else pids)]
+        )
         out = ds.map_batches(
             partial(
                 _compact_partition,

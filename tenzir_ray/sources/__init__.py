@@ -7,18 +7,27 @@ parser is a vectorized ``map_batches`` stage.
 """
 
 from tenzir_ray.sources.formats import (
+    compile_grok,
     open_uri,
     parse_cef_batch,
+    parse_grok_batch,
     parse_kv_batch,
+    parse_leef_batch,
     parse_syslog_batch,
+    parse_zeek_tsv,
     read_csv,
+    read_feather,
     read_json,
     read_lines,
     read_parquet,
+    read_yaml,
+    write_feather,
     write_parquet,
 )
 
 __all__ = [
     "open_uri", "read_parquet", "read_json", "read_csv", "read_lines",
-    "write_parquet", "parse_kv_batch", "parse_syslog_batch", "parse_cef_batch",
+    "read_yaml", "read_feather", "write_feather", "write_parquet",
+    "parse_kv_batch", "parse_syslog_batch", "parse_cef_batch",
+    "parse_leef_batch", "parse_grok_batch", "compile_grok", "parse_zeek_tsv",
 ]

@@ -147,6 +147,178 @@ def parse_syslog_batch(t: pa.Table, col: str = "text") -> pa.Table:
     return t
 
 
+_GROK_DEFAULT = {
+    "WORD": r"\w+", "NOTSPACE": r"\S+", "DATA": r".*?", "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+", "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
+    "IPORHOST": r"\S+", "HOSTNAME": r"[\w.-]+", "USER": r"[\w.-]+",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "LOGLEVEL": r"[A-Za-z]+",
+}
+
+
+def compile_grok(pattern: str, extra: dict[str, str] | None = None):
+    """Grok pattern → compiled regex with named groups (reference:
+    formats/grok.cpp + grok-patterns library; a minimal built-in pattern
+    set here, extensible via ``extra``)."""
+    lib = {**_GROK_DEFAULT, **(extra or {})}
+
+    def sub(m):
+        name, field = m.group(1), m.group(2)
+        body = lib[name]
+        return f"(?P<{field}>{body})" if field else f"(?:{body})"
+
+    rx = re.sub(r"%\{(\w+)(?::(\w+))?\}", sub, pattern)
+    return re.compile(rx)
+
+
+def parse_grok_batch(
+    t: pa.Table, pattern: str, col: str = "text",
+    extra: dict[str, str] | None = None,
+) -> pa.Table:
+    """Apply a grok pattern per line; named captures become columns
+    (regex compiled once per batch call — wrap in an actor class via
+    functools.partial for once-per-actor compilation)."""
+    rx = compile_grok(pattern, extra)
+    lines = t.column(col).to_pylist()
+    fields = list(rx.groupindex)
+    cols: dict[str, list] = {f: [] for f in fields}
+    for s in lines:
+        m = rx.search(s or "")
+        for f in fields:
+            cols[f].append(m.group(f) if m else None)
+    for f in fields:
+        t = t.append_column(f, pa.array(cols[f], pa.string()))
+    return t
+
+
+def parse_leef_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """LEEF 1.0/2.0 (reference: formats/leef.cpp): pipe-separated header
+    then tab- (or configured-) delimited key=value attributes."""
+    lines = t.column(col).to_pylist()
+    hdr_names = ["leef_version", "vendor", "product", "version", "event_id"]
+    cols: dict[str, list] = {k: [] for k in hdr_names}
+    attrs: list[dict] = []
+    for s in lines:
+        if not s or not s.startswith("LEEF:"):
+            for k in hdr_names:
+                cols[k].append(None)
+            attrs.append({})
+            continue
+        parts = s.split("|")
+        head = parts[0].split(":", 1)[1]
+        vals = [head] + parts[1:5]
+        for k, v in zip(hdr_names, vals):
+            cols[k].append(v)
+        rest = parts[5] if len(vals) == 5 and len(parts) > 5 else parts[-1]
+        sep = "\t" if "\t" in rest else ("&" if "=" in rest and "&" in rest else "\t")
+        d = {}
+        for kv in rest.split(sep):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                d[k.strip()] = v
+        attrs.append(d)
+    for k in hdr_names:
+        t = t.append_column(k, pa.array(cols[k], pa.string()))
+    keys: list[str] = []
+    for d in attrs:
+        for k in d:
+            if k not in keys:
+                keys.append(k)
+    if keys:
+        arrays = [pa.array([d.get(k) for d in attrs], pa.string()) for k in keys]
+        t = t.append_column("attrs", pa.StructArray.from_arrays(arrays, names=keys))
+    return t
+
+
+def parse_zeek_tsv(path_or_text, **kw):
+    """Zeek TSV logs (reference: formats/zeek_tsv.cpp): '#'-prefixed
+    header directives (#fields/#types/#separator), '-' as null. Returns a
+    ray Dataset."""
+    import ray.data as rd
+
+    import itertools
+
+    with open(path_or_text) as f:
+        head = list(itertools.islice(f, 12))
+    fields = sep = None
+    for line in head:
+        if line.startswith("#separator"):
+            code = line.split()[1]
+            sep = bytes(code, "utf-8").decode("unicode_escape") if "\\" in code else code
+        if line.startswith("#fields"):
+            fields = line.rstrip("\n").split(sep or "\t")[1:]
+    if not fields:
+        raise ValueError("not a zeek tsv file (missing #fields)")
+    delim = sep or "\t"
+    cols = fields
+
+    def split_lines(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lines = t.column("text")
+        mask = pc.invert(pc.starts_with(lines, pattern="#"))
+        lines = lines.filter(mask).combine_chunks()
+        parts = pc.split_pattern(lines, pattern=delim)
+        out = {}
+        for i, name in enumerate(cols):
+            col = pc.list_element(parts, i) if len(lines) else pa.array([], pa.string())
+            col = pc.if_else(
+                pc.is_in(col, value_set=pa.array(["-", "(empty)"])),
+                pa.scalar(None, pa.string()), col,
+            )
+            out[name] = col
+        return pa.table(out)
+
+    return rd.read_text(path_or_text).map_batches(
+        split_lines, batch_format="pyarrow"
+    )
+
+
+def read_yaml(paths) -> "object":
+    """YAML documents → Dataset (reference: formats/yaml.cpp). Whole-file
+    parse via pyyaml; fine for config-scale inputs."""
+    import yaml
+
+    import ray.data as rd
+
+    docs = []
+    for p in [paths] if isinstance(paths, str) else paths:
+        with open(p) as f:
+            for d in yaml.safe_load_all(f):
+                if isinstance(d, list):
+                    docs.extend(d)
+                elif d is not None:
+                    docs.append(d)
+    return rd.from_items(docs)
+
+
+def read_feather(paths):
+    """Arrow IPC / Feather files → Dataset (reference: formats/feather.cpp
+    — also Tenzir's default store format; ours is parquet)."""
+    import pyarrow.feather as pf
+
+    import ray.data as rd
+
+    tables = [
+        pf.read_table(p) for p in ([paths] if isinstance(paths, str) else paths)
+    ]
+    return rd.from_arrow(pa.concat_tables(tables, promote_options="permissive"))
+
+
+def write_feather(ds, path: str) -> None:
+    import pyarrow.feather as pf
+
+    chunks = [
+        pa.table(b) if not isinstance(b, pa.Table) else b
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    pf.write_feather(
+        pa.concat_tables(chunks, promote_options="permissive"), path
+    )
+
+
 def parse_cef_batch(t: pa.Table, col: str = "text") -> pa.Table:
     """CEF header + extension parsing (formats/cef.cpp): 7 pipe-separated
     header fields, then key=value extensions."""

@@ -268,3 +268,18 @@ def test_hot_buckets_detects_skew(tmp_path):
     # bucket's delta contains exactly ONE row for it
     got = lake.lookup([hot["url"][0]])
     assert got.num_rows == 1
+
+
+def test_maybe_compact_trigger(tmp_path):
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)  # 5 epochs × salt buckets of deltas
+    lake = Lake(str(tmp_path / "lake"), partitions=2, salt=1)
+    epochs = list_epochs(wal)
+    for e, files in epochs[:2]:
+        lake.apply_epoch(e, files)
+    assert lake.maybe_compact(max_deltas=8) == []      # under threshold
+    for e, files in epochs[2:]:
+        lake.apply_epoch(e, files)
+    stats = lake.maybe_compact(max_deltas=3)           # 5 deltas > 3
+    assert len(stats) == 2                              # both partitions hit
+    _assert_state_equals_oracle(lake, wal)

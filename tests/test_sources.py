@@ -66,3 +66,53 @@ def test_parsers_in_pipeline(tmp_path):
     flat = ds.to_pandas()
     assert len(flat) == 50
     assert sorted(d["user"] for d in flat["kv"]) == sorted(f"u{i}" for i in range(50))
+
+
+def test_parse_grok():
+    from tenzir_ray.sources import parse_grok_batch
+    t = pa.table({"text": [
+        '127.0.0.1 GET /index.html 200 0.043',
+        'bad line',
+    ]})
+    out = parse_grok_batch(
+        t, "%{IP:client} %{WORD:method} %{NOTSPACE:path} %{INT:status} %{NUMBER:dur}")
+    d = out.to_pylist()
+    assert d[0]["client"] == "127.0.0.1" and d[0]["status"] == "200"
+    assert d[1]["client"] is None
+
+
+def test_parse_leef():
+    from tenzir_ray.sources import parse_leef_batch
+    t = pa.table({"text": [
+        "LEEF:1.0|Vendor|Product|1.0|EV42|src=10.0.0.1\tdst=10.0.0.2\tsev=5",
+    ]})
+    r = parse_leef_batch(t).to_pylist()[0]
+    assert r["vendor"] == "Vendor" and r["event_id"] == "EV42"
+    assert r["attrs"]["src"] == "10.0.0.1" and r["attrs"]["sev"] == "5"
+
+
+def test_zeek_tsv(tmp_path):
+    from tenzir_ray.sources import parse_zeek_tsv
+    p = tmp_path / "conn.log"
+    p.write_text(
+        "#separator \\x09\n#set_separator\t,\n#empty_field\t(empty)\n"
+        "#unset_field\t-\n#path\tconn\n#fields\tts\tuid\tproto\torig_bytes\n"
+        "#types\ttime\tstring\tenum\tcount\n"
+        "1.5\tC1\ttcp\t100\n2.5\tC2\tudp\t-\n"
+    )
+    df = parse_zeek_tsv(str(p)).to_pandas()
+    df = df[~df["ts"].astype(str).str.startswith("#")]
+    assert list(df["uid"]) == ["C1", "C2"]
+    assert df["orig_bytes"].iloc[1] is None or str(df["orig_bytes"].iloc[1]) in ("nan", "<NA>", "None")
+
+
+def test_yaml_and_feather(tmp_path):
+    from tenzir_ray.sources import read_feather, read_yaml, write_feather
+    y = tmp_path / "x.yaml"
+    y.write_text("- {a: 1, b: x}\n- {a: 2, b: y}\n")
+    ds = read_yaml(str(y))
+    assert sorted(ds.to_pandas()["a"]) == [1, 2]
+    f = tmp_path / "x.feather"
+    write_feather(ds, str(f))
+    back = read_feather(str(f)).to_pandas()
+    assert sorted(back["a"]) == [1, 2]
