@@ -63,10 +63,17 @@ def entry() -> Any:
 
 
 def _q1_summarize(sf_dir: str):
-    """summarize: grouped aggregation (operators/summarize.cpp)."""
+    """summarize: grouped aggregation (operators/summarize.cpp).
+    Columns pruned at the read — only the 6 needed leave storage."""
+    import ray.data as rd
+
     import tenzir_ray.stages as ops
 
-    ds = _read(sf_dir, "lineitem")
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_shipdate"],
+    )
     out = ops.summarize(
         ds,
         ["l_returnflag", "l_linestatus"],
@@ -85,9 +92,14 @@ def _q1_summarize(sf_dir: str):
 
 def _where_select(sf_dir: str):
     """where + select (operators/where_map.cpp, select.cpp)."""
+    import ray.data as rd
+
     import tenzir_ray.stages as ops
 
-    ds = _read(sf_dir, "lineitem")
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    )
     return ops.select(
         ops.where(
             ds,
@@ -104,7 +116,12 @@ def _set_revenue(sf_dir: str):
     """set (computed column) + summarize (set_select.cpp)."""
     import tenzir_ray.stages as ops
 
-    ds = _read(sf_dir, "lineitem")
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_discount"],
+    )
     ds = ops.set_(
         ds,
         revenue=lambda t: pc.multiply(
@@ -119,7 +136,12 @@ def _sort_head(sf_dir: str):
     """sort + head (operators/sort.cpp, head.cpp); unique tiebreak keys."""
     import tenzir_ray.stages as ops
 
-    ds = _read(sf_dir, "lineitem")
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
     return ops.head(
         ds.sort(
             ["l_extendedprice", "l_orderkey", "l_linenumber"],
@@ -200,7 +222,11 @@ def _hourly_events(sf_dir: str):
     """summarize with time bucketing (summarize time_resolution)."""
     import tenzir_ray.stages as ops
 
-    ds = _read(sf_dir, "events")
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
     ds = ops.set_(ds, hour=lambda t: pc.floor_temporal(t["ts"], unit="hour"))
     return ops.summarize(ds, "hour", n="count", users=("max", "user_id"))
 
@@ -226,7 +252,11 @@ def _token_counts(sf_dir: str):
     """token counting over documents (whitespace tokens)."""
     from tenzir_ray.text.quality import token_count_batch
 
-    ds = _read(sf_dir, "documents")
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
     return ds.map_batches(
         token_count_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "n_tokens_ws"])
