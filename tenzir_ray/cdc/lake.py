@@ -726,6 +726,38 @@ class Lake:
         Kafka-offset analog)."""
         return self.apply_epochs(list_epochs(wal_dir))
 
+    def follow(self, wal_dir: str, poll_interval: float = 1.0,
+               idle_rounds: int | None = None,
+               compact_every: int | None = None):
+        """Continuous tail: poll the WAL dir, apply new epochs as their
+        segments appear, optionally auto-compacting — the ``every {…}`` /
+        live-import loop of the reference (operators/every_cron.cpp,
+        importer 'live' path). Yields one result list per non-empty apply;
+        stops after ``idle_rounds`` consecutive empty polls (None = run
+        forever; tests pass a bound)."""
+        idle = 0
+        applied_batches = 0
+        while idle_rounds is None or idle < idle_rounds:
+            pending = [
+                (e, files) for e, files in list_epochs(wal_dir)
+                if not self._epoch_done(e)
+                # only sealed segments: producers write parts first, seal
+                # last (or rename the whole dir atomically)
+                and os.path.exists(
+                    os.path.join(os.path.dirname(files[0]), "_sealed")
+                )
+            ]
+            if not pending:
+                idle += 1
+                time.sleep(poll_interval)
+                continue
+            idle = 0
+            results = self.apply_epochs(pending)
+            applied_batches += 1
+            if compact_every and applied_batches % compact_every == 0:
+                self.maybe_compact()
+            yield results
+
     # ------------------------------------------------------------- read
 
     def read(self, with_tombstones: bool = False, keep_engine_cols: bool = False):

@@ -200,6 +200,10 @@ def generate_wal(out_dir: str, spec: WalSpec | None = None) -> dict:
             part = table.slice(i * step, step)
             if part.num_rows:
                 pq.write_table(part, os.path.join(edir, f"part-{i:03d}.parquet"))
+        # seal marker written LAST: a live tailer (Lake.follow) treats an
+        # epoch as ready only once sealed, so half-written segments are
+        # never consumed (binlog segment-roll convention)
+        open(os.path.join(edir, "_sealed"), "w").close()
     return {
         "n_events": spec.n_events,
         "n_epochs": spec.n_epochs,

@@ -283,3 +283,34 @@ def test_maybe_compact_trigger(tmp_path):
     stats = lake.maybe_compact(max_deltas=3)           # 5 deltas > 3
     assert len(stats) == 2                              # both partitions hit
     _assert_state_equals_oracle(lake, wal)
+
+
+def test_follow_live_tail(tmp_path):
+    """Continuous tail: epochs appearing over time are applied as they
+    land; final state equals the batch oracle."""
+    import threading
+
+    wal = str(tmp_path / "wal")
+    staging = str(tmp_path / "staging")
+    generate_wal(staging, SPEC)
+    eps = list_epochs(staging)
+    os.makedirs(wal, exist_ok=True)
+
+    def feed():
+        import shutil, time as _t
+        for e, files in eps:
+            src = os.path.dirname(files[0])
+            tmp = os.path.join(wal, ".tmp-" + os.path.basename(src))
+            shutil.copytree(src, tmp)
+            os.rename(tmp, os.path.join(wal, os.path.basename(src)))
+            _t.sleep(0.3)
+
+    t = threading.Thread(target=feed)
+    t.start()
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    batches = list(lake.follow(wal, poll_interval=0.2, idle_rounds=8,
+                               compact_every=2))
+    t.join()
+    assert sum(len(b) for b in batches) >= 1
+    assert lake.committed_epochs() == {0, 1, 2, 3, 4}
+    _assert_state_equals_oracle(lake, wal)
