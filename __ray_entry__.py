@@ -437,6 +437,28 @@ def _slice_events(sf_dir: str):
     return ops.slice_(ds, 100, 110)
 
 
+def _parse_props(sf_dir: str):
+    """field-level parse_json (functions/parse_json; SURVEY §2.2 function
+    variants): events.props JSON strings → extracted k, aggregated."""
+    import ray.data as rd
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.functions.parsing import parse_json_col
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        s = parse_json_col(t.column("props"), fields=["k"])
+        return t.append_column("k", pc.struct_field(s, "k"))
+
+    ds = ds.map_batches(parse, batch_format="pyarrow")
+    return ops.summarize(
+        ds, "event_type", k_sum=("sum", "k"), k_max=("max", "k"), n="count"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _cdc_replay,
@@ -466,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_orders": _semi_join_orders,
         "anti_join_orders": _anti_join_orders,
         "slice_events": _slice_events,
+        "parse_props": _parse_props,
     }
 
 
@@ -568,6 +591,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "slice_events": """
             SELECT * FROM events ORDER BY event_id LIMIT 10 OFFSET 100
+        """,
+        "parse_props": """
+            SELECT event_type,
+                   sum(CAST(props::JSON->>'k' AS BIGINT)) AS k_sum,
+                   max(CAST(props::JSON->>'k' AS BIGINT)) AS k_max,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "tql_pipeline": """
             SELECT l_returnflag, l_linestatus,

@@ -88,6 +88,8 @@ def bench_queries() -> dict[str, float]:
         "q1_summarize", "where_select", "set_revenue", "sort_head",
         "dedup_users", "enrich_orders", "exact_dedup_docs",
         "lang_quality", "minhash_dedup_docs", "ann_topk",
+        "tql_pipeline", "semi_join_orders", "parse_props",
+        "embedding_dedup",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -21,12 +21,62 @@ import json
 import sys
 
 
+def _lake_main(args) -> int:
+    """``lake`` subcommands: operate the CDC engine from the shell
+    (apply/follow ≈ tenzir-node import; read/lookup ≈ export; compact ≈
+    rebuild; lineage ≈ metrics/partitions introspection)."""
+    from tenzir_ray.cdc import Lake
+
+    lake = Lake(args.lake, partitions=args.partitions, salt=args.salt)
+    if args.lake_cmd == "apply":
+        for r in lake.apply_wal(args.wal):
+            print(json.dumps(r))
+    elif args.lake_cmd == "follow":
+        for results in lake.follow(
+            args.wal, poll_interval=args.poll, idle_rounds=args.idle_rounds,
+            compact_every=2,
+        ):
+            for r in results:
+                print(json.dumps(r), flush=True)
+    elif args.lake_cmd == "read":
+        t = lake.read_table()
+        for row in t.slice(0, args.limit or t.num_rows).to_pylist():
+            print(json.dumps(row, default=repr))
+    elif args.lake_cmd == "lookup":
+        for row in lake.lookup(args.urls).to_pylist():
+            print(json.dumps(row, default=repr))
+    elif args.lake_cmd == "compact":
+        print(json.dumps(lake.compact(), default=str))
+    elif args.lake_cmd == "lineage":
+        for row in lake.lineage().to_pylist():
+            print(json.dumps(row, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="tenzir_ray")
-    ap.add_argument("pipeline", help="pipeline text (from … | ops … [| write …])")
-    ap.add_argument("--num-cpus", type=int, default=8)
-    ap.add_argument("--limit", type=int, default=None,
-                    help="cap stdout output rows")
+    sub = ap.add_subparsers(dest="cmd")
+    lk = sub.add_parser("lake", help="operate a CDC lake")
+    lk.add_argument("lake_cmd", choices=[
+        "apply", "follow", "read", "lookup", "compact", "lineage"])
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--wal")
+    lk.add_argument("--partitions", type=int, default=8)
+    lk.add_argument("--salt", type=int, default=2)
+    lk.add_argument("--poll", type=float, default=1.0)
+    lk.add_argument("--idle-rounds", type=int, default=None)
+    lk.add_argument("--limit", type=int, default=None)
+    lk.add_argument("--num-cpus", type=int, default=8)
+    lk.add_argument("--urls", nargs="+", default=[])
+
+    exe = sub.add_parser("exec", help="run a pipeline (default)")
+    exe.add_argument("pipeline")
+    exe.add_argument("--num-cpus", type=int, default=8)
+    exe.add_argument("--limit", type=int, default=None)
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] not in ("lake", "exec", "-h", "--help"):
+        argv = ["exec"] + argv  # bare pipeline string → exec
     args = ap.parse_args(argv)
 
     import ray
@@ -39,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "lake":
+        rc = _lake_main(args)
+        ray.shutdown()
+        return rc
 
     from tenzir_ray.pipelines import Pipeline
     from tenzir_ray.sources import open_uri

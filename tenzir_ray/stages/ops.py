@@ -389,8 +389,11 @@ def enrich(
             self.cols = cols
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            probe = t.column(key).to_pylist()
-            pos = np.array([self.index.get(k, -1) for k in probe], dtype=np.int64)
+            import pandas as pd
+
+            # vectorized probe: pandas map runs the hash lookups in C
+            probe = pd.Series(t.column(key).to_pandas())
+            pos = probe.map(self.index).fillna(-1).astype(np.int64).to_numpy()
             hit = pos >= 0
             for out, vals in self.cols.items():
                 picked = np.where(hit, vals[np.clip(pos, 0, None)], None)

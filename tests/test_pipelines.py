@@ -108,3 +108,27 @@ def test_cli_end_to_end(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert bad.returncode == 2 and "from" in bad.stderr
+
+
+def test_cli_lake_subcommands(tmp_path):
+    import json as J
+    import subprocess, sys
+    from tenzir_ray.cdc.wal import WalSpec, generate_wal
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, WalSpec(n_events=2000, n_urls=300, n_epochs=2, seed=13))
+    env = dict(__import__("os").environ, PYTHONPATH="/root/repo")
+    base = [sys.executable, "-m", "tenzir_ray", "lake"]
+    lake = str(tmp_path / "lake")
+    r = subprocess.run(base + ["apply", "--lake", lake, "--wal", wal,
+                               "--partitions", "2", "--num-cpus", "2"],
+                       capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-400:]
+    assert len(r.stdout.strip().splitlines()) == 2  # one line per epoch
+    r2 = subprocess.run(base + ["read", "--lake", lake, "--limit", "3",
+                                "--num-cpus", "2"],
+                        capture_output=True, text=True, cwd="/root/repo", env=env)
+    rows = [J.loads(l) for l in r2.stdout.strip().splitlines()]
+    assert len(rows) == 3 and "url" in rows[0]
+    r3 = subprocess.run(base + ["lineage", "--lake", lake, "--num-cpus", "2"],
+                        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert all("events_per_s" in l for l in r3.stdout.strip().splitlines())

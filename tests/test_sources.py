@@ -116,3 +116,24 @@ def test_yaml_and_feather(tmp_path):
     write_feather(ds, str(f))
     back = read_feather(str(f)).to_pandas()
     assert sorted(back["a"]) == [1, 2]
+
+
+def test_open_uri_gzip(tmp_path):
+    import gzip
+    p = tmp_path / "z.csv.gz"
+    p.write_bytes(gzip.compress(b"a,b\n1,x\n2,y\n"))
+    assert sorted(open_uri(str(p)).to_pandas()["a"]) == [1, 2]
+    j = tmp_path / "z.jsonl.gz"
+    j.write_bytes(gzip.compress(b'{"v": 5}\n{"v": 6}\n'))
+    assert sorted(open_uri(str(j)).to_pandas()["v"]) == [5, 6]
+
+
+def test_parse_json_col():
+    from tenzir_ray.functions.parsing import parse_json_col, print_json_col
+    import pyarrow.compute as pc
+    arr = pa.array(['{"a": 1, "b": "x"}', '{"a": 2}', "not json", None])
+    s = parse_json_col(arr)
+    assert pc.struct_field(s, "a").to_pylist() == [1, 2, None, None]
+    assert pc.struct_field(s, "b").to_pylist() == ["x", None, None, None]
+    out = print_json_col(pa.array([{"a": 1}, None]))
+    assert out.to_pylist() == ['{"a":1}', None]
