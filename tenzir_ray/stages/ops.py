@@ -433,6 +433,47 @@ def semi_join(ds: Dataset, keys, key: str, anti: bool = False) -> Dataset:
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def assert_(ds: Dataset, pred: Expr, warn_limit: int = 10) -> Dataset:
+    """Like where but logs dropped rows (where_map.cpp:148 — the
+    reference warns per drop; we count per batch and log a bounded
+    sample via Python logging)."""
+    import logging
+
+    log = logging.getLogger("tenzir_ray.assert")
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = pred(t)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        kept = t.filter(m)
+        dropped = t.num_rows - kept.num_rows
+        if dropped:
+            log.warning("assert dropped %d/%d rows", dropped, t.num_rows)
+        return kept
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def move(ds: Dataset, **new_to_old: str) -> Dataset:
+    """move a=b: rename + delete source (operators/move.cpp)."""
+    return rename(ds, **new_to_old)
+
+
+def distinct(ds: Dataset, *cols: str) -> Dataset:
+    """Whole-stream distinct rows over the given columns (reference:
+    summarize distinct / ds.unique). Projection first so only key
+    columns ride the shuffle."""
+    proj = ds.select_columns(list(cols))
+    return deduplicate(proj, list(cols))
+
+
+def cache(ds: Dataset) -> Dataset:
+    """Materialize into the object store for reuse across consumers
+    (operators/cache.cpp — node-side keyed result cache; keying is the
+    caller's variable binding here)."""
+    return ds.materialize()
+
+
 def repeat(ds: Dataset, n: int) -> Dataset:
     """Replay input n times (operators/repeat.cpp:32)."""
     out = ds

@@ -1,0 +1,161 @@
+"""Mini Sigma rule engine: compile detection rules → vectorized filters.
+
+Reference: plugins/sigma (1353 LoC) streams Sigma YAML rules and compiles
+them to expression filters over events. This is the batch-engine core of
+that: a useful subset of the public Sigma spec —
+
+- ``detection.<selection>``: mapping of ``field[|modifier]`` → value or
+  list-of-values (list = OR); supported modifiers: ``contains``,
+  ``startswith``, ``endswith``, ``re``.
+- ``detection.condition``: boolean combination of selection names with
+  ``and`` / ``or`` / ``not`` / ``1 of them`` / ``all of them``.
+
+``compile_rule`` returns a ``pa.Table -> BooleanArray`` predicate usable
+with :func:`tenzir_ray.stages.ops.where`; ``sigma_match`` tags each row
+with the names of matching rules (the reference emits matches as events).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+Predicate = Callable[[pa.Table], pa.ChunkedArray]
+
+
+def _field_match(t: pa.Table, field_spec: str, value) -> pa.ChunkedArray:
+    field, _, mod = field_spec.partition("|")
+    if field not in t.column_names:
+        return pa.chunked_array([pa.array([False] * t.num_rows)])
+    col = t.column(field)
+    if not pa.types.is_string(col.type):
+        col = col.cast(pa.string())
+    vals = value if isinstance(value, list) else [value]
+    masks = []
+    for v in vals:
+        v = str(v)
+        if mod == "contains":
+            masks.append(pc.match_substring(col, pattern=v))
+        elif mod == "startswith":
+            masks.append(pc.starts_with(col, pattern=v))
+        elif mod == "endswith":
+            masks.append(pc.ends_with(col, pattern=v))
+        elif mod == "re":
+            masks.append(pc.match_substring_regex(col, pattern=v))
+        elif mod == "":
+            # Sigma wildcards * and ? in plain equality values
+            if "*" in v or "?" in v:
+                rx = "^" + re.escape(v).replace("\\*", ".*").replace("\\?", ".") + "$"
+                masks.append(pc.match_substring_regex(col, pattern=rx))
+            else:
+                masks.append(pc.equal(col, v))
+        else:
+            raise ValueError(f"unsupported sigma modifier {mod!r}")
+    out = masks[0]
+    for m in masks[1:]:
+        out = pc.or_kleene(out, m)
+    return pc.fill_null(out, False)
+
+
+def _selection_pred(sel: dict) -> Predicate:
+    def pred(t: pa.Table):
+        out = None
+        for field_spec, value in sel.items():
+            m = _field_match(t, field_spec, value)
+            out = m if out is None else pc.and_kleene(out, m)
+        if out is None:
+            return pa.chunked_array([pa.array([True] * t.num_rows)])
+        return out
+
+    return pred
+
+
+_TOKEN = re.compile(r"\(|\)|\band\b|\bor\b|\bnot\b|[\w*]+")
+
+
+def compile_rule(rule: dict) -> Predicate:
+    """Sigma rule dict (parsed YAML) → row predicate."""
+    detection = rule["detection"]
+    condition = detection.get("condition", "selection")
+    sels = {
+        k: _selection_pred(v)
+        for k, v in detection.items()
+        if k != "condition"
+    }
+
+    tokens = _TOKEN.findall(condition)
+    # rewrite "1 of them" / "all of them"
+    expr_parts: list[str] = []
+    i = 0
+    while i < len(tokens):
+        if tokens[i] in ("1", "all") and i + 2 < len(tokens) and tokens[i + 1] == "of":
+            names = list(sels) if tokens[i + 2] in ("them", "*") else [
+                n for n in sels if re.fullmatch(
+                    tokens[i + 2].replace("*", ".*"), n)
+            ]
+            joiner = " or " if tokens[i] == "1" else " and "
+            expr_parts.append("(" + joiner.join(names) + ")")
+            i += 3
+            continue
+        expr_parts.append(tokens[i])
+        i += 1
+
+    def _tr(tok: str) -> str:
+        if tok in ("(", ")"):
+            return tok
+        if tok in ("and", "or", "not"):
+            return {"and": "&", "or": "|", "not": "~"}[tok]
+        return f"__m[{tok!r}]"
+
+    py_expr = " ".join(_tr(tok) for tok in _TOKEN.findall(" ".join(expr_parts))) \
+        if expr_parts else "".join(())
+    # note: expr_parts may already contain parenthesized joins; re-tokenize
+    # so names inside them are translated uniformly
+    if not py_expr:
+        py_expr = "__m['selection']"
+
+    def _np_mask(m) -> np.ndarray:
+        m = pc.fill_null(m, False)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return m.to_numpy(zero_copy_only=False).astype(bool)
+
+    def pred(t: pa.Table):
+        masks = {name: _np_mask(p(t)) for name, p in sels.items()}
+        return pa.array(eval(py_expr, {"__builtins__": {}}, {"__m": masks}))
+
+    return pred
+
+
+def sigma_match(ds, rules: dict[str, dict]):
+    """Tag each row with the list of matching rule names; rows matching no
+    rule are dropped (the reference emits sigma matches as a new event
+    stream). Rules are compiled once per actor (__init__)."""
+    import ray
+
+    rules_ref = ray.put(rules)
+
+    class Matcher:
+        def __init__(self):
+            self.preds = {
+                name: compile_rule(r) for name, r in ray.get(rules_ref).items()
+            }
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            hits = {name: np.asarray(p(t)) for name, p in self.preds.items()}
+            any_hit = np.zeros(t.num_rows, dtype=bool)
+            for m in hits.values():
+                any_hit |= m
+            names = [
+                [n for n, m in hits.items() if m[i]] for i in np.flatnonzero(any_hit)
+            ]
+            out = t.filter(pa.array(any_hit))
+            return out.append_column(
+                "sigma_rules", pa.array(names, pa.list_(pa.string()))
+            )
+
+    return ds.map_batches(Matcher, batch_format="pyarrow", concurrency=(1, 4))

@@ -192,3 +192,16 @@ def test_repeat_measure_batch(events):
     m = ops.measure(events).to_pandas()
     assert m["events"].sum() == n and (m["bytes"] > 0).all()
     assert ops.batch(events, 100).count() == n
+
+
+def test_assert_move_distinct_cache(events):
+    import pyarrow.compute as pc2
+    kept = ops.assert_(events, lambda t: pc2.less(t["user_id"], 10**9)).count()
+    assert kept == events.count()
+    mv = ops.move(events, uid="user_id")
+    assert "uid" in mv.schema().names and "user_id" not in mv.schema().names
+    d = ops.distinct(events, "event_type").to_pandas()
+    assert sorted(d["event_type"]) == sorted(
+        sql("SELECT DISTINCT event_type FROM events")["event_type"])
+    c = ops.cache(ops.where(events, lambda t: pc2.greater(t["value"], 0.0)))
+    assert c.count() == c.count()  # second consume hits the materialized set
