@@ -340,7 +340,9 @@ def _map_stage_batch(
     return pa.table(rows, schema=_META_SCHEMA)
 
 
-def _reduce_bucket(group: pa.Table, *, root: str, salt: int) -> pa.Table:
+def _reduce_bucket(
+    group: pa.Table, *, root: str, salt: int, stage_schema: pa.Schema | None = None
+) -> pa.Table:
     """Reduce one bucket: read its stage files, split per epoch, LWW-reduce
     and commit each (epoch, bucket) delta + manifest. ``raw_rows`` from the
     metadata rows carries true (pre-combine) event volume into lineage."""
@@ -350,9 +352,11 @@ def _reduce_bucket(group: pa.Table, *, root: str, salt: int) -> pa.Table:
     for e, r in zip(group.column("epoch").to_pylist(),
                     group.column("raw_rows").to_pylist()):
         raw_per_epoch[int(e)] = raw_per_epoch.get(int(e), 0) + int(r)
-    t = pa.concat_tables(
-        [pq.read_table(f) for f in files], promote_options="permissive"
-    )
+    # one dataset scan over all staged pieces (not a read_table per file —
+    # at scale a bucket has one piece per map task). The explicit schema
+    # null-fills leftovers from a crashed earlier run whose target schema
+    # was narrower (pre-evolution).
+    t = pads.dataset(files, schema=stage_schema, format="parquet").to_table()
     epochs = pc.unique(t.column(_EPOCH)).to_pylist()
     out = []
     for e in sorted(epochs):
@@ -646,7 +650,13 @@ class Lake:
         per_epoch_schema: dict[int, pa.Schema] = {}
         for e, files in pending:
             chain.append(pq.read_schema(files[0]))
-            per_epoch_schema[e] = unify_schemas(chain, self.aliases)
+            s = unify_schemas(chain, self.aliases)
+            if self.extract and "html" in s.names and "text" not in s.names:
+                # the parse stage PRODUCES text: declare it even when the
+                # producer ships only raw html
+                s = s.insert(s.get_field_index("html") + 1,
+                             pa.field("text", pa.string()))
+            per_epoch_schema[e] = s
         target = per_epoch_schema[pending[-1][0]]
         # One read over every pending segment (epoch recovered from the
         # segment path) so the whole tail flows through a single exchange.
@@ -681,8 +691,12 @@ class Lake:
             ),
             batch_format="pyarrow",
         )
+        stage_schema = target.append(pa.field(_EPOCH, pa.int64())).append(
+            pa.field(_HASH, pa.int64())
+        )
         manifests = meta.groupby("bucket").map_groups(
-            partial(_reduce_bucket, root=self.root, salt=self.salt),
+            partial(_reduce_bucket, root=self.root, salt=self.salt,
+                    stage_schema=stage_schema),
             batch_format="pyarrow",
         )
         mrows = manifests.take_all()  # tiny: ≤ G × epochs rows

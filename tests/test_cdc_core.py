@@ -314,3 +314,47 @@ def test_follow_live_tail(tmp_path):
     assert sum(len(b) for b in batches) >= 1
     assert lake.committed_epochs() == {0, 1, 2, 3, 4}
     _assert_state_equals_oracle(lake, wal)
+
+
+def test_wal_without_text_column(tmp_path):
+    """The engine's parse stage fills `text` from `html` even when the WAL
+    carries no text column at all (extraction is the engine's duty, not
+    the producer's)."""
+    import pyarrow.parquet as pq2
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    for _e, files in list_epochs(wal):
+        for f in files:
+            t = pq2.read_table(f)
+            pq2.write_table(t.drop_columns(["text"]), f)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=2)
+    lake.apply_wal(wal)
+    got = _final_df(lake)
+    want = replay_wal(wal.replace("wal", "wal"))  # oracle has no text either
+    assert "text" in got.columns
+    from tenzir_ray.cdc.wal import extract_text
+    # invariant: text == extract(html) byte-for-byte
+    assert all(
+        (h is None and tx is None) or tx == extract_text(h)
+        for h, tx in zip(got["html"], got["text"])
+    )
+    assert list(got["url"]) == list(want["url"])
+
+
+def test_unify_types_edges():
+    import pyarrow as pa2
+    from tenzir_ray.cdc.schema import unify_types, unify_schemas
+    import pytest as pt
+    assert unify_types(pa2.int32(), pa2.int64()) == pa2.int64()
+    assert unify_types(pa2.int64(), pa2.float32()) == pa2.float64()
+    assert unify_types(pa2.uint32(), pa2.int64()) == pa2.int64()
+    assert unify_types(pa2.timestamp("ms"), pa2.timestamp("ns")) == pa2.timestamp("ns")
+    assert unify_types(pa2.null(), pa2.string()) == pa2.string()
+    assert unify_types(pa2.dictionary(pa2.int8(), pa2.string()), pa2.string()) == pa2.string()
+    assert unify_types(pa2.list_(pa2.int32()), pa2.list_(pa2.int64())) == pa2.list_(pa2.int64())
+    s = unify_types(pa2.struct([("a", pa2.int32())]), pa2.struct([("a", pa2.int64()), ("b", pa2.string())]))
+    assert s == pa2.struct([("a", pa2.int64()), ("b", pa2.string())])
+    with pt.raises(TypeError):
+        unify_types(pa2.string(), pa2.int64())  # reference returns nullopt
+    u = unify_schemas([pa2.schema([("x", pa2.int32())]), pa2.schema([("y", pa2.string())])])
+    assert u.names == ["x", "y"]
