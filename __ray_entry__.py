@@ -21,10 +21,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    # pass a metadata-free schema: pandas-metadata in the file schema
+    # makes block schemas unhashable (hash(schema) raises on the dict)
+    # and defeats Ray's schema dedup in every downstream bundle.
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 # --------------------------------------------------------------- flagship
@@ -69,11 +77,9 @@ def _q1_summarize(sf_dir: str):
 
     import tenzir_ray.stages as ops
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_shipdate"],
-    )
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_shipdate"])
     out = ops.summarize(
         ds,
         ["l_returnflag", "l_linestatus"],
@@ -96,10 +102,9 @@ def _where_select(sf_dir: str):
 
     import tenzir_ray.stages as ops
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
-    )
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_discount"])
     return ops.select(
         ops.where(
             ds,
@@ -118,10 +123,8 @@ def _set_revenue(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice", "l_discount"],
-    )
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_discount"])
     ds = ops.set_(
         ds,
         revenue=lambda t: pc.multiply(
@@ -138,10 +141,8 @@ def _sort_head(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
-    )
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
     return ops.head(
         ds.sort(
             ["l_extendedprice", "l_orderkey", "l_linenumber"],
@@ -195,7 +196,8 @@ def _upsert_events(sf_dir: str):
                 g, sort_keys=[("ts", "descending"), ("event_id", "descending")]
             )
         )
-        return g.slice(0, 1)
+        g = g.slice(0, 1)
+        return g.replace_schema_metadata(None) if g.schema.metadata else g
 
     return ds.groupby("user_id").map_groups(last, batch_format="pyarrow")
 
@@ -224,9 +226,7 @@ def _hourly_events(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
-    )
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
     ds = ops.set_(ds, hour=lambda t: pc.floor_temporal(t["ts"], unit="hour"))
     return ops.summarize(ds, "hour", n="count", users=("max", "user_id"))
 
@@ -254,9 +254,7 @@ def _token_counts(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         token_count_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "n_tokens_ws"])
@@ -331,6 +329,28 @@ def _agg_extended(sf_dir: str):
     )
 
 
+
+def _agg_extended2(sf_dir: str):
+    """quantile / variance / once-sample aggregations (reference
+    quantile.cpp:13-65, stddev_variance.cpp, once.cpp, sample.cpp)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "value", "user_id", "ts", "event_id"])
+    out = ops.summarize(
+        ds, "event_type", order_by=["ts", "event_id"],
+        q90=("quantile", "value", 0.9),
+        vr=("variance", "value"),
+        first_user=("once", "user_id"),
+        n="count",
+    )
+    return ops.set_(
+        out,
+        q90=lambda t: pc.round(t["q90"], 6),
+        vr=lambda t: pc.round(t["vr"], 6),
+    )
+
+
 def _tql_pipeline(sf_dir: str):
     """The TQL-flavored pipeline front-end end-to-end (parse → compile →
     run; reference exec path src/tql2/exec.cpp:304-423)."""
@@ -352,25 +372,40 @@ def _tql_pipeline(sf_dir: str):
 
 
 def _embedding_dedup(sf_dir: str):
-    """embedding-cosine near-dup removal (LSH buckets + in-bucket exact
-    cosine); rows-only — the LSH bucketing is not SQL-expressible."""
+    """embedding-cosine near-dup removal (sign-LSH buckets + in-bucket
+    exact cosine, drop-if-any-lower-id-similar). Axis planes make the
+    bucketing SQL-expressible (``embedding[i] > 0``), so the WHOLE dedup
+    is oracle-checked — bucket assignment, in-bucket pairwise cosine and
+    the drop rule all have to agree with DuckDB."""
     from tenzir_ray.text.ann import embedding_dedup
 
     ds = _read(sf_dir, "embeddings")
-    return embedding_dedup(ds, threshold=0.99)
+    # 0.485 actually drops rows in the synthetic data and sits in a wide
+    # empty gap of the same-bucket cosine distribution at every sf
+    # (nearest pair ≥ 0.003 away → float rounding can't flip a decision)
+    return embedding_dedup(ds, threshold=0.485, n_planes=4, planes="axis",
+                           dtype=np.float64)
 
 
 def _ivf_ann(sf_dir: str):
-    """IVF-bucketed ANN (k-means lists + probed search); rows-only."""
+    """IVF-bucketed ANN: k-means lists → write partitioned by list →
+    search opens ONLY probed lists' partitions (file pruning at the
+    read); rows-only."""
+    import shutil
+
     import pyarrow.parquet as pq
 
-    from tenzir_ray.text.ann import ivf_build, ivf_search
+    from tenzir_ray.text.ann import ivf_build, ivf_search, ivf_write
 
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     mat = np.stack(emb.column("embedding").to_pylist()[:3]).astype(np.float32)
     ds = _read(sf_dir, "embeddings")
     cents, assigned = ivf_build(ds, n_lists=8)
-    return ivf_search(assigned, cents, mat, k=5, n_probe=4)
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/tenzir_ray_ivf_{sf}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ivf_write(assigned, index_dir)
+    return ivf_search(index_dir, cents, mat, k=5, n_probe=4)
 
 
 def _multimodal_decode(sf_dir: str):
@@ -445,13 +480,12 @@ def _parse_props(sf_dir: str):
     import tenzir_ray.stages as ops
     from tenzir_ray.functions.parsing import parse_json_col
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
 
     def parse(t: pa.Table) -> pa.Table:
         s = parse_json_col(t.column("props"), fields=["k"])
-        return t.append_column("k", pc.struct_field(s, "k"))
+        # explicit int64 so every batch (and the final sum) has a stable type
+        return t.append_column("k", pc.cast(pc.struct_field(s, "k"), pa.int64()))
 
     ds = ds.map_batches(parse, batch_format="pyarrow")
     return ops.summarize(
@@ -482,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_unflatten": _flatten_unflatten,
         "agg_extended": _agg_extended,
         "tql_pipeline": _tql_pipeline,
+        "agg_extended2": _agg_extended2,
         "embedding_dedup": _embedding_dedup,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
@@ -581,6 +616,30 @@ def oracle_sql() -> dict[str, str]:
                    mode(user_id) AS md, max(value) AS mx, count(*) AS n
             FROM events GROUP BY event_type
         """,
+        "agg_extended2": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.9), 6) AS q90,
+                   round(var_samp(value), 6)           AS vr,
+                   first(user_id ORDER BY ts, event_id) AS first_user,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "embedding_dedup": """
+            WITH b AS (
+                SELECT *,
+                       (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+                        CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+                        CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+                        CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+                FROM embeddings
+            )
+            SELECT vec_id, embedding, label FROM b e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM b e2
+                WHERE e2.bucket = e.bucket AND e2.vec_id < e.vec_id
+                  AND list_cosine_similarity(e2.embedding, e.embedding) >= 0.485
+            )
+        """,
         "semi_join_orders": """
             SELECT * FROM orders WHERE o_custkey IN
               (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -594,7 +653,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parse_props": """
             SELECT event_type,
-                   sum(CAST(props::JSON->>'k' AS BIGINT)) AS k_sum,
+                   (sum(CAST(props::JSON->>'k' AS BIGINT)))::BIGINT AS k_sum,
                    max(CAST(props::JSON->>'k' AS BIGINT)) AS k_max,
                    count(*) AS n
             FROM events GROUP BY event_type

@@ -143,21 +143,20 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # best-of-N per level, interleaved, early-stop: this sandbox's host is
-    # noisy (the same 32-cpu job measured 12.2s and 25.6s minutes apart;
-    # single-thread numpy varies ~3×), so single samples measure neighbor
-    # load, not scaling. Minimum-over-samples estimates the machine's
-    # capability; sampling stops once the ≥0.8 target is demonstrated or
-    # after 5 rounds.
+    # best-of-N per level, interleaved, FIXED round count (no early stop —
+    # optional stopping would select for the target): this sandbox's host
+    # is noisy (the same 32-cpu job measured 12.2s and 25.6s minutes
+    # apart; single-thread numpy varies ~3×), so single samples measure
+    # neighbor load, not scaling. Minimum-over-samples estimates the
+    # machine's capability; the efficiency is whatever falls out of the
+    # full best-of-5.
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "5"))
     los, his = [], []
-    for i in range(5):
+    for _ in range(rounds):
         los.append(one(8))
         his.append(one(32))
-        lo = min(los, key=lambda r: r["value"])
-        hi = min(his, key=lambda r: r["value"])
-        eff_now = (hi["cdc_events_per_s"] / lo["cdc_events_per_s"]) / 4
-        if i >= 1 and eff_now >= 0.8:
-            break
+    lo = min(los, key=lambda r: r["value"])
+    hi = min(his, key=lambda r: r["value"])
     tput_lo, tput_hi = lo["cdc_events_per_s"], hi["cdc_events_per_s"]
     eff = (tput_hi / tput_lo) / (32 / 8)
     return {
@@ -166,6 +165,8 @@ def run_scaling() -> dict:
         "events_per_s_8": tput_lo, "events_per_s_32": tput_hi,
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"], "cdc_events": lo["cdc_events"],
+        "samples_8": [r["value"] for r in los],
+        "samples_32": [r["value"] for r in his],
     }
 
 

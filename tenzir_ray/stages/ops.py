@@ -20,6 +20,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Std, Sum
 
+from tenzir_ray.util import nometa
+
 Expr = Callable[[pa.Table], pa.Array]
 
 
@@ -33,7 +35,7 @@ def where(ds: Dataset, pred: Expr) -> Dataset:
         m = pred(t)
         if isinstance(m, pa.ChunkedArray):
             m = m.combine_chunks()
-        return t.filter(m)
+        return nometa(t.filter(m))
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
@@ -49,7 +51,7 @@ def set_(ds: Dataset, **cols: Expr) -> Dataset:
                 t = t.set_column(t.column_names.index(name), name, arr)
             else:
                 t = t.append_column(name, arr)
-        return t
+        return nometa(t)
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
@@ -209,7 +211,8 @@ _AGGS: Mapping[str, Any] = {
 # pyarrow kernels inside map_groups.
 
 
-def _agg_group_kernel(g: pa.Table, alias: str, fn: str, col: str | None):
+def _agg_group_kernel(g: pa.Table, alias: str, fn: str, col: str | None,
+                      param=None):
     c = g.column(col) if col else None
     if fn == "count":
         return pa.array([g.num_rows if c is None
@@ -235,6 +238,33 @@ def _agg_group_kernel(g: pa.Table, alias: str, fn: str, col: str | None):
         return pa.array([bool(pc.all(c).as_py())])
     if fn == "median":
         return pa.array([pc.approximate_median(c).as_py()], pa.float64())
+    if fn == "quantile":
+        # linear interpolation — matches SQL quantile_cont
+        q = 0.5 if param is None else float(param)
+        return pa.array(
+            [pc.quantile(c, q=q, interpolation="linear")[0].as_py()],
+            pa.float64())
+    if fn in ("variance", "var_samp"):
+        # sample variance (ddof=1) — SQL var_samp (quantile.cpp sibling
+        # stddev_variance.cpp computes the same accumulator)
+        return pa.array([pc.variance(c, ddof=1).as_py()], pa.float64())
+    if fn == "stddev_samp":
+        return pa.array([pc.stddev(c, ddof=1).as_py()], pa.float64())
+    if fn == "value_counts":
+        # list<struct{value,count}> sorted by value
+        # (mode_value_counts.cpp:172)
+        vc = pc.value_counts(c.combine_chunks())
+        vc = vc.take(pc.sort_indices(vc.field("values")))
+        return pa.array([[
+            {"value": v.as_py(), "count": n.as_py()}
+            for v, n in zip(vc.field("values"), vc.field("counts"))
+        ]])
+    if fn in ("once", "sample"):
+        # once: the (single) value — warns in the reference if >1 event;
+        # sample: first non-null value seen (sample.cpp:33-48). Both
+        # reduce to "first non-null" in batch context.
+        cc = c.combine_chunks().drop_null()
+        return pa.array([cc[0].as_py() if len(cc) else None], c.type)
     if fn in ("sum", "min", "max", "mean", "stddev"):
         k = {"mean": pc.mean, "stddev": pc.stddev,
              "sum": pc.sum, "min": pc.min, "max": pc.max}[fn]
@@ -251,6 +281,7 @@ def summarize(
 
     ``summarize(ds, "k", total=("sum", "x"), n="count")`` →
     groupby(k).aggregate(Sum(x, alias="total"), Count(alias="n")).
+    Parametrized aggregations take a 3-tuple: ``q90=("quantile", "x", 0.9)``.
     Ray pre-aggregates per block before the shuffle (hash aggregate), the
     same partial/final split the reference implements by hand.
 
@@ -261,13 +292,18 @@ def summarize(
     Ray Data does not guarantee)."""
     parsed = []
     for alias, spec in aggs.items():
-        fn, col = (spec, None) if isinstance(spec, str) else spec
-        parsed.append((alias, fn, col))
-    native = all(fn in _AGGS and fn != "median" for _a, fn, _c in parsed)
+        if isinstance(spec, str):
+            fn, col, param = spec, None, None
+        elif len(spec) == 2:
+            (fn, col), param = spec, None
+        else:
+            fn, col, param = spec
+        parsed.append((alias, fn, col, param))
+    native = all(fn in _AGGS and fn != "median" for _a, fn, _c, _p in parsed)
     by = [by] if isinstance(by, str) else by
     if native:
         specs = []
-        for alias, fn, col in parsed:
+        for alias, fn, col, _param in parsed:
             cls = _AGGS[fn]
             if fn == "count":
                 specs.append(cls(on=col, alias_name=alias)
@@ -283,8 +319,8 @@ def summarize(
             g = g.take(pc.sort_indices(
                 g, sort_keys=[(c, "ascending") for c in order_by]))
         cols: dict[str, Any] = {k: g.column(k).slice(0, 1) for k in (by or [])}
-        for alias, fn, col in parsed:
-            cols[alias] = _agg_group_kernel(g, alias, fn, col)
+        for alias, fn, col, param in parsed:
+            cols[alias] = _agg_group_kernel(g, alias, fn, col, param)
         return pa.table(cols)
 
     if by is None:
@@ -334,7 +370,7 @@ def deduplicate(
     def _first(g: pa.Table) -> pa.Table:
         if order_by:
             g = g.take(pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_by]))
-        return g.slice(0, limit)
+        return nometa(g.slice(0, limit))
 
     return ds.groupby(keys).map_groups(_first, batch_format="pyarrow")
 
@@ -372,37 +408,35 @@ def enrich(
 
     if isinstance(lookup, pa.Table):
         lk = lookup_key or key
-        keys_np = np.asarray(lookup.column(lk).to_pylist(), dtype=object)
+        keys_arr = lookup.column(lk).combine_chunks()
         cols = {
-            out: np.asarray(lookup.column(src).to_pylist(), dtype=object)
+            out: lookup.column(src).combine_chunks()
             for out, src in (fields or {}).items()
         }
     else:
-        keys_np = np.asarray(list(lookup.keys()), dtype=object)
-        cols = {out_field: np.asarray(list(lookup.values()), dtype=object)}
-    ref = ray.put((keys_np, cols))
+        keys_arr = pa.array(list(lookup.keys()))
+        cols = {out_field: pa.array(list(lookup.values()))}
+    ref = ray.put((keys_arr, cols))
 
     class Enricher:
         def __init__(self):
-            keys_np, cols = ray.get(ref)
-            self.index = {k: i for i, k in enumerate(keys_np)}
-            self.cols = cols
+            # build side deserialized once per actor, stays Arrow end-to-end
+            self.keys, self.cols = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            # vectorized probe: pandas map runs the hash lookups in C
-            probe = pd.Series(t.column(key).to_pandas())
-            pos = probe.map(self.index).fillna(-1).astype(np.int64).to_numpy()
-            hit = pos >= 0
+            # pc.index_in: hash probe in Arrow C++ (null index on miss);
+            # take with null indices yields null values — the LEFT join.
+            probe = t.column(key).combine_chunks()
+            if probe.type != self.keys.type:
+                probe = pc.cast(probe, self.keys.type)
+            idx = pc.index_in(probe, value_set=self.keys)
             for out, vals in self.cols.items():
-                picked = np.where(hit, vals[np.clip(pos, 0, None)], None)
-                arr = pa.array(picked.tolist())
+                arr = vals.take(idx)
                 if out in t.column_names:
                     t = t.set_column(t.column_names.index(out), out, arr)
                 else:
                     t = t.append_column(out, arr)
-            return t
+            return nometa(t)
 
     return ds.map_batches(Enricher, batch_format="pyarrow", concurrency=(1, 4))
 
@@ -416,21 +450,48 @@ def semi_join(ds: Dataset, keys, key: str, anti: bool = False) -> Dataset:
     import ray
 
     if isinstance(keys, pa.Table):
-        keys = keys.column(key).to_pylist()
-    ref = ray.put(frozenset(keys))
+        value_set = pc.unique(keys.column(key).combine_chunks())
+    elif isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        value_set = pc.unique(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys)
+    else:
+        value_set = pa.array(list(set(keys)))
+    ref = ray.put(value_set)
 
     class Filter:
         def __init__(self):
-            self.keys = ray.get(ref)
+            self.value_set = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            vals = t.column(key).to_pylist()
-            mask = np.fromiter(
-                ((v in self.keys) != anti for v in vals), bool, count=len(vals)
-            )
-            return t.filter(pa.array(mask))
+            probe = t.column(key).combine_chunks()
+            if probe.type != self.value_set.type:
+                probe = pc.cast(probe, self.value_set.type)
+            mask = pc.is_in(probe, value_set=self.value_set)
+            if anti:
+                mask = pc.invert(mask)
+            return nometa(t.filter(mask))
 
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def semi_join_ds(
+    ds: Dataset, keys_ds: Dataset, key: str,
+    right_key: str | None = None, anti: bool = False,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Distributed semi/anti join when the key side is itself big data —
+    Ray's native hash-shuffle join (both sides partitioned by key hash;
+    no driver-side key set, no broadcast). Use :func:`semi_join` when the
+    key side fits one object (broadcast beats a full-corpus shuffle)."""
+    rk = right_key or key
+    right = keys_ds.select_columns([rk])
+    return ds.join(
+        right,
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=(rk,),
+    )
 
 
 def assert_(ds: Dataset, pred: Expr, warn_limit: int = 10) -> Dataset:

@@ -12,7 +12,7 @@ from tenzir_ray.text.dedup import (
     simhash_dedup,
 )
 from tenzir_ray.text.quality import analyze_documents
-from tenzir_ray.text.ann import ann_cosine_topk
+from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf_search, ivf_write
 
 __all__ = [
     "exact_dedup",
@@ -21,4 +21,8 @@ __all__ = [
     "simhash_dedup",
     "analyze_documents",
     "ann_cosine_topk",
+    "embedding_dedup",
+    "ivf_build",
+    "ivf_search",
+    "ivf_write",
 ]

@@ -94,7 +94,8 @@ def lsh_bucket_batch(
     bucket = np.zeros(m.shape[0], dtype=np.int64)
     for i in range(planes.shape[0]):
         bucket = (bucket << 1) | signs[:, i]
-    return t.append_column("ann_bucket", pa.array(bucket, pa.int64()))
+    t = t.append_column("ann_bucket", pa.array(bucket, pa.int64()))
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
 def make_planes(dim: int, n_planes: int = 8, seed: int = 97) -> np.ndarray:
@@ -102,20 +103,49 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 97) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float32)
 
 
+def axis_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Coordinate-axis planes: bucket bit i = sign of embedding[i]. A
+    legitimate sign-LSH family, and — unlike random planes — expressible
+    in plain SQL (``embedding[i] > 0``), so the whole dedup is
+    oracle-checkable."""
+    planes = np.zeros((n_planes, dim), dtype=np.float32)
+    planes[np.arange(n_planes), np.arange(n_planes)] = 1.0
+    return planes
+
+
+def _auto_n_planes(count: int, target_bucket: int = 256) -> int:
+    """Size the plane count from corpus size so expected bucket size stays
+    ~target_bucket rows regardless of scale: n_planes ≈ log2(n/target).
+    A fixed plane count makes buckets grow linearly with the corpus and
+    the in-bucket O(bucket²) pass quadratic — the 100 TB failure mode."""
+    import math
+
+    return max(1, min(24, math.ceil(math.log2(max(2, count / target_bucket)))))
+
+
 def embedding_dedup(
     ds: Dataset,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 97,
+    planes: str | np.ndarray = "random",
+    target_bucket: int = 256,
+    dtype=np.float32,
 ) -> Dataset:
     """Embedding-cosine near-duplicate removal: LSH-bucket the corpus
-    (random hyperplanes — cosine-similar vectors land in the same sign
+    (sign hyperplanes — cosine-similar vectors land in the same sign
     bucket with high probability), then one exact pairwise-cosine pass
     *within* each bucket via ``groupby(ann_bucket).map_groups`` (the only
-    shuffle; bucket sizes ≈ n/2^planes keep the quadratic check local),
-    dropping every row whose cosine to a lower-id survivor ≥ threshold.
+    shuffle), dropping every row whose cosine to ANY lower-id row in its
+    bucket is ≥ threshold (deterministic, oracle-checkable rule; the
+    greedy keep-survivors-only variant differs only on similarity chains).
+
+    ``n_planes`` defaults to log2(count/target_bucket) so bucket sizes
+    stay ~target_bucket at any corpus scale — the in-bucket quadratic
+    check is O(target_bucket²) per group, never O((n/2^planes)²) blowup.
+    ``planes="axis"`` uses coordinate-axis planes (SQL-expressible).
 
     Like all sign-LSH methods, pairs split across buckets are missed —
     raise recall by unioning over several plane seeds (multi-probe)."""
@@ -124,24 +154,29 @@ def embedding_dedup(
     import pyarrow.compute as pc
 
     dim = len(ds.take(1)[0][vec_col])
-    planes = make_planes(dim, n_planes, seed)
+    if n_planes is None:
+        n_planes = _auto_n_planes(ds.count(), target_bucket)
+    if isinstance(planes, np.ndarray):
+        plane_mat = planes
+    elif planes == "axis":
+        plane_mat = axis_planes(dim, n_planes)
+    else:
+        plane_mat = make_planes(dim, n_planes, seed)
 
     bucketed = ds.map_batches(
-        functools.partial(lsh_bucket_batch, planes=planes, vec_col=vec_col),
+        functools.partial(lsh_bucket_batch, planes=plane_mat, vec_col=vec_col),
         batch_format="pyarrow",
     )
 
     def dedup_bucket(g: pa.Table) -> pa.Table:
         g = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
-        m = _normalize(_to_matrix(g.column(vec_col)))
+        m = _normalize(_to_matrix(g.column(vec_col), dtype))
         sims = m @ m.T
-        np.fill_diagonal(sims, 0.0)
-        drop = np.zeros(len(m), dtype=bool)
-        for i in range(len(m)):
-            if drop[i]:
-                continue
-            drop |= (np.arange(len(m)) > i) & (sims[i] >= threshold)
-        return g.filter(pa.array(~drop)).drop_columns(["ann_bucket"])
+        # drop row i iff any j<i with cosine ≥ threshold: strict upper
+        # triangle of the (sorted-by-id) similarity matrix, vectorized.
+        drop = np.triu(sims >= threshold, k=1).any(axis=0)
+        out = g.filter(pa.array(~drop)).drop_columns(["ann_bucket"])
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
 
     return bucketed.groupby("ann_bucket").map_groups(
         dedup_bucket, batch_format="pyarrow"
@@ -190,26 +225,65 @@ def ivf_build(
         def __call__(self, t: pa.Table) -> pa.Table:
             m = _normalize(_to_matrix(t.column(vec_col)))
             lists = (m @ self.c.T).argmax(axis=1).astype(np.int32)
-            return t.append_column("ivf_list", pa.array(lists))
+            t = t.append_column("ivf_list", pa.array(lists))
+            return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     return cents, ds.map_batches(Assign, batch_format="pyarrow",
                                  concurrency=(1, 8))
 
 
+def ivf_write(assigned: Dataset, path: str) -> str:
+    """Persist the assigned corpus partitioned BY LIST — hive layout, one
+    directory per ``ivf_list`` value — so a search opens only its probed
+    lists' files (partition pruning at the read, not a post-read mask).
+    Partitioned output is also resumable: a failed rewrite re-does only
+    missing list directories."""
+    assigned.write_parquet(path, partition_cols=["ivf_list"])
+    return path
+
+
 def ivf_search(
-    assigned: Dataset, centroids: np.ndarray, queries: np.ndarray,
+    assigned: "Dataset | str", centroids: np.ndarray, queries: np.ndarray,
     k: int = 10, n_probe: int = 4, id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pa.Table:
-    """IVF search: per query, scan only the ``n_probe`` nearest lists — a
-    vectorized filter inside the same brute-force scorer (the probed-list
-    mask plays the role of opening only those partitions' files at scale).
-    """
+    """IVF search: per query, scan only the ``n_probe`` nearest lists.
+
+    Pass the *path* from :func:`ivf_write` and the read opens ONLY the
+    probed lists' partition directories (``read_parquet`` with an
+    ``ivf_list IN probed`` filter → pyarrow fragment pruning — unprobed
+    lists never leave storage). Passing an in-memory assigned Dataset
+    falls back to a full scan with a probed-list mask (test path)."""
     import pyarrow.compute as pc
 
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (Q, n_probe)
     import ray
+
+    if isinstance(assigned, str):
+        import ray.data as rd
+        from ray.data.datasource.partitioning import PathPartitionFilter
+
+        probed_union = {str(int(x)) for row in probe for x in row}
+        # file-level pruning: unprobed lists' partition directories are
+        # skipped before any byte is read
+        ds = rd.read_parquet(
+            assigned,
+            partition_filter=PathPartitionFilter.of(
+                lambda parts: parts.get("ivf_list") in probed_union,
+                style="hive",
+            ),
+        )
+
+        def _fix(t: pa.Table) -> pa.Table:
+            # hive partition values come back typed per directory name —
+            # normalize to int32 so the scorer sees one stable schema
+            i = t.column_names.index("ivf_list")
+            t = t.set_column(i, "ivf_list",
+                             pc.cast(t.column("ivf_list"), pa.int32()))
+            return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+        assigned = ds.map_batches(_fix, batch_format="pyarrow")
 
     ref = ray.put((qn, probe))
 

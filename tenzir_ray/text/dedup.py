@@ -6,6 +6,7 @@ materializes the corpus driver-side. Scale notes per function.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import numpy as np
@@ -19,6 +20,16 @@ _WORD = re.compile(r"\w+", re.UNICODE)
 # Universal-hash parameters for minhash permutations (fixed seed →
 # deterministic across processes and runs).
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+@functools.lru_cache(maxsize=8)
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Permutation constants derived once per process (actor), not per
+    batch — deterministic (fixed seed) so every worker agrees."""
+    rng = np.random.default_rng(1337)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
 
 
 def _token_ngrams(text: str, n: int) -> set[bytes]:
@@ -48,7 +59,8 @@ def exact_dedup(ds: Dataset, text_col: str = "text", keep_by: str | None = None)
     def add_hash(t: pa.Table) -> pa.Table:
         col = t.column(text_col).combine_chunks()
         h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
-        return t.append_column("__h", pa.array(h.astype(np.uint64)))
+        t = t.append_column("__h", pa.array(h.astype(np.uint64)))
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     def first(g: pa.Table) -> pa.Table:
         if keep_by:
@@ -109,9 +121,7 @@ def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands, ngram) -> 
     ``np.minimum.reduceat`` over the doc segments — ~10× the per-doc-loop
     throughput. Memory is P × total_shingles × 8B, so keep map_batches
     ``batch_size`` ≲ 1k docs."""
-    rng = np.random.default_rng(1337)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a, b = _perm_params(num_perm)
     r = num_perm // bands
     ids = t.column(id_col).to_pylist()
     texts = t.column(text_col).to_pylist()
@@ -156,12 +166,15 @@ def minhash_lsh_dedup(
 ) -> Dataset:
     """Full near-dup dedup: LSH candidates → union into duplicate sets via
     min-label (each doc keeps the min candidate-group id it ever sees) →
-    drop non-minimal members. Optional exact n-gram Jaccard verification
-    of candidate pairs (verify_threshold) before dropping.
+    drop non-minimal members via a distributed anti-join. Optional exact
+    n-gram Jaccard verification of candidate pairs (verify_threshold)
+    before dropping.
 
-    Min-label resolution is one extra groupby over (doc → min_peer); at
-    web scale the candidate set is a tiny fraction of the corpus, so both
-    shuffles move little data. Returns the surviving rows of ``ds``."""
+    Min-label resolution is one extra groupby over (doc → min_peer) —
+    tiny, candidates only. The final filter is Ray's hash-shuffle
+    ``left_anti`` join of the corpus against the drop-id Dataset: the
+    drop set (10-40% of a web corpus) never touches the driver.
+    Returns the surviving rows of ``ds``."""
     cands = minhash_lsh_candidates(ds, id_col, text_col, num_perm, bands, ngram)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -183,27 +196,24 @@ def minhash_lsh_dedup(
         })
 
     reps = pairs.groupby("doc").map_groups(min_rep, batch_format="pyarrow")
-    # docs to drop: doc != its representative
-    drop_ids = set()
-    for batch in reps.iter_batches(batch_format="pyarrow"):
-        d = batch.column("doc").to_numpy()
-        r = batch.column("rep").to_numpy()
-        drop_ids.update(d[d != r].tolist())
-    # broadcast the (small) drop set and filter
-    import ray
-
-    ref = ray.put(drop_ids)
-
-    class Filter:
-        def __init__(self):
-            self.drop = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_numpy()
-            mask = np.array([i not in self.drop for i in ids], dtype=bool)
-            return t.filter(pa.array(mask))
-
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+    # docs to drop: doc != its representative. The drop set stays a
+    # Dataset — at web scale it's 10-40% of the corpus, so it must NEVER
+    # land on the driver. Survivors = corpus ANTI-JOIN drop-set: Ray's
+    # native hash-shuffle left_anti join partitions both sides by key
+    # hash; no broadcast, no driver-side set, no per-row Python loop.
+    drops = reps.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("doc"),
+                                              t.column("rep"))))
+                   .select([0]).rename_columns(["__drop_id"]),
+        batch_format="pyarrow",
+    )
+    return ds.join(
+        drops,
+        join_type="left_anti",
+        num_partitions=16,
+        on=(id_col,),
+        right_on=("__drop_id",),
+    )
 
 
 # --------------------------------------------------------------- simhash

@@ -103,7 +103,7 @@ class DocumentAnalyzer:
             ("quality", pa.array(qual)),
         ]:
             out = out.append_column(name, arr)
-        return out
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
 
 
 def analyze_documents(
@@ -127,4 +127,5 @@ def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     the stateless fast path when only counts are needed."""
     s = t.column(text_col).to_pandas()
     counts = s.str.count(r"\S+").fillna(0).astype(np.int64)
-    return t.append_column("n_tokens_ws", pa.array(counts.to_numpy()))
+    t = t.append_column("n_tokens_ws", pa.array(counts.to_numpy()))
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
