@@ -35,6 +35,24 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns, schema=schema)
 
 
+
+# Precomputed-expected-table oracles: for pipelines whose semantics are
+# not SQL-expressible (engine-internal WAL replay, MinHash/SimHash), the
+# query ALSO runs an independent SEQUENTIAL reference implementation
+# (row-at-a-time / per-doc loop — tenzir_ray/cdc/oracle.py,
+# tenzir_ray/text/sequential.py) and writes its result to a parquet file
+# the oracle SQL then reads. Any partitioning / shuffle-order / dedup
+# resolution bug in the distributed path shows up as a mismatch.
+_ORACLE_DIR = "/tmp/tenzir_ray_oracle"
+
+
+def _write_oracle(name: str, table: pa.Table) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(table, os.path.join(_ORACLE_DIR, f"{name}.parquet"))
+
+
 # --------------------------------------------------------------- flagship
 
 
@@ -60,7 +78,28 @@ def _cdc_replay(sf_dir: str):
         open(marker, "w").close()
     lake = Lake(os.path.join(scratch, "lake"), partitions=8, salt=2)
     lake.apply_wal(wal_dir)
-    return lake.read()
+    out = lake.read()
+    # sequential replay oracle (row-at-a-time pandas, total lsn order).
+    # html is binary in the lake; both sides are compared as utf-8 text
+    # (BLOB columns defeat the hash comparators downstream).
+    from tenzir_ray.cdc.oracle import replay_wal
+
+    oracle = pa.Table.from_pandas(replay_wal(wal_dir), preserve_index=False)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        # html → utf-8 string (BLOBs defeat hash comparators) and
+        # warc_ts → µs (DuckDB timestamps are µs; the lake stores ns)
+        j = t.column_names.index("html")
+        t = t.set_column(j, "html", pc.cast(t.column("html"), pa.string()))
+        j = t.column_names.index("warc_ts")
+        t = t.set_column(
+            j, "warc_ts",
+            pc.floor_temporal(t.column("warc_ts"), unit="microsecond")
+            .cast(pa.timestamp("us")))
+        return t
+
+    _write_oracle("cdc_replay", _canon(oracle))
+    return out.map_batches(_canon, batch_format="pyarrow")
 
 
 def entry() -> Any:
@@ -261,10 +300,21 @@ def _token_counts(sf_dir: str):
 
 
 def _lang_quality(sf_dir: str):
-    """language id + quality scoring + fingerprint (rows-only: heuristic
-    model, not SQL-expressible)."""
-    from tenzir_ray.text import analyze_documents
+    """language id + quality scoring + fingerprint. Not SQL-expressible
+    (heuristic model); the oracle is a precomputed expected table — the
+    analyzer applied to the WHOLE table in ONE sequential driver-side
+    call, which the distributed actor-pool result must match exactly
+    (catches partitioning / batch-boundary bugs)."""
+    import pyarrow.parquet as pq
 
+    from tenzir_ray.text import analyze_documents
+    from tenzir_ray.text.quality import DocumentAnalyzer
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    if docs.num_rows <= 2000:
+        expected = DocumentAnalyzer()(docs.replace_schema_metadata(None))
+        _write_oracle("lang_quality", expected.select(
+            ["doc_id", "lang_pred", "quality", "n_words", "fingerprint"]))
     ds = _read(sf_dir, "documents")
     return analyze_documents(ds).select_columns(
         ["doc_id", "lang_pred", "quality", "n_words", "fingerprint"]
@@ -272,17 +322,38 @@ def _lang_quality(sf_dir: str):
 
 
 def _minhash_dedup_docs(sf_dir: str):
-    """MinHash-LSH near-dup dedup (rows-only)."""
-    from tenzir_ray.text import minhash_lsh_dedup
+    """MinHash-LSH near-dup dedup, checked against a sequential
+    one-doc-at-a-time reimplementation (text/sequential.py) joined back
+    to the documents table."""
+    import pyarrow.parquet as pq
 
+    from tenzir_ray.text import minhash_lsh_dedup
+    from tenzir_ray.text.sequential import minhash_dedup_seq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+        ids = minhash_dedup_seq(docs.column("doc_id").to_pylist(),
+                                docs.column("text").to_pylist())
+        _write_oracle("minhash_dedup_docs",
+                      pa.table({"doc_id": pa.array(sorted(ids), pa.int64())}))
     ds = _read(sf_dir, "documents")
     return minhash_lsh_dedup(ds, "doc_id", "text")
 
 
 def _simhash_docs(sf_dir: str):
-    """SimHash fingerprint dedup (rows-only)."""
-    from tenzir_ray.text import simhash_dedup
+    """SimHash fingerprint dedup, checked against a sequential
+    plain-Python bit-count reimplementation (text/sequential.py)."""
+    import pyarrow.parquet as pq
 
+    from tenzir_ray.text import simhash_dedup
+    from tenzir_ray.text.sequential import simhash_seq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+        _write_oracle("simhash_docs", simhash_seq(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
     ds = _read(sf_dir, "documents")
     return simhash_dedup(ds, "doc_id", "text")
 
@@ -371,6 +442,89 @@ def _tql_pipeline(sf_dir: str):
     return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
 
 
+
+
+
+def _routed_json(sf_dir: str):
+    """Selector-routed JSON: heterogeneous NDJSON split by event_type,
+    each route parsed to its OWN schema (per-type key: v_<type>), then
+    per-route aggregates unioned back (multi_series_builder
+    policy_selector, multi_series_builder.hpp:283-340)."""
+    from tenzir_ray.sources.formats import routed_json
+
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        line = pc.binary_join_element_wise(
+            '{"t":"', et, '","v_', et, '":',
+            pc.cast(t["user_id"], pa.string()), "}", "",
+        )
+        return pa.table({"line": line})
+
+    lines = ds.map_batches(to_lines, batch_format="pyarrow")
+    routed = routed_json(lines, col="line", selector="t")
+    parts = []
+    for route in sorted(r for r in routed if r != "_unroutable"):
+        agg = ops.summarize(
+            routed[route], "t",
+            n="count", s=("sum", f"v_{route}"),
+        )
+        parts.append(agg.rename_columns({"t": "event_type"}))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _cidr_enrich(sf_dir: str):
+    """ip type + CIDR-keyed lookup context with longest-prefix-match
+    (reference type.hpp:696-944 ip/subnet types; lookup_table.cpp:221
+    subnet_tree). IPs derived arithmetically from user_id so the oracle
+    can rebuild them; the 10.3.0.0/16 entry must beat the /9s (LPM)."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.functions.ip import enrich_cidr
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def mk_ip(t: pa.Table) -> pa.Array:
+        x = pc.shift_right(pc.bit_wise_and(t["user_id"], 65535), 8)
+        y = pc.bit_wise_and(t["user_id"], 255)
+        return pc.binary_join_element_wise(
+            "10", pc.cast(x, pa.string()), pc.cast(y, pa.string()), "7", "."
+        )
+
+    ds = ops.set_(ds, ip=mk_ip)
+    out = enrich_cidr(
+        ds,
+        {"10.0.0.0/9": "zoneA", "10.128.0.0/9": "zoneB",
+         "10.3.0.0/16": "special"},
+        key="ip", out_field="zone",
+    )
+    return out.select_columns(["event_id", "ip", "zone"])
+
+
+def _tql_pushdown(sf_dir: str):
+    """`from` + leading where/select pushed INTO the parquet scan
+    (planner pushdown — reference pipeline.hpp:302-373 optimize())."""
+    from tenzir_ray.pipelines import Pipeline
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    p = Pipeline.parse(
+        f"""
+        from {path}
+        where o_totalprice > 300000
+        select o_orderkey, o_custkey, o_totalprice
+        """
+    )
+    # the scan itself is filtered+projected: assert the plan says so
+    _, filt, cols = p.source_plan()
+    assert filt is not None and cols == ["o_orderkey", "o_custkey", "o_totalprice"]
+    return p.run()
+
+
 def _embedding_dedup(sf_dir: str):
     """embedding-cosine near-dup removal (sign-LSH buckets + in-bucket
     exact cosine, drop-if-any-lower-id-similar). Axis planes make the
@@ -397,15 +551,26 @@ def _ivf_ann(sf_dir: str):
 
     from tenzir_ray.text.ann import ivf_build, ivf_search, ivf_write
 
+    from tenzir_ray.text.sequential import ivf_ann_seq
+
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.sort_by("vec_id")
     mat = np.stack(emb.column("embedding").to_pylist()[:3]).astype(np.float32)
+    if emb.num_rows <= 2000:  # sequential verification oracle
+        _write_oracle("ivf_ann", ivf_ann_seq(
+            emb.column("vec_id").to_pylist(),
+            np.stack(emb.column("embedding").to_pylist()),
+            mat, n_lists=8, k=5, n_probe=4,
+        ).drop_columns(["cosine"]))
     ds = _read(sf_dir, "embeddings")
     cents, assigned = ivf_build(ds, n_lists=8)
     sf = os.path.basename(os.path.normpath(sf_dir))
     index_dir = f"/tmp/tenzir_ray_ivf_{sf}"
     shutil.rmtree(index_dir, ignore_errors=True)
     ivf_write(assigned, index_dir)
-    return ivf_search(index_dir, cents, mat, k=5, n_probe=4)
+    out = ivf_search(index_dir, cents, mat, k=5, n_probe=4)
+    # compare the retrieved SET (scores are f32-summation-order sensitive)
+    return out.drop_columns(["cosine"])
 
 
 def _multimodal_decode(sf_dir: str):
@@ -425,7 +590,25 @@ def _multimodal_decode(sf_dir: str):
 
         ids = t.column("doc_id").to_pylist()
         imgs = [encode_fake_image(16 + i % 16, 16 + i % 8, 3, seed=i) for i in ids]
-        return t.append_column("image", pa2.array(imgs, pa2.binary()))
+        out = t.append_column("image", pa2.array(imgs, pa2.binary()))
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
+
+    # precomputed expected table: the same decode→resize→features chain
+    # applied in ONE sequential driver-side pass — the distributed
+    # actor-pool result must match it exactly
+    import pyarrow.parquet as pq
+
+    all_ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"]).sort_by("doc_id")
+    if all_ids.num_rows <= 2000:
+        from tenzir_ray.text.multimodal import ImageDecoder
+
+        seq = attach(all_ids)
+        seq = ImageDecoder()(seq)
+        seq = ImageResizer(out_w=8, out_h=8)(seq)
+        seq = ImageFeatures()(seq)
+        _write_oracle("multimodal_decode", seq.select(
+            ["doc_id", "img_width", "img_height", "img_ok", "img_features"]))
 
     ds = docs.map_batches(attach, batch_format="pyarrow")
     ds = decode_images(ds, batch_size=256, concurrency=(1, 4))
@@ -517,6 +700,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_extended": _agg_extended,
         "tql_pipeline": _tql_pipeline,
         "agg_extended2": _agg_extended2,
+        "tql_pushdown": _tql_pushdown,
+        "cidr_enrich": _cidr_enrich,
+        "routed_json": _routed_json,
         "embedding_dedup": _embedding_dedup,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
@@ -615,6 +801,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS users,
                    mode(user_id) AS md, max(value) AS mx, count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "multimodal_decode": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/multimodal_decode.parquet'
+        """,
+        "lang_quality": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/lang_quality.parquet'
+        """,
+        "ivf_ann": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/ivf_ann.parquet'
+        """,
+        "cdc_replay": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/cdc_replay.parquet'
+        """,
+        "simhash_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/simhash_docs.parquet'
+        """,
+        "minhash_dedup_docs": """
+            SELECT d.* FROM documents d
+            JOIN '/tmp/tenzir_ray_oracle/minhash_dedup_docs.parquet' s
+              ON d.doc_id = s.doc_id
+        """,
+        "routed_json": """
+            SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
+            FROM events GROUP BY event_type
+        """,
+        "cidr_enrich": """
+            SELECT event_id,
+                   '10.' || ((user_id % 65536) // 256) || '.'
+                         || (user_id % 256) || '.7' AS ip,
+                   CASE WHEN ((user_id % 65536) // 256) = 3 THEN 'special'
+                        WHEN ((user_id % 65536) // 256) < 128 THEN 'zoneA'
+                        ELSE 'zoneB' END AS zone
+            FROM events
+        """,
+        "tql_pushdown": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_totalprice > 300000
         """,
         "agg_extended2": """
             SELECT event_type,

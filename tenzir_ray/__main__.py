@@ -102,11 +102,16 @@ def main(argv: list[str] | None = None) -> int:
     if not segs or not segs[0].startswith("from "):
         print("error: pipeline must start with `from <uri>`", file=sys.stderr)
         return 2
-    ds = open_uri(segs[0][len("from "):].strip())
     sink = None
     if segs and segs[-1].startswith(("write ", "to ")):
         sink = segs.pop()
-    ds = Pipeline.parse("\n".join(segs[1:])).run(ds)
+    uri = segs[0][len("from "):].strip()
+    if uri.endswith(".parquet"):
+        # parquet: let the planner keep `from` so leading where/select
+        # push into the scan (filter + projection at the read)
+        ds = Pipeline.parse("\n".join(segs)).run()
+    else:
+        ds = Pipeline.parse("\n".join(segs[1:])).run(open_uri(uri))
 
     if sink:
         parts = sink.split()

@@ -6,6 +6,9 @@ used inside ``map_batches`` expressions — the Ray analog of Tenzir's
 pyarrow.compute kernels where they exist; numpy/hashlib fallbacks where not.
 """
 
-from tenzir_ray.functions import encoding, hashing, lists, network, parsing, strings, time
+from tenzir_ray.functions import (
+    encoding, hashing, ip, lists, math, network, parsing, strings, time,
+)
 
-__all__ = ["strings", "time", "hashing", "encoding", "lists", "network", "parsing"]
+__all__ = ["strings", "time", "hashing", "encoding", "lists", "math",
+           "network", "parsing", "ip"]

@@ -93,6 +93,15 @@ def compile_expr(src: str):
     )
 
 
+def expr_columns(src: str) -> list[str]:
+    """Column names referenced by an expression (AST names that aren't
+    literals) — used to widen the scan projection for pushed filters."""
+    tree = ast.parse(src, mode="eval")
+    return sorted({n.id for n in ast.walk(tree)
+                   if isinstance(n, ast.Name)
+                   and n.id not in ("True", "False", "None")})
+
+
 def _apply_expr_filter(ds: Dataset, expr) -> Dataset:
     return ds.map_batches(
         lambda t: t.filter(expr), batch_format="pyarrow"
@@ -115,19 +124,79 @@ _AGG = re.compile(r"(\w+)\s*=\s*(\w+)\((\s*[\w*]*\s*)\)")
 
 
 class Pipeline:
-    """A parsed pipeline; apply with ``run(ds)`` (events→events only —
-    sources/sinks stay host-side, matching our library-first design)."""
+    """A parsed pipeline; apply with ``run(ds)``, or start the text with
+    ``from <path>`` and call ``run()`` — the planner then pushes leading
+    ``where``/``select`` operators INTO the read (``read_parquet(filter=…,
+    columns=…)``), the analog of the reference's ``optimize()`` pass
+    (libtenzir/include/tenzir/pipeline.hpp:302-373): predicates prune row
+    groups and the projection prunes columns before anything leaves
+    storage."""
 
-    def __init__(self, steps):
+    def __init__(self, steps, source=None, source_filter=None,
+                 source_columns=None):
         self.steps = steps
+        self.source = source
+        self.source_filter = source_filter
+        self.source_columns = source_columns
 
     @classmethod
     def parse(cls, text: str) -> "Pipeline":
-        steps = []
+        raw = []
         for seg in cls.split_ops(text):
             op, _, rest = seg.partition(" ")
-            steps.append(cls._compile_step(op, rest.strip()))
-        return cls(steps)
+            raw.append((op, rest.strip()))
+        source = filt = cols = None
+        filt_cols: set[str] = set()
+        i = 0
+        if raw and raw[0][0] == "from":
+            source = raw[0][1]
+            i = 1
+            # pushdown: fold every leading where into the scan filter,
+            # and the first select into the scan projection. Filter-only
+            # columns ride the scan (the filter binds against the scan
+            # schema) and are dropped right after the read.
+            while i < len(raw):
+                op, rest = raw[i]
+                if op == "where":
+                    e = compile_expr(rest)
+                    filt = e if filt is None else filt & e
+                    filt_cols.update(expr_columns(rest))
+                    i += 1
+                elif op == "select" and cols is None:
+                    cols = [c.strip() for c in rest.split(",") if c.strip()]
+                    i += 1
+                else:
+                    break
+        steps = [cls._compile_step(op, rest) for op, rest in raw[i:]]
+        extra = sorted(filt_cols - set(cols)) if cols else []
+        if extra:
+            scan_cols = cols + extra
+            steps.insert(0, lambda ds: ds.drop_columns(extra))
+        else:
+            scan_cols = cols
+        return cls(steps, source=source, source_filter=filt,
+                   source_columns=scan_cols)
+
+    def source_plan(self):
+        """(path, filter expression, projected columns) — what the scan
+        will be asked to do; None fields mean no pushdown of that kind."""
+        return self.source, self.source_filter, self.source_columns
+
+    def open_source(self) -> Dataset:
+        if self.source is None:
+            raise ValueError("pipeline has no `from` source")
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        schema = pq.read_schema(self.source).remove_metadata()
+        if self.source_columns:
+            schema = pa.schema([schema.field(c) for c in self.source_columns])
+        return rd.read_parquet(
+            self.source,
+            columns=self.source_columns,
+            schema=schema,
+            filter=self.source_filter,
+        )
 
     @staticmethod
     def split_ops(text: str) -> list[str]:
@@ -207,7 +276,9 @@ class Pipeline:
             return lambda ds: ds
         raise ValueError(f"unknown operator {op!r}")
 
-    def run(self, ds: Dataset) -> Dataset:
+    def run(self, ds: Dataset | None = None) -> Dataset:
+        if ds is None:
+            ds = self.open_source()
         for step in self.steps:
             ds = step(ds)
         return ds

@@ -14,6 +14,7 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def read_parquet(paths, columns=None, **kw):
@@ -352,3 +353,78 @@ def parse_cef_batch(t: pa.Table, col: str = "text") -> pa.Table:
         t = t.append_column("extension",
                             pa.StructArray.from_arrays(arrays, names=keys))
     return t
+
+
+def routed_json(ds, col: str = "line", selector: str = "event_type"):
+    """Selector-routed NDJSON parsing: one output Dataset PER value of
+    the ``selector`` field, each with its own schema (the union of keys
+    observed for that route) — the reference's multi_series_builder
+    ``policy_selector`` (multi_series_builder.hpp:283-340), used by the
+    Suricata EVE reader to split a heterogeneous feed by ``event_type``.
+
+    Two passes: (1) tag each line with its route and fold per-route key
+    unions (a tiny schema-sized aggregate on the driver — never row
+    data), (2) per route, filter + parse with that route's fixed column
+    set. The tagged input is materialized once and shared zero-copy by
+    all route branches (the fork pattern).
+
+    Returns ``dict[route, Dataset]``; lines whose JSON fails to parse or
+    that lack the selector land under route ``None``-as-"_unroutable"."""
+    import json
+
+    def tag(t: pa.Table) -> pa.Table:
+        route = []
+        for s in t.column(col).to_pylist():
+            try:
+                d = json.loads(s)
+                v = d.get(selector) if isinstance(d, dict) else None
+                route.append(str(v) if v is not None else "_unroutable")
+            except (TypeError, ValueError):
+                route.append("_unroutable")
+        out = pa.table({col: t.column(col).combine_chunks(),
+                        "__route": pa.array(route, pa.string())})
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def key_union(t: pa.Table) -> pa.Table:
+        seen: dict[str, list[str]] = {}
+        for s, r in zip(t.column(col).to_pylist(),
+                        t.column("__route").to_pylist()):
+            ks = seen.setdefault(r, [])
+            if r == "_unroutable":
+                continue
+            for k in json.loads(s):
+                if k not in ks:
+                    ks.append(k)
+        return pa.table({"route": pa.array(list(seen), pa.string()),
+                         "keys": pa.array(list(seen.values()),
+                                          pa.list_(pa.string()))})
+
+    merged: dict[str, list[str]] = {}
+    for b in tagged.map_batches(key_union, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for r, ks in zip(b.column("route").to_pylist(),
+                         b.column("keys").to_pylist()):
+            cur = merged.setdefault(r, [])
+            for k in ks:
+                if k not in cur:
+                    cur.append(k)
+
+    out: dict[str, "object"] = {}
+    for route, keys in merged.items():
+        def make(route: str, keys: list[str]):
+            def f(t: pa.Table) -> pa.Table:
+                mask = pc.equal(t.column("__route"), route)
+                sub = t.filter(mask)
+                if route == "_unroutable":
+                    return pa.table({col: sub.column(col)})
+                rows = [json.loads(s) for s in sub.column(col).to_pylist()]
+                return pa.table({
+                    k: pa.array([r.get(k) for r in rows]) for k in keys
+                })
+            return f
+
+        out[route] = tagged.map_batches(make(route, keys),
+                                        batch_format="pyarrow")
+    return out

@@ -1,0 +1,166 @@
+"""Write-side printers: the duals of the parsers in formats.py.
+
+The reference ships printer halves for its formats (formats/*.cpp
+printer classes; TQL ``print_csv``/``print_kv``/``write_syslog`` …).
+Each printer here is a vectorized-as-possible batch function producing a
+string column (default ``line``) from structured columns; every printer
+round-trips through its parser (tested), so ``parse(print(x)) == x``.
+
+``write_lines`` lands a string column as plain text files via Ray's
+distributed CSV writer with header+quoting disabled (one file per
+block — partitioned, resumable output).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+
+def _col(t: pa.Table, name: str, i: int):
+    v = t.column(name)[i].as_py() if name in t.column_names else None
+    return v
+
+
+def print_ndjson_batch(t: pa.Table, out: str = "line",
+                       columns: list[str] | None = None) -> pa.Table:
+    """rows → compact JSON lines (print_json/write_json dual)."""
+    cols = columns or t.column_names
+    rows = t.select(cols).to_pylist()
+    lines = [json.dumps(r, separators=(",", ":"), default=str) for r in rows]
+    return pa.table({out: pa.array(lines, pa.string())})
+
+
+def print_csv_batch(t: pa.Table, out: str = "line",
+                    include_header: bool = False,
+                    delimiter: str = ",") -> pa.Table:
+    """rows → CSV lines via Arrow's C++ CSV writer (formats/xsv printer
+    half). Header emission is per-batch — off by default (emit it once
+    host-side when assembling a file)."""
+    import io
+
+    import pyarrow.csv as pacsv
+
+    buf = io.BytesIO()
+    pacsv.write_csv(
+        t, buf,
+        write_options=pacsv.WriteOptions(
+            include_header=include_header, delimiter=delimiter),
+    )
+    lines = buf.getvalue().decode().splitlines()
+    return pa.table({out: pa.array(lines, pa.string())})
+
+
+def _kv_quote(v) -> str:
+    s = str(v)
+    return f'"{s}"' if (" " in s or "\t" in s) else s
+
+
+def print_kv_batch(t: pa.Table, out: str = "line",
+                   columns: list[str] | None = None) -> pa.Table:
+    """rows → ``k=v k2=v2`` lines (formats/kv.cpp printer dual); values
+    with spaces are quoted, nulls omitted."""
+    cols = columns or t.column_names
+    rows = t.select(cols).to_pylist()
+    lines = [
+        " ".join(f"{k}={_kv_quote(v)}" for k, v in r.items() if v is not None)
+        for r in rows
+    ]
+    return pa.table({out: pa.array(lines, pa.string())})
+
+
+def print_syslog_batch(t: pa.Table, out: str = "line") -> pa.Table:
+    """(facility, severity, ts_raw, host, app, pid, msg) → RFC5424 lines
+    (formats/syslog.cpp printer dual; round-trips parse_syslog_batch)."""
+    lines = []
+    for i in range(t.num_rows):
+        fac = _col(t, "facility", i) or 0
+        sev = _col(t, "severity", i) or 0
+        pri = fac * 8 + sev
+        ts = _col(t, "ts_raw", i) or "-"
+        host = _col(t, "host", i) or "-"
+        app = _col(t, "app", i) or "-"
+        pid = _col(t, "pid", i)
+        msg = _col(t, "msg", i) or ""
+        lines.append(
+            f"<{pri}>1 {ts} {host} {app} {pid if pid is not None else '-'} - "
+            f"- {msg}"
+        )
+    return pa.table({out: pa.array(lines, pa.string())})
+
+
+def print_cef_batch(t: pa.Table, out: str = "line") -> pa.Table:
+    """header columns + ``extension`` struct → CEF lines
+    (formats/cef.cpp printer dual)."""
+    hdr = ["cef_version", "device_vendor", "device_product",
+           "device_version", "signature_id", "name", "severity"]
+    lines = []
+    for i in range(t.num_rows):
+        head = "|".join(
+            str(_col(t, h, i) if _col(t, h, i) is not None else "")
+            .replace("|", "\\|")
+            for h in hdr)
+        ext = _col(t, "extension", i) or {}
+        ext_s = " ".join(f"{k}={_kv_quote(v)}" for k, v in ext.items()
+                         if v is not None)
+        lines.append(f"CEF:{head}|{ext_s}")
+    return pa.table({out: pa.array(lines, pa.string())})
+
+
+def print_leef_batch(t: pa.Table, out: str = "line") -> pa.Table:
+    """header columns + ``attrs`` struct → LEEF lines (formats/leef.cpp
+    printer dual; tab-delimited attributes)."""
+    lines = []
+    for i in range(t.num_rows):
+        ver = _col(t, "leef_version", i) or "1.0"
+        head = "|".join(
+            str(_col(t, h, i) if _col(t, h, i) is not None else "")
+            for h in ("vendor", "product", "version", "event_id"))
+        attrs = _col(t, "attrs", i) or {}
+        attr_s = "\t".join(f"{k}={v}" for k, v in attrs.items()
+                           if v is not None)
+        lines.append(f"LEEF:{ver}|{head}|{attr_s}")
+    return pa.table({out: pa.array(lines, pa.string())})
+
+
+def print_zeek_tsv(t: pa.Table, path: str = "log", out: str = "line") -> pa.Table:
+    """rows → zeek TSV block: #separator/#fields/#types headers + rows
+    (formats/zeek-tsv printer dual). Emits the whole batch as one header
+    + N data lines."""
+    _ZEEK_TYPES = {
+        pa.string(): "string", pa.int64(): "int", pa.int32(): "int",
+        pa.float64(): "double", pa.bool_(): "bool",
+    }
+    names = t.column_names
+    types = [_ZEEK_TYPES.get(f.type, "string") for f in t.schema]
+    lines = [
+        "#separator \\x09",
+        "#set_separator\t,",
+        "#empty_field\t(empty)",
+        "#unset_field\t-",
+        f"#path\t{path}",
+        "#fields\t" + "\t".join(names),
+        "#types\t" + "\t".join(types),
+    ]
+    for r in t.to_pylist():
+        lines.append("\t".join(
+            "-" if r[n] is None else str(r[n]) for n in names))
+    lines.append("#close\t-")
+    return pa.table({out: pa.array(lines, pa.string())})
+
+
+def write_lines(ds, path: str, column: str = "line") -> None:
+    """Distributed plain-text writer: one file per block under ``path``
+    (resumable, partitioned output — never one giant file). Uses the
+    Arrow CSV writer with header off and quoting off, which for a single
+    string column is exactly 'one value per line'."""
+    import pyarrow.csv as pacsv
+
+    ds.select_columns([column]).write_csv(
+        path,
+        arrow_csv_args_fn=lambda: {
+            "write_options": pacsv.WriteOptions(include_header=False,
+                                                quoting_style="none")
+        },
+    )

@@ -146,25 +146,76 @@ def head(ds: Dataset, n: int = 10) -> Dataset:
     return ds.limit(n)
 
 
+def _iter_blocks(ds: Dataset):
+    """Stream (block_ref, num_rows) pairs via the public ref-bundle
+    iterator — the dataset executes with backpressure; refs the caller
+    drops are freed by the object store as iteration proceeds (unlike
+    ``materialize()``, which pins everything)."""
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            yield ref, int(meta.num_rows)
+
+
+def _slice_block_task():
+    import ray
+
+    @ray.remote
+    def _slice_block(block: pa.Table, s: int, e: int) -> pa.Table:
+        return block.slice(s, e - s)
+
+    return _slice_block
+
+
 def tail(ds: Dataset, n: int = 10) -> Dataset:
-    """Last n events (operators/tail.cpp:34). Needs a total count — one
-    extra metadata pass, no materialization."""
-    total = ds.count()
-    return slice_(ds, max(0, total - n), total)
+    """Last n events (operators/tail.cpp:34). Streams block refs keeping
+    only a trailing window holding ≥ n rows — earlier blocks' refs are
+    dropped as iteration advances, so peak pinned memory is O(n + one
+    block), not the dataset."""
+    from collections import deque
+
+    import ray.data as rd
+
+    buf: "deque[tuple]" = deque()
+    kept = 0
+    for ref, cnt in _iter_blocks(ds):
+        buf.append((ref, cnt))
+        kept += cnt
+        while buf and kept - buf[0][1] >= n:
+            kept -= buf.popleft()[1]
+    if not buf:
+        return ds.limit(0)
+    excess = max(0, kept - n)
+    sl = _slice_block_task()
+    refs = []
+    for i, (ref, cnt) in enumerate(buf):
+        if i == 0 and excess > 0:
+            refs.append(sl.remote(ref, excess, cnt))
+        else:
+            refs.append(ref)
+    return rd.from_arrow_refs(refs)
 
 
 def slice_(ds: Dataset, begin: int, end: int) -> Dataset:
-    """Positional range (operators/slice.cpp:28): per-block offsets via a
-    running index, then a vectorized range filter."""
-    idxed = enumerate_(ds, "__pos")
-    out = where(
-        idxed,
-        lambda t: pc.and_(
-            pc.greater_equal(t.column("__pos"), begin),
-            pc.less(t.column("__pos"), end),
-        ),
-    )
-    return out.drop_columns(["__pos"])
+    """Positional range (operators/slice.cpp:28). ``limit(end)`` first —
+    Ray's limit pushdown stops producing blocks past ``end`` — then keep
+    only the refs of blocks overlapping [begin, end), slicing the edge
+    blocks remotely. Nothing before ``begin`` or after ``end`` stays
+    pinned."""
+    import ray.data as rd
+
+    sl = _slice_block_task()
+    out_refs = []
+    total = 0
+    for ref, cnt in _iter_blocks(ds.limit(end)):
+        lo, hi = total, total + cnt
+        total = hi
+        if hi <= begin or cnt == 0:
+            continue  # ref dropped → freed
+        s, e = max(0, begin - lo), min(cnt, end - lo)
+        out_refs.append(ref if (s == 0 and e == cnt) else sl.remote(ref, s, e))
+    if not out_refs:
+        return ds.limit(0)
+    return rd.from_arrow_refs(out_refs)
 
 
 def reverse(ds: Dataset) -> Dataset:
@@ -174,28 +225,29 @@ def reverse(ds: Dataset) -> Dataset:
 
 def enumerate_(ds: Dataset, name: str = "index") -> Dataset:
     """Add the index of preceding events (operators/enumerate.cpp:34).
-    Ordering-sensitive: computes per-block start offsets from block row
-    counts (driver-side metadata only), then a vectorized arange per block.
-    """
-    # Dataset.zip with a range dataset would shuffle; instead use Ray Data's
-    # split points: materialize block row counts cheaply via metadata.
+    Ordering-sensitive: per-block start offsets from streamed block
+    metadata (row counts only on the driver), then a vectorized arange
+    per block in remote tasks. Uses the public ref-bundle iterator, not
+    ``materialize()`` + private plan APIs; the output necessarily
+    references every input block (enumerate is a full-stream op), but
+    blocks are tagged as they arrive, pipelined."""
     import ray
 
-    blocks = ds.materialize()
-    counts = [m.num_rows for m in blocks._plan.execute().metadata]
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
-    refs = blocks._plan.execute().block_refs
-
     @ray.remote
-    def _tag(block, off):
-        t = block
-        return t.append_column(
-            name, pa.array(np.arange(off, off + t.num_rows, dtype=np.int64))
+    def _tag(block: pa.Table, off: int) -> pa.Table:
+        return block.append_column(
+            name, pa.array(np.arange(off, off + block.num_rows, dtype=np.int64))
         )
 
-    tagged = [_tag.remote(b, int(o)) for b, o in zip(refs, offsets)]
     import ray.data as rd
 
+    tagged = []
+    total = 0
+    for ref, cnt in _iter_blocks(ds):
+        tagged.append(_tag.remote(ref, total))
+        total += cnt
+    if not tagged:
+        return ds
     return rd.from_arrow_refs(tagged)
 
 

@@ -9,6 +9,14 @@ builtins/contexts/*.cpp) maps to two Ray-native shapes:
   by one pipeline and probed by others — :class:`ContextActor` here.
 """
 
-from tenzir_ray.state.context import BloomFilter, ContextActor, context_enrich
+from tenzir_ray.state.context import (
+    BloomFilter,
+    ContextActor,
+    context_enrich,
+    context_inspect,
+    context_load,
+    context_save,
+)
 
-__all__ = ["ContextActor", "context_enrich", "BloomFilter"]
+__all__ = ["ContextActor", "context_enrich", "BloomFilter",
+           "context_save", "context_load", "context_inspect"]

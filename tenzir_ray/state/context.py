@@ -69,6 +69,58 @@ def context_enrich(ds, name: str, key: str, out_field: str = "context"):
     return ops.enrich(ds, snapshot, key=key, out_field=out_field)
 
 
+def context_save(name: str, path: str) -> int:
+    """Persist the named context to disk (reference context::save —
+    lookup_table.cpp:137 snapshot machinery persists contexts in the
+    node state dir; here: one parquet file of (key, value) rows, values
+    pickled only when not Arrow-representable)."""
+    import pickle
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    snapshot: dict = ray.get(ContextActor(name).snapshot.remote())
+    keys = list(snapshot.keys())
+    vals = list(snapshot.values())
+    try:
+        val_col = pa.array(vals)
+        pickled = False
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        val_col = pa.array([pickle.dumps(v) for v in vals], pa.binary())
+        pickled = True
+    t = pa.table({"key": pa.array(keys), "value": val_col})
+    t = t.replace_schema_metadata({b"tenzir_ray.pickled": str(pickled).encode()})
+    pq.write_table(t, path)
+    return len(keys)
+
+
+def context_load(name: str, path: str) -> int:
+    """Restore a context from :func:`context_save` output
+    (context::load analog). Returns the table size after load."""
+    import pickle
+
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(path)
+    pickled = (t.schema.metadata or {}).get(b"tenzir_ray.pickled") == b"True"
+    vals = t.column("value").to_pylist()
+    if pickled:
+        vals = [pickle.loads(v) for v in vals]
+    entries = dict(zip(t.column("key").to_pylist(), vals))
+    return ray.get(ContextActor(name).update.remote(entries))
+
+
+def context_inspect(name: str) -> dict:
+    """Size + a sample of the named context (context::inspect analog)."""
+    import ray
+
+    snapshot: dict = ray.get(ContextActor(name).snapshot.remote())
+    sample = dict(list(snapshot.items())[:10])
+    return {"name": name, "entries": len(snapshot), "sample": sample}
+
+
 class BloomFilter:
     """Split Bloom filter over 64-bit element hashes; picklable → cheap to
     broadcast. ``m`` bits, ``k`` hashes derived from double hashing."""

@@ -186,22 +186,11 @@ def embedding_dedup(
 # ------------------------------------------------------------------ IVF
 
 
-def ivf_build(
-    ds: Dataset, n_lists: int = 16, id_col: str = "vec_id",
-    vec_col: str = "embedding", iters: int = 5, seed: int = 11,
-) -> tuple[np.ndarray, Dataset]:
-    """IVF index build: k-means centroids trained on a driver-side sample
-    (small — centroids are the only global state), then one vectorized
-    assign pass over the corpus adding ``ivf_list``. Returns (centroids,
-    assigned Dataset); persist with ``write_parquet(partition_cols=
-    ["ivf_list"])`` so searches open only their probed lists' files."""
-    sample = ds.limit(max(2000, 50 * n_lists))
-    sm = _normalize(_to_matrix(
-        pa.concat_tables(
-            [pa.table(b) if not isinstance(b, pa.Table) else b
-             for b in sample.iter_batches(batch_format="pyarrow")]
-        ).column(vec_col)
-    ))
+def kmeans_cosine(sm: np.ndarray, n_lists: int, iters: int = 5,
+                  seed: int = 11) -> np.ndarray:
+    """Spherical k-means on a (normalized) sample matrix — deterministic
+    given (sample order, seed). Shared by the distributed build and the
+    sequential verification oracle."""
     rng = np.random.default_rng(seed)
     cents = sm[rng.choice(len(sm), size=min(n_lists, len(sm)), replace=False)]
     for _ in range(iters):
@@ -213,6 +202,30 @@ def ivf_build(
                 n = np.linalg.norm(v)
                 if n > 0:
                     cents[c] = v / n
+    return cents
+
+
+def ivf_build(
+    ds: Dataset, n_lists: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding", iters: int = 5, seed: int = 11,
+) -> tuple[np.ndarray, Dataset]:
+    """IVF index build: k-means centroids trained on a driver-side sample
+    (small — centroids are the only global state), then one vectorized
+    assign pass over the corpus adding ``ivf_list``. The sample is sorted
+    by id before training so the centroids are deterministic regardless
+    of block arrival order. Returns (centroids, assigned Dataset);
+    persist with :func:`ivf_write` so searches open only their probed
+    lists' files."""
+    import pyarrow.compute as pc
+
+    sample = ds.limit(max(2000, 50 * n_lists))
+    st = pa.concat_tables(
+        [pa.table(b) if not isinstance(b, pa.Table) else b
+         for b in sample.iter_batches(batch_format="pyarrow")]
+    )
+    st = st.take(pc.sort_indices(st, sort_keys=[(id_col, "ascending")]))
+    sm = _normalize(_to_matrix(st.column(vec_col)))
+    cents = kmeans_cosine(sm, n_lists, iters, seed)
 
     import ray
 

@@ -231,8 +231,12 @@ def simhash_batch(
             continue
         sh = _shingle_hashes(txt, ngram)
         bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        score = bits.sum(axis=0) * 2 - len(sh)  # +1/-1 sum per bit
-        out[k] = np.packbits((score > 0).astype(np.uint8)[::-1]).view(np.uint64)[0]
+        score = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)  # ±1 per bit
+        # bit b of the fingerprint = majority of shingle-hash bit b
+        out[k] = (
+            (score > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)
+        ).sum(dtype=np.uint64)
     return pa.table({id_col: pa.array(ids), "simhash": pa.array(out, pa.uint64())})
 
 

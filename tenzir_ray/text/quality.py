@@ -80,11 +80,17 @@ class DocumentAnalyzer:
                 mean_word_len[i] = sum(map(len, words)) / len(words)
             langs.append(self._lang_of(words))
             # rolling-hash fingerprint over the word sequence (order-aware,
-            # whitespace-normalization-invariant)
-            h = np.uint64(1469598103934665603)
+            # whitespace-normalization-invariant). crc32 per word, NOT
+            # Python hash() — hash() is per-process randomized
+            # (PYTHONHASHSEED) and would make fingerprints differ across
+            # Ray workers.
+            import zlib
+
+            h = 1469598103934665603
             for w in words:
-                h = np.uint64((int(h) * 1099511628211 + hash(w)) & 0xFFFFFFFFFFFFFFFF)
-            fingerprints[i] = h
+                h = (h * 1099511628211 + zlib.crc32(w.encode())) \
+                    & 0xFFFFFFFFFFFFFFFF
+            fingerprints[i] = np.uint64(h)
         qual = (
             np.clip(n_words / 100.0, 0, 1) * 0.4
             + np.clip(stop_ratio * 4.0, 0, 1) * 0.3

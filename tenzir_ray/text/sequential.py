@@ -1,0 +1,126 @@
+"""Sequential reference implementations for verification.
+
+Single-threaded, row-at-a-time (or per-doc-loop) re-implementations of
+the distributed text-dedup pipelines, sharing only the leaf hash
+primitives with the engine. The distributed result must equal these
+byte-for-byte — any partitioning, shuffle-ordering, or dedup-resolution
+bug in the Ray path shows up as a mismatch. Used by the driver-oracle
+precomputed-expected tables (``__ray_entry__``) and by pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tenzir_ray.text.dedup import (
+    _MERSENNE,
+    _perm_params,
+    _shingle_hashes,
+    _token_ngrams,
+)
+
+
+def simhash_seq(doc_ids: list, texts: list, ngram: int = 2) -> pa.Table:
+    """Sequential SimHash dedup: per-doc 64-bit sign-sum fingerprint,
+    keep the min doc_id per fingerprint. Plain-Python bit counting — no
+    numpy packbits trick shared with the engine kernel."""
+    best: dict[int, int] = {}
+    for i, txt in zip(doc_ids, texts):
+        if txt is None:
+            continue
+        sh = _shingle_hashes(txt, ngram)
+        counts = [0] * 64
+        for h in sh.tolist():
+            for b in range(64):
+                if (h >> b) & 1:
+                    counts[b] += 1
+        n = len(sh)
+        sim = 0
+        for b in range(64):
+            # +1 per set bit, -1 per clear bit; strictly positive → 1
+            if 2 * counts[b] - n > 0:
+                sim |= 1 << b
+        if sim not in best or i < best[sim]:
+            best[sim] = i
+    out = sorted((v, k) for k, v in best.items())
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in out], pa.int64()),
+        "simhash": pa.array([s for _, s in out], pa.uint64()),
+    })
+
+
+def minhash_dedup_seq(
+    doc_ids: list, texts: list,
+    num_perm: int = 64, bands: int = 16, ngram: int = 3,
+) -> list[int]:
+    """Sequential MinHash-LSH dedup: per-doc signature (one doc at a
+    time), band buckets in a plain dict, min-label resolution, survivors
+    = docs equal to their own representative. Returns surviving ids."""
+    a, b = _perm_params(num_perm)
+    r = num_perm // bands
+    buckets: dict[tuple, list] = {}
+    all_ids: list[int] = []
+    for i, txt in zip(doc_ids, texts):
+        if txt is None:
+            all_ids.append(i)
+            continue
+        all_ids.append(i)
+        grams = _token_ngrams(txt, ngram) or {b""}
+        sh = pd.util.hash_array(
+            np.fromiter(grams, dtype=object, count=len(grams)))
+        v = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+        sig = v.min(axis=1)
+        for band in range(bands):
+            key_bytes = sig[band * r:(band + 1) * r].tobytes()
+            key = (band, int(pd.util.hash_array(
+                np.array([key_bytes], dtype=object))[0].astype(np.int64)))
+            buckets.setdefault(key, []).append(i)
+    rep: dict[int, int] = {}
+    for docs in buckets.values():
+        if len(docs) < 2:
+            continue
+        m = min(docs)
+        for d in docs:
+            rep[d] = min(rep.get(d, d), m)
+    return [i for i in all_ids if rep.get(i, i) == i]
+
+
+def ivf_ann_seq(
+    doc_ids: list, vectors: "np.ndarray", queries: "np.ndarray",
+    n_lists: int = 8, k: int = 5, n_probe: int = 4,
+    iters: int = 5, seed: int = 11,
+) -> pa.Table:
+    """Sequential IVF ANN: same deterministic k-means (shared
+    kmeans_cosine over the id-sorted sample = the full id-sorted corpus
+    at verification scale), then one-vector-at-a-time assignment and a
+    per-query linear scan over probed lists with an explicit candidate
+    sort. Verifies the distributed assign + partition-pruned search."""
+    from tenzir_ray.text.ann import _normalize, kmeans_cosine
+
+    order = np.argsort(np.asarray(doc_ids))
+    ids_sorted = [doc_ids[i] for i in order]
+    m = _normalize(np.asarray(vectors, dtype=np.float32))[order]
+    cents = kmeans_cosine(m, n_lists, iters, seed)
+    lists = []
+    for i in range(len(m)):  # one vector at a time
+        lists.append(int(np.argmax(cents @ m[i])))
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    out_q, out_id, out_cos = [], [], []
+    for qi in range(len(qn)):
+        probed = set(np.argsort(-(cents @ qn[qi]))[:n_probe].tolist())
+        cands = []
+        for i in range(len(m)):
+            if lists[i] in probed:
+                cands.append((float(m[i] @ qn[qi]), ids_sorted[i]))
+        cands.sort(key=lambda p: (-p[0], p[1]))
+        for cos, did in cands[:k]:
+            out_q.append(qi)
+            out_id.append(did)
+            out_cos.append(cos)
+    return pa.table({
+        "query": pa.array(out_q, pa.int32()),
+        "vec_id": pa.array(out_id, pa.int64()),
+        "cosine": pa.array(out_cos, pa.float64()),
+    })

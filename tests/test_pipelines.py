@@ -132,3 +132,42 @@ def test_cli_lake_subcommands(tmp_path):
     r3 = subprocess.run(base + ["lineage", "--lake", lake, "--num-cpus", "2"],
                         capture_output=True, text=True, cwd="/root/repo", env=env)
     assert all("events_per_s" in l for l in r3.stdout.strip().splitlines())
+
+
+def test_from_pushdown_plan_and_result(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"a": list(range(100)), "b": [i * 2 for i in range(100)],
+                  "c": ["x"] * 100}), path)
+    p = Pipeline.parse(f"""
+        from {path}
+        where a > 90
+        select a, b
+        sort a
+    """)
+    src, filt, cols = p.source_plan()
+    assert src == path and cols == ["a", "b"] and filt is not None
+    out = p.run()
+    # projection happened at the scan: the dataset never had column c
+    assert out.schema().names == ["a", "b"]
+    rows = out.take_all()
+    assert [r["a"] for r in rows] == list(range(91, 100))
+
+
+def test_from_pushdown_filter_on_unprojected_column(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines import Pipeline
+
+    path = str(tmp_path / "t2.parquet")
+    pq.write_table(pa.table({"a": list(range(20)), "k": [i % 2 for i in range(20)]}), path)
+    p = Pipeline.parse(f"from {path} | where k == 1 | select a")
+    out = p.run()
+    assert sorted(r["a"] for r in out.take_all()) == list(range(1, 20, 2))

@@ -1,0 +1,115 @@
+"""Printer duals round-trip through their parsers."""
+
+import pyarrow as pa
+
+from tenzir_ray.sources.formats import (
+    parse_cef_batch,
+    parse_kv_batch,
+    parse_leef_batch,
+    parse_syslog_batch,
+)
+from tenzir_ray.sources.printers import (
+    print_cef_batch,
+    print_csv_batch,
+    print_kv_batch,
+    print_leef_batch,
+    print_ndjson_batch,
+    print_syslog_batch,
+    print_zeek_tsv,
+    write_lines,
+)
+
+
+def test_ndjson_roundtrip():
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    lines = print_ndjson_batch(t).column("line").to_pylist()
+    import json
+
+    assert [json.loads(l) for l in lines] == t.to_pylist()
+
+
+def test_csv_print():
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    lines = print_csv_batch(t, include_header=True).column("line").to_pylist()
+    assert lines == ['"a","b"', '1,"x"', '2,"y"']
+
+
+def test_kv_roundtrip():
+    t = pa.table({"user": ["alice", "bob"], "action": ["login", "drop table"]})
+    printed = print_kv_batch(t)
+    parsed = parse_kv_batch(printed, col="line")
+    kv = parsed.column("kv").to_pylist()
+    assert kv == [{"user": "alice", "action": "login"},
+                  {"user": "bob", "action": "drop table"}]
+
+
+def test_syslog_roundtrip():
+    t = pa.table({
+        "facility": pa.array([4, 10], pa.int32()),
+        "severity": pa.array([2, 5], pa.int32()),
+        "ts_raw": ["2026-01-02T03:04:05Z", "2026-01-02T03:04:06Z"],
+        "host": ["web01", "db02"],
+        "app": ["nginx", "postgres"],
+        "pid": pa.array([101, None], pa.int32()),
+        "msg": ["GET / 200", "checkpoint complete"],
+    })
+    printed = print_syslog_batch(t)
+    parsed = parse_syslog_batch(printed, col="line")
+    for f in ("facility", "severity", "host", "app", "msg"):
+        assert parsed.column(f).to_pylist() == t.column(f).to_pylist(), f
+    assert parsed.column("pid").to_pylist() == [101, None]
+
+
+def test_cef_roundtrip():
+    t = pa.table({
+        "cef_version": ["0"], "device_vendor": ["acme"],
+        "device_product": ["fw"], "device_version": ["1.2"],
+        "signature_id": ["42"], "name": ["port scan"], "severity": ["7"],
+        "extension": [{"src": "10.0.0.1", "dst": "10.0.0.2"}],
+    })
+    printed = print_cef_batch(t)
+    parsed = parse_cef_batch(printed, col="line")
+    assert parsed.column("device_vendor").to_pylist() == ["acme"]
+    assert parsed.column("name").to_pylist() == ["port scan"]
+    assert parsed.column("extension").to_pylist() == [
+        {"src": "10.0.0.1", "dst": "10.0.0.2"}]
+
+
+def test_leef_roundtrip():
+    t = pa.table({
+        "leef_version": ["1.0"], "vendor": ["acme"], "product": ["fw"],
+        "version": ["1.2"], "event_id": ["evt7"],
+        "attrs": [{"src": "1.2.3.4", "spt": "4242"}],
+    })
+    printed = print_leef_batch(t)
+    parsed = parse_leef_batch(printed, col="line")
+    assert parsed.column("vendor").to_pylist() == ["acme"]
+    assert parsed.column("event_id").to_pylist() == ["evt7"]
+    assert parsed.column("attrs").to_pylist() == [
+        {"src": "1.2.3.4", "spt": "4242"}]
+
+
+def test_zeek_tsv_roundtrip(ray_session, tmp_path):
+    from tenzir_ray.sources.formats import parse_zeek_tsv
+
+    t = pa.table({"uid": ["c1", "c2"], "bytes": [100, 200]})
+    printed = print_zeek_tsv(t, path="conn")
+    f = tmp_path / "conn.log"
+    f.write_text("\n".join(printed.column("line").to_pylist()) + "\n")
+    parsed = parse_zeek_tsv(str(f)).take_all()
+    assert [r["uid"] for r in parsed] == ["c1", "c2"]
+    assert [int(r["bytes"]) for r in parsed] == [100, 200]
+
+
+def test_write_lines(ray_session, tmp_path):
+    import ray.data as rd
+
+    ds = rd.from_items([{"line": f"event {i}"} for i in range(100)])
+    out = str(tmp_path / "lines")
+    write_lines(ds, out)
+    import glob
+
+    got = []
+    for f in sorted(glob.glob(out + "/*")):
+        got += open(f).read().splitlines()
+    assert sorted(got) == sorted(f"event {i}" for i in range(100))

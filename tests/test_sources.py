@@ -137,3 +137,34 @@ def test_parse_json_col():
     assert pc.struct_field(s, "b").to_pylist() == ["x", None, None, None]
     out = print_json_col(pa.array([{"a": 1}, None]))
     assert out.to_pylist() == ['{"a":1}', None]
+
+
+def test_routed_json_suricata_style(ray_session):
+    """Heterogeneous EVE-style feed: routes get separate per-type schemas
+    (multi_series_builder.hpp:283-340 policy_selector)."""
+    import json
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import routed_json
+
+    lines = (
+        [json.dumps({"event_type": "alert", "severity": i, "sig": f"s{i}"})
+         for i in range(10)]
+        + [json.dumps({"event_type": "flow", "bytes": i * 100})
+           for i in range(7)]
+        + [json.dumps({"event_type": "dns", "rrname": "example.org",
+                       "rcode": "NOERROR"})]
+        + ["not json at all"]
+    )
+    ds = rd.from_items([{"line": l} for l in lines])
+    routed = routed_json(ds, col="line", selector="event_type")
+    assert set(routed) == {"alert", "flow", "dns", "_unroutable"}
+    alert = routed["alert"]
+    assert alert.count() == 10
+    assert sorted(alert.schema().names) == ["event_type", "severity", "sig"]
+    flow = routed["flow"].take_all()
+    assert sorted(r["bytes"] for r in flow) == [i * 100 for i in range(7)]
+    assert sorted(routed["dns"].schema().names) == [
+        "event_type", "rcode", "rrname"]
+    assert routed["_unroutable"].count() == 1

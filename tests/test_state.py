@@ -46,3 +46,24 @@ def test_bloom_prefilter_semi_join():
     ds = rd.from_items([{"k": f"k{i}"} for i in range(100)])
     out = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
     assert set(out["k"]) >= keep  # no false negatives
+
+
+def test_context_save_load_roundtrip(ray_session, tmp_path):
+    import ray
+
+    from tenzir_ray.state import (
+        ContextActor, context_inspect, context_load, context_save,
+    )
+
+    actor = ContextActor("persist_me")
+    ray.get(actor.update.remote({"a": 1, "b": {"nested": True}, "c": "x"}))
+    path = str(tmp_path / "ctx.parquet")
+    assert context_save("persist_me", path) == 3
+
+    actor2 = ContextActor("restored")
+    assert ray.get(actor2.snapshot.remote()) == {}
+    assert context_load("restored", path) == 3
+    snap = ray.get(actor2.snapshot.remote())
+    assert snap == {"a": 1, "b": {"nested": True}, "c": "x"}
+    info = context_inspect("restored")
+    assert info["entries"] == 3
