@@ -470,27 +470,27 @@ def enrich(
         cols = {out_field: pa.array(list(lookup.values()))}
     ref = ray.put((keys_arr, cols))
 
-    class Enricher:
-        def __init__(self):
-            # build side deserialized once per actor, stays Arrow end-to-end
-            self.keys, self.cols = ray.get(ref)
+    # plain tasks, not an actor pool: the probe is stateless
+    # (pc.index_in hashes the build side in Arrow C++ per call — cheap
+    # relative to a batch) and tasks reach full parallelism immediately;
+    # the build side is ray.put ONCE and read zero-copy per worker.
+    def _enrich(t: pa.Table) -> pa.Table:
+        keys, cols2 = ray.get(ref)
+        # pc.index_in: hash probe in Arrow C++ (null index on miss);
+        # take with null indices yields null values — the LEFT join.
+        probe = t.column(key).combine_chunks()
+        if probe.type != keys.type:
+            probe = pc.cast(probe, keys.type)
+        idx = pc.index_in(probe, value_set=keys)
+        for out, vals in cols2.items():
+            arr = vals.take(idx)
+            if out in t.column_names:
+                t = t.set_column(t.column_names.index(out), out, arr)
+            else:
+                t = t.append_column(out, arr)
+        return nometa(t)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # pc.index_in: hash probe in Arrow C++ (null index on miss);
-            # take with null indices yields null values — the LEFT join.
-            probe = t.column(key).combine_chunks()
-            if probe.type != self.keys.type:
-                probe = pc.cast(probe, self.keys.type)
-            idx = pc.index_in(probe, value_set=self.keys)
-            for out, vals in self.cols.items():
-                arr = vals.take(idx)
-                if out in t.column_names:
-                    t = t.set_column(t.column_names.index(out), out, arr)
-                else:
-                    t = t.append_column(out, arr)
-            return nometa(t)
-
-    return ds.map_batches(Enricher, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_enrich, batch_format="pyarrow")
 
 
 def semi_join(ds: Dataset, keys, key: str, anti: bool = False) -> Dataset:
@@ -510,20 +510,20 @@ def semi_join(ds: Dataset, keys, key: str, anti: bool = False) -> Dataset:
         value_set = pa.array(list(set(keys)))
     ref = ray.put(value_set)
 
-    class Filter:
-        def __init__(self):
-            self.value_set = ray.get(ref)
+    # stateless filter → plain tasks (full parallelism immediately, no
+    # actor-pool ramp); ray.get of the broadcast set is zero-copy from
+    # the local object store after the first fetch per worker
+    def _filter(t: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        probe = t.column(key).combine_chunks()
+        if probe.type != vs.type:
+            probe = pc.cast(probe, vs.type)
+        mask = pc.is_in(probe, value_set=vs)
+        if anti:
+            mask = pc.invert(mask)
+        return nometa(t.filter(mask))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            probe = t.column(key).combine_chunks()
-            if probe.type != self.value_set.type:
-                probe = pc.cast(probe, self.value_set.type)
-            mask = pc.is_in(probe, value_set=self.value_set)
-            if anti:
-                mask = pc.invert(mask)
-            return nometa(t.filter(mask))
-
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_filter, batch_format="pyarrow")
 
 
 def semi_join_ds(

@@ -7,6 +7,7 @@ analysis, and similarity search — all expressed as Dataset stages.
 
 from tenzir_ray.text.dedup import (
     exact_dedup,
+    exact_dedup_wide,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     simhash_dedup,
@@ -16,6 +17,7 @@ from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf
 
 __all__ = [
     "exact_dedup",
+    "exact_dedup_wide",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "simhash_dedup",

@@ -75,6 +75,60 @@ def exact_dedup(ds: Dataset, text_col: str = "text", keep_by: str | None = None)
     )
 
 
+def exact_dedup_wide(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+) -> Dataset:
+    """Exact dedup for WIDE rows (multi-KB documents): the full rows
+    never ride a shuffle. Only a narrow ``(hash, id)`` projection is
+    hash-partitioned; losers (every id but the min per hash) form the
+    drop set — a small fraction of a corpus — assembled into one Arrow
+    array in a REMOTE task (never on the driver) and applied as one
+    vectorized ``pc.is_in`` filter per batch. For drop sets beyond
+    single-worker memory, swap the broadcast for a Bloom filter + exact
+    re-verify (state.BloomFilter) or a distributed anti-join
+    (stages.semi_join_ds)."""
+    import ray
+
+    def project(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks()
+        h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "__h": pa.array(h.astype(np.uint64)),
+            id_col: t.column(id_col).combine_chunks(),
+        })
+
+    def losers(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
+        return g.select([id_col]).slice(1)  # all but the winner
+
+    drops = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(losers, batch_format="pyarrow")
+    )
+
+    @ray.remote
+    def _concat(*blocks) -> pa.Array:
+        tabs = [b for b in blocks if b.num_rows]
+        if not tabs:
+            return pa.array([], pa.int64())
+        return pa.concat_tables(tabs).column(id_col).combine_chunks()
+
+    drop_ref = _concat.remote(
+        *[r for b in drops.iter_internal_ref_bundles() for r in b.block_refs])
+
+    def survivors(t: pa.Table) -> pa.Table:
+        vs = ray.get(drop_ref)
+        if len(vs) == 0:
+            return t
+        keep = pc.invert(pc.is_in(t.column(id_col).combine_chunks(),
+                                  value_set=vs))
+        out = t.filter(keep)
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
+
+    return ds.map_batches(survivors, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- minhash
 
 
@@ -100,7 +154,7 @@ def minhash_lsh_candidates(
     def collect(g: pa.Table) -> pa.Table:
         docs = sorted(g.column("doc").to_pylist())
         if len(docs) < 2:
-            return pa.table({"band": pa.array([], pa.int32()),
+            return pa.table({"band": pa.array([], pa.int64()),
                              "band_key": pa.array([], pa.int64()),
                              "docs": pa.array([], pa.list_(pa.int64()))})
         return pa.table({
@@ -136,7 +190,7 @@ def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands, ngram) -> 
         doc_ids.append(i)
     if not doc_ids:
         return pa.table({"doc": pa.array([], pa.int64()),
-                         "band": pa.array([], pa.int32()),
+                         "band": pa.array([], pa.int64()),
                          "band_key": pa.array([], pa.int64())})
     sh = pd.util.hash_array(np.array(flat, dtype=object))  # (S,)
     v = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE  # (P, S)
@@ -147,7 +201,7 @@ def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands, ngram) -> 
     ).astype(np.int64)
     return pa.table({
         "doc": pa.array(np.repeat(np.array(doc_ids, np.int64), bands)),
-        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), len(doc_ids))),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), len(doc_ids))),
         "band_key": pa.array(keys, pa.int64()),
     })
 
@@ -170,50 +224,93 @@ def minhash_lsh_dedup(
     n-gram Jaccard verification of candidate pairs (verify_threshold)
     before dropping.
 
-    Min-label resolution is one extra groupby over (doc → min_peer) —
-    tiny, candidates only. The final filter is Ray's hash-shuffle
-    ``left_anti`` join of the corpus against the drop-id Dataset: the
-    drop set (10-40% of a web corpus) never touches the driver.
-    Returns the surviving rows of ``ds``."""
-    cands = minhash_lsh_candidates(ds, id_col, text_col, num_perm, bands, ngram)
+    Min-label resolution is JOIN-FREE and fully vectorized: band rows
+    are salted by ``band_key`` (so one group is ~1/256th of a band — no
+    whole-corpus groups at scale) and reduced with one numpy
+    lexsort + ``minimum.reduceat`` per group (bucket_min broadcast back
+    to members in the same kernel); per-doc min is a native Ray hash
+    aggregate. The final filter broadcasts the drop-id set — assembled
+    in a REMOTE task, never on the driver — and applies one vectorized
+    ``pc.is_in`` per batch: the corpus itself never rides any shuffle.
+    For drop sets beyond single-worker memory, swap the broadcast for a
+    Bloom filter + exact re-verify (state.BloomFilter) or a distributed
+    anti-join (stages.semi_join_ds). Returns the surviving rows."""
+    import functools
 
-    def explode(t: pa.Table) -> pa.Table:
-        doc, keep = [], []
-        for docs in t.column("docs").to_pylist():
-            m = min(docs)
-            for d in docs:
-                doc.append(d)
-                keep.append(m)
-        return pa.table({"doc": pa.array(doc, pa.int64()),
-                         "rep": pa.array(keep, pa.int64())})
+    import ray
+    from ray.data.aggregate import Min
 
-    pairs = cands.map_batches(explode, batch_format="pyarrow")
-
-    def min_rep(g: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc": g.column("doc").slice(0, 1),
-            "rep": pa.array([pc.min(g.column("rep")).as_py()], pa.int64()),
-        })
-
-    reps = pairs.groupby("doc").map_groups(min_rep, batch_format="pyarrow")
-    # docs to drop: doc != its representative. The drop set stays a
-    # Dataset — at web scale it's 10-40% of the corpus, so it must NEVER
-    # land on the driver. Survivors = corpus ANTI-JOIN drop-set: Ray's
-    # native hash-shuffle left_anti join partitions both sides by key
-    # hash; no broadcast, no driver-side set, no per-row Python loop.
-    drops = reps.map_batches(
-        lambda t: t.filter(pc.invert(pc.equal(t.column("doc"),
-                                              t.column("rep"))))
-                   .select([0]).rename_columns(["__drop_id"]),
+    banded = ds.map_batches(
+        functools.partial(
+            _minhash_batch, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, bands=bands, ngram=ngram,
+        ),
         batch_format="pyarrow",
+        batch_size=1024,
     )
-    return ds.join(
-        drops,
-        join_type="left_anti",
-        num_partitions=16,
-        on=(id_col,),
-        right_on=("__drop_id",),
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        salt = pc.bit_wise_and(t.column("band_key"), 255)
+        return t.append_column("bk_salt", salt)
+
+    def band_reduce(g: pa.Table) -> pa.Table:
+        # one group = one (band, salt) slice; vectorized bucket-min:
+        # sort by band_key, segment boundaries, min doc per segment,
+        # broadcast back with repeat — no per-bucket Python
+        if g.num_rows == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "rep": pa.array([], pa.int64())})
+        keys = g.column("band_key").to_numpy()
+        docs = g.column("doc").to_numpy()
+        order = np.lexsort((docs, keys))
+        k, d = keys[order], docs[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        bucket_min = np.minimum.reduceat(d, starts)
+        rep = np.repeat(bucket_min, np.diff(np.r_[starts, len(k)]))
+        return pa.table({"doc": pa.array(d, pa.int64()),
+                         "rep": pa.array(rep, pa.int64())})
+
+    pairs = (
+        banded.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["band", "bk_salt"])
+        .map_groups(band_reduce, batch_format="pyarrow")
     )
+    reps = pairs.groupby("doc").aggregate(Min(on="rep", alias_name="rep"))
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        # native aggregates emit zero-column blocks for empty partitions
+        if "doc" not in t.column_names:
+            return pa.table({"__drop_id": pa.array([], pa.int64())})
+        t = t.filter(pc.invert(pc.equal(t.column("doc"), t.column("rep"))))
+        return pa.table({"__drop_id": pc.cast(t.column("doc"), pa.int64())})
+
+    drops = reps.map_batches(to_drops, batch_format="pyarrow")
+
+    # assemble the drop-id set in a remote task (the driver only touches
+    # refs), then one vectorized membership filter per corpus batch
+    @ray.remote
+    def _concat_ids(*blocks) -> pa.Array:
+        tabs = [b for b in blocks if b.num_rows]
+        if not tabs:
+            return pa.array([], pa.int64())
+        return pa.concat_tables(tabs).column("__drop_id").combine_chunks()
+
+    drop_refs = [r for b in drops.iter_internal_ref_bundles()
+                 for r in b.block_refs]
+    drop_ref = _concat_ids.remote(*drop_refs)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        vs = ray.get(drop_ref)
+        if len(vs) == 0:
+            return t
+        probe = t.column(id_col).combine_chunks()
+        if probe.type != vs.type:
+            probe = pc.cast(probe, vs.type)
+        keep = pc.invert(pc.is_in(probe, value_set=vs))
+        out = t.filter(keep)
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
+
+    return ds.map_batches(survivors, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- simhash

@@ -145,3 +145,21 @@ def test_ivf_build_and_search():
         sub = got[got["query"] == qi]
         assert sub.iloc[0]["vec_id"] == emb["vec_id"].iloc[qi]
         assert sub.iloc[0]["cosine"] > 0.999
+
+
+def test_exact_dedup_wide_matches_narrow(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.text import exact_dedup, exact_dedup_wide
+
+    # 300 docs, every third a duplicate of doc i-1
+    rows = []
+    for i in range(300):
+        txt = f"document body {i}" if i % 3 else f"document body {i - 1}"
+        rows.append({"doc_id": i, "text": txt})
+    ds = rd.from_items(rows).repartition(7)
+    narrow = exact_dedup(ds, "text", keep_by="doc_id")
+    wide = exact_dedup_wide(ds, "text", id_col="doc_id")
+    a = sorted(r["doc_id"] for r in narrow.take_all())
+    b = sorted(r["doc_id"] for r in wide.take_all())
+    assert a == b and len(a) < 300
