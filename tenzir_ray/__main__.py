@@ -106,11 +106,20 @@ def main(argv: list[str] | None = None) -> int:
     if segs and segs[-1].startswith(("write ", "to ")):
         sink = segs.pop()
     uri = segs[0][len("from "):].strip()
-    if uri.endswith(".parquet"):
+    if uri == "-":
+        # stdin NDJSON → events (the reference's implicit `load stdin |
+        # read json`, src/exec_pipeline.cpp)
+        import json as _json
+
+        import ray.data as rd
+
+        rows = [_json.loads(l) for l in sys.stdin if l.strip()]
+        ds = Pipeline.parse("\n".join(segs[1:])).run(rd.from_items(rows))
+    elif uri.endswith(".parquet"):
         # parquet: let the planner keep `from` so leading where/select
         # push into the scan (filter + projection at the read)
         ds = Pipeline.parse("\n".join(segs)).run()
-    else:
+    elif not uri == "-":
         ds = Pipeline.parse("\n".join(segs[1:])).run(open_uri(uri))
 
     if sink:

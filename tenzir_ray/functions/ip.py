@@ -189,3 +189,26 @@ def enrich_cidr(ds, cidr_map: dict[str, object], key: str,
             return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     return ds.map_batches(Enricher, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def geoip_context_from_csv(path: str, network_col: str = "network",
+                           value_cols: list[str] | None = None) -> CidrIndex:
+    """GeoIP lookup context from a GeoLite2-style CSV (network,geo…):
+    the reference ships an mmdb-backed geoip context
+    (builtins/contexts/geoip.cpp); with no libmaxminddb in this
+    environment, the same enrichment runs off the public CSV form of
+    the database through the CIDR longest-prefix-match index. Use with
+    :func:`enrich_cidr`-style probing: ``CidrIndex.lookup`` returns the
+    selected columns as a dict per ip."""
+    import csv
+
+    entries: dict[str, object] = {}
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        for row in reader:
+            net = row.pop(network_col)
+            if value_cols:
+                entries[net] = {k: row.get(k) for k in value_cols}
+            else:
+                entries[net] = dict(row)
+    return CidrIndex(entries)

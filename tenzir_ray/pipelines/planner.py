@@ -13,6 +13,9 @@ Supported operators (reference file cited in OPS below)::
     taste [n]                    unroll field         flatten
     deduplicate key[, key]       top field            rare field
     summarize out=agg(col)[, ...] by k1[, k2]         limit n
+    distinct c1[, c2]            reverse              enumerate [name]
+    slice a:b                    sample f|p%          batch n
+    repeat n                     measure              shell "cmd"
 
 Expressions are Python syntax evaluated over pyarrow.dataset field
 expressions (``l_quantity > 45 and l_discount < 0.1`` →
@@ -272,6 +275,32 @@ class Pipeline:
                     aggs[alias] = (fn, col)
             by = csv(m.group("by")) if m.group("by") else None
             return lambda ds: ops.summarize(ds, by, **aggs)
+        if op == "distinct":
+            cols2 = csv(rest)
+            return lambda ds: ops.distinct(ds, *cols2)
+        if op == "reverse":
+            return lambda ds: ops.reverse(ds)
+        if op == "enumerate":
+            name = rest.strip() or "index"
+            return lambda ds: ops.enumerate_(ds, name)
+        if op == "slice":
+            a, _, b = rest.partition(":")
+            lo, hi = int(a), int(b)
+            return lambda ds: ops.slice_(ds, lo, hi)
+        if op == "sample":
+            frac = float(rest.rstrip("%")) / (100.0 if rest.endswith("%") else 1.0)
+            return lambda ds: ops.sample(ds, frac)
+        if op == "batch":
+            n = int(rest)
+            return lambda ds: ops.batch(ds, n)
+        if op == "repeat":
+            n = int(rest)
+            return lambda ds: ops.repeat(ds, n)
+        if op == "measure":
+            return lambda ds: ops.measure(ds)
+        if op == "shell":
+            cmd = rest.strip().strip('"')
+            return lambda ds: ops.shell(ds, cmd)
         if op == "pass":
             return lambda ds: ds
         raise ValueError(f"unknown operator {op!r}")

@@ -8,6 +8,8 @@ parser is a vectorized ``map_batches`` stage.
 
 from tenzir_ray.sources.formats import (
     compile_grok,
+    load_tcp,
+    load_udp,
     open_uri,
     parse_cef_batch,
     parse_grok_batch,
@@ -20,9 +22,21 @@ from tenzir_ray.sources.formats import (
     read_json,
     read_lines,
     read_parquet,
+    read_suricata,
     read_yaml,
+    routed_json,
     write_feather,
     write_parquet,
+)
+from tenzir_ray.sources.printers import (
+    print_cef_batch,
+    print_csv_batch,
+    print_kv_batch,
+    print_leef_batch,
+    print_ndjson_batch,
+    print_syslog_batch,
+    print_zeek_tsv,
+    write_lines,
 )
 
 __all__ = [
@@ -30,4 +44,8 @@ __all__ = [
     "read_yaml", "read_feather", "write_feather", "write_parquet",
     "parse_kv_batch", "parse_syslog_batch", "parse_cef_batch",
     "parse_leef_batch", "parse_grok_batch", "compile_grok", "parse_zeek_tsv",
+    "routed_json", "read_suricata", "load_tcp", "load_udp",
+    "print_ndjson_batch", "print_csv_batch", "print_kv_batch",
+    "print_syslog_batch", "print_cef_batch", "print_leef_batch",
+    "print_zeek_tsv", "write_lines",
 ]

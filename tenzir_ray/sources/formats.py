@@ -428,3 +428,95 @@ def routed_json(ds, col: str = "line", selector: str = "event_type"):
         out[route] = tagged.map_batches(make(route, keys),
                                         batch_format="pyarrow")
     return out
+
+
+def read_suricata(paths, selector: str = "event_type"):
+    """Suricata EVE JSON: NDJSON routed by ``event_type`` into per-type
+    Datasets with per-type schemas (the reference's suricata plugin is
+    exactly multi_series_builder with policy_selector on event_type —
+    formats/suricata.cpp). Returns ``dict[event_type, Dataset]``."""
+    import ray.data as rd
+
+    lines = rd.read_text(paths).map_batches(
+        lambda t: pa.table({"line": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    return routed_json(lines, col="line", selector=selector)
+
+
+def load_tcp(host: str = "127.0.0.1", port: int = 0,
+             max_events: int | None = None, idle_timeout: float = 5.0):
+    """TCP line source (operators/load_tcp.cpp): listen, accept one
+    connection, read newline-delimited records until EOF / idle timeout,
+    return a Dataset of ``line`` rows. Batch-engine semantics: the
+    connector drains a finite stream (the reference runs it as an
+    endless pipeline; here a WAL-style tail loop would wrap this).
+    Returns (dataset, bound_port) when ``port=0`` picks an ephemeral
+    port — callers start the listener first, then the sender."""
+    import socket
+
+    import ray.data as rd
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(1)
+    bound = srv.getsockname()[1]
+
+    def drain() -> list[str]:
+        srv.settimeout(idle_timeout)
+        conn, _ = srv.accept()
+        conn.settimeout(idle_timeout)
+        buf = b""
+        lines: list[str] = []
+        try:
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    lines.append(line.decode(errors="replace"))
+                    if max_events and len(lines) >= max_events:
+                        return lines
+        except socket.timeout:
+            pass
+        finally:
+            conn.close()
+            srv.close()
+        if buf.strip():
+            lines.append(buf.decode(errors="replace"))
+        return lines
+
+    return (lambda: rd.from_items([{"line": l} for l in drain()])), bound
+
+
+def load_udp(host: str = "127.0.0.1", port: int = 0,
+             max_events: int | None = None, idle_timeout: float = 2.0):
+    """UDP datagram source (operators/load_udp — one record per
+    datagram, syslog-style). Same finite-drain semantics as load_tcp."""
+    import socket
+
+    import ray.data as rd
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind((host, port))
+    bound = sock.getsockname()[1]
+
+    def drain() -> list[str]:
+        sock.settimeout(idle_timeout)
+        out: list[str] = []
+        try:
+            while True:
+                data, _ = sock.recvfrom(65536)
+                out.append(data.decode(errors="replace").rstrip("\n"))
+                if max_events and len(out) >= max_events:
+                    break
+        except socket.timeout:
+            pass
+        finally:
+            sock.close()
+        return out
+
+    return (lambda: rd.from_items([{"line": l} for l in drain()])), bound

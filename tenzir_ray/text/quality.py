@@ -6,6 +6,7 @@ token counting, document fingerprinting. One fused, vectorized
 from __future__ import annotations
 
 import re
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -32,7 +33,9 @@ _PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
 class DocumentAnalyzer:
     """Actor-pool stage: per-document language id, quality metrics, token
     count (BPE-ish regex), rolling-hash fingerprint. Setup in __init__
-    (once per actor), vectorized pandas string kernels per batch."""
+    (once per actor); ``__call__`` is a per-document loop — inherent to
+    tokenization-style analysis (regex findall per text), with the
+    numeric reductions vectorized across the batch at the end."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -84,8 +87,6 @@ class DocumentAnalyzer:
             # Python hash() — hash() is per-process randomized
             # (PYTHONHASHSEED) and would make fingerprints differ across
             # Ray workers.
-            import zlib
-
             h = 1469598103934665603
             for w in words:
                 h = (h * 1099511628211 + zlib.crc32(w.encode())) \

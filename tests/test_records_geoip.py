@@ -1,0 +1,68 @@
+"""record functions, geoip CSV context, suricata reader, grammar ops."""
+
+import pyarrow as pa
+
+from tenzir_ray.functions.records import get, has, keys, make, merge
+
+
+def test_record_make_get_has_keys():
+    s = make(a=[1, 2, None], b=["x", "y", "z"])
+    assert keys(s) == ["a", "b"]
+    assert get(s, "a").to_pylist() == [1, 2, None]
+    assert get(s, "missing", default=0).to_pylist() == [0, 0, 0]
+    assert has(s, "a").to_pylist() == [True, True, False]
+    assert has(s, "nope").to_pylist() == [False, False, False]
+
+
+def test_record_merge_right_wins():
+    a = make(x=[1, 2], y=["a", "b"])
+    b = make(y=["A", "B"], z=[9, 8])
+    m = merge(a, b)
+    assert keys(m) == ["x", "y", "z"]
+    assert get(m, "y").to_pylist() == ["A", "B"]
+
+
+def test_geoip_csv_context(tmp_path):
+    from tenzir_ray.functions.ip import geoip_context_from_csv, ip_parse
+
+    f = tmp_path / "geo.csv"
+    f.write_text(
+        "network,country,city\n"
+        "10.0.0.0/8,XX,corp\n"
+        "10.3.0.0/16,XX,branch\n"
+        "0.0.0.0/0,ZZ,world\n"
+    )
+    idx = geoip_context_from_csv(str(f))
+    ips = ip_parse(pa.array(["10.3.1.1", "10.9.0.1", "8.8.8.8"]))
+    got = idx.lookup(ips)
+    assert [g["city"] for g in got] == ["branch", "corp", "world"]
+
+
+def test_read_suricata(ray_session, tmp_path):
+    import json
+
+    from tenzir_ray.sources.formats import read_suricata
+
+    f = tmp_path / "eve.json"
+    lines = [json.dumps({"event_type": "alert", "sev": i}) for i in range(4)]
+    lines += [json.dumps({"event_type": "dns", "rrname": "x.org"})]
+    f.write_text("\n".join(lines) + "\n")
+    routed = read_suricata(str(f))
+    assert routed["alert"].count() == 4
+    assert routed["dns"].count() == 1
+
+
+def test_grammar_new_ops(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = rd.from_items([{"i": i, "g": i % 3} for i in range(100)]).sort("i")
+    out = Pipeline.parse("slice 10:20 | enumerate pos").run(ds)
+    rows = sorted(out.take_all(), key=lambda r: r["i"])
+    assert [r["i"] for r in rows] == list(range(10, 20))
+    d = Pipeline.parse("distinct g").run(ds)
+    assert sorted(r["g"] for r in d.take_all()) == [0, 1, 2]
+    s = Pipeline.parse("shell \"grep 7\"").run(
+        rd.from_items([{"line": f"v {i}"} for i in range(20)]))
+    assert sorted(r["line"] for r in s.take_all()) == ["v 17", "v 7"]

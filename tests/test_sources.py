@@ -168,3 +168,47 @@ def test_routed_json_suricata_style(ray_session):
     assert sorted(routed["dns"].schema().names) == [
         "event_type", "rcode", "rrname"]
     assert routed["_unroutable"].count() == 1
+
+
+def test_load_tcp_lines(ray_session):
+    import socket
+    import threading
+
+    from tenzir_ray.sources.formats import load_tcp
+
+    mk, port = load_tcp(max_events=10)
+
+    def sender():
+        c = socket.create_connection(("127.0.0.1", port))
+        for i in range(10):
+            c.sendall(f"msg {i}\n".encode())
+        c.close()
+
+    th = threading.Thread(target=sender)
+    th.start()
+    ds = mk()
+    th.join()
+    assert sorted(r["line"] for r in ds.take_all()) == sorted(
+        f"msg {i}" for i in range(10))
+
+
+def test_load_udp_datagrams(ray_session):
+    import socket
+    import threading
+
+    from tenzir_ray.sources.formats import load_udp
+
+    mk, port = load_udp(max_events=5)
+
+    def sender():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in range(5):
+            s.sendto(f"dgram {i}".encode(), ("127.0.0.1", port))
+        s.close()
+
+    th = threading.Thread(target=sender)
+    th.start()
+    ds = mk()
+    th.join()
+    assert sorted(r["line"] for r in ds.take_all()) == sorted(
+        f"dgram {i}" for i in range(5))
