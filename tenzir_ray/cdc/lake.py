@@ -281,6 +281,12 @@ def _write_bucket(group: pa.Table, *, root: str, salt: int) -> pa.Table:
 # idempotent reduce = exactly-once commits (manifest-guarded as before).
 
 
+# Stage-file format: transient per-bucket spill written once per map task
+# and read once per reduce — Arrow IPC ("feather", lz4) skips parquet
+# encode/decode entirely; "parquet" (snappy) trades CPU for fewer tmpfs
+# bytes. Switchable for measurement.
+_STAGE_FORMAT = os.environ.get("TENZIR_RAY_STAGE_FORMAT", "feather")
+
 _META_SCHEMA = pa.schema([
     pa.field("bucket", pa.int32()),
     pa.field("epoch", pa.int64()),
@@ -336,7 +342,13 @@ def _map_stage_batch(
     bends = np.concatenate([bb, [len(b)]])
     for s, e in zip(bstarts, bends):
         sub = t.slice(s, e - s).drop_columns([_BUCKET])
-        pq.write_table(sub, cur_path[int(b[s])], compression="snappy")
+        if _STAGE_FORMAT == "feather":
+            from pyarrow import feather as _ft
+
+            _ft.write_feather(sub, cur_path[int(b[s])],
+                              compression="lz4", version=2)
+        else:
+            pq.write_table(sub, cur_path[int(b[s])], compression="snappy")
     return pa.table(rows, schema=_META_SCHEMA)
 
 
@@ -356,7 +368,9 @@ def _reduce_bucket(
     # at scale a bucket has one piece per map task). The explicit schema
     # null-fills leftovers from a crashed earlier run whose target schema
     # was narrower (pre-evolution).
-    t = pads.dataset(files, schema=stage_schema, format="parquet").to_table()
+    t = pads.dataset(files, schema=stage_schema,
+                     format="feather" if _STAGE_FORMAT == "feather"
+                     else "parquet").to_table()
     epochs = pc.unique(t.column(_EPOCH)).to_pylist()
     out = []
     for e in sorted(epochs):

@@ -55,3 +55,51 @@ def print_json_col(arr) -> pa.Array:
         ],
         pa.string(),
     )
+
+
+def _one_col(arr) -> "pa.Table":
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.table({"__x": arr})
+
+
+def parse_kv_col(arr) -> pa.Array:
+    """key=value string column → struct column (field-level parse_kv)."""
+    from tenzir_ray.sources.formats import parse_kv_batch
+
+    return parse_kv_batch(_one_col(arr), col="__x").column("kv").combine_chunks()
+
+
+def parse_syslog_col(arr) -> pa.Array:
+    """syslog string column → struct {facility, severity, ts_raw, host,
+    app, pid, msg} (field-level parse_syslog)."""
+    t = None
+    from tenzir_ray.sources.formats import parse_syslog_batch
+
+    t = parse_syslog_batch(_one_col(arr), col="__x").drop_columns(["__x"])
+    return pa.StructArray.from_arrays(
+        [t.column(n).combine_chunks() for n in t.column_names],
+        names=t.column_names)
+
+
+def parse_grok_col(arr, pattern: str) -> pa.Array:
+    """grok over a string column → struct of named captures."""
+    from tenzir_ray.sources.formats import parse_grok_batch
+
+    t = parse_grok_batch(_one_col(arr), pattern, col="__x").drop_columns(["__x"])
+    return pa.StructArray.from_arrays(
+        [t.column(n).combine_chunks() for n in t.column_names],
+        names=t.column_names)
+
+
+def parse_csv_col(arr, columns: list[str], delimiter: str = ",") -> pa.Array:
+    """CSV-line string column → struct with the given field names
+    (field-level parse_csv; values stay strings)."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    parts = pc.split_pattern(arr, pattern=delimiter)
+    cols = [pc.list_element(parts, i) if len(arr) else pa.array([], pa.string())
+            for i in range(len(columns))]
+    return pa.StructArray.from_arrays(cols, names=columns)

@@ -45,25 +45,24 @@ def ann_cosine_topk(
     qn = _normalize(np.asarray(queries, dtype=dtype))
     qref = ray.put(qn)
 
-    class Scorer:
-        def __init__(self):
-            self.q = ray.get(qref)  # (Q, d), broadcast once per actor
+    # plain tasks (immediate full parallelism — no actor-pool ramp);
+    # the query matrix is ray.put once, read zero-copy per worker
+    def scorer(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)  # (Q, d)
+        m = _normalize(_to_matrix(t.column(vec_col), dtype))
+        ids = t.column(id_col).to_numpy()
+        sims = m @ q.T  # (n, Q)
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        qidx = np.repeat(np.arange(sims.shape[1]), kk)
+        didx = top.T.reshape(-1)
+        return pa.table({
+            "query": pa.array(qidx, pa.int32()),
+            id_col: pa.array(ids[didx]),
+            "cosine": pa.array(sims[didx, qidx].astype(np.float64), pa.float64()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_to_matrix(t.column(vec_col), dtype))
-            ids = t.column(id_col).to_numpy()
-            sims = m @ self.q.T  # (n, Q)
-            kk = min(k, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
-            qidx = np.repeat(np.arange(sims.shape[1]), kk)
-            didx = top.T.reshape(-1)
-            return pa.table({
-                "query": pa.array(qidx, pa.int32()),
-                id_col: pa.array(ids[didx]),
-                "cosine": pa.array(sims[didx, qidx].astype(np.float64), pa.float64()),
-            })
-
-    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8))
+    partials = ds.map_batches(scorer, batch_format="pyarrow")
     # final exact reduction over ≤ (k × Q × n_batches) rows — tiny
     chunks = list(partials.iter_batches(batch_format="pyarrow"))
     if not chunks:
@@ -231,18 +230,14 @@ def ivf_build(
 
     cref = ray.put(cents)
 
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(cref)
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_to_matrix(t.column(vec_col)))
+        lists = (m @ c.T).argmax(axis=1).astype(np.int32)
+        t = t.append_column("ivf_list", pa.array(lists))
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_to_matrix(t.column(vec_col)))
-            lists = (m @ self.c.T).argmax(axis=1).astype(np.int32)
-            t = t.append_column("ivf_list", pa.array(lists))
-            return t.replace_schema_metadata(None) if t.schema.metadata else t
-
-    return cents, ds.map_batches(Assign, batch_format="pyarrow",
-                                 concurrency=(1, 8))
+    return cents, ds.map_batches(assign, batch_format="pyarrow")
 
 
 def ivf_write(assigned: Dataset, path: str) -> str:
@@ -300,34 +295,30 @@ def ivf_search(
 
     ref = ray.put((qn, probe))
 
-    class Scorer:
-        def __init__(self):
-            self.q, self.probe = ray.get(ref)
+    def scorer(t: pa.Table) -> pa.Table:
+        q, prb = ray.get(ref)
+        m = _normalize(_to_matrix(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy()
+        lists = t.column("ivf_list").to_numpy()
+        sims = m @ q.T  # (n, Q)
+        # mask out rows not in the query's probed lists
+        allowed = np.zeros_like(sims, dtype=bool)
+        for qi in range(q.shape[0]):
+            allowed[:, qi] = np.isin(lists, prb[qi])
+        sims = np.where(allowed, sims, -2.0)
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        qidx = np.repeat(np.arange(sims.shape[1]), kk)
+        didx = top.T.reshape(-1)
+        keep = sims[didx, qidx] > -2.0
+        return pa.table({
+            "query": pa.array(qidx[keep], pa.int32()),
+            id_col: pa.array(ids[didx][keep]),
+            "cosine": pa.array(
+                sims[didx, qidx][keep].astype(np.float64), pa.float64()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_to_matrix(t.column(vec_col)))
-            ids = t.column(id_col).to_numpy()
-            lists = t.column("ivf_list").to_numpy()
-            sims = m @ self.q.T  # (n, Q)
-            # mask out rows not in the query's probed lists
-            allowed = np.zeros_like(sims, dtype=bool)
-            for qi in range(self.q.shape[0]):
-                allowed[:, qi] = np.isin(lists, self.probe[qi])
-            sims = np.where(allowed, sims, -2.0)
-            kk = min(k, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            qidx = np.repeat(np.arange(sims.shape[1]), kk)
-            didx = top.T.reshape(-1)
-            keep = sims[didx, qidx] > -2.0
-            return pa.table({
-                "query": pa.array(qidx[keep], pa.int32()),
-                id_col: pa.array(ids[didx][keep]),
-                "cosine": pa.array(
-                    sims[didx, qidx][keep].astype(np.float64), pa.float64()),
-            })
-
-    partials = assigned.map_batches(Scorer, batch_format="pyarrow",
-                                    concurrency=(1, 8))
+    partials = assigned.map_batches(scorer, batch_format="pyarrow")
     chunks = [pa.table(c) if not isinstance(c, pa.Table) else c
               for c in partials.iter_batches(batch_format="pyarrow")]
     if not chunks:

@@ -66,3 +66,51 @@ def test_grammar_new_ops(ray_session):
     s = Pipeline.parse("shell \"grep 7\"").run(
         rd.from_items([{"line": f"v {i}"} for i in range(20)]))
     assert sorted(r["line"] for r in s.take_all()) == ["v 17", "v 7"]
+
+
+def test_misc_env_secret_config(tmp_path, monkeypatch):
+    from tenzir_ray.functions import misc
+
+    monkeypatch.setenv("MY_TEST_VAR", "42")
+    assert misc.env("MY_TEST_VAR") == "42"
+    assert misc.env("NOPE_XYZ", "d") == "d"
+    misc.load_config({"store": {"path": "/lake"}, "salt": 4})
+    assert misc.config("store.path") == "/lake"
+    assert misc.config("salt") == 4
+    assert misc.config("missing.q", "dflt") == "dflt"
+    misc.set_secrets({"token": "abc"})
+    assert misc.secret("token") == "abc"
+    monkeypatch.setenv("TENZIR_SECRET_APIKEY", "zzz")
+    assert misc.secret("apikey") == "zzz"
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        misc.secret("nope")
+    f = tmp_path / "cfg.yaml"
+    f.write_text("lake-root: /data/lake\nsalt: 8\n")
+    misc.load_config(str(f))
+    assert misc.config("lake-root") == "/data/lake"
+
+
+def test_field_level_parsers():
+    import pyarrow as pa
+
+    from tenzir_ray.functions.parsing import (
+        parse_csv_col, parse_grok_col, parse_kv_col, parse_syslog_col,
+    )
+
+    kv = parse_kv_col(pa.array(['a=1 b="x y"', "a=2"]))
+    assert kv.to_pylist() == [{"a": "1", "b": "x y"}, {"a": "2", "b": None}]
+
+    sl = parse_syslog_col(pa.array(
+        ["<34>1 2026-01-01T00:00:00Z host app 7 - - hello"]))
+    row = sl.to_pylist()[0]
+    assert row["facility"] == 4 and row["severity"] == 2
+    assert row["msg"] == "hello"
+
+    gk = parse_grok_col(pa.array(["GET /x 200"]),
+                        "%{WORD:verb} %{NOTSPACE:path} %{INT:code}")
+    assert gk.to_pylist() == [{"verb": "GET", "path": "/x", "code": "200"}]
+
+    cs = parse_csv_col(pa.array(["1,foo", "2,bar"]), ["id", "name"])
+    assert cs.to_pylist() == [{"id": "1", "name": "foo"},
+                              {"id": "2", "name": "bar"}]
