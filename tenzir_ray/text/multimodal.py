@@ -169,3 +169,69 @@ def decode_images(ds: Dataset, payload_col: str = "image",
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ------------------------------------------------------------------ audio
+
+# Fake audio container: b"FAKA" | u32 sample_rate | u32 n_samples | i16 pcm.
+_AMAGIC = b"FAKA"
+
+
+def encode_fake_audio(n_samples: int, sample_rate: int = 16_000,
+                      seed: int = 0) -> bytes:
+    """Deterministic fake PCM payload (test/fixture helper)."""
+    rng = np.random.default_rng(seed)
+    pcm = (rng.standard_normal(n_samples) * 8000).astype(np.int16)
+    return _AMAGIC + struct.pack("<II", sample_rate, n_samples) + pcm.tobytes()
+
+
+class AudioFeatures:
+    """Actor-pool stage: audio binary → (sample_rate, duration_s, rms,
+    zero_crossing_rate) features. A real pipeline loads torchaudio /
+    an ASR/embedding model in ``__init__`` and runs batched inference
+    here; the byte-level codec is the same STUB policy as images
+    (FAKE container decodable, real formats raise)."""
+
+    def __init__(self, payload_col: str = "audio"):
+        self.col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sr, dur, rms, zcr, ok = [], [], [], [], []
+        for buf in t.column(self.col).to_pylist():
+            if buf is None or buf[:4] != _AMAGIC:
+                if buf is not None and len(buf) >= 4 and buf[:4] != _AMAGIC:
+                    raise NotImplementedError(
+                        "real audio codecs are not available in this "
+                        "environment; only the FAKE container is decodable")
+                sr.append(None); dur.append(None)
+                rms.append(None); zcr.append(None); ok.append(False)
+                continue
+            rate, n = struct.unpack("<II", buf[4:12])
+            pcm = np.frombuffer(buf[12:12 + 2 * n], dtype=np.int16)
+            x = pcm.astype(np.float32) / 32768.0
+            sr.append(rate)
+            dur.append(n / rate if rate else None)
+            rms.append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
+            zcr.append(float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0)
+            ok.append(True)
+        for name, arr in [
+            ("sample_rate", pa.array(sr, pa.int32())),
+            ("duration_s", pa.array(dur, pa.float64())),
+            ("audio_rms", pa.array(rms, pa.float64())),
+            ("audio_zcr", pa.array(zcr, pa.float64())),
+            ("audio_ok", pa.array(ok, pa.bool_())),
+        ]:
+            t = t.append_column(name, arr)
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def extract_audio_features(ds: Dataset, payload_col: str = "audio",
+                           batch_size: int = 64, concurrency=(1, 8)) -> Dataset:
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -16,14 +16,53 @@ from ray.data import Dataset
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
 # language id (public-knowledge word lists, heavily truncated).
 _LANG_STOPWORDS: dict[str, set[str]] = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"},
-    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "que"},
-    "es": {"el", "la", "los", "de", "y", "es", "un", "una", "que", "en"},
-    "pt": {"o", "a", "os", "de", "e", "um", "uma", "que", "não", "para"},
-    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"},
-    "nl": {"de", "het", "een", "en", "van", "is", "dat", "op", "te", "niet"},
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "was", "with", "as", "his", "on", "be", "at", "by", "had", "not",
+           "are", "this", "but", "from", "they"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den",
+           "von", "zu", "sich", "des", "auf", "für", "im", "dem", "sie",
+           "auch", "werden", "eine", "als", "aus", "wird", "bei"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "que",
+           "en", "du", "dans", "qui", "au", "pour", "pas", "sur", "ce",
+           "il", "sont", "avec", "plus", "par", "mais"},
+    "es": {"el", "la", "los", "de", "y", "es", "un", "una", "que", "en",
+           "del", "las", "se", "por", "con", "para", "su", "al", "lo",
+           "como", "más", "pero", "sus", "le", "ya"},
+    "pt": {"o", "a", "os", "de", "e", "um", "uma", "que", "não", "para",
+           "do", "da", "em", "com", "as", "se", "por", "dos", "como",
+           "mas", "foi", "ao", "das", "tem", "seu"},
+    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "non", "sono",
+           "in", "del", "le", "si", "con", "della", "dei", "come", "più",
+           "anche", "nel", "alla", "gli", "lo", "ha"},
+    "nl": {"de", "het", "een", "en", "van", "is", "dat", "op", "te",
+           "niet", "zijn", "voor", "met", "die", "aan", "er", "maar",
+           "om", "ook", "als", "dan", "bij", "nog", "naar", "uit"},
+    "sv": {"och", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "om", "ett", "han", "var",
+           "jag", "sig", "från", "vi", "så", "kan", "när", "har"},
+    "pl": {"i", "w", "na", "z", "do", "się", "nie", "jest", "że", "to",
+           "jak", "po", "co", "tak", "za", "od", "ale", "przez", "być",
+           "dla", "już", "czy", "tylko", "może", "przy"},
+    "tr": {"bir", "ve", "bu", "da", "de", "için", "ile", "olarak", "çok",
+           "daha", "gibi", "kadar", "sonra", "ama", "var", "en", "ne",
+           "o", "ki", "değil", "olan", "her", "iki", "ise", "mi"},
 }
+
+# Unicode-script detection for non-Latin scripts: (lo, hi, lang) —
+# checked before stopword voting (a CJK/Cyrillic/… text never matches
+# Latin stopwords). Hiragana/katakana distinguish ja from zh; hangul
+# marks ko. Public Unicode block ranges.
+_SCRIPT_RANGES: list[tuple[int, int, str]] = [
+    (0x3040, 0x30FF, "ja"),    # hiragana + katakana (checked before Han)
+    (0x4E00, 0x9FFF, "zh"),    # CJK unified ideographs
+    (0xAC00, 0xD7AF, "ko"),    # hangul syllables
+    (0x0400, 0x04FF, "ru"),    # cyrillic
+    (0x0600, 0x06FF, "ar"),    # arabic
+    (0x0590, 0x05FF, "he"),    # hebrew
+    (0x0370, 0x03FF, "el"),    # greek
+    (0x0900, 0x097F, "hi"),    # devanagari
+    (0x0E00, 0x0E7F, "th"),    # thai
+]
 
 _TOKEN = re.compile(r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-z\d]", re.UNICODE)
 _WORD = re.compile(r"\w+", re.UNICODE)
@@ -44,7 +83,29 @@ class DocumentAnalyzer:
         self.punct = _PUNCT
         self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
 
-    def _lang_of(self, words: list[str]) -> str:
+    def _lang_of(self, words: list[str], text: str = "") -> str:
+        # non-Latin scripts first: count script hits over a char sample
+        sample = text[:400]
+        if sample:
+            counts: dict[str, int] = {}
+            other = 0
+            for ch in sample:
+                cp = ord(ch)
+                if cp < 0x300:
+                    continue
+                for lo, hi, lang in _SCRIPT_RANGES:
+                    if lo <= cp <= hi:
+                        counts[lang] = counts.get(lang, 0) + 1
+                        break
+                else:
+                    other += 1
+            if counts:
+                lang, n = max(counts.items(), key=lambda kv: kv[1])
+                # ja texts mix kana + Han: any kana wins over Han
+                if "ja" in counts and lang == "zh":
+                    lang = "ja"
+                if n >= max(3, len(sample) // 20):
+                    return lang
         if not words:
             return "und"
         ws = set(words[:200])
@@ -81,7 +142,7 @@ class DocumentAnalyzer:
             if words:
                 stop_ratio[i] = sum(w in all_stop for w in words) / len(words)
                 mean_word_len[i] = sum(map(len, words)) / len(words)
-            langs.append(self._lang_of(words))
+            langs.append(self._lang_of(words, txt))
             # rolling-hash fingerprint over the word sequence (order-aware,
             # whitespace-normalization-invariant). crc32 per word, NOT
             # Python hash() — hash() is per-process randomized

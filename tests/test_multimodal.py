@@ -78,3 +78,33 @@ def test_real_codec_clearly_stubbed():
         sample_video_frames(
             pa.table({"video": [b"\x00\x00\x00 ftypmp42..."]}), payload_col="video"
         )
+
+
+def test_audio_features(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from tenzir_ray.text.multimodal import (
+        AudioFeatures, encode_fake_audio, extract_audio_features,
+    )
+
+    rows = [{"aid": i, "audio": encode_fake_audio(16000 + i * 100, seed=i)}
+            for i in range(20)]
+    ds = rd.from_items(rows)
+    out = extract_audio_features(ds, batch_size=8, concurrency=(1, 2))
+    got = sorted(out.take_all(), key=lambda r: r["aid"])
+    assert all(r["audio_ok"] for r in got)
+    assert got[0]["sample_rate"] == 16000
+    assert abs(got[0]["duration_s"] - 1.0) < 0.01
+    assert 0.1 < got[0]["audio_rms"] < 0.5
+
+
+def test_audio_real_codec_clearly_stubbed():
+    import pyarrow as pa
+    import pytest as _pt
+
+    from tenzir_ray.text.multimodal import AudioFeatures
+
+    t = pa.table({"audio": pa.array([b"RIFF....WAVE"], pa.binary())})
+    with _pt.raises(NotImplementedError):
+        AudioFeatures()(t)

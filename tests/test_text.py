@@ -163,3 +163,50 @@ def test_exact_dedup_wide_matches_narrow(ray_session):
     a = sorted(r["doc_id"] for r in narrow.take_all())
     b = sorted(r["doc_id"] for r in wide.take_all())
     assert a == b and len(a) < 300
+
+
+def test_minhash_verify_threshold(ray_session):
+    """LSH candidates get exact-Jaccard verified before dropping: with an
+    impossible threshold nothing is dropped; with a permissive one the
+    unverified result is reproduced."""
+    import ray.data as rd
+
+    from tenzir_ray.text import minhash_lsh_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = []
+    for i in range(60):
+        if i % 3 == 0 and i:
+            txt = base + f" variant {i % 2}"   # near-dup cluster
+        else:
+            # truly distinct: per-doc unique token stream, no shared 3-grams
+            txt = " ".join(f"tok{i}x{j}" for j in range(25))
+        rows.append({"doc_id": i, "text": txt})
+    ds = rd.from_items(rows).repartition(4)
+
+    plain = sorted(r["doc_id"] for r in
+                   minhash_lsh_dedup(ds, "doc_id", "text").take_all())
+    assert len(plain) < 60  # the near-dup cluster collapsed
+
+    none_dropped = sorted(r["doc_id"] for r in minhash_lsh_dedup(
+        ds, "doc_id", "text", verify_threshold=1.01).take_all())
+    assert none_dropped == list(range(60))
+
+    verified = sorted(r["doc_id"] for r in minhash_lsh_dedup(
+        ds, "doc_id", "text", verify_threshold=0.5).take_all())
+    assert verified == plain
+
+
+def test_semi_join_ds_simple(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    import tenzir_ray.stages as ops
+
+    big = rd.from_items([{"k": i, "v": i * 2} for i in range(500)])
+    keys = rd.from_arrow(pa.table({"k": pa.array([1, 5, 9], pa.int64())}))
+    semi = ops.semi_join_ds(big, keys, "k", num_partitions=4)
+    assert sorted(r["k"] for r in semi.take_all()) == [1, 5, 9]
+    anti = ops.semi_join_ds(big, keys, "k", anti=True, num_partitions=4)
+    assert anti.count() == 497
