@@ -171,24 +171,24 @@ def enrich_cidr(ds, cidr_map: dict[str, object], key: str,
     import ray
     from ray.data import Dataset  # noqa: F401
 
-    ref = ray.put(cidr_map)
+    # the INDEX is built once on the driver and broadcast (ray.put),
+    # probed by plain tasks — full parallelism immediately, zero-copy
+    # reads of the shared index per worker
+    ref = ray.put(CidrIndex(cidr_map))
 
-    class Enricher:
-        def __init__(self):
-            self.index = CidrIndex(ray.get(ref))
+    def _enrich(t: pa.Table) -> pa.Table:
+        index = ray.get(ref)
+        col = t.column(key).combine_chunks()
+        if not pa.types.is_fixed_size_binary(col.type):
+            col = ip_parse(col)
+        vals = pa.array(index.lookup(col))
+        if out_field in t.column_names:
+            t = t.set_column(t.column_names.index(out_field), out_field, vals)
+        else:
+            t = t.append_column(out_field, vals)
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            col = t.column(key).combine_chunks()
-            if not pa.types.is_fixed_size_binary(col.type):
-                col = ip_parse(col)
-            vals = pa.array(self.index.lookup(col))
-            if out_field in t.column_names:
-                t = t.set_column(t.column_names.index(out_field), out_field, vals)
-            else:
-                t = t.append_column(out_field, vals)
-            return t.replace_schema_metadata(None) if t.schema.metadata else t
-
-    return ds.map_batches(Enricher, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_enrich, batch_format="pyarrow")
 
 
 def geoip_context_from_csv(path: str, network_col: str = "network",

@@ -114,3 +114,34 @@ def test_field_level_parsers():
     cs = parse_csv_col(pa.array(["1,foo", "2,bar"]), ["id", "name"])
     assert cs.to_pylist() == [{"id": "1", "name": "foo"},
                               {"id": "2", "name": "bar"}]
+
+
+def test_ocsf_mapping(ray_session):
+    import pyarrow as pa
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.functions.ocsf import to_ocsf, type_uid
+
+    t = pa.table({
+        "ts": [1, 2], "orig_h": ["10.0.0.1", "10.0.0.2"],
+        "resp_h": ["8.8.8.8", "9.9.9.9"], "resp_p": [53, 443],
+        "uid": ["c1", "c2"],
+    })
+    out = to_ocsf(
+        t, "network_activity",
+        mapping={"orig_h": "src_endpoint.ip", "resp_h": "dst_endpoint.ip",
+                 "resp_p": "dst_endpoint.port"},
+        activity_id=1, time_col="ts", severity="low",
+    )
+    assert out.column("class_uid").to_pylist() == [4001, 4001]
+    assert out.column("category_uid")[0].as_py() == 4
+    assert out.column("type_uid")[0].as_py() == type_uid("network_activity", 1) == 400101
+    assert out.column("severity_id")[0].as_py() == 2
+    assert out.column("src_endpoint.ip").to_pylist() == ["10.0.0.1", "10.0.0.2"]
+    assert out.column("unmapped.uid").to_pylist() == ["c1", "c2"]
+    # dotted paths nest via unflatten
+    import ray.data as rd
+
+    nested = ops.unflatten(rd.from_arrow(out), sep=".").take_all()
+    assert nested[0]["src_endpoint"]["ip"] == "10.0.0.1"
+    assert nested[0]["dst_endpoint"]["port"] == 53
