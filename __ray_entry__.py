@@ -506,6 +506,62 @@ def _cidr_enrich(sf_dir: str):
     return out.select_columns(["event_id", "ip", "zone"])
 
 
+
+def _exact_dedup_wide_docs(sf_dir: str):
+    """wide-row exact dedup: rows never ride a shuffle (narrow (hash,id)
+    projection + worker-side drop-set broadcast). Same result as the
+    narrow path — same SQL oracle."""
+    from tenzir_ray.text import exact_dedup_wide
+
+    ds = _read(sf_dir, "documents")
+    return exact_dedup_wide(ds, "text", id_col="doc_id")
+
+
+def _shell_passthrough(sf_dir: str):
+    """shell operator (operators/shell.cpp): events piped through
+    `cat` as NDJSON and parsed back — exercises the subprocess stage
+    end-to-end; int/string columns only (JSON round-trip-stable)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+    return ops.shell(ds, "cat", format="ndjson")
+
+
+def _adaptive_sample(sf_dir: str):
+    """rate-adaptive sampling (operators/sample.cpp) in its
+    deterministic id-keyed form: keep every f-th id, f derived from the
+    window/target ratio."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    # window 4096, target 512 → f = 8 → keep event_id % 8 == 0
+    return ops.sample_adaptive(ds, target_per_window=512,
+                               window_events=4096, id_col="event_id")
+
+
+def _kv_roundtrip(sf_dir: str):
+    """printer/parser duality: rows → kv lines → parsed back →
+    aggregated (print_kv ∘ parse_kv = id on string-safe columns)."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.formats import parse_kv_batch
+    from tenzir_ray.sources.printers import print_kv_batch
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        printed = print_kv_batch(t)
+        parsed = parse_kv_batch(printed, col="line")
+        kv = parsed.column("kv").combine_chunks()
+        return pa.table({
+            "event_type": pc.struct_field(kv, "event_type"),
+            "user_id": pc.cast(pc.struct_field(kv, "user_id"), pa.int64()),
+        })
+
+    ds = ds.map_batches(roundtrip, batch_format="pyarrow")
+    return ops.summarize(ds, "event_type",
+                         users=("count_distinct", "user_id"), n="count")
+
+
 def _tql_pushdown(sf_dir: str):
     """`from` + leading where/select pushed INTO the parquet scan
     (planner pushdown — reference pipeline.hpp:302-373 optimize())."""
@@ -701,6 +757,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tql_pipeline": _tql_pipeline,
         "agg_extended2": _agg_extended2,
         "tql_pushdown": _tql_pushdown,
+        "exact_dedup_wide_docs": _exact_dedup_wide_docs,
+        "shell_passthrough": _shell_passthrough,
+        "adaptive_sample": _adaptive_sample,
+        "kv_roundtrip": _kv_roundtrip,
         "cidr_enrich": _cidr_enrich,
         "routed_json": _routed_json,
         "embedding_dedup": _embedding_dedup,
@@ -834,6 +894,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ((user_id % 65536) // 256) < 128 THEN 'zoneA'
                         ELSE 'zoneB' END AS zone
             FROM events
+        """,
+        "exact_dedup_wide_docs": """
+            SELECT * FROM documents QUALIFY
+            row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "shell_passthrough": """
+            SELECT event_id, event_type, user_id FROM events
+        """,
+        "adaptive_sample": """
+            SELECT event_id, event_type FROM events WHERE event_id % 8 = 0
+        """,
+        "kv_roundtrip": """
+            SELECT event_type, count(DISTINCT user_id) AS users,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "tql_pushdown": """
             SELECT o_orderkey, o_custkey, o_totalprice
