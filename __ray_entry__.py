@@ -562,6 +562,73 @@ def _kv_roundtrip(sf_dir: str):
                          users=("count_distinct", "user_id"), n="count")
 
 
+
+def _distinct_pairs(sf_dir: str):
+    """whole-stream distinct over a projection (summarize distinct /
+    ds.unique analog)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    ds = ops.set_(ds, ubucket=lambda t: pc.bit_wise_and(t["user_id"], 7))
+    return ops.distinct(ds, "event_type", "ubucket")
+
+
+def _timeshift_hours(sf_dir: str):
+    """timeshift (operators/timeshift.cpp): shift ts +1h, bucket by day."""
+    import datetime
+
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_id"])
+    ds = ops.timeshift(ds, "ts", datetime.timedelta(hours=1))
+    ds = ops.set_(ds, day=lambda t: pc.floor_temporal(t["ts"], unit="day"))
+    return ops.summarize(ds, "day", n="count", mx=("max", "event_id"))
+
+
+def _syslog_parse(sf_dir: str):
+    """syslog parser driver-checked: RFC5424 lines synthesized from
+    events (pri derived arithmetically so the oracle can rebuild it),
+    parsed back, aggregated by facility/severity."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.formats import parse_syslog_batch
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def mk_lines(t: pa.Table) -> pa.Table:
+        pri = pc.cast(pc.bit_wise_and(t["user_id"], 127), pa.string())
+        line = pc.binary_join_element_wise(
+            "<", pri, ">1 2026-01-01T00:00:00Z host-",
+            t["event_type"], " app 7 - - payload", "",
+        )
+        return pa.table({"text": line})
+
+    lines = ds.map_batches(mk_lines, batch_format="pyarrow")
+    parsed = lines.map_batches(
+        lambda t: parse_syslog_batch(t, col="text").drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    return ops.summarize(parsed, ["facility", "severity"], n="count")
+
+
+def _enumerate_sorted(sf_dir: str):
+    """enumerate over a sorted stream (operators/enumerate.cpp) —
+    positional index must match SQL row_number."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["event_id"]).sort("event_id")
+    out = ops.enumerate_(ds, "idx")
+    return ops.where(out, lambda t: pc.less(t["idx"], 100))
+
+
+def _distinct_collect(sf_dir: str):
+    """distinct-list aggregation (sorted unique values per group)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    ds = ops.set_(ds, ub=lambda t: pc.bit_wise_and(t["user_id"], 15))
+    return ops.summarize(ds, "event_type", ubs=("distinct", "ub"), n="count")
+
+
 def _tql_pushdown(sf_dir: str):
     """`from` + leading where/select pushed INTO the parquet scan
     (planner pushdown — reference pipeline.hpp:302-373 optimize())."""
@@ -761,6 +828,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shell_passthrough": _shell_passthrough,
         "adaptive_sample": _adaptive_sample,
         "kv_roundtrip": _kv_roundtrip,
+        "distinct_pairs": _distinct_pairs,
+        "timeshift_hours": _timeshift_hours,
+        "syslog_parse": _syslog_parse,
+        "enumerate_sorted": _enumerate_sorted,
+        "distinct_collect": _distinct_collect,
         "cidr_enrich": _cidr_enrich,
         "routed_json": _routed_json,
         "embedding_dedup": _embedding_dedup,
@@ -894,6 +966,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ((user_id % 65536) // 256) < 128 THEN 'zoneA'
                         ELSE 'zoneB' END AS zone
             FROM events
+        """,
+        "distinct_pairs": """
+            SELECT DISTINCT event_type, (user_id & 7)::BIGINT AS ubucket
+            FROM events
+        """,
+        "timeshift_hours": """
+            SELECT date_trunc('day', ts + INTERVAL 1 HOUR) AS day,
+                   count(*) AS n, max(event_id) AS mx
+            FROM events GROUP BY 1
+        """,
+        "syslog_parse": """
+            SELECT ((user_id % 128) // 8)::INT AS facility,
+                   ((user_id % 128) % 8)::INT AS severity,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "enumerate_sorted": """
+            SELECT event_id,
+                   (row_number() OVER (ORDER BY event_id) - 1) AS idx
+            FROM events QUALIFY idx < 100
+        """,
+        "distinct_collect": """
+            SELECT event_type,
+                   list_sort(list(DISTINCT (user_id & 15)::BIGINT)) AS ubs,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "exact_dedup_wide_docs": """
             SELECT * FROM documents QUALIFY
