@@ -629,6 +629,45 @@ def _distinct_collect(sf_dir: str):
     return ops.summarize(ds, "event_type", ubs=("distinct", "ub"), n="count")
 
 
+
+def _scalar_funcs(sf_dir: str):
+    """scalar function battery driver-checked in one query: string
+    (upper/replace/slice), hashing (md5/sha256), encoding (base64/hex),
+    time (year/format) — each vs its DuckDB builtin."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.functions.encoding import encode_base64, encode_hex
+    from tenzir_ray.functions.hashing import hash_md5, hash_sha256
+    from tenzir_ray.functions.strings import replace as str_replace
+    from tenzir_ray.functions.time import format_time
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    ds = ops.where(ds, lambda t: pc.less(t["event_id"], 50))
+
+    def derive(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "upper": pc.utf8_upper(et),
+            "repl": str_replace(et, "a", "@"),
+            "md5": hash_md5(et),
+            "sha256": hash_sha256(et),
+            "b64": encode_base64(et),
+            "hx": encode_hex(et),
+            "year": pc.year(t.column("ts")),
+            "tstr": format_time(t.column("ts"), "%Y-%m-%d"),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _reverse_head(sf_dir: str):
+    """reverse (operators/reverse.cpp) over a sorted stream + head."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["event_id"]).sort("event_id")
+    return ops.head(ops.reverse(ds), 25)
+
+
 def _tql_pushdown(sf_dir: str):
     """`from` + leading where/select pushed INTO the parquet scan
     (planner pushdown — reference pipeline.hpp:302-373 optimize())."""
@@ -833,6 +872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syslog_parse": _syslog_parse,
         "enumerate_sorted": _enumerate_sorted,
         "distinct_collect": _distinct_collect,
+        "scalar_funcs": _scalar_funcs,
+        "reverse_head": _reverse_head,
         "cidr_enrich": _cidr_enrich,
         "routed_json": _routed_json,
         "embedding_dedup": _embedding_dedup,
@@ -966,6 +1007,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ((user_id % 65536) // 256) < 128 THEN 'zoneA'
                         ELSE 'zoneB' END AS zone
             FROM events
+        """,
+        "scalar_funcs": """
+            SELECT event_id,
+                   upper(event_type)                   AS upper,
+                   replace(event_type, 'a', '@')       AS repl,
+                   md5(event_type)                     AS md5,
+                   sha256(event_type)                  AS sha256,
+                   to_base64(event_type::BLOB)         AS b64,
+                   lower(hex(event_type::BLOB))        AS hx,
+                   year(ts)::BIGINT                    AS year,
+                   strftime(ts, '%Y-%m-%d')            AS tstr
+            FROM events WHERE event_id < 50
+        """,
+        "reverse_head": """
+            SELECT event_id FROM events ORDER BY event_id DESC LIMIT 25
         """,
         "distinct_pairs": """
             SELECT DISTINCT event_type, (user_id & 7)::BIGINT AS ubucket
