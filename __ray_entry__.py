@@ -668,6 +668,74 @@ def _reverse_head(sf_dir: str):
     return ops.head(ops.reverse(ds), 25)
 
 
+
+def _list_funcs(sf_dir: str):
+    """list functions over the embedding column: length, element sum,
+    min/max (vectorized via list_flatten + reduceat)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        sums = np.add.reduceat(flat.astype(np.float64), starts)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "n": pa.array(lens.astype(np.int64)),
+            "s": pa.array(np.round(sums, 5), pa.float64()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _first3_per_type(sf_dir: str):
+    """deduplicate with limit: first 3 events per type by (ts, id) —
+    the taste/deduplicate limit mode (operators/deduplicate.cpp:126)."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "event_id", "ts", "user_id"])
+    return ops.deduplicate(ds, "event_type", limit=3,
+                           order_by=["ts", "event_id"])
+
+
+def _grok_parse(sf_dir: str):
+    """grok parser driver-checked: access-log-style lines synthesized
+    from events, grok-captured, aggregated."""
+    import functools
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.formats import parse_grok_batch
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            "GET /", t["event_type"], "/",
+            pc.cast(t["event_id"], pa.string()), " 200", "")
+        return pa.table({"text": line})
+
+    lines = ds.map_batches(mk, batch_format="pyarrow")
+    parsed = lines.map_batches(
+        functools.partial(
+            parse_grok_batch,
+            pattern=r"%{WORD:verb} /%{WORD:etype}/%{INT:eid} %{INT:code}"),
+        batch_format="pyarrow",
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "etype": t.column("etype"),
+            "eid": pc.cast(t.column("eid"), pa.int64()),
+        })
+
+    return ops.summarize(
+        parsed.map_batches(norm, batch_format="pyarrow"),
+        "etype", n="count", mx=("max", "eid"),
+    )
+
+
 def _tql_pushdown(sf_dir: str):
     """`from` + leading where/select pushed INTO the parquet scan
     (planner pushdown — reference pipeline.hpp:302-373 optimize())."""
@@ -874,6 +942,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_collect": _distinct_collect,
         "scalar_funcs": _scalar_funcs,
         "reverse_head": _reverse_head,
+        "list_funcs": _list_funcs,
+        "first3_per_type": _first3_per_type,
+        "grok_parse": _grok_parse,
         "cidr_enrich": _cidr_enrich,
         "routed_json": _routed_json,
         "embedding_dedup": _embedding_dedup,
@@ -1007,6 +1078,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ((user_id % 65536) // 256) < 128 THEN 'zoneA'
                         ELSE 'zoneB' END AS zone
             FROM events
+        """,
+        "list_funcs": """
+            SELECT vec_id, len(embedding)::BIGINT AS n,
+                   round(list_sum(embedding)::DOUBLE, 5) AS s
+            FROM embeddings
+        """,
+        "first3_per_type": """
+            SELECT event_type, event_id, ts, user_id FROM events QUALIFY
+            row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) <= 3
+        """,
+        "grok_parse": """
+            SELECT event_type AS etype, count(*) AS n,
+                   max(event_id) AS mx
+            FROM events GROUP BY event_type
         """,
         "scalar_funcs": """
             SELECT event_id,
