@@ -7,6 +7,8 @@ Usage::
 
     python -m tenzir_ray 'from F.parquet | where x > 1 | select a, b'
     python -m tenzir_ray 'from F.csv | top event_type | write csv OUT_DIR'
+    python -m tenzir_ray 'from F.parquet | … | write kv OUT_DIR'   # printer sinks:
+    # write syslog|cef|leef|kv|ndjson|lines <dir> land format lines as text files
 
 ``from <uri>`` loads via extension dispatch (parquet/json/csv/lines, with
 .gz/.zst handled by Arrow); the final ``write json|csv|parquet [path]``
@@ -137,6 +139,21 @@ def main(argv: list[str] | None = None) -> int:
             ds.write_csv(path)
         elif fmt == "json":
             ds.write_json(path)
+        elif fmt in ("syslog", "cef", "leef", "kv", "ndjson", "lines"):
+            # printer sinks: rows → format lines → distributed text files
+            import functools
+
+            from tenzir_ray.sources import printers as pr
+
+            printer = {
+                "syslog": pr.print_syslog_batch, "cef": pr.print_cef_batch,
+                "leef": pr.print_leef_batch, "kv": pr.print_kv_batch,
+                "ndjson": pr.print_ndjson_batch,
+                "lines": functools.partial(pr.print_csv_batch,
+                                           include_header=False),
+            }[fmt]
+            pr.write_lines(
+                ds.map_batches(printer, batch_format="pyarrow"), path)
         else:
             print(f"error: unknown sink format {fmt!r}", file=sys.stderr)
             return 2

@@ -113,3 +113,24 @@ def test_write_lines(ray_session, tmp_path):
     for f in sorted(glob.glob(out + "/*")):
         got += open(f).read().splitlines()
     assert sorted(got) == sorted(f"event {i}" for i in range(100))
+
+
+def test_cli_printer_sink(ray_session, tmp_path):
+    """`write kv <dir>` lands printer-formatted lines as text files."""
+    import glob
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "kvout")
+    r = subprocess.run(
+        [sys.executable, "-m", "tenzir_ray",
+         "from /root/testdata/sf0.001/events.parquet | where event_id < 3 "
+         "| select event_id, event_type | write kv " + out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = []
+    for f in glob.glob(out + "/*"):
+        lines += open(f).read().splitlines()
+    assert sorted(lines)[0].startswith("event_id=0 event_type=")
+    assert len(lines) == 3
