@@ -736,6 +736,48 @@ def _grok_parse(sf_dir: str):
     )
 
 
+
+def _sigma_match(sf_dir: str):
+    """sigma rule engine driver-checked: two rules over events (equality
+    + numeric-range modifier + condition logic), matches aggregated per
+    rule. Oracle recomputes the same predicates in SQL."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.stages.sigma import sigma_match
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "user_id", "value"])
+    rules = {
+        "errors_low_user": {
+            "detection": {
+                "sel_err": {"event_type": "error"},
+                "sel_user": {"user_id|lt": 50},
+                "condition": "sel_err and sel_user",
+            },
+        },
+        "big_purchase": {
+            "detection": {
+                "sel": {"event_type": "purchase", "value|gte": 500},
+                "condition": "sel",
+            },
+        },
+    }
+    matched = sigma_match(ds, rules)
+
+    def explode_rules(t: pa.Table) -> pa.Table:
+        col = t.column("sigma_rules").combine_chunks()
+        idx = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col)
+        return pa.table({"rule": flat,
+                         "event_id": t.column("event_id").take(idx)})
+
+    import tenzir_ray.stages as ops2
+
+    return ops2.summarize(
+        matched.map_batches(explode_rules, batch_format="pyarrow"),
+        "rule", n="count", mx=("max", "event_id"),
+    )
+
+
 def _tql_pushdown(sf_dir: str):
     """`from` + leading where/select pushed INTO the parquet scan
     (planner pushdown — reference pipeline.hpp:302-373 optimize())."""
@@ -945,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "list_funcs": _list_funcs,
         "first3_per_type": _first3_per_type,
         "grok_parse": _grok_parse,
+        "sigma_match": _sigma_match,
         "cidr_enrich": _cidr_enrich,
         "routed_json": _routed_json,
         "embedding_dedup": _embedding_dedup,
@@ -1078,6 +1121,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ((user_id % 65536) // 256) < 128 THEN 'zoneA'
                         ELSE 'zoneB' END AS zone
             FROM events
+        """,
+        "sigma_match": """
+            WITH m AS (
+                SELECT 'errors_low_user' AS rule, event_id FROM events
+                WHERE event_type = 'error' AND user_id < 50
+                UNION ALL
+                SELECT 'big_purchase' AS rule, event_id FROM events
+                WHERE event_type = 'purchase' AND value >= 500
+            )
+            SELECT rule, count(*) AS n, max(event_id) AS mx
+            FROM m GROUP BY rule
         """,
         "list_funcs": """
             SELECT vec_id, len(embedding)::BIGINT AS n,

@@ -27,11 +27,24 @@ import pyarrow.compute as pc
 Predicate = Callable[[pa.Table], pa.ChunkedArray]
 
 
+_NUM_MODS = {"lt": pc.less, "lte": pc.less_equal,
+             "gt": pc.greater, "gte": pc.greater_equal}
+
+
 def _field_match(t: pa.Table, field_spec: str, value) -> pa.ChunkedArray:
     field, _, mod = field_spec.partition("|")
     if field not in t.column_names:
         return pa.chunked_array([pa.array([False] * t.num_rows)])
     col = t.column(field)
+    if mod in _NUM_MODS:
+        # numeric comparison modifiers (sigma spec lt/lte/gt/gte) —
+        # compare on the native column type, not the string cast
+        vals = value if isinstance(value, list) else [value]
+        masks = [pc.fill_null(_NUM_MODS[mod](col, v), False) for v in vals]
+        out = masks[0]
+        for m in masks[1:]:
+            out = pc.or_kleene(out, m)
+        return pc.fill_null(out, False)
     if not pa.types.is_string(col.type):
         col = col.cast(pa.string())
     vals = value if isinstance(value, list) else [value]
