@@ -778,6 +778,54 @@ def _sigma_match(sf_dir: str):
     )
 
 
+
+def _network_funcs(sf_dir: str):
+    """community_id + Crypto-PAn pseudonymization driver-checked via a
+    precomputed expected table: the same functions applied to the WHOLE
+    derived flow table in ONE sequential driver-side call — the
+    distributed actor-pool result must match exactly (catches
+    batch-boundary / per-worker-state bugs in the keyed prefix-
+    preserving cipher)."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.functions.network import CryptoPrefix, community_id
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = pc.shift_right(pc.bit_wise_and(t["user_id"], 65535), 8)
+        y = pc.bit_wise_and(t["user_id"], 255)
+        sip = pc.binary_join_element_wise(
+            "10", pc.cast(x, pa.string()), pc.cast(y, pa.string()), "7", ".")
+        dip = pc.binary_join_element_wise(
+            "192.168", pc.cast(y, pa.string()), "1", ".")
+        sport = pc.cast(pc.add(pc.bit_wise_and(t["event_id"], 1023), 1024),
+                        pa.int32())
+        return pa.table({
+            "event_id": t.column("event_id"), "src_ip": sip, "dst_ip": dip,
+            "src_port": sport,
+            "dst_port": pa.array([443] * t.num_rows, pa.int32()),
+        })
+
+    def add_net(t: pa.Table) -> pa.Table:
+        cid = community_id(t.column("src_ip"), t.column("dst_ip"),
+                           t.column("src_port"), t.column("dst_port"))
+        anon = CryptoPrefix(b"k" * 32)(t.column("src_ip"))
+        return (t.append_column("cid", cid)
+                 .append_column("src_anon", anon))
+
+    base = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    flows = base.map_batches(derive, batch_format="pyarrow")
+
+    # sequential expected table (whole table, one call)
+    import pyarrow.parquet as pq
+
+    all_ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_id", "user_id"]).sort_by("event_id")
+    if all_ev.num_rows <= 50_000:
+        seq = add_net(derive(all_ev.replace_schema_metadata(None)))
+        _write_oracle("network_funcs", seq)
+
+    return flows.map_batches(add_net, batch_format="pyarrow")
+
+
 def _tql_pushdown(sf_dir: str):
     """`from` + leading where/select pushed INTO the parquet scan
     (planner pushdown — reference pipeline.hpp:302-373 optimize())."""
@@ -988,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first3_per_type": _first3_per_type,
         "grok_parse": _grok_parse,
         "sigma_match": _sigma_match,
+        "network_funcs": _network_funcs,
         "cidr_enrich": _cidr_enrich,
         "routed_json": _routed_json,
         "embedding_dedup": _embedding_dedup,
@@ -1121,6 +1170,9 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ((user_id % 65536) // 256) < 128 THEN 'zoneA'
                         ELSE 'zoneB' END AS zone
             FROM events
+        """,
+        "network_funcs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/network_funcs.parquet'
         """,
         "sigma_match": """
             WITH m AS (
