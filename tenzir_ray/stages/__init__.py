@@ -9,6 +9,8 @@ from tenzir_ray.stages.flow import (
     shell,
     throttle,
 )
+from tenzir_ray.stages.yara import compile_rules as yara_compile_rules
+from tenzir_ray.stages.yara import yara_match
 from tenzir_ray.stages.ops import (
     assert_,
     batch,
@@ -51,5 +53,5 @@ __all__ = [
     "batch",
     "assert_", "move", "distinct", "cache",
     "shell", "fork", "if_", "delay", "throttle", "assert_throughput",
-    "sample_adaptive",
+    "sample_adaptive", "yara_match", "yara_compile_rules",
 ]

@@ -1,0 +1,78 @@
+"""Mini-YARA matcher (operators/yara.cpp subset, no libyara)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from tenzir_ray.stages.yara import compile_rules, yara_match
+
+RULES = """
+rule Beacon {
+    strings:
+        $a = "beacon"
+        $b = /c2[.-]server/ nocase
+    condition:
+        $a or $b
+}
+
+rule HexMagic {
+    strings:
+        $h = { 4D 5A ?? 00 }
+    condition:
+        all of them
+}
+"""
+
+
+def test_compile_and_match_text():
+    rules = compile_rules(RULES)
+    assert [r.name for r in rules] == ["Beacon", "HexMagic"]
+    assert rules[0].match(b"a beacon here")
+    assert rules[0].match(b"C2-SERVER callback")
+    assert not rules[0].match(b"benign")
+    assert rules[1].match(b"\x4d\x5a\x99\x00 rest")
+    assert not rules[1].match(b"\x4d\x5a\x99\x01")
+
+
+def test_n_of_them():
+    src = """
+rule Two {
+    strings:
+        $x = "aa"
+        $y = "bb"
+        $z = "cc"
+    condition:
+        2 of them
+}
+"""
+    r = compile_rules(src)[0]
+    assert r.match(b"aa bb")
+    assert not r.match(b"aa only")
+
+
+def test_yara_match_dataset(ray_session):
+    rows = [
+        {"i": 0, "data": b"a beacon transmission"},
+        {"i": 1, "data": b"nothing to see"},
+        {"i": 2, "data": b"\x4d\x5a\x07\x00 PE header"},
+        {"i": 3, "data": b"C2.server ping"},
+    ]
+    ds = rd.from_items(rows)
+    out = sorted(yara_match(ds, RULES, col="data").take_all(),
+                 key=lambda r: r["i"])
+    assert [r["i"] for r in out] == [0, 2, 3]
+    assert out[0]["yara_rules"] == ["Beacon"]
+    assert out[1]["yara_rules"] == ["HexMagic"]
+    assert out[2]["yara_rules"] == ["Beacon"]
+
+
+def test_bad_condition_rejected():
+    with pytest.raises(ValueError):
+        compile_rules("""
+rule Evil {
+    strings:
+        $a = "x"
+    condition:
+        __import__
+}
+""")[0].match(b"x")
