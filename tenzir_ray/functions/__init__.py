@@ -7,9 +7,9 @@ pyarrow.compute kernels where they exist; numpy/hashlib fallbacks where not.
 """
 
 from tenzir_ray.functions import (
-    encoding, hashing, ip, lists, math, misc, network, ocsf, parsing,
-    records, strings, time,
+    compress, encoding, hashing, ip, lists, math, misc, network, ocsf,
+    parsing, records, strings, time,
 )
 
 __all__ = ["strings", "time", "hashing", "encoding", "lists", "math",
-           "network", "parsing", "ip", "records", "misc", "ocsf"]
+           "network", "parsing", "ip", "records", "misc", "ocsf", "compress"]

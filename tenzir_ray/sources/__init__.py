@@ -22,11 +22,22 @@ from tenzir_ray.sources.formats import (
     read_json,
     read_lines,
     read_parquet,
+    read_gelf,
+    read_ssv,
     read_suricata,
+    read_tsv,
+    read_xsv,
     read_yaml,
+    read_zeek_json,
     routed_json,
     write_feather,
     write_parquet,
+)
+from tenzir_ray.sources.introspect import (
+    files,
+    processes,
+    sockets,
+    version,
 )
 from tenzir_ray.sources.printers import (
     print_cef_batch,
@@ -48,4 +59,6 @@ __all__ = [
     "print_ndjson_batch", "print_csv_batch", "print_kv_batch",
     "print_syslog_batch", "print_cef_batch", "print_leef_batch",
     "print_zeek_tsv", "write_lines",
+    "read_tsv", "read_ssv", "read_xsv", "read_zeek_json", "read_gelf",
+    "files", "processes", "sockets", "version",
 ]

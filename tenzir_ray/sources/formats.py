@@ -529,3 +529,71 @@ def load_udp(host: str = "127.0.0.1", port: int = 0,
         return out
 
     return (lambda: rd.from_items([{"line": l} for l in drain()])), bound
+
+
+def read_tsv(paths, **kw):
+    """TSV (read_tsv.mdx) — csv with tab delimiter."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    kw.setdefault("parse_options", pacsv.ParseOptions(delimiter="\t"))
+    return rd.read_csv(paths, **kw)
+
+
+def read_ssv(paths, **kw):
+    """Space-separated (read_ssv.mdx)."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    kw.setdefault("parse_options", pacsv.ParseOptions(delimiter=" "))
+    return rd.read_csv(paths, **kw)
+
+
+def read_xsv(paths, delimiter: str, **kw):
+    """Generic delimiter-separated (read_xsv.mdx)."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    kw.setdefault("parse_options", pacsv.ParseOptions(delimiter=delimiter))
+    return rd.read_csv(paths, **kw)
+
+
+def read_zeek_json(paths):
+    """Zeek JSON-streaming logs (read_zeek_json.mdx): NDJSON routed by
+    the ``_path`` field into per-log-type Datasets — the zeek analog of
+    the suricata selector route."""
+    import ray.data as rd
+
+    lines = rd.read_text(paths).map_batches(
+        lambda t: pa.table({"line": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    return routed_json(lines, col="line", selector="_path")
+
+
+def read_gelf(paths):
+    """GELF (read_gelf.mdx): NDJSON of GELF records (version/host/
+    short_message/...); NUL-delimited stream chunks are also split."""
+    import json as _json
+
+    import ray.data as rd
+
+    def split(t: pa.Table) -> pa.Table:
+        rows = []
+        for s in t.column("text").to_pylist():
+            for part in s.split("\x00"):
+                part = part.strip()
+                if part:
+                    try:
+                        rows.append(_json.loads(part))
+                    except ValueError:
+                        continue
+        keys: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        return pa.table({k: pa.array([r.get(k) for r in rows])
+                         for k in keys}) if rows else pa.table({})
+
+    return rd.read_text(paths).map_batches(split, batch_format="pyarrow")

@@ -1,0 +1,139 @@
+"""Host-introspection sources (reference operators: files.md,
+processes.md, sockets.md, nics.md, version.md, diagnostics.md — each
+emits system state as an event stream).
+
+Pure-/proc + os.scandir implementations (no psutil in this
+environment); each returns a small in-memory Dataset — these are
+driver-side metadata sources by nature, not distributed scans."""
+
+from __future__ import annotations
+
+import os
+import time
+
+
+def files(path: str, recurse: bool = False):
+    """Directory listing as events (operators/files.md): one row per
+    entry with name/size/mtime/type."""
+    import ray.data as rd
+
+    rows = []
+
+    def scan(d: str):
+        try:
+            with os.scandir(d) as it:
+                for e in it:
+                    try:
+                        st = e.stat(follow_symlinks=False)
+                    except OSError:
+                        continue
+                    rows.append({
+                        "path": e.path,
+                        "name": e.name,
+                        "type": "dir" if e.is_dir(follow_symlinks=False)
+                                else ("symlink" if e.is_symlink() else "file"),
+                        "size": int(st.st_size),
+                        "mtime": float(st.st_mtime),
+                    })
+                    if recurse and e.is_dir(follow_symlinks=False):
+                        scan(e.path)
+        except OSError:
+            pass
+
+    scan(path)
+    return rd.from_items(rows) if rows else rd.from_items(
+        [{"path": path, "name": "", "type": "empty", "size": 0,
+          "mtime": 0.0}]).limit(0)
+
+
+def processes():
+    """Running processes as events (operators/processes.md) — /proc scan:
+    pid, command, state, rss pages, started-seconds-ago."""
+    import ray.data as rd
+
+    hertz = os.sysconf("SC_CLK_TCK")
+    try:
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+    except OSError:
+        uptime = 0.0
+    rows = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                st = f.read()
+            comm = st[st.index("(") + 1:st.rindex(")")]
+            rest = st[st.rindex(")") + 2:].split()
+            rows.append({
+                "pid": int(pid),
+                "command": comm,
+                "state": rest[0],
+                "ppid": int(rest[1]),
+                "rss_pages": int(rest[21]),
+                "age_s": max(0.0, uptime - int(rest[19]) / hertz),
+            })
+        except (OSError, ValueError, IndexError):
+            continue
+    return rd.from_items(rows)
+
+
+_TCP_STATES = {
+    "01": "ESTABLISHED", "02": "SYN_SENT", "03": "SYN_RECV",
+    "04": "FIN_WAIT1", "05": "FIN_WAIT2", "06": "TIME_WAIT",
+    "07": "CLOSE", "08": "CLOSE_WAIT", "09": "LAST_ACK",
+    "0A": "LISTEN", "0B": "CLOSING",
+}
+
+
+def _hex_addr(a: str) -> tuple[str, int]:
+    ip_hex, port_hex = a.split(":")
+    b = bytes.fromhex(ip_hex)
+    ip = ".".join(str(x) for x in reversed(b)) if len(b) == 4 else ip_hex
+    return ip, int(port_hex, 16)
+
+
+def sockets():
+    """Open TCP/UDP sockets as events (operators/sockets.md) —
+    /proc/net/tcp + /proc/net/udp."""
+    import ray.data as rd
+
+    rows = []
+    for proto, path in (("tcp", "/proc/net/tcp"), ("udp", "/proc/net/udp")):
+        try:
+            with open(path) as f:
+                lines = f.read().splitlines()[1:]
+        except OSError:
+            continue
+        for line in lines:
+            p = line.split()
+            if len(p) < 4:
+                continue
+            lip, lport = _hex_addr(p[1])
+            rip, rport = _hex_addr(p[2])
+            rows.append({
+                "proto": proto,
+                "local_ip": lip, "local_port": lport,
+                "remote_ip": rip, "remote_port": rport,
+                "state": _TCP_STATES.get(p[3], p[3]) if proto == "tcp"
+                         else "",
+            })
+    return rd.from_items(rows)
+
+
+def version() -> dict:
+    """Engine/runtime version event (operators/version.md)."""
+    import platform
+
+    import pyarrow
+    import ray
+
+    return {
+        "engine": "tenzir_ray",
+        "ray": ray.__version__,
+        "pyarrow": pyarrow.__version__,
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+        "ts": time.time(),
+    }
