@@ -9,6 +9,7 @@ from tenzir_ray.stages.flow import (
     shell,
     throttle,
 )
+from tenzir_ray.stages.pubsub import publish, subscribe
 from tenzir_ray.stages.serve import serve
 from tenzir_ray.stages.yara import compile_rules as yara_compile_rules
 from tenzir_ray.stages.yara import yara_match
@@ -55,4 +56,5 @@ __all__ = [
     "assert_", "move", "distinct", "cache",
     "shell", "fork", "if_", "delay", "throttle", "assert_throughput",
     "sample_adaptive", "yara_match", "yara_compile_rules", "serve",
+    "publish", "subscribe",
 ]

@@ -1,0 +1,31 @@
+"""publish/subscribe named topics."""
+
+import ray.data as rd
+
+from tenzir_ray.stages.pubsub import publish, subscribe
+
+
+def test_publish_subscribe_roundtrip(ray_session):
+    ds = rd.from_items([{"i": i} for i in range(100)]).repartition(4)
+    seq = publish(ds, "topic_a")
+    assert seq >= 1
+    got, nxt = subscribe("topic_a")
+    assert sorted(r["i"] for r in got.take_all()) == list(range(100))
+
+    # incremental: publish more, read only the new events from the cursor
+    publish(rd.from_items([{"i": 100}]), "topic_a")
+    fresh, nxt2 = subscribe("topic_a", from_seq=nxt)
+    assert [r["i"] for r in fresh.take_all()] == [100]
+    assert nxt2 == nxt + 1
+
+    empty, nxt3 = subscribe("topic_a", from_seq=nxt2)
+    assert empty.count() == 0 and nxt3 == nxt2
+
+
+def test_topics_are_isolated(ray_session):
+    publish(rd.from_items([{"x": 1}]), "topic_b1")
+    publish(rd.from_items([{"x": 2}]), "topic_b2")
+    a, _ = subscribe("topic_b1")
+    b, _ = subscribe("topic_b2")
+    assert [r["x"] for r in a.take_all()] == [1]
+    assert [r["x"] for r in b.take_all()] == [2]
