@@ -137,3 +137,21 @@ def version() -> dict:
         "platform": platform.platform(),
         "ts": time.time(),
     }
+
+
+def metrics() -> dict:
+    """Engine/cluster metrics snapshot as one event (operators/metrics.md
+    — the reference emits per-component metric streams; the data-plane
+    metrics live in ``Lake.lineage()``, this is the node/cluster view)."""
+    import ray
+
+    total = ray.cluster_resources() if ray.is_initialized() else {}
+    avail = ray.available_resources() if ray.is_initialized() else {}
+    return {
+        "ts": time.time(),
+        "cpus_total": float(total.get("CPU", 0.0)),
+        "cpus_available": float(avail.get("CPU", 0.0)),
+        "object_store_bytes": float(total.get("object_store_memory", 0.0)),
+        "object_store_available": float(avail.get("object_store_memory", 0.0)),
+        "memory_bytes": float(total.get("memory", 0.0)),
+    }

@@ -9,6 +9,9 @@ from tenzir_ray.stages.flow import (
     shell,
     throttle,
 )
+from tenzir_ray.stages.chart import (
+    chart_area, chart_bar, chart_line, chart_pie, chart_spec,
+)
 from tenzir_ray.stages.pubsub import publish, subscribe
 from tenzir_ray.stages.serve import serve
 from tenzir_ray.stages.yara import compile_rules as yara_compile_rules
@@ -56,5 +59,6 @@ __all__ = [
     "assert_", "move", "distinct", "cache",
     "shell", "fork", "if_", "delay", "throttle", "assert_throughput",
     "sample_adaptive", "yara_match", "yara_compile_rules", "serve",
-    "publish", "subscribe",
+    "publish", "subscribe", "chart_line", "chart_area", "chart_bar",
+    "chart_pie", "chart_spec",
 ]

@@ -75,3 +75,25 @@ def test_read_gelf(ray_session, tmp_path):
     g.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
     rows = read_gelf(str(g)).take_all()
     assert sorted(r["host"] for r in rows) == ["h0", "h1", "h2"]
+
+
+def test_chart_metadata(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.stages.chart import chart_line, chart_spec
+
+    ds = rd.from_items([{"x": i, "y": i * 2} for i in range(10)])
+    out = chart_line(ds, x="x", y="y", title="demo")
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    spec = chart_spec(batches[0])
+    assert spec == {"type": "line", "x": "x", "y": "y", "title": "demo"}
+    # data untouched
+    assert sum(b.num_rows for b in batches) == 10
+
+
+def test_metrics_snapshot(ray_session):
+    from tenzir_ray.sources.introspect import metrics
+
+    m = metrics()
+    assert m["cpus_total"] >= 1
+    assert m["object_store_bytes"] > 0
