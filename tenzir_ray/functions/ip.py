@@ -62,9 +62,24 @@ def ip_parse(arr) -> pa.Array:
 
 
 def ip_print(arr) -> pa.Array:
-    """fixed_size_binary(16) → canonical string ('a.b.c.d' for v4-mapped)."""
+    """fixed_size_binary(16) → canonical string ('a.b.c.d' for v4-mapped).
+    Vectorized fast path for all-v4 batches (numpy octet → dotted-quad);
+    per-value ``ipaddress`` fallback only for batches containing v6."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    m, valid = _byte_matrix(arr, with_mask=True)
+    if not len(m):
+        return pa.array([], pa.string())
+    v4 = (m[:, :12] == np.frombuffer(_V4_PREFIX, np.uint8)).all(axis=1)
+    if bool((v4 | ~valid).all()):
+        octs = m[:, 12:16].astype("U3")
+        s = octs[:, 0]
+        for j in (1, 2, 3):
+            s = np.char.add(np.char.add(s, "."), octs[:, j])
+        res = pa.array(s, pa.string())
+        if not valid.all():
+            res = pc.if_else(pa.array(valid), res, pa.scalar(None, pa.string()))
+        return res
     out = []
     for v in arr.to_pylist():
         if v is None:
@@ -76,21 +91,35 @@ def ip_print(arr) -> pa.Array:
     return pa.array(out, pa.string())
 
 
-def _byte_matrix(arr: pa.Array) -> np.ndarray:
-    """(n, 16) uint8 view of a fixed_size_binary(16) column (nulls → 0)."""
+def _byte_matrix(arr: pa.Array, with_mask: bool = False):
+    """(n, 16) uint8 matrix of a fixed_size_binary(16) column, sliced
+    zero-copy off the flat Arrow data buffer (nulls zeroed). With
+    ``with_mask=True`` also returns the validity bool array so callers
+    can distinguish a genuine ``::`` from a null."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    vals = arr.to_pylist()
-    buf = np.zeros((len(vals), 16), dtype=np.uint8)
-    for i, v in enumerate(vals):
-        if v is not None:
-            buf[i] = np.frombuffer(v, dtype=np.uint8)
-    return buf
+    n = len(arr)
+    if n == 0:
+        m = np.zeros((0, 16), dtype=np.uint8)
+        return (m, np.zeros(0, dtype=bool)) if with_mask else m
+    data = np.frombuffer(
+        arr.buffers()[1], dtype=np.uint8,
+        count=(arr.offset + n) * 16)[arr.offset * 16:].reshape(n, 16)
+    valid = np.ones(n, dtype=bool)
+    if arr.null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        data = data.copy()
+        data[~valid] = 0
+    return (data, valid) if with_mask else data
 
 
 def is_v4(arr) -> pa.Array:
-    m = _byte_matrix(arr)
-    return pa.array((m[:, :12] == np.frombuffer(_V4_PREFIX, np.uint8)).all(axis=1))
+    m, valid = _byte_matrix(arr, with_mask=True)
+    v4 = (m[:, :12] == np.frombuffer(_V4_PREFIX, np.uint8)).all(axis=1)
+    res = pa.array(v4 & valid)
+    if not valid.all():
+        res = pc.if_else(pa.array(valid), res, pa.scalar(None, pa.bool_()))
+    return res
 
 
 def _mask_bytes(prefix_len: int) -> np.ndarray:
@@ -111,12 +140,13 @@ def _parse_cidr(cidr: str) -> tuple[bytes, int]:
 
 
 def subnet_contains(arr, cidr: str) -> pa.Array:
-    """Vectorized ``ip in subnet`` over a fixed_size_binary(16) column."""
+    """Vectorized ``ip in subnet`` over a fixed_size_binary(16) column.
+    Null ips are NOT contained (a null must not match ``::/0``)."""
     base, plen = _parse_cidr(cidr)
     mask = _mask_bytes(plen)
     want = np.frombuffer(base, np.uint8) & mask
-    m = _byte_matrix(arr)
-    return pa.array(((m & mask) == want).all(axis=1))
+    m, valid = _byte_matrix(arr, with_mask=True)
+    return pa.array(((m & mask) == want).all(axis=1) & valid)
 
 
 class CidrIndex:
@@ -135,31 +165,38 @@ class CidrIndex:
             by_len.setdefault(plen, ([], []))
             by_len[plen][0].append(key)
             by_len[plen][1].append(value)
-        # longest prefix first — first hit wins
-        self.levels = [
-            (plen, _mask_bytes(plen),
-             pa.array(keys, pa.binary(16)), values)
-            for plen, (keys, values) in sorted(by_len.items(), reverse=True)
-        ]
+        # longest prefix first — first hit wins; values as an object
+        # ndarray so the probe merge is a fancy-index, not a Python loop
+        self.levels = []
+        for plen, (keys, values) in sorted(by_len.items(), reverse=True):
+            vals_np = np.empty(len(values), dtype=object)
+            vals_np[:] = values
+            self.levels.append(
+                (plen, _mask_bytes(plen), pa.array(keys, pa.binary(16)),
+                 vals_np))
 
     def lookup(self, arr) -> list[object | None]:
-        """LPM for every ip in a fixed_size_binary(16) column."""
-        m = _byte_matrix(arr)
+        """LPM for every ip in a fixed_size_binary(16) column. Fully
+        vectorized per level: numpy mask → FixedSizeBinaryArray built
+        straight off the byte matrix (no per-row .tobytes()) →
+        ``pc.index_in`` → fancy-index merge. Null ips resolve to None."""
+        m, valid = _byte_matrix(arr, with_mask=True)
         n = len(m)
-        out: list[object | None] = [None] * n
-        unresolved = np.ones(n, dtype=bool)
-        for _plen, mask, keys, values in self.levels:
+        out = np.full(n, None, dtype=object)
+        unresolved = valid.copy()
+        for _plen, mask, keys, vals_np in self.levels:
             if not unresolved.any():
                 break
-            masked = (m & mask).astype(np.uint8)
-            probe = pa.array([masked[i].tobytes() for i in range(n)],
-                             pa.binary(16))
-            idx = pc.index_in(probe, value_set=keys)
-            for i, j in enumerate(idx.to_pylist()):
-                if j is not None and unresolved[i]:
-                    out[i] = values[j]
-                    unresolved[i] = False
-        return out
+            masked = np.ascontiguousarray(m & mask)
+            probe = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(16), n, [None, pa.py_buffer(masked.tobytes())])
+            idx = pc.index_in(probe, value_set=keys).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            hit = unresolved & ~np.isnan(idx)
+            if hit.any():
+                out[hit] = vals_np[idx[hit].astype(np.int64)]
+                unresolved &= ~hit
+        return out.tolist()
 
 
 def enrich_cidr(ds, cidr_map: dict[str, object], key: str,

@@ -6,9 +6,9 @@ Each printer here is a vectorized-as-possible batch function producing a
 string column (default ``line``) from structured columns; every printer
 round-trips through its parser (tested), so ``parse(print(x)) == x``.
 
-``write_lines`` lands a string column as plain text files via Ray's
-distributed CSV writer with header+quoting disabled (one file per
-block — partitioned, resumable output).
+``write_lines`` lands a string column as plain text files, one file per
+block written verbatim by the block's worker (partitioned, resumable
+output; no CSV quoting in the path).
 """
 
 from __future__ import annotations
@@ -48,8 +48,32 @@ def print_csv_batch(t: pa.Table, out: str = "line",
         write_options=pacsv.WriteOptions(
             include_header=include_header, delimiter=delimiter),
     )
-    lines = buf.getvalue().decode().splitlines()
+    lines = _split_csv_records(buf.getvalue().decode())
     return pa.table({out: pa.array(lines, pa.string())})
+
+
+def _split_csv_records(text: str) -> list[str]:
+    """Split CSV writer output on *record* boundaries, not raw newlines:
+    a '\\n' inside a quoted field (the writer quotes embedded newlines)
+    must not start a new record. A fragment belongs to the previous
+    record iff the accumulated quote count is odd (RFC4180 doubles
+    quotes, so parity is preserved)."""
+    fragments = text.split("\n")
+    if fragments and fragments[-1] == "":
+        fragments.pop()
+    records: list[str] = []
+    pending: list[str] = []
+    open_quotes = 0
+    for frag in fragments:
+        pending.append(frag)
+        open_quotes += frag.count('"')
+        if open_quotes % 2 == 0:
+            records.append("\n".join(pending))
+            pending = []
+            open_quotes = 0
+    if pending:  # unterminated quote — emit as-is rather than drop data
+        records.append("\n".join(pending))
+    return records
 
 
 def _kv_quote(v) -> str:
@@ -152,15 +176,26 @@ def print_zeek_tsv(t: pa.Table, path: str = "log", out: str = "line") -> pa.Tabl
 
 def write_lines(ds, path: str, column: str = "line") -> None:
     """Distributed plain-text writer: one file per block under ``path``
-    (resumable, partitioned output — never one giant file). Uses the
-    Arrow CSV writer with header off and quoting off, which for a single
-    string column is exactly 'one value per line'."""
-    import pyarrow.csv as pacsv
+    (resumable, partitioned output — never one giant file). Each block's
+    lines are written verbatim by the worker holding the block — no CSV
+    writer in the path, so commas / quotes / embedded newlines in the
+    payload pass through untouched (they are the line content)."""
+    import os
+    import uuid
 
-    ds.select_columns([column]).write_csv(
-        path,
-        arrow_csv_args_fn=lambda: {
-            "write_options": pacsv.WriteOptions(include_header=False,
-                                                quoting_style="none")
-        },
-    )
+    os.makedirs(path, exist_ok=True)
+
+    def _write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            col = t.column(column).cast(pa.string()).to_pylist()
+            name = os.path.join(path, f"part-{uuid.uuid4().hex}.txt")
+            tmp = name + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write("\n".join("" if v is None else v for v in col))
+                f.write("\n")
+            os.rename(tmp, name)  # atomic publish → resumable output
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    # Tiny per-block row counts are the only thing that reaches the driver.
+    ds.select_columns([column]).map_batches(
+        _write_block, batch_format="pyarrow").materialize()

@@ -53,3 +53,24 @@ def test_cidr_v6_entries():
     idx = CidrIndex({"2001:db8::/32": "doc", "::/0": "any"})
     ips = ip_parse(pa.array(["2001:db8::5", "2001:db9::5", "10.0.0.1"]))
     assert idx.lookup(ips) == ["doc", "any", "any"]
+
+
+def test_null_ips_never_match():
+    """Null ips must not behave as '::' — no ::/0 containment, no LPM
+    hit, null print (ADVICE round 2)."""
+    parsed = ip_parse(pa.array(["10.0.0.1", None, "0.0.0.0"]))
+    assert parsed[1].as_py() is None
+    assert subnet_contains(parsed, "::/0").to_pylist() == [True, False, True]
+    assert subnet_contains(parsed, "0.0.0.0/0").to_pylist() == \
+        [True, False, True]
+    idx = CidrIndex({"::/0": "any"})
+    assert idx.lookup(parsed) == ["any", None, "any"]
+    assert ip_print(parsed).to_pylist() == ["10.0.0.1", None, "0.0.0.0"]
+    assert is_v4(parsed).to_pylist() == [True, None, True]
+
+
+def test_byte_matrix_sliced_offset():
+    """_byte_matrix must honor Arrow slice offsets (zero-copy view)."""
+    parsed = ip_parse(pa.array(["1.1.1.1", "2.2.2.2", "3.3.3.3"]))
+    sliced = parsed.slice(1, 2)
+    assert ip_print(sliced).to_pylist() == ["2.2.2.2", "3.3.3.3"]

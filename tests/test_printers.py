@@ -34,6 +34,23 @@ def test_csv_print():
     assert lines == ['"a","b"', '1,"x"', '2,"y"']
 
 
+def test_csv_print_embedded_newline():
+    """A quoted value with an embedded newline stays ONE record line
+    (the parse(print(x))==x contract; splitlines() used to shred it)."""
+    t = pa.table({"a": [1, 2], "b": ["x\ny", "plain"]})
+    lines = print_csv_batch(t).column("line").to_pylist()
+    assert len(lines) == 2
+    assert lines[0] == '1,"x\ny"'
+    assert lines[1] == '2,"plain"'
+
+    import io
+
+    import pyarrow.csv as pacsv
+    back = pacsv.read_csv(
+        io.BytesIO(("a,b\n" + "\n".join(lines) + "\n").encode()))
+    assert back.column("b").to_pylist() == ["x\ny", "plain"]
+
+
 def test_kv_roundtrip():
     t = pa.table({"user": ["alice", "bob"], "action": ["login", "drop table"]})
     printed = print_kv_batch(t)
@@ -113,6 +130,23 @@ def test_write_lines(ray_session, tmp_path):
     for f in sorted(glob.glob(out + "/*")):
         got += open(f).read().splitlines()
     assert sorted(got) == sorted(f"event {i}" for i in range(100))
+
+
+def test_write_lines_structural_chars(ray_session, tmp_path):
+    """Commas / quotes / JSON braces in the payload pass through verbatim
+    (the CSV quoting_style='none' path used to raise ArrowInvalid)."""
+    import glob
+
+    import ray.data as rd
+
+    payload = ['{"a":1,"b":"x"}', 'has,comma', 'has"quote', "plain"]
+    ds = rd.from_items([{"line": s} for s in payload])
+    out = str(tmp_path / "ndjson")
+    write_lines(ds, out)
+    got = []
+    for f in sorted(glob.glob(out + "/*")):
+        got += open(f).read().splitlines()
+    assert sorted(got) == sorted(payload)
 
 
 def test_cli_printer_sink(ray_session, tmp_path):
