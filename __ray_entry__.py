@@ -468,7 +468,9 @@ def _routed_json(sf_dir: str):
     routed = routed_json(lines, col="line", selector="t")
     parts = []
     for route in sorted(r for r in routed if r != "_unroutable"):
-        agg = ops.summarize(
+        # low-cardinality key → shuffle-free partial/combine aggregate
+        # (no all-to-all, no empty schema-less aggregate partitions)
+        agg = ops.summarize_partial(
             routed[route], "t",
             n="count", s=("sum", f"v_{route}"),
         )

@@ -355,87 +355,105 @@ def parse_cef_batch(t: pa.Table, col: str = "text") -> pa.Table:
     return t
 
 
-def routed_json(ds, col: str = "line", selector: str = "event_type"):
+def routed_json(ds, col: str = "line", selector: str = "event_type",
+                stage_dir: str | None = None):
     """Selector-routed NDJSON parsing: one output Dataset PER value of
     the ``selector`` field, each with its own schema (the union of keys
     observed for that route) — the reference's multi_series_builder
-    ``policy_selector`` (multi_series_builder.hpp:283-340), used by the
-    Suricata EVE reader to split a heterogeneous feed by ``event_type``.
+    ``policy_selector`` (multi_series_builder.hpp:283-340, one pass),
+    used by the Suricata EVE reader to split a heterogeneous feed by
+    ``event_type``.
 
-    Two passes: (1) tag each line with its route and fold per-route key
-    unions (a tiny schema-sized aggregate on the driver — never row
-    data), (2) per route, filter + parse with that route's fixed column
-    set. The tagged input is materialized once and shared zero-copy by
-    all route branches (the fork pattern).
+    SINGLE pass over the raw lines: each line is json.loads'd exactly
+    once; the batch is split by route and each per-route slice lands as
+    one typed parquet file under ``stage_dir/route=<route>/`` (the same
+    file-staged exchange the CDC engine uses for its shuffle). Only a
+    schema-sized summary row per (batch, route) reaches the driver. Each
+    route's Dataset is then a plain parquet read over its staged files
+    with a permissively-unified schema (footer-only metadata reads —
+    int→double→string promotion across batches, missing keys → null).
 
-    Returns ``dict[route, Dataset]``; lines whose JSON fails to parse or
-    that lack the selector land under route ``None``-as-"_unroutable"."""
+    Returns ``dict[route, Dataset]``; lines that fail to parse, aren't
+    JSON objects, or lack the selector land verbatim under
+    ``"_unroutable"``. Staged files live under ``stage_dir`` (a fresh
+    ``/tmp`` dir by default) until the caller removes them."""
     import json
+    import os
+    import tempfile
+    import urllib.parse
+    import uuid
 
-    rx = re.compile(r'"' + re.escape(selector) + r'"\s*:\s*"([^"\\]*)"')
+    import pyarrow.parquet as pq
+    import ray.data as rd
 
-    def tag(t: pa.Table) -> pa.Table:
-        # fast path: a compiled regex pulls a plain-string selector
-        # (~5× cheaper than json.loads per row, simdjson-style
-        # shortcut); rows it can't match fall back to a real JSON parse
-        lines = t.column(col).combine_chunks()
-        route = []
-        for s in lines.to_pylist():
+    stage = stage_dir or tempfile.mkdtemp(prefix="tenzir_ray_routed_")
+
+    def split(t: pa.Table) -> pa.Table:
+        by_route: dict[str, list] = {}
+        raw: dict[str, list] = {}
+        for s in t.column(col).to_pylist():
+            d = None
             if s is not None:
-                m = rx.search(s)
-                if m:
-                    route.append(m.group(1))
-                    continue
-            try:
-                d = json.loads(s)
-                v = d.get(selector) if isinstance(d, dict) else None
-                route.append(str(v) if v is not None else "_unroutable")
-            except (TypeError, ValueError):
-                route.append("_unroutable")
-        return pa.table({col: lines, "__route": pa.array(route, pa.string())})
+                try:
+                    d = json.loads(s)
+                except (TypeError, ValueError):
+                    d = None
+            if isinstance(d, dict) and d.get(selector) is not None:
+                by_route.setdefault(str(d[selector]), []).append(d)
+            else:
+                raw.setdefault("_unroutable", []).append(s)
+        summary_route, summary_path, summary_rows = [], [], []
+        for route, rows in by_route.items():
+            keys: list[str] = []
+            for r in rows:
+                for k in r:
+                    if k not in keys:
+                        keys.append(k)
+            tbl = pa.table(
+                {k: pa.array([r.get(k) for r in rows]) for k in keys})
+            summary_route.append(route)
+            summary_path.append(_stage_write(stage, route, tbl))
+            summary_rows.append(len(rows))
+        for route, lines in raw.items():
+            tbl = pa.table({col: pa.array(lines, pa.string())})
+            summary_route.append(route)
+            summary_path.append(_stage_write(stage, route, tbl))
+            summary_rows.append(len(lines))
+        return pa.table({
+            "route": pa.array(summary_route, pa.string()),
+            "path": pa.array(summary_path, pa.string()),
+            "rows": pa.array(summary_rows, pa.int64()),
+        })
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    def _stage_write(stage: str, route: str, tbl: pa.Table) -> str:
+        rdir = os.path.join(
+            stage, "route=" + urllib.parse.quote(route, safe=""))
+        os.makedirs(rdir, exist_ok=True)
+        path = os.path.join(rdir, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, path + ".tmp")
+        os.rename(path + ".tmp", path)  # atomic publish → resumable
+        return path
 
-    def key_union(t: pa.Table) -> pa.Table:
-        seen: dict[str, list[str]] = {}
-        for s, r in zip(t.column(col).to_pylist(),
-                        t.column("__route").to_pylist()):
-            ks = seen.setdefault(r, [])
-            if r == "_unroutable":
-                continue
-            for k in json.loads(s):
-                if k not in ks:
-                    ks.append(k)
-        return pa.table({"route": pa.array(list(seen), pa.string()),
-                         "keys": pa.array(list(seen.values()),
-                                          pa.list_(pa.string()))})
+    summary = ds.map_batches(split, batch_format="pyarrow").take_all()
+    files: dict[str, list[str]] = {}
+    for r in summary:
+        files.setdefault(r["route"], []).append(r["path"])
 
-    merged: dict[str, list[str]] = {}
-    for b in tagged.map_batches(key_union, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
-        for r, ks in zip(b.column("route").to_pylist(),
-                         b.column("keys").to_pylist()):
-            cur = merged.setdefault(r, [])
-            for k in ks:
-                if k not in cur:
-                    cur.append(k)
+    import ray
 
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
     out: dict[str, "object"] = {}
-    for route, keys in merged.items():
-        def make(route: str, keys: list[str]):
-            def f(t: pa.Table) -> pa.Table:
-                mask = pc.equal(t.column("__route"), route)
-                sub = t.filter(mask)
-                if route == "_unroutable":
-                    return pa.table({col: sub.column(col)})
-                rows = [json.loads(s) for s in sub.column(col).to_pylist()]
-                return pa.table({
-                    k: pa.array([r.get(k) for r in rows]) for k in keys
-                })
-            return f
-
-        out[route] = tagged.map_batches(make(route, keys),
-                                        batch_format="pyarrow")
+    for route, paths in files.items():
+        paths = sorted(paths)
+        uni = pa.unify_schemas([pq.read_schema(p) for p in paths],
+                               promote_options="permissive")
+        # partitioning=None: the route=<v> dirs are staging layout, not
+        # hive partition columns; cap blocks — these are many tiny
+        # staged files and per-block overhead dominates otherwise
+        out[route] = rd.read_parquet(
+            paths, schema=uni, partitioning=None,
+            override_num_blocks=max(1, min(len(paths), cpus)))
     return out
 
 

@@ -41,6 +41,7 @@ from tenzir_ray.stages.ops import (
     slice_,
     sort,
     summarize,
+    summarize_partial,
     tail,
     taste,
     timeshift,
@@ -51,7 +52,8 @@ from tenzir_ray.stages.ops import (
 )
 
 __all__ = [
-    "where", "select", "drop", "rename", "set_", "summarize", "sort",
+    "where", "select", "drop", "rename", "set_", "summarize",
+    "summarize_partial", "sort",
     "head", "tail", "slice_", "deduplicate", "top", "rare", "enumerate_",
     "unroll", "flatten", "unflatten", "enrich", "taste", "timeshift",
     "sample", "reverse", "semi_join", "semi_join_ds", "repeat", "measure",

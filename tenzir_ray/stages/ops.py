@@ -324,6 +324,94 @@ def _agg_group_kernel(g: pa.Table, alias: str, fn: str, col: str | None,
     raise ValueError(f"unknown aggregation {fn!r}")
 
 
+_PARTIAL_FNS = {"count", "sum", "min", "max", "mean"}
+
+
+def summarize_partial(ds: Dataset, by: list[str] | str,
+                      **aggs: tuple[str, str] | str) -> Dataset:
+    """Shuffle-free grouped aggregation for algebraic aggregates
+    (count/sum/min/max/mean) over LOW-cardinality keys: per-batch
+    partials via Arrow's hash group_by, then ONE remote combine task
+    over the tiny partial blocks (driver touches refs only). No
+    all-to-all exchange, no empty schema-less aggregate partitions —
+    the partial/final split the reference's summarize implements by
+    hand (operators/summarize.cpp:79-142).
+
+    Partial size is groups × blocks — use only when the group count is
+    small (route/type/flag keys); high-cardinality keys need the
+    hash-shuffle path in :func:`summarize`."""
+    import ray
+    import ray.data as rd
+
+    by = [by] if isinstance(by, str) else list(by)
+    parsed = []
+    for alias, spec in aggs.items():
+        if isinstance(spec, str):
+            fn, col = spec, None
+        else:
+            fn, col = spec
+        if fn not in _PARTIAL_FNS:
+            raise ValueError(f"summarize_partial: {fn!r} is not algebraic")
+        parsed.append((alias, fn, col))
+
+    # (partial column name, arrow agg) pairs, deduplicated
+    def _partial_specs():
+        specs: dict[str, tuple] = {}
+        for _alias, fn, col in parsed:
+            if fn == "count" and col is None:
+                specs["__n"] = ([], "count_all")
+            elif fn == "count":
+                specs[f"__cnt_{col}"] = (col, "count")
+            elif fn == "mean":
+                specs[f"__sum_{col}"] = (col, "sum")
+                specs[f"__cnt_{col}"] = (col, "count")
+            else:
+                specs[f"__{fn}_{col}"] = (col, fn)
+        return specs
+
+    specs = _partial_specs()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(by, use_threads=False).aggregate(list(specs.values()))
+        # arrow names outputs "<col>_<fn>"; rename to our stable names
+        arrow_names = [
+            (f"{c}_{f}" if c else "count_all") for c, f in specs.values()]
+        cols = {n: g.column(a) for n, a in zip(specs, arrow_names)}
+        for b in by:
+            cols[b] = g.column(b)
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    refs = [r for bundle in partials.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+
+    @ray.remote
+    def _combine(*blocks):
+        import pyarrow as _pa
+        # partial blocks are always typed (even empty), so concat keeps
+        # the schema and an all-empty input yields a typed empty result
+        tb = _pa.concat_tables(blocks, promote_options="permissive")
+        merge = [
+            (name, fn if fn in ("min", "max") else "sum")
+            for name, (_col, fn) in specs.items()
+        ]
+        g = tb.group_by(by, use_threads=False).aggregate(merge)
+        out = {b: g.column(b) for b in by}
+        for alias, fn, col in parsed:
+            if fn == "count":
+                src = "__n" if col is None else f"__cnt_{col}"
+                out[alias] = g.column(f"{src}_sum")
+            elif fn == "mean":
+                s = pc.cast(g.column(f"__sum_{col}_sum"), pa.float64())
+                n = pc.cast(g.column(f"__cnt_{col}_sum"), pa.float64())
+                out[alias] = pc.divide(s, n)
+            else:
+                out[alias] = g.column(f"__{fn}_{col}_{fn}")
+        return pa.table(out)
+
+    return rd.from_arrow_refs([_combine.remote(*refs)])
+
+
 def summarize(
     ds: Dataset, by: list[str] | str | None,
     order_by: list[str] | None = None,

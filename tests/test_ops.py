@@ -205,3 +205,26 @@ def test_assert_move_distinct_cache(events):
         sql("SELECT DISTINCT event_type FROM events")["event_type"])
     c = ops.cache(ops.where(events, lambda t: pc2.greater(t["value"], 0.0)))
     assert c.count() == c.count()  # second consume hits the materialized set
+
+
+def test_summarize_partial_matches_hash_path(events):
+    """Shuffle-free partial/combine aggregate ≡ the hash-shuffle path
+    for algebraic aggregates (count/sum/min/max/mean)."""
+    a = ops.summarize(
+        events, "event_type", n="count", s=("sum", "user_id"),
+        mn=("min", "value"), mx=("max", "value"), avg=("mean", "value"),
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    b = ops.summarize_partial(
+        events, "event_type", n="count", s=("sum", "user_id"),
+        mn=("min", "value"), mx=("max", "value"), avg=("mean", "value"),
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)],
+                           check_dtype=False, atol=1e-9)
+
+
+def test_summarize_partial_rejects_holistic():
+    import pytest
+
+    with pytest.raises(ValueError):
+        ops.summarize_partial(None, "k", m=("median", "x"))

@@ -170,6 +170,30 @@ def test_routed_json_suricata_style(ray_session):
     assert routed["_unroutable"].count() == 1
 
 
+def test_routed_json_malformed_lines(ray_session):
+    """Truncated/malformed JSON that still 'looks routable' must land in
+    _unroutable, not crash the read (ADVICE round 2); keys with mixed
+    numeric types across batches unify by promotion."""
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import routed_json
+
+    lines = [
+        '{"event_type": "alert", "x": ',          # truncated
+        '{"event_type": "alert", "x": 1}',
+        '{"event_type": "alert", "x": 2.5}',      # int→double promotion
+        '["event_type", "alert"]',                # JSON but not an object
+        '{"other": 1}',                           # lacks selector
+        None,
+    ]
+    ds = rd.from_items([{"line": l} for l in lines])
+    routed = routed_json(ds, col="line", selector="event_type")
+    assert set(routed) == {"alert", "_unroutable"}
+    xs = sorted(r["x"] for r in routed["alert"].take_all())
+    assert xs == [1.0, 2.5]
+    assert routed["_unroutable"].count() == 4
+
+
 def test_load_tcp_lines(ray_session):
     import socket
     import threading
