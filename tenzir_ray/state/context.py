@@ -125,11 +125,28 @@ class BloomFilter:
     """Split Bloom filter over 64-bit element hashes; picklable → cheap to
     broadcast. ``m`` bits, ``k`` hashes derived from double hashing."""
 
-    def __init__(self, capacity: int, fp_rate: float = 0.01):
+    def __init__(self, capacity: int, fp_rate: float = 0.01,
+                 max_bytes: int | None = None):
         m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        if max_bytes is not None:
+            # clamp the bit array to a broadcast budget: a smaller m only
+            # raises the false-positive rate, never gives wrong answers
+            m = min(m, max(64, max_bytes * 8))
         self.m = (m + 63) // 64 * 64
-        self.k = max(1, round(self.m / capacity * math.log(2)))
+        self.k = max(1, round(self.m / max(1, capacity) * math.log(2)))
         self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    @classmethod
+    def with_params(cls, m: int, k: int) -> "BloomFilter":
+        """Empty filter with exact (m, k) — every partial filter built in
+        parallel workers must share params so bit arrays OR-merge."""
+        self = cls.__new__(cls)
+        self.m, self.k = m, k
+        self.bits = np.zeros(m // 64, dtype=np.uint64)
+        return self
+
+    def merge_bits(self, bits: np.ndarray) -> None:
+        np.bitwise_or(self.bits, bits, out=self.bits)
 
     def _positions(self, values) -> np.ndarray:
         h = pd.util.hash_array(np.asarray(values, dtype=object))

@@ -47,6 +47,185 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return pd.util.hash_array(np.fromiter(grams, dtype=object, count=len(grams)))
 
 
+# ------------------------------------------------------ drop-set filter
+
+#: Above this estimated drop-set size, dedup finalization switches from
+#: a single broadcast Arrow array to the bucketed path automatically.
+DROP_BROADCAST_CAP = 256 << 20
+
+
+def _bucket_of(ids: np.ndarray, buckets: int) -> np.ndarray:
+    return (pd.util.hash_array(ids) % np.uint64(buckets)).astype(np.int64)
+
+
+def anti_filter_ids(
+    ds: Dataset, drops: Dataset, id_col: str, drop_col: str,
+    max_broadcast_bytes: int | None = None, buckets: int = 64,
+    cache_buckets: int = 8, stage_dir: str | None = None,
+    concurrency: int | tuple | None = None,
+) -> Dataset:
+    """Drop every row of ``ds`` whose ``id_col`` appears in ``drops``'s
+    ``drop_col`` — the shared finalizer of the dedup family, auto-scaled
+    by drop-set size (estimated from block METADATA, no execution):
+
+    - **small** (≤ cap, default 256 MiB): drop ids concatenated into one
+      Arrow array in a REMOTE task (driver touches refs only), broadcast,
+      one vectorized ``pc.is_in`` per batch. Right up to a few hundred MB.
+    - **large**: no single object above the cap is ever put. Drop ids are
+      hash-bucketed into staged parquet files (the repo's file-staged
+      exchange) by parallel tasks that each also build a partial Bloom
+      filter clamped to the cap; partials OR-merge in a fan-in-8 tree.
+      The probe is an ACTOR-pool stage: Bloom prefilter per batch (zero
+      bucket reads for clean batches), then exact ``pc.is_in`` against
+      only the touched bucket files, LRU-cached per actor (worker memory
+      ≤ cache_buckets/buckets of the drop set). Bloom false positives
+      only cost an extra bucket check — results stay exact.
+
+    The reference's deduplicate operator holds its suppression state in
+    one process (deduplicate.cpp:126-260); this is the distributed
+    re-expression of the same contract.
+    """
+    import ray
+
+    cap = DROP_BROADCAST_CAP if max_broadcast_bytes is None \
+        else max_broadcast_bytes
+    bundles = list(drops.iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    est_bytes = sum((m.size_bytes or 0) for b in bundles for m in b.metadata)
+    est_rows = sum((m.num_rows or 0) for b in bundles for m in b.metadata)
+
+    if est_bytes <= cap:
+        @ray.remote
+        def _concat_ids(*blocks) -> pa.Array:
+            tabs = [b.select([drop_col]) for b in blocks if b.num_rows]
+            if not tabs:
+                return pa.array([], pa.int64())
+            return pa.concat_tables(tabs).column(drop_col).combine_chunks()
+
+        drop_ref = _concat_ids.remote(*refs)
+
+        def survivors(t: pa.Table) -> pa.Table:
+            vs = ray.get(drop_ref)
+            if len(vs) == 0:
+                return t
+            probe = t.column(id_col).combine_chunks()
+            if probe.type != vs.type:
+                probe = pc.cast(probe, vs.type)
+            keep = pc.invert(pc.is_in(probe, value_set=vs))
+            out = t.filter(keep)
+            return out.replace_schema_metadata(None) \
+                if out.schema.metadata else out
+
+        return ds.map_batches(survivors, batch_format="pyarrow")
+
+    # ---- large path: bucketed staged files + capped Bloom prefilter
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.state.context import BloomFilter
+
+    stage = stage_dir or tempfile.mkdtemp(prefix="tenzir_ray_drops_")
+    proto = BloomFilter(capacity=max(64, est_rows), max_bytes=cap)
+    m_bits, k_hash = proto.m, proto.k
+
+    @ray.remote
+    def _stage_block(block: pa.Table) -> np.ndarray:
+        bl = BloomFilter.with_params(m_bits, k_hash)
+        if block.num_rows:
+            ids = block.column(drop_col).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            bl.add(ids)
+            bks = _bucket_of(ids, buckets)
+            order = np.argsort(bks, kind="stable")
+            sbks = bks[order]
+            starts = np.flatnonzero(np.r_[True, sbks[1:] != sbks[:-1]])
+            bounds = np.r_[starts, len(sbks)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                bdir = os.path.join(stage, f"bucket={sbks[s]}")
+                os.makedirs(bdir, exist_ok=True)
+                path = os.path.join(bdir, f"part-{uuid.uuid4().hex}.parquet")
+                tbl = pa.table({drop_col: pa.array(ids[order[s:e]])})
+                pq.write_table(tbl, path + ".tmp")
+                os.rename(path + ".tmp", path)
+        return bl.bits
+
+    @ray.remote
+    def _or_bits(*parts: np.ndarray) -> np.ndarray:
+        acc = parts[0].copy()
+        for p in parts[1:]:
+            np.bitwise_or(acc, p, out=acc)
+        return acc
+
+    bit_refs = [_stage_block.remote(r) for r in refs]
+    while len(bit_refs) > 1:  # fan-in-8 OR-merge tree
+        bit_refs = [_or_bits.remote(*bit_refs[i:i + 8])
+                    for i in range(0, len(bit_refs), 8)]
+    bloom_bits_ref = bit_refs[0]
+
+    class _BucketedDropFilter:
+        def __init__(self):
+            self.bloom = BloomFilter.with_params(m_bits, k_hash)
+            self.bloom.merge_bits(ray.get(bloom_bits_ref))
+            from collections import OrderedDict
+            self._cache: "OrderedDict[int, object]" = OrderedDict()
+
+        def _bucket_ids(self, b: int):
+            if b in self._cache:
+                self._cache.move_to_end(b)
+                return self._cache[b]
+            bdir = os.path.join(stage, f"bucket={b}")
+            if not os.path.isdir(bdir):
+                arr = pa.array([], pa.int64())
+            else:
+                parts = [pq.read_table(os.path.join(bdir, f))
+                         for f in os.listdir(bdir)
+                         if f.endswith(".parquet")]
+                arr = pa.concat_tables(parts).column(drop_col) \
+                    .combine_chunks() if parts else pa.array([], pa.int64())
+            self._cache[b] = arr
+            while len(self._cache) > cache_buckets:
+                self._cache.popitem(last=False)
+            return arr
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            if not len(ids):
+                return t
+            sus = self.bloom.contains(ids)
+            if not sus.any():
+                return t
+            sus_idx = np.flatnonzero(sus)
+            sus_ids = ids[sus_idx]
+            bks = _bucket_of(sus_ids, buckets)
+            drop_mask = np.zeros(len(ids), dtype=bool)
+            for b in np.unique(bks):
+                barr = self._bucket_ids(int(b))
+                if not len(barr):
+                    continue
+                sel = bks == b
+                probe = pa.array(sus_ids[sel])
+                if probe.type != barr.type:
+                    probe = pc.cast(probe, barr.type)
+                hits = pc.is_in(probe, value_set=barr) \
+                    .to_numpy(zero_copy_only=False)
+                drop_mask[sus_idx[sel][hits]] = True
+            out = t.filter(pa.array(~drop_mask))
+            return out.replace_schema_metadata(None) \
+                if out.schema.metadata else out
+
+    if concurrency is None:
+        # never an actor pool that swallows the whole (small) cluster —
+        # a fixed pool of size == CPUs starves the upstream read tasks
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, cpus // 2))
+    return ds.map_batches(_BucketedDropFilter, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -77,18 +256,14 @@ def exact_dedup(ds: Dataset, text_col: str = "text", keep_by: str | None = None)
 
 def exact_dedup_wide(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+    max_broadcast_bytes: int | None = None,
 ) -> Dataset:
     """Exact dedup for WIDE rows (multi-KB documents): the full rows
     never ride a shuffle. Only a narrow ``(hash, id)`` projection is
     hash-partitioned; losers (every id but the min per hash) form the
-    drop set — a small fraction of a corpus — assembled into one Arrow
-    array in a REMOTE task (never on the driver) and applied as one
-    vectorized ``pc.is_in`` filter per batch. For drop sets beyond
-    single-worker memory, swap the broadcast for a Bloom filter + exact
-    re-verify (state.BloomFilter) or a distributed anti-join
-    (stages.semi_join_ds)."""
-    import ray
-
+    drop set, applied via :func:`anti_filter_ids` — one broadcast
+    ``pc.is_in`` below the size cap, the Bloom-prefiltered bucketed
+    exact filter above it (auto-selected from drop-set metadata)."""
     def project(t: pa.Table) -> pa.Table:
         col = t.column(text_col).combine_chunks()
         h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
@@ -106,27 +281,8 @@ def exact_dedup_wide(
         .groupby("__h")
         .map_groups(losers, batch_format="pyarrow")
     )
-
-    @ray.remote
-    def _concat(*blocks) -> pa.Array:
-        tabs = [b for b in blocks if b.num_rows]
-        if not tabs:
-            return pa.array([], pa.int64())
-        return pa.concat_tables(tabs).column(id_col).combine_chunks()
-
-    drop_ref = _concat.remote(
-        *[r for b in drops.iter_internal_ref_bundles() for r in b.block_refs])
-
-    def survivors(t: pa.Table) -> pa.Table:
-        vs = ray.get(drop_ref)
-        if len(vs) == 0:
-            return t
-        keep = pc.invert(pc.is_in(t.column(id_col).combine_chunks(),
-                                  value_set=vs))
-        out = t.filter(keep)
-        return out.replace_schema_metadata(None) if out.schema.metadata else out
-
-    return ds.map_batches(survivors, batch_format="pyarrow")
+    return anti_filter_ids(ds, drops, id_col, id_col,
+                           max_broadcast_bytes=max_broadcast_bytes)
 
 
 # --------------------------------------------------------------- minhash
@@ -217,6 +373,7 @@ def minhash_lsh_dedup(
     ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 64, bands: int = 16, ngram: int = 3,
     verify_threshold: float | None = None,
+    max_broadcast_bytes: int | None = None,
 ) -> Dataset:
     """Full near-dup dedup: LSH candidates → union into duplicate sets via
     min-label (each doc keeps the min candidate-group id it ever sees) →
@@ -232,9 +389,10 @@ def minhash_lsh_dedup(
     aggregate. The final filter broadcasts the drop-id set — assembled
     in a REMOTE task, never on the driver — and applies one vectorized
     ``pc.is_in`` per batch: the corpus itself never rides any shuffle.
-    For drop sets beyond single-worker memory, swap the broadcast for a
-    Bloom filter + exact re-verify (state.BloomFilter) or a distributed
-    anti-join (stages.semi_join_ds). Returns the surviving rows."""
+    Above ``max_broadcast_bytes`` (default 256 MiB) the finalizer
+    auto-switches to :func:`anti_filter_ids`'s Bloom-prefiltered
+    bucketed exact filter — no single broadcast object above the cap.
+    Returns the surviving rows."""
     import functools
 
     import ray
@@ -287,21 +445,16 @@ def minhash_lsh_dedup(
                          "__rep": pc.cast(t.column("rep"), pa.int64())})
 
     drops = reps.map_batches(to_drops, batch_format="pyarrow")
-    drop_refs = [r for b in drops.iter_internal_ref_bundles()
-                 for r in b.block_refs]
 
     if verify_threshold is None:
-        # assemble the drop-id set in a remote task (the driver only
-        # touches refs), then one vectorized membership filter per batch
-        @ray.remote
-        def _concat_ids(*blocks) -> pa.Array:
-            tabs = [b for b in blocks if b.num_rows]
-            if not tabs:
-                return pa.array([], pa.int64())
-            return pa.concat_tables(tabs).column("__drop_id").combine_chunks()
+        # auto-scaled finalizer: broadcast pc.is_in below the size cap,
+        # Bloom-prefiltered bucketed exact filter above it
+        return anti_filter_ids(ds, drops, id_col, "__drop_id",
+                               max_broadcast_bytes=max_broadcast_bytes)
 
-        drop_ref = _concat_ids.remote(*drop_refs)
-    else:
+    drop_refs = [r for b in drops.iter_internal_ref_bundles()
+                 for r in b.block_refs]
+    if True:  # verified path (candidate-sized pair set → broadcast stays)
         # exact n-gram Jaccard verification of every (doc, rep) candidate
         # pair before dropping — LSH can collide dissimilar docs. The
         # pair set and its texts are candidate-sized (small fraction of

@@ -210,3 +210,49 @@ def test_semi_join_ds_simple(ray_session):
     assert sorted(r["k"] for r in semi.take_all()) == [1, 5, 9]
     anti = ops.semi_join_ds(big, keys, "k", anti=True, num_partitions=4)
     assert anti.count() == 497
+
+
+def test_dedup_bucketed_large_path(ray_session, tmp_path):
+    """Forcing max_broadcast_bytes=1 switches finalization to the
+    Bloom-prefiltered bucketed path; survivors must match the broadcast
+    path exactly, staged bucket files must exist, and the Bloom object
+    must respect the cap (no single broadcast object above it)."""
+    import glob
+
+    from tenzir_ray.state.context import BloomFilter
+    from tenzir_ray.text.dedup import anti_filter_ids, exact_dedup_wide
+
+    rows = [{"doc_id": i, "text": f"doc body {i % 120} padding words"}
+            for i in range(400)]
+    ds = rd.from_items(rows).repartition(8)
+
+    small = sorted(r["doc_id"] for r in exact_dedup_wide(ds).take_all())
+    big = sorted(r["doc_id"] for r in
+                 exact_dedup_wide(ds, max_broadcast_bytes=1).take_all())
+    assert small == big == list(range(120))
+
+    # direct finalizer: staged bucket layout + capped bloom
+    drops = rd.from_items([{"doc_id": i} for i in range(0, 400, 3)])
+    stage = str(tmp_path / "dropstage")
+    out = anti_filter_ids(ds, drops, "doc_id", "doc_id",
+                          max_broadcast_bytes=64, stage_dir=stage,
+                          buckets=8, cache_buckets=2)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [i for i in range(400) if i % 3 != 0]
+    assert glob.glob(stage + "/bucket=*/part-*.parquet")
+    # the bloom the workers receive is clamped to the cap
+    bl = BloomFilter(capacity=10**6, max_bytes=64)
+    assert bl.bits.nbytes <= 64
+
+
+def test_minhash_bucketed_matches_broadcast(ray_session):
+    from tenzir_ray.text.dedup import minhash_lsh_dedup
+
+    texts = [f"the quick brown fox {i} jumps over the lazy dog {i} "
+             f"unique trailer tokens {i*7}" for i in range(60)]
+    rows = [{"doc_id": i, "text": texts[i % 60]} for i in range(180)]
+    ds = rd.from_items(rows).repartition(6)
+    a = sorted(r["doc_id"] for r in minhash_lsh_dedup(ds).take_all())
+    b = sorted(r["doc_id"] for r in
+               minhash_lsh_dedup(ds, max_broadcast_bytes=1).take_all())
+    assert a == b
