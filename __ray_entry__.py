@@ -53,6 +53,17 @@ def _write_oracle(name: str, table: pa.Table) -> None:
     pq.write_table(table, os.path.join(_ORACLE_DIR, f"{name}.parquet"))
 
 
+def _skip_oracle(name: str) -> None:
+    """Called when a query skips its sequential-oracle computation (bench
+    scale): remove any stale oracle parquet from a previous small-scale
+    run, so the oracle SQL fails LOUDLY (missing file) instead of
+    silently comparing against stale expectations."""
+    try:
+        os.remove(os.path.join(_ORACLE_DIR, f"{name}.parquet"))
+    except FileNotFoundError:
+        pass
+
+
 # --------------------------------------------------------------- flagship
 
 
@@ -315,6 +326,8 @@ def _lang_quality(sf_dir: str):
         expected = DocumentAnalyzer()(docs.replace_schema_metadata(None))
         _write_oracle("lang_quality", expected.select(
             ["doc_id", "lang_pred", "quality", "n_words", "fingerprint"]))
+    else:
+        _skip_oracle("lang_quality")
     ds = _read(sf_dir, "documents")
     return analyze_documents(ds).select_columns(
         ["doc_id", "lang_pred", "quality", "n_words", "fingerprint"]
@@ -337,6 +350,8 @@ def _minhash_dedup_docs(sf_dir: str):
                                 docs.column("text").to_pylist())
         _write_oracle("minhash_dedup_docs",
                       pa.table({"doc_id": pa.array(sorted(ids), pa.int64())}))
+    else:
+        _skip_oracle("minhash_dedup_docs")
     ds = _read(sf_dir, "documents")
     return minhash_lsh_dedup(ds, "doc_id", "text")
 
@@ -354,6 +369,8 @@ def _simhash_docs(sf_dir: str):
     if docs.num_rows <= 2000:  # skip oracle work at bench scale
         _write_oracle("simhash_docs", simhash_seq(
             docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    else:
+        _skip_oracle("simhash_docs")
     ds = _read(sf_dir, "documents")
     return simhash_dedup(ds, "doc_id", "text")
 
@@ -479,6 +496,27 @@ def _routed_json(sf_dir: str):
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def _http_roundtrip(sf_dir: str):
+    """serve → load_http round-trip (operators/serve.cpp bounded buffer
+    + continuation paging; operators/http.cpp:423 client): a pipeline
+    result is served over loopback HTTP from a disk spool and re-ingested
+    by following X-Next-Offset headers, then aggregated."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.formats import load_http
+    from tenzir_ray.stages.serve import serve
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "user_id"])
+    ds = ops.where(ds, lambda t: pc.less(t["event_id"], 4000))
+    h = serve(ds, default_limit=700)
+    try:
+        got = load_http(f"http://127.0.0.1:{h.port}/events", limit=700)
+    finally:
+        h.stop()
+    return ops.summarize(got, "event_type",
+                         n="count", s=("sum", "user_id"))
 
 
 def _cidr_enrich(sf_dir: str):
@@ -824,6 +862,8 @@ def _network_funcs(sf_dir: str):
     if all_ev.num_rows <= 50_000:
         seq = add_net(derive(all_ev.replace_schema_metadata(None)))
         _write_oracle("network_funcs", seq)
+    else:
+        _skip_oracle("network_funcs")
 
     return flows.map_batches(add_net, batch_format="pyarrow")
 
@@ -884,6 +924,8 @@ def _ivf_ann(sf_dir: str):
             np.stack(emb.column("embedding").to_pylist()),
             mat, n_lists=8, k=5, n_probe=4,
         ).drop_columns(["cosine"]))
+    else:
+        _skip_oracle("ivf_ann")
     ds = _read(sf_dir, "embeddings")
     cents, assigned = ivf_build(ds, n_lists=8)
     sf = os.path.basename(os.path.normpath(sf_dir))
@@ -931,6 +973,8 @@ def _multimodal_decode(sf_dir: str):
         seq = ImageFeatures()(seq)
         _write_oracle("multimodal_decode", seq.select(
             ["doc_id", "img_width", "img_height", "img_ok", "img_features"]))
+    else:
+        _skip_oracle("multimodal_decode")
 
     ds = docs.map_batches(attach, batch_format="pyarrow")
     ds = decode_images(ds, batch_size=256, concurrency=(1, 4))
@@ -1041,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_funcs": _network_funcs,
         "cidr_enrich": _cidr_enrich,
         "routed_json": _routed_json,
+        "http_roundtrip": _http_roundtrip,
         "embedding_dedup": _embedding_dedup,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
@@ -1163,6 +1208,10 @@ def oracle_sql() -> dict[str, str]:
         "routed_json": """
             SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
             FROM events GROUP BY event_type
+        """,
+        "http_roundtrip": """
+            SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
+            FROM events WHERE event_id < 4000 GROUP BY event_type
         """,
         "cidr_enrich": """
             SELECT event_id,

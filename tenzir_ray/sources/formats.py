@@ -549,6 +549,74 @@ def load_udp(host: str = "127.0.0.1", port: int = 0,
     return (lambda: rd.from_items([{"line": l} for l in drain()])), bound
 
 
+def load_http(url: str, *, params: dict | None = None,
+              next_header: str = "X-Next-Offset",
+              offset_param: str = "offset", limit: int | None = None,
+              max_pages: int = 100_000, parse: str = "ndjson",
+              headers: dict | None = None, timeout: float = 30.0):
+    """HTTP client source (reference operators/http.cpp:423 load_http /
+    from_http): GET ``url``, following continuation paging via the
+    ``X-Next-Offset`` response header (the protocol :func:`~tenzir_ray.
+    stages.serve.serve` speaks) until exhausted. Each page's NDJSON body
+    parses into rows; ``parse="lines"`` keeps raw lines.
+
+    A paged HTTP endpoint is an inherently serial stream (each page's
+    cursor comes from the previous response), so pages are fetched in a
+    driver loop — like the reference's single-connection http loader —
+    and land as one Arrow table per page (blocks parallelize from there).
+    Returns a Dataset."""
+    import json as _json
+    import urllib.parse as _up
+    import urllib.request as _ur
+
+    import ray.data as rd
+
+    tables: list[pa.Table] = []
+    offset: str | None = None
+    for _page in range(max_pages):
+        q = dict(params or {})
+        if offset is not None:
+            q[offset_param] = offset
+        if limit is not None:
+            q["limit"] = limit
+        full = url + ("?" + _up.urlencode(q) if q else "")
+        req = _ur.Request(full, headers=headers or {})
+        with _ur.urlopen(req, timeout=timeout) as resp:
+            body = resp.read().decode()
+            nxt = resp.headers.get(next_header)
+        lines = [l for l in body.splitlines() if l]
+        if lines:
+            if parse == "lines":
+                tables.append(pa.table(
+                    {"line": pa.array(lines, pa.string())}))
+            else:
+                rows = []
+                for l in lines:
+                    try:
+                        d = _json.loads(l)
+                    except ValueError:
+                        d = {"line": l}
+                    rows.append(d if isinstance(d, dict) else {"line": l})
+                tables.append(pa.Table.from_pylist(rows))
+        if nxt is None:
+            break
+        offset = nxt
+    if not tables:
+        return rd.from_items([]).limit(0)
+    uni = pa.unify_schemas([t.schema for t in tables],
+                           promote_options="permissive")
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table({
+            f.name: (t.column(f.name).cast(f.type)
+                     if f.name in t.column_names
+                     else pa.nulls(t.num_rows, f.type))
+            for f in uni
+        })
+
+    return rd.from_arrow([conform(t) for t in tables])
+
+
 def read_tsv(paths, **kw):
     """TSV (read_tsv.mdx) — csv with tab delimiter."""
     import ray.data as rd

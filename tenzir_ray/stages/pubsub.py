@@ -1,7 +1,13 @@
 """publish / subscribe (reference operators/publish.cpp,
 subscribe.cpp: named in-process topics connecting pipelines).
 
-A named detached Ray actor buffers published blocks per topic;
+A named detached Ray actor buffers published blocks per topic — as
+OBJECT REFS, never block values: the blocks stay in the object store
+(shared memory, spillable) and neither publish nor subscribe ever
+copies row data through the driver or the actor heap. A retention cap
+bounds the buffer; the oldest blocks are evicted Kafka-style and
+``read`` answers from the trimmed base.
+
 ``subscribe`` drains from a sequence number (batch semantics — one
 finished read per call, with the cursor for the next; the reference's
 endless-stream form maps to polling ``subscribe`` like ``Lake.follow``
@@ -9,25 +15,39 @@ polls the WAL)."""
 
 from __future__ import annotations
 
-import pyarrow as pa
+#: Default per-topic retention (blocks). Oldest evicted beyond this.
+TOPIC_RETENTION = 4096
 
 
 class _Topic:
-    def __init__(self):
-        self.blocks: list[pa.Table] = []
+    def __init__(self, retention: int = TOPIC_RETENTION):
+        self.refs: list = []       # ObjectRefs, pinned while held here
+        self.base_seq = 0          # seq of refs[0] after eviction
+        self.retention = retention
 
-    def append(self, t: pa.Table) -> int:
-        self.blocks.append(t)
-        return len(self.blocks)
+    def append(self, wrapped: list) -> int:
+        """``wrapped`` is ``[ObjectRef]`` — the list wrapper stops Ray
+        from dereferencing the block into this actor's heap."""
+        self.refs.append(wrapped[0])
+        if len(self.refs) > self.retention:
+            drop = len(self.refs) - self.retention
+            del self.refs[:drop]
+            self.base_seq += drop
+        return self.base_seq + len(self.refs)
 
-    def read(self, from_seq: int = 0) -> tuple[list[pa.Table], int]:
-        return self.blocks[from_seq:], len(self.blocks)
+    def read(self, from_seq: int = 0) -> tuple[list, int, int]:
+        """→ (wrapped refs from ``max(from_seq, base_seq)``, next_seq,
+        base_seq). ``from_seq < base_seq`` means the reader missed
+        evicted blocks (it can detect the gap via base_seq)."""
+        start = max(0, from_seq - self.base_seq)
+        return ([self.refs[start:]], self.base_seq + len(self.refs),
+                self.base_seq)
 
     def size(self) -> int:
-        return len(self.blocks)
+        return len(self.refs)
 
 
-def _topic_actor(topic: str):
+def _topic_actor(topic: str, retention: int = TOPIC_RETENTION):
     import ray
 
     name = f"tenzir_ray_topic::{topic}"
@@ -40,32 +60,34 @@ def _topic_actor(topic: str):
         return (ray.remote(_Topic)
                 .options(name=name, lifetime="detached",
                          get_if_exists=True)
-                .remote())
+                .remote(retention))
 
 
 def publish(ds, topic: str) -> int:
-    """Publish a Dataset's blocks to the named topic; returns the topic
-    sequence number after the append. Blocks stream to the actor as the
-    dataset executes (driver touches refs only)."""
+    """Publish a Dataset's block REFS to the named topic; returns the
+    topic sequence number after the append. Blocks never leave the
+    object store — the actor and the driver only handle refs."""
     import ray
 
     actor = _topic_actor(topic)
     seq = 0
     for bundle in ds.iter_internal_ref_bundles():
         for ref in bundle.block_refs:
-            seq = ray.get(actor.append.remote(ref))
+            seq = ray.get(actor.append.remote([ref]))
     return seq
 
 
 def subscribe(topic: str, from_seq: int = 0):
     """Read the topic's buffered events from ``from_seq``; returns
     ``(dataset, next_seq)`` — pass ``next_seq`` back in to poll for new
-    events only."""
+    events only. The dataset is built directly over the topic's block
+    refs: zero driver-side copies."""
     import ray
     import ray.data as rd
 
     actor = _topic_actor(topic)
-    blocks, next_seq = ray.get(actor.read.remote(from_seq))
-    if not blocks:
+    wrapped, next_seq, _base = ray.get(actor.read.remote(from_seq))
+    refs = wrapped[0]
+    if not refs:
         return rd.from_items([]).limit(0), next_seq
-    return rd.from_arrow_refs([ray.put(b) for b in blocks]), next_seq
+    return rd.from_arrow_refs(list(refs)), next_seq

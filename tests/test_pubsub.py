@@ -29,3 +29,21 @@ def test_topics_are_isolated(ray_session):
     b, _ = subscribe("topic_b2")
     assert [r["x"] for r in a.take_all()] == [1]
     assert [r["x"] for r in b.take_all()] == [2]
+
+
+def test_topic_stores_refs_and_evicts(ray_session):
+    """The topic actor holds ObjectRefs (blocks never enter its heap or
+    cross the driver) and evicts oldest blocks beyond retention."""
+    import ray
+
+    from tenzir_ray.stages.pubsub import _topic_actor
+
+    actor = _topic_actor("topic_refs", retention=5)
+    for i in range(8):
+        publish(rd.from_items([{"i": i}]), "topic_refs")
+    wrapped, next_seq, base = ray.get(actor.read.remote(0))
+    refs = wrapped[0]
+    assert all(isinstance(r, ray.ObjectRef) for r in refs)
+    assert len(refs) == 5 and base == 3 and next_seq == 8
+    got, _ = subscribe("topic_refs")
+    assert sorted(r["i"] for r in got.take_all()) == [3, 4, 5, 6, 7]

@@ -27,3 +27,41 @@ def test_serve_pages_and_schema(ray_session):
         assert {c["name"] for c in sch} == {"i", "s"}
     finally:
         h.stop()
+
+
+def test_serve_spools_and_caps(ray_session, tmp_path):
+    """serve never builds a driver-side list of all rows: blocks spool
+    to disk, pages come off the memory-mapped spool, and max_rows
+    bounds the buffer (X-Truncated advertised)."""
+    import glob
+    import urllib.request
+
+    import ray.data as rd
+
+    from tenzir_ray.stages.serve import serve
+
+    ds = rd.from_items([{"i": i} for i in range(10_000)]).repartition(8)
+    spool = str(tmp_path / "spool")
+    import os
+    os.makedirs(spool, exist_ok=True)
+    h = serve(ds, max_rows=2_500, default_limit=1000, spool_dir=spool)
+    try:
+        assert h.truncated and h.total_rows == 2_500
+        assert glob.glob(spool + "/page-*.arrow")
+        seen = 0
+        off = 0
+        while True:
+            r = urllib.request.urlopen(
+                f"http://127.0.0.1:{h.port}/events?offset={off}&limit=999")
+            body = r.read().decode()
+            assert r.headers.get("X-Truncated") == "true"
+            rows = [l for l in body.splitlines() if l]
+            seen += len(rows)
+            nxt = r.headers.get("X-Next-Offset")
+            if nxt is None:
+                break
+            off = int(nxt)
+        assert seen == 2_500
+    finally:
+        h.stop()
+    assert not glob.glob(spool + "/page-*.arrow")  # spool removed on stop

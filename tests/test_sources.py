@@ -236,3 +236,22 @@ def test_load_udp_datagrams(ray_session):
     th.join()
     assert sorted(r["line"] for r in ds.take_all()) == sorted(
         f"dgram {i}" for i in range(5))
+
+
+def test_load_http_pages_from_serve(ray_session):
+    """serve → load_http round-trip with continuation paging
+    (operators/http.cpp:423 load_http against serve.cpp's protocol)."""
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import load_http
+    from tenzir_ray.stages.serve import serve
+
+    ds = rd.from_items([{"i": i, "tag": f"t{i % 3}"} for i in range(2500)])
+    h = serve(ds, default_limit=400)
+    try:
+        got = load_http(f"http://127.0.0.1:{h.port}/events", limit=400)
+        rows = got.take_all()
+    finally:
+        h.stop()
+    assert sorted(r["i"] for r in rows) == list(range(2500))
+    assert {r["tag"] for r in rows} == {"t0", "t1", "t2"}
