@@ -887,6 +887,27 @@ def _tql_pushdown(sf_dir: str):
     return p.run()
 
 
+def _tql_functions(sf_dir: str):
+    """Expression FUNCTION CALLS inside a pure TQL pipeline (the
+    reference evaluates its function library in expressions —
+    src/tql2/eval.cpp:19-24): lower/year/length/round compose with
+    operators and aggregation, all from pipeline text."""
+    from tenzir_ray.pipelines import Pipeline
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    return Pipeline.parse(
+        f"""
+        from {path}
+        where o_totalprice > 150000
+        set pr = lower(o_orderpriority)
+        set yr = to_int(year(o_orderdate))
+        set pl = to_int(length(o_orderpriority))
+        summarize n=count(*), total=sum(o_totalprice) by pr, yr, pl
+        set total = round(total, 2)
+        """
+    ).run()
+
+
 def _embedding_dedup(sf_dir: str):
     """embedding-cosine near-dup removal (sign-LSH buckets + in-bucket
     exact cosine, drop-if-any-lower-id-similar). Axis planes make the
@@ -1086,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cidr_enrich": _cidr_enrich,
         "routed_json": _routed_json,
         "http_roundtrip": _http_roundtrip,
+        "tql_functions": _tql_functions,
         "embedding_dedup": _embedding_dedup,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
@@ -1212,6 +1234,15 @@ def oracle_sql() -> dict[str, str]:
         "http_roundtrip": """
             SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
             FROM events WHERE event_id < 4000 GROUP BY event_type
+        """,
+        "tql_functions": """
+            SELECT lower(o_orderpriority) AS pr,
+                   year(o_orderdate)      AS yr,
+                   length(o_orderpriority) AS pl,
+                   count(*)               AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_totalprice > 150000
+            GROUP BY 1, 2, 3
         """,
         "cidr_enrich": """
             SELECT event_id,

@@ -96,6 +96,155 @@ def compile_expr(src: str):
     )
 
 
+class _Arr:
+    """Wrapper giving Arrow arrays Python operator syntax inside
+    expressions (Arrow arrays don't overload comparisons): every operator
+    maps to the pyarrow.compute kernel. Mixed array/scalar operands work
+    because pc kernels broadcast scalars."""
+
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        self.a = a
+
+
+def _u(v):
+    return v.a if isinstance(v, _Arr) else v
+
+
+def _op(kernel):
+    return lambda self, other: _Arr(kernel(self.a, _u(other)))
+
+
+def _rop(kernel):
+    return lambda self, other: _Arr(kernel(_u(other), self.a))
+
+
+for _name, _k in [("gt", pc.greater), ("ge", pc.greater_equal),
+                  ("lt", pc.less), ("le", pc.less_equal),
+                  ("eq", pc.equal), ("ne", pc.not_equal),
+                  ("add", pc.add), ("sub", pc.subtract),
+                  ("mul", pc.multiply), ("truediv", pc.divide),
+                  ("mod", lambda a, b: pc.subtract(
+                      a, pc.multiply(pc.floor(pc.divide(a, b)), b)),),
+                  ("and", pc.and_), ("or", pc.or_)]:
+    setattr(_Arr, f"__{_name}__", _op(_k))
+for _name, _k in [("radd", pc.add), ("rsub", pc.subtract),
+                  ("rmul", pc.multiply), ("rtruediv", pc.divide)]:
+    setattr(_Arr, f"__{_name}__", _rop(_k))
+_Arr.__invert__ = lambda self: _Arr(pc.invert(self.a))
+_Arr.__neg__ = lambda self: _Arr(pc.negate(self.a))
+
+
+def _expr_funcs() -> dict:
+    """TQL expression function registry (the reference evaluates its
+    function library inside expressions — libtenzir/src/tql2/eval.cpp:
+    19-24, 153 function docs). Every entry is array-level: it takes
+    Arrow arrays / Python scalars and returns an Arrow array, so calls
+    compose with operators through :class:`_Arr`."""
+    from tenzir_ray.functions import (
+        encoding as E, hashing as H, parsing as P, strings as S, time as T,
+    )
+    from tenzir_ray.functions.ip import ip_parse, ip_print, subnet_contains
+
+    return {
+        # strings (pyarrow kernels / functions.strings)
+        "upper": pc.utf8_upper, "lower": pc.utf8_lower,
+        "trim": pc.utf8_trim_whitespace, "capitalize": pc.utf8_capitalize,
+        "length": pc.utf8_length,
+        "starts_with": S.starts_with, "ends_with": S.ends_with,
+        "contains": pc.match_substring, "replace": S.replace,
+        "match_regex": S.match_regex, "split": S.split, "join": S.join,
+        "pad_start": S.pad_start, "pad_end": S.pad_end,
+        # math
+        "round": pc.round, "abs": pc.abs, "sqrt": pc.sqrt,
+        "floor": pc.floor, "ceil": pc.ceil, "exp": pc.exp, "ln": pc.ln,
+        "log10": pc.log10, "power": pc.power,
+        # time
+        "year": pc.year, "month": pc.month, "day": pc.day,
+        "hour": pc.hour, "minute": pc.minute, "second": pc.second,
+        "format_time": T.format_time, "parse_time": T.parse_time,
+        "since_epoch": T.since_epoch, "from_epoch": T.from_epoch,
+        "floor_time": T.floor_time, "round_time": T.round_time,
+        # casts
+        "to_int": lambda a: pc.cast(a, pa.int64()),
+        "to_float": lambda a: pc.cast(a, pa.float64()),
+        "to_string": lambda a: pc.cast(a, pa.string()),
+        # hashing / encoding
+        "md5": H.hash_md5, "sha1": H.hash_sha1, "sha256": H.hash_sha256,
+        "sha512": H.hash_sha512, "hash": H.hash_fast64,
+        "encode_base64": E.encode_base64, "decode_base64": E.decode_base64,
+        "encode_hex": E.encode_hex, "decode_hex": E.decode_hex,
+        # parsing / records / lists / conditionals
+        "parse_json": P.parse_json_col,
+        "get": lambda s, k: pc.struct_field(s, k),
+        "list_length": pc.list_value_length,
+        "list_get": pc.list_element,
+        "if_else": pc.if_else, "coalesce": pc.coalesce,
+        "is_null": pc.is_null,
+        # network
+        "ip": ip_parse, "ip_str": ip_print, "in_subnet": subnet_contains,
+    }
+
+
+def expr_has_calls(src: str) -> bool:
+    return any(isinstance(n, ast.Call)
+               for n in ast.walk(ast.parse(src.strip(), mode="eval")))
+
+
+def compile_array_expr(src: str):
+    """Expression WITH function calls → ``fn(pa.Table) -> pa.Array``.
+    Names bind to table columns (wrapped for operator support), call
+    targets resolve against the whitelisted registry only; attributes
+    and keyword args are rejected. The pads-Expression path
+    (:func:`compile_expr`) stays the scan-pushdown form; this one covers
+    the full function library it can't express."""
+    funcs = _expr_funcs()
+    src = src.strip()
+    tree = ast.parse(src, mode="eval")
+    tree = _BoolRewrite().visit(tree)
+
+    class _Calls(ast.NodeTransformer):
+        def visit_Call(self, node):
+            self.generic_visit(node)
+            if not isinstance(node.func, ast.Name) \
+                    or node.func.id not in funcs:
+                raise ValueError(
+                    f"unknown function in expression {src!r}")
+            if node.keywords:
+                raise ValueError("keyword args not supported in "
+                                 f"expression {src!r}")
+            node.func = ast.Name(id=f"__fn_{node.func.id}", ctx=ast.Load())
+            return node
+
+    tree = ast.fix_missing_locations(_Calls().visit(tree))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Attribute):
+            raise ValueError(f"unsupported construct in {src!r}")
+    col_names = {n.id for n in ast.walk(tree)
+                 if isinstance(n, ast.Name) and not n.id.startswith("__fn_")
+                 and n.id not in ("True", "False", "None")}
+    code = compile(tree, "<expr>", "eval")
+
+    def _wrap(f):
+        return lambda *args: _Arr(f(*[_u(a) for a in args]))
+
+    fenv = {f"__fn_{k}": _wrap(v) for k, v in funcs.items()}
+
+    def fn(t: pa.Table):
+        env = dict(fenv)
+        for n in col_names:
+            env[n] = _Arr(t.column(n))
+        # NB: __import__ stays reachable for pyarrow's internal scalar
+        # inference (decimal import through builtins — see compile_expr)
+        out = eval(code, {"__builtins__": {"__import__": __import__,
+                                           "True": True, "False": False,
+                                           "None": None}}, env)
+        return _u(out)
+
+    return fn
+
+
 def expr_columns(src: str) -> list[str]:
     """Column names referenced by an expression (AST names that aren't
     literals) — used to widen the scan projection for pushed filters."""
@@ -160,7 +309,9 @@ class Pipeline:
             # schema) and are dropped right after the read.
             while i < len(raw):
                 op, rest = raw[i]
-                if op == "where":
+                if op == "where" and not expr_has_calls(rest):
+                    # call-free predicates push into the scan; function
+                    # calls evaluate per batch after the read
                     e = compile_expr(rest)
                     filt = e if filt is None else filt & e
                     filt_cols.update(expr_columns(rest))
@@ -218,6 +369,10 @@ class Pipeline:
     def _compile_step(op: str, rest: str):
         csv = lambda s: [c.strip() for c in s.split(",") if c.strip()]
         if op == "where":
+            if expr_has_calls(rest):
+                fn = compile_array_expr(rest)
+                return lambda ds: ds.map_batches(
+                    lambda t: t.filter(fn(t)), batch_format="pyarrow")
             expr = compile_expr(rest)
             return lambda ds: _apply_expr_filter(ds, expr)
         if op == "select":
@@ -232,8 +387,23 @@ class Pipeline:
             return lambda ds: ds.rename_columns(mapping)
         if op in ("set", "extend"):
             name, _, expr_src = rest.partition("=")
-            expr = compile_expr(expr_src.strip())
             name = name.strip()
+            if expr_has_calls(expr_src):
+                fn = compile_array_expr(expr_src.strip())
+
+                def _proj(t: pa.Table, name=name, fn=fn) -> pa.Table:
+                    arr = fn(t)
+                    if name in t.column_names:
+                        t = t.set_column(
+                            t.column_names.index(name), name, arr)
+                    else:
+                        t = t.append_column(name, arr)
+                    return t.replace_schema_metadata(None) \
+                        if t.schema.metadata else t
+
+                return lambda ds: ds.map_batches(
+                    _proj, batch_format="pyarrow")
+            expr = compile_expr(expr_src.strip())
             return lambda ds: _apply_expr_project(ds, name, expr)
         if op == "sort":
             keys = csv(rest)
@@ -303,6 +473,42 @@ class Pipeline:
             return lambda ds: ops.shell(ds, cmd)
         if op == "pass":
             return lambda ds: ds
+        if op == "enrich":
+            # enrich key=<col>, table=<path.parquet>, field=<lookup col>,
+            # out=<name>[, table_key=<col in table>] — the lookup-table
+            # context enrichment (lookup_table.cpp:221-343) from TQL text
+            kv = dict(p.split("=", 1) for p in csv(rest))
+            import pyarrow.parquet as pq
+
+            lookup = pq.read_table(kv["table"].strip()) \
+                .replace_schema_metadata(None)
+            key = kv["key"].strip()
+            out = kv.get("out", "value").strip()
+            fields = {out: kv["field"].strip()} if "field" in kv else None
+            table_key = kv.get("table_key", key).strip()
+            return lambda ds: ops.enrich(
+                ds, lookup, key=key, fields=fields, lookup_key=table_key,
+                out_field=out)
+        if op in ("parse_kv", "parse_syslog", "parse_cef", "parse_leef"):
+            from tenzir_ray.sources import formats as _fmt
+
+            batch_fn = {
+                "parse_kv": _fmt.parse_kv_batch,
+                "parse_syslog": _fmt.parse_syslog_batch,
+                "parse_cef": _fmt.parse_cef_batch,
+                "parse_leef": _fmt.parse_leef_batch,
+            }[op]
+            col = rest.strip() or "line"
+            return lambda ds: ds.map_batches(
+                lambda t: batch_fn(t, col=col), batch_format="pyarrow")
+        if op == "parse_grok":
+            from tenzir_ray.sources import formats as _fmt
+
+            col, _, pat = rest.strip().partition(" ")
+            pat = pat.strip().strip('"')
+            return lambda ds: ds.map_batches(
+                lambda t: _fmt.parse_grok_batch(t, pat, col=col),
+                batch_format="pyarrow")
         raise ValueError(f"unknown operator {op!r}")
 
     def run(self, ds: Dataset | None = None) -> Dataset:

@@ -171,3 +171,69 @@ def test_from_pushdown_filter_on_unprojected_column(ray_session, tmp_path):
     p = Pipeline.parse(f"from {path} | where k == 1 | select a")
     out = p.run()
     assert sorted(r["a"] for r in out.take_all()) == list(range(1, 20, 2))
+
+
+def test_tql_expression_functions(ray_session):
+    """Function calls in expressions (tql2/eval.cpp analog): whitelist
+    registry, nesting, composition with operators."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = rd.from_items([
+        {"s": "Hello World", "x": 2.345, "n": 7},
+        {"s": "bye", "x": 10.5, "n": 3},
+    ])
+    out = Pipeline.parse(
+        'where contains(s, "o") | set u = upper(s) '
+        '| set r = round(x * (1 - 0.1), 2) | set l = to_int(length(s))'
+    ).run(ds).take_all()
+    assert out == [{"s": "Hello World", "x": 2.345, "n": 7,
+                    "u": "HELLO WORLD", "r": 2.11, "l": 11}]
+
+    # unknown function / attribute access rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        Pipeline.parse("set y = __import__(s)").run(ds)
+    with pytest.raises(ValueError):
+        Pipeline.parse("set y = s.upper()").run(ds)
+
+
+def test_tql_where_with_calls_not_pushed(tmp_path, ray_session):
+    """A leading where WITH calls must not fold into the scan filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines import Pipeline
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"s": ["abc", "xbc", "aq"]}), p)
+    pipe = Pipeline.parse(
+        f'from {p} | where starts_with(s, "a") | set u = upper(s)')
+    _, filt, _ = pipe.source_plan()
+    assert filt is None
+    got = sorted(r["u"] for r in pipe.run().take_all())
+    assert got == ["ABC", "AQ"]
+
+
+def test_tql_enrich_and_parse_ops(tmp_path, ray_session):
+    """enrich + parse_* reachable from pipeline text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ctx = tmp_path / "ctx.parquet"
+    pq.write_table(pa.table({"k": [1, 2], "zone": ["a", "b"]}), ctx)
+    ds = rd.from_items([{"n": 1}, {"n": 2}, {"n": 9}])
+    out = Pipeline.parse(
+        f"enrich key=n, table={ctx}, field=zone, out=zone, table_key=k"
+    ).run(ds).take_all()
+    assert sorted((r["n"], r["zone"]) for r in out) == \
+        [(1, "a"), (2, "b"), (9, None)]
+
+    logs = rd.from_items([{"line": "user=alice action=login"}])
+    kv = Pipeline.parse("parse_kv line").run(logs).take_all()
+    assert kv[0]["kv"] == {"user": "alice", "action": "login"}
