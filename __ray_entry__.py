@@ -887,6 +887,32 @@ def _tql_pushdown(sf_dir: str):
     return p.run()
 
 
+def _path_funcs(sf_dir: str):
+    """path/file functions (builtins/functions/path.cpp:133) + the
+    enumeration type round-trip (type.hpp:930-944 — dictionary-encode
+    then decode must be the identity), all vectorized kernels."""
+    from tenzir_ray.functions import enumtype as EN
+    from tenzir_ray.functions import path as PATH
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        pth = pc.binary_join_element_wise(
+            "/logs/", t["event_type"], "/",
+            pc.cast(t["event_id"], pa.string()), ".json", "")
+        return pa.table({
+            "event_id": t["event_id"],
+            "path": pth,
+            "fname": PATH.file_name(pth),
+            "dir": PATH.parent_dir(pth),
+            "stem": PATH.file_stem(pth),
+            "ext": PATH.file_extension(pth),
+            "et_rt": EN.from_enum(EN.to_enum(t["event_type"])),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _tql_functions(sf_dir: str):
     """Expression FUNCTION CALLS inside a pure TQL pipeline (the
     reference evaluates its function library in expressions —
@@ -920,8 +946,20 @@ def _embedding_dedup(sf_dir: str):
     # 0.485 actually drops rows in the synthetic data and sits in a wide
     # empty gap of the same-bucket cosine distribution at every sf
     # (nearest pair ≥ 0.003 away → float rounding can't flip a decision)
+    # dim from file metadata + one tiny page read — no Ray setup
+    # executions (the pipeline itself runs exactly once)
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    vt = pq.read_schema(path).field("embedding").type
+    if pa.types.is_fixed_size_list(vt):
+        dim = vt.list_size
+    else:
+        first = next(pq.ParquetFile(path).iter_batches(
+            batch_size=1, columns=["embedding"]))
+        dim = len(first.column(0)[0])
     return embedding_dedup(ds, threshold=0.485, n_planes=4, planes="axis",
-                           dtype=np.float64)
+                           dtype=np.float64, dim=dim)
 
 
 def _ivf_ann(sf_dir: str):
@@ -1108,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routed_json": _routed_json,
         "http_roundtrip": _http_roundtrip,
         "tql_functions": _tql_functions,
+        "path_funcs": _path_funcs,
         "embedding_dedup": _embedding_dedup,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
@@ -1234,6 +1273,22 @@ def oracle_sql() -> dict[str, str]:
         "http_roundtrip": """
             SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
             FROM events WHERE event_id < 4000 GROUP BY event_type
+        """,
+        "path_funcs": """
+            WITH p AS (
+                SELECT event_id, event_type,
+                       '/logs/' || event_type || '/' || event_id
+                       || '.json' AS path
+                FROM events)
+            SELECT event_id, path,
+                   regexp_replace(path, '^.*/', '')    AS fname,
+                   regexp_replace(path, '/[^/]*$', '') AS dir,
+                   regexp_replace(regexp_replace(path, '^.*/', ''),
+                                  '\\.[^.]*$', '')      AS stem,
+                   regexp_extract(regexp_replace(path, '^.*/', ''),
+                                  '(\\.[^.]*)$', 1)     AS ext,
+                   event_type                           AS et_rt
+            FROM p
         """,
         "tql_functions": """
             SELECT lower(o_orderpriority) AS pr,

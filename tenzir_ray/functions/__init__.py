@@ -7,9 +7,10 @@ pyarrow.compute kernels where they exist; numpy/hashlib fallbacks where not.
 """
 
 from tenzir_ray.functions import (
-    compress, encoding, hashing, ip, lists, math, misc, network, ocsf,
-    parsing, records, strings, time,
+    compress, encoding, enumtype, hashing, ip, lists, math, misc, network,
+    ocsf, parsing, path, records, strings, time,
 )
 
 __all__ = ["strings", "time", "hashing", "encoding", "lists", "math",
-           "network", "parsing", "ip", "records", "misc", "ocsf", "compress"]
+           "network", "parsing", "ip", "records", "misc", "ocsf", "compress",
+           "path", "enumtype"]

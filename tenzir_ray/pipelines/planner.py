@@ -143,7 +143,8 @@ def _expr_funcs() -> dict:
     Arrow arrays / Python scalars and returns an Arrow array, so calls
     compose with operators through :class:`_Arr`."""
     from tenzir_ray.functions import (
-        encoding as E, hashing as H, parsing as P, strings as S, time as T,
+        encoding as E, enumtype as EN, hashing as H, parsing as P,
+        path as PATH, strings as S, time as T,
     )
     from tenzir_ray.functions.ip import ip_parse, ip_print, subnet_contains
 
@@ -184,6 +185,14 @@ def _expr_funcs() -> dict:
         "is_null": pc.is_null,
         # network
         "ip": ip_parse, "ip_str": ip_print, "in_subnet": subnet_contains,
+        # path/file (builtins/functions/path.cpp)
+        "file_name": PATH.file_name, "parent_dir": PATH.parent_dir,
+        "file_stem": PATH.file_stem, "file_extension": PATH.file_extension,
+        # enumeration type (type.hpp:930-944)
+        "to_enum": EN.to_enum, "from_enum": EN.from_enum,
+        # string concat (variadic)
+        "concat": lambda *a: pc.binary_join_element_wise(
+            *[x if not isinstance(x, str) else x for x in a], ""),
     }
 
 

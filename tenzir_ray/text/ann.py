@@ -132,6 +132,8 @@ def embedding_dedup(
     planes: str | np.ndarray = "random",
     target_bucket: int = 256,
     dtype=np.float32,
+    dim: int | None = None,
+    count: int | None = None,
 ) -> Dataset:
     """Embedding-cosine near-duplicate removal: LSH-bucket the corpus
     (sign hyperplanes — cosine-similar vectors land in the same sign
@@ -152,9 +154,26 @@ def embedding_dedup(
 
     import pyarrow.compute as pc
 
-    dim = len(ds.take(1)[0][vec_col])
+    if dim is None:
+        # fixed-size-list schemas carry the dim — no execution at all;
+        # a plain list schema needs one streamed row (take(1) early-stops
+        # after the first block). Callers with parquet inputs should pass
+        # dim/count from file metadata (footer-only) instead.
+        vtype = None
+        try:
+            sch = ds.schema()
+            vtype = sch.base_schema.field(vec_col).type \
+                if hasattr(sch, "base_schema") else None
+        except Exception:
+            vtype = None
+        if vtype is not None and pa.types.is_fixed_size_list(vtype):
+            dim = vtype.list_size
+        else:
+            dim = len(ds.take(1)[0][vec_col])
     if n_planes is None:
-        n_planes = _auto_n_planes(ds.count(), target_bucket)
+        # pure parquet reads answer count() from metadata (no execution)
+        n_planes = _auto_n_planes(
+            count if count is not None else ds.count(), target_bucket)
     if isinstance(planes, np.ndarray):
         plane_mat = planes
     elif planes == "axis":

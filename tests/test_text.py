@@ -256,3 +256,38 @@ def test_minhash_bucketed_matches_broadcast(ray_session):
     b = sorted(r["doc_id"] for r in
                minhash_lsh_dedup(ds, max_broadcast_bytes=1).take_all())
     assert a == b
+
+
+def test_embedding_dedup_single_execution(ray_session):
+    """With dim (and n_planes) provided, embedding_dedup must execute
+    its upstream exactly ONCE — no take(1)/count() setup executions."""
+    import ray
+
+    from tenzir_ray.text.ann import embedding_dedup
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def bump(self, k):
+            self.n += k
+            return self.n
+
+        def get(self):
+            return self.n
+
+    c = Counter.remote()
+    rng = np.random.default_rng(3)
+    rows = [{"vec_id": i, "embedding": rng.standard_normal(8).tolist()}
+            for i in range(64)]
+    ds = rd.from_items(rows).repartition(4)
+
+    def counting(t: pa.Table) -> pa.Table:
+        ray.get(c.bump.remote(t.num_rows))
+        return t
+
+    wrapped = ds.map_batches(counting, batch_format="pyarrow")
+    out = embedding_dedup(wrapped, threshold=0.99, n_planes=3, dim=8)
+    assert out.count() >= 1
+    assert ray.get(c.get.remote()) == 64  # every row seen exactly once
