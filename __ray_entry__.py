@@ -375,6 +375,28 @@ def _simhash_docs(sf_dir: str):
     return simhash_dedup(ds, "doc_id", "text")
 
 
+def _simhash_near_docs(sf_dir: str):
+    """Banded Hamming-≤3 SimHash near-dup dedup (pigeonhole-exact
+    banding), checked against a sequential plain-Python O(n²) popcount
+    reimplementation (text/sequential.py) joined back to documents."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text import simhash_near_dedup
+    from tenzir_ray.text.sequential import simhash_near_seq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+        _write_oracle("simhash_near_docs", simhash_near_seq(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(), k=3))
+    else:
+        _skip_oracle("simhash_near_docs")
+    ds = _read(sf_dir, "documents")
+    return simhash_near_dedup(ds, "doc_id", "text", k=3) \
+        .select_columns(["doc_id"])
+
+
 def _ann_topk(sf_dir: str):
     """brute-force cosine top-k against broadcast queries (float64 so the
     selected id set matches the fp64 SQL oracle; scores dropped — the
@@ -1120,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality": _lang_quality,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
+        "simhash_near_docs": _simhash_near_docs,
         "ann_topk": _ann_topk,
         "flatten_unflatten": _flatten_unflatten,
         "agg_extended": _agg_extended,
@@ -1260,6 +1283,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/simhash_docs.parquet'
+        """,
+        "simhash_near_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/simhash_near_docs.parquet'
         """,
         "minhash_dedup_docs": """
             SELECT d.* FROM documents d

@@ -11,6 +11,7 @@ from tenzir_ray.text.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     simhash_dedup,
+    simhash_near_dedup,
 )
 from tenzir_ray.text.quality import analyze_documents
 from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf_search, ivf_write
@@ -21,6 +22,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "simhash_dedup",
+    "simhash_near_dedup",
     "analyze_documents",
     "ann_cosine_topk",
     "embedding_dedup",

@@ -544,12 +544,119 @@ def simhash_batch(
     return pa.table({id_col: pa.array(ids), "simhash": pa.array(out, pa.uint64())})
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (byte-LUT; numpy<2 has no bitwise_count)."""
+    return _POP8[np.ascontiguousarray(x).view(np.uint8)
+                 .reshape(*x.shape, 8)].sum(axis=-1).astype(np.int64)
+
+
+def simhash_near_dedup(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, ngram: int = 2, max_broadcast_bytes: int | None = None,
+) -> Dataset:
+    """Banded Hamming-distance-≤k SimHash near-dup removal.
+
+    The 64 signature bits split into ``k+1`` bands; by pigeonhole, ANY
+    pair within Hamming distance ≤ k agrees exactly on at least one
+    band, so the band ``groupby`` finds every qualifying pair — banding
+    here is EXACT (zero recall loss), unlike probabilistic MinHash-LSH.
+    Within each (band, band_value) bucket the full signatures verify
+    pairwise with one vectorized XOR-popcount matrix; a doc is dropped
+    iff some LOWER-id doc sits within distance k (the deterministic,
+    oracle-checkable rule shared with embedding_dedup). Finalization
+    goes through :func:`anti_filter_ids` (broadcast below the cap,
+    Bloom-bucketed above it).
+
+    Bucket sizes: random corpora spread across 2^(64/(k+1)) band values;
+    duplicate clusters concentrate — the in-bucket O(b²) verify is the
+    same locality/size tradeoff as embedding_dedup's in-bucket pass."""
+    import functools
+
+    from ray.data.aggregate import Min
+
+    sigs = ds.map_batches(
+        functools.partial(simhash_batch, id_col=id_col, text_col=text_col,
+                          ngram=ngram),
+        batch_format="pyarrow",
+    )
+    n_bands = k + 1
+    bounds = np.linspace(0, 64, n_bands + 1).astype(np.int64)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        sh = t.column("simhash").to_numpy().astype(np.uint64)
+        ids = t.column(id_col).to_numpy()
+        parts = []
+        for b in range(n_bands):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            w = hi - lo
+            mask = np.uint64(2**64 - 1) if w >= 64 else \
+                np.uint64((1 << w) - 1)
+            # band index folded into the top bits (free for n_bands>1:
+            # band values are ≤ 32 bits wide) → ONE groupby key; the
+            # single-band k=0 case keeps the raw 64-bit value
+            v = (sh >> np.uint64(lo)) & mask
+            if n_bands > 1:
+                v = v | (np.uint64(b) << np.uint64(58))
+            parts.append(v)
+        vals = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        return pa.table({
+            id_col: pa.array(np.tile(ids, n_bands)),
+            "simhash": pa.array(np.tile(sh, n_bands), pa.uint64()),
+            "band_val": pa.array(vals.view(np.int64), pa.int64()),
+        })
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"__drop_id": pa.array([], pa.int64()),
+                          "__rep": pa.array([], pa.int64())})
+        if g.num_rows < 2:
+            return empty
+        ids = g.column(id_col).to_numpy()
+        sh = g.column("simhash").to_numpy().astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        close = _popcount64(sh[:, None] ^ sh[None, :]) <= k
+        lower = np.tril(close, k=-1)       # pairs (i, j<i)
+        has = lower.any(axis=1)
+        if not has.any():
+            return empty
+        firstj = lower.argmax(axis=1)      # min qualifying id (sorted)
+        return pa.table({
+            "__drop_id": pa.array(ids[has].astype(np.int64)),
+            "__rep": pa.array(ids[firstj[has]].astype(np.int64)),
+        })
+
+    pairs = (
+        sigs.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("band_val")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # dedupe across bands (a pair can collide in several bands)
+    uniq = pairs.groupby("__drop_id").aggregate(
+        Min(on="__rep", alias_name="__rep"))
+
+    def norm(t: pa.Table) -> pa.Table:
+        if "__drop_id" not in t.column_names:  # empty aggregate partition
+            return pa.table({"__drop_id": pa.array([], pa.int64()),
+                             "__rep": pa.array([], pa.int64())})
+        return pa.table({
+            "__drop_id": pc.cast(t.column("__drop_id"), pa.int64()),
+            "__rep": pc.cast(t.column("__rep"), pa.int64()),
+        })
+
+    drops = uniq.map_batches(norm, batch_format="pyarrow")
+    return anti_filter_ids(ds, drops, id_col, "__drop_id",
+                           max_broadcast_bytes=max_broadcast_bytes)
+
+
 def simhash_dedup(
     ds: Dataset, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2
 ) -> Dataset:
     """Exact-simhash dedup (Hamming distance 0): groupby simhash, keep min
-    id. The banded-Hamming (distance ≤ k) extension reuses the LSH
-    pattern: split the 64 bits into k+1 bands and bucket-join."""
+    id. The distance-≤k form is :func:`simhash_near_dedup` (banded
+    Hamming with pigeonhole-exact recall)."""
     import functools
 
     sigs = ds.map_batches(

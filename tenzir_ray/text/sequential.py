@@ -51,6 +51,41 @@ def simhash_seq(doc_ids: list, texts: list, ngram: int = 2) -> pa.Table:
     })
 
 
+def _simhash_one(txt: str | None, ngram: int) -> int:
+    """One doc's 64-bit SimHash, plain-Python bit counting (None → 0,
+    matching the engine's simhash_batch zero-signature for null text)."""
+    if txt is None:
+        return 0
+    sh = _shingle_hashes(txt, ngram)
+    counts = [0] * 64
+    for h in sh.tolist():
+        for b in range(64):
+            if (h >> b) & 1:
+                counts[b] += 1
+    n = len(sh)
+    sim = 0
+    for b in range(64):
+        if 2 * counts[b] - n > 0:
+            sim |= 1 << b
+    return sim
+
+
+def simhash_near_seq(doc_ids: list, texts: list, k: int = 3,
+                     ngram: int = 2) -> pa.Table:
+    """Sequential banded-Hamming oracle: survivors of the
+    drop-iff-any-lower-id-within-distance-k rule, via the plain O(n²)
+    pairwise popcount (banding is pigeonhole-exact, so the band-free
+    quadratic rule is the same set)."""
+    order = sorted(range(len(doc_ids)), key=lambda i: doc_ids[i])
+    sigs = [(doc_ids[i], _simhash_one(texts[i], ngram)) for i in order]
+    keep: list[int] = []
+    for idx, (i, s) in enumerate(sigs):
+        # rule: drop i iff ANY lower-id doc (kept or dropped) is within k
+        if not any(bin(s ^ s2).count("1") <= k for _j, s2 in sigs[:idx]):
+            keep.append(i)
+    return pa.table({"doc_id": pa.array(sorted(keep), pa.int64())})
+
+
 def minhash_dedup_seq(
     doc_ids: list, texts: list,
     num_perm: int = 64, bands: int = 16, ngram: int = 3,

@@ -291,3 +291,29 @@ def test_embedding_dedup_single_execution(ray_session):
     out = embedding_dedup(wrapped, threshold=0.99, n_planes=3, dim=8)
     assert out.count() >= 1
     assert ray.get(c.get.remote()) == 64  # every row seen exactly once
+
+
+def test_simhash_near_dedup_matches_sequential(ray_session):
+    """Banded Hamming-≤k == plain O(n²) rule (pigeonhole exactness)."""
+    from tenzir_ray.text import simhash_near_dedup
+    from tenzir_ray.text.sequential import simhash_near_seq
+
+    rng = np.random.default_rng(21)
+    words = ["w%d" % i for i in range(12)]
+    texts = []
+    for i in range(150):
+        if i % 4 == 1 and texts:
+            base = texts[-1].split()
+            base[rng.integers(0, len(base))] = words[rng.integers(0, 12)]
+        else:
+            base = [words[rng.integers(0, 12)] for _ in range(25)]
+        texts.append(" ".join(base))
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(5)
+    for k in (0, 1, 3):
+        got = sorted(r["doc_id"]
+                     for r in simhash_near_dedup(ds, k=k).take_all())
+        exp = simhash_near_seq(
+            list(range(150)), texts, k=k).column("doc_id").to_pylist()
+        assert got == exp, k
