@@ -909,6 +909,18 @@ def _tql_pushdown(sf_dir: str):
     return p.run()
 
 
+def _windowed_agg(sf_dir: str):
+    """Tumbling event-time windowed aggregation (summarize_window — the
+    deterministic batch form of summarize's timeout windows,
+    operators/summarize.cpp:100-142)."""
+    from tenzir_ray.stages.window import summarize_window
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return summarize_window(
+        ds, "ts", "6h", by="event_type",
+        n="count", vmax=("max", "value"))
+
+
 def _path_funcs(sf_dir: str):
     """path/file functions (builtins/functions/path.cpp:133) + the
     enumeration type round-trip (type.hpp:930-944 — dictionary-encode
@@ -1170,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "http_roundtrip": _http_roundtrip,
         "tql_functions": _tql_functions,
         "path_funcs": _path_funcs,
+        "windowed_agg": _windowed_agg,
         "embedding_dedup": _embedding_dedup,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
@@ -1299,6 +1312,11 @@ def oracle_sql() -> dict[str, str]:
         "http_roundtrip": """
             SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
             FROM events WHERE event_id < 4000 GROUP BY event_type
+        """,
+        "windowed_agg": """
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS window,
+                   event_type, count(*) AS n, max(value) AS vmax
+            FROM events GROUP BY 1, 2
         """,
         "path_funcs": """
             WITH p AS (

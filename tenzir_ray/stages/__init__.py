@@ -16,6 +16,7 @@ from tenzir_ray.stages.pubsub import publish, subscribe
 from tenzir_ray.stages.serve import serve
 from tenzir_ray.stages.yara import compile_rules as yara_compile_rules
 from tenzir_ray.stages.yara import yara_match
+from tenzir_ray.stages.window import TimeoutSummarize, summarize_window
 from tenzir_ray.stages.ops import (
     assert_,
     batch,
@@ -53,7 +54,7 @@ from tenzir_ray.stages.ops import (
 
 __all__ = [
     "where", "select", "drop", "rename", "set_", "summarize",
-    "summarize_partial", "sort",
+    "summarize_partial", "summarize_window", "TimeoutSummarize", "sort",
     "head", "tail", "slice_", "deduplicate", "top", "rare", "enumerate_",
     "unroll", "flatten", "unflatten", "enrich", "taste", "timeshift",
     "sample", "reverse", "semi_join", "semi_join_ds", "repeat", "measure",

@@ -1,0 +1,57 @@
+"""Windowed aggregation (summarize timeout/window flush analog,
+operators/summarize.cpp:100-142)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from tenzir_ray.stages.window import TimeoutSummarize, summarize_window
+
+
+def test_summarize_window_tumbling(ray_session):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [{"ts": base + dt.timedelta(minutes=37 * i), "k": "a" if i % 2 else "b",
+             "v": float(i)} for i in range(40)]
+    out = summarize_window(
+        rd.from_items(rows), "ts", "1h", by="k",
+        n="count", s=("sum", "v")).take_all()
+    # independent dict-based expectation
+    exp = {}
+    for r in rows:
+        w = r["ts"].replace(minute=0, second=0, microsecond=0)
+        slot = exp.setdefault((w, r["k"]), [0, 0.0])
+        slot[0] += 1
+        slot[1] += r["v"]
+    got = {(r["window"], r["k"]): [r["n"], r["s"]] for r in out}
+    assert got == exp
+
+
+def test_timeout_summarize_flushes():
+    clock = [0.0]
+    ts = TimeoutSummarize(
+        "k", {"n": "count", "s": ("sum", "v"), "mn": ("min", "v"),
+              "avg": ("mean", "v")},
+        created_timeout=10.0, update_timeout=4.0, clock=lambda: clock[0])
+
+    t1 = pa.table({"k": ["a", "a", "b"], "v": [1.0, 2.0, 5.0]})
+    assert ts.feed(t1).num_rows == 0
+    clock[0] = 3.0
+    t2 = pa.table({"k": ["a"], "v": [3.0]})          # refreshes only 'a'
+    assert ts.feed(t2).num_rows == 0
+    clock[0] = 6.9                     # b idle 6.9s > 4s; a idle 3.9s < 4s
+    out = ts.poll()
+    assert out.to_pylist() == [{"k": "b", "n": 1, "s": 5.0, "mn": 5.0,
+                                "avg": 5.0}]
+    clock[0] = 10.5                                   # a created 10.5s ago
+    out2 = ts.poll()
+    assert out2.to_pylist() == [{"k": "a", "n": 3, "s": 6.0, "mn": 1.0,
+                                 "avg": 2.0}]
+    assert ts.flush().num_rows == 0
+
+
+def test_timeout_summarize_flush_drains():
+    ts = TimeoutSummarize("k", {"n": "count"}, update_timeout=100.0)
+    ts.feed(pa.table({"k": ["x", "y", "x"]}))
+    got = sorted(ts.flush().to_pylist(), key=lambda r: r["k"])
+    assert got == [{"k": "x", "n": 2}, {"k": "y", "n": 1}]
