@@ -140,6 +140,7 @@ def bench_queries() -> dict[str, float]:
         "tql_pipeline", "semi_join_orders", "parse_props",
         "embedding_dedup", "agg_extended2", "tql_pushdown",
         "cidr_enrich", "routed_json",
+        "tql_functions", "windowed_agg", "path_funcs", "simhash_near_docs",
     ]
     out: dict[str, float] = {}
     for name in names:
