@@ -510,6 +510,21 @@ class Pipeline:
             col = rest.strip() or "line"
             return lambda ds: ds.map_batches(
                 lambda t: batch_fn(t, col=col), batch_format="pyarrow")
+        if op == "sigma":
+            # sigma <rules.yml> — YAML file with one rule document or a
+            # stream of documents (operators/sigma.cpp; rules compile
+            # once per actor inside sigma_match)
+            import yaml
+
+            from tenzir_ray.stages.sigma import sigma_match
+
+            path = rest.strip().strip('"')
+            with open(path) as fh:
+                docs = [d for d in yaml.safe_load_all(fh) if d]
+            rules = {
+                d.get("title", f"rule{i}"): d for i, d in enumerate(docs)
+            }
+            return lambda ds: sigma_match(ds, rules)
         if op == "parse_grok":
             from tenzir_ray.sources import formats as _fmt
 

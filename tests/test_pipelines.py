@@ -237,3 +237,33 @@ def test_tql_enrich_and_parse_ops(tmp_path, ray_session):
     logs = rd.from_items([{"line": "user=alice action=login"}])
     kv = Pipeline.parse("parse_kv line").run(logs).take_all()
     assert kv[0]["kv"] == {"user": "alice", "action": "login"}
+
+
+def test_tql_sigma_operator(tmp_path, ray_session):
+    """sigma reachable from pipeline text (rules from a YAML file)."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    rules = tmp_path / "rules.yml"
+    rules.write_text(
+        "title: high_sev\n"
+        "detection:\n"
+        "  selection:\n"
+        "    level: critical\n"
+        "  condition: selection\n"
+        "---\n"
+        "title: bad_user\n"
+        "detection:\n"
+        "  selection:\n"
+        "    user: mallory\n"
+        "  condition: selection\n"
+    )
+    ds = rd.from_items([
+        {"level": "critical", "user": "alice"},
+        {"level": "info", "user": "mallory"},
+        {"level": "info", "user": "bob"},
+    ])
+    out = Pipeline.parse(f"sigma {rules}").run(ds).take_all()
+    got = {r["user"]: r["sigma_rules"] for r in out}
+    assert got == {"alice": ["high_sev"], "mallory": ["bad_user"]}
