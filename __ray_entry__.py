@@ -133,6 +133,7 @@ def _q1_summarize(sf_dir: str):
     out = ops.summarize(
         ds,
         ["l_returnflag", "l_linestatus"],
+        combine="auto",  # 6 groups: shuffle-free partial/combine
         sum_qty=("sum", "l_quantity"),
         sum_price=("sum", "l_extendedprice"),
         min_ship=("min", "l_shipdate"),
@@ -181,7 +182,8 @@ def _set_revenue(sf_dir: str):
             t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
         ),
     )
-    out = ops.summarize(ds, "l_returnflag", revenue=("sum", "revenue"), n="count")
+    out = ops.summarize(ds, "l_returnflag", combine="auto",
+                        revenue=("sum", "revenue"), n="count")
     return ops.set_(out, revenue=lambda t: pc.round(t["revenue"], 2))
 
 
@@ -278,7 +280,8 @@ def _hourly_events(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["ts", "user_id"])
     ds = ops.set_(ds, hour=lambda t: pc.floor_temporal(t["ts"], unit="hour"))
-    return ops.summarize(ds, "hour", n="count", users=("max", "user_id"))
+    return ops.summarize(ds, "hour", combine="auto",
+                         n="count", users=("max", "user_id"))
 
 
 def _unroll_embeddings(sf_dir: str):

@@ -453,7 +453,10 @@ class Pipeline:
                 else:
                     aggs[alias] = (fn, col)
             by = csv(m.group("by")) if m.group("by") else None
-            return lambda ds: ops.summarize(ds, by, **aggs)
+            # TQL summarize keys are typically low-cardinality (type/route/
+            # flag): auto routes algebraic aggs through the shuffle-free
+            # partial path; high-card grouping belongs on the Python API
+            return lambda ds: ops.summarize(ds, by, combine="auto", **aggs)
         if op == "distinct":
             cols2 = csv(rest)
             return lambda ds: ops.distinct(ds, *cols2)

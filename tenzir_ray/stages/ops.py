@@ -415,6 +415,7 @@ def summarize_partial(ds: Dataset, by: list[str] | str,
 def summarize(
     ds: Dataset, by: list[str] | str | None,
     order_by: list[str] | None = None,
+    combine: str = "hash",
     **aggs: tuple[str, str] | str,
 ) -> Dataset:
     """Grouped aggregation (operators/summarize.cpp:79-142).
@@ -424,6 +425,13 @@ def summarize(
     Parametrized aggregations take a 3-tuple: ``q90=("quantile", "x", 0.9)``.
     Ray pre-aggregates per block before the shuffle (hash aggregate), the
     same partial/final split the reference implements by hand.
+
+    ``combine="auto"`` routes all-algebraic aggregations (count/sum/min/
+    max/mean) through :func:`summarize_partial` — no all-to-all exchange,
+    no empty schema-less aggregate partitions. Right when the group
+    count is small (type/flag/route keys, the typical summarize);
+    HIGH-cardinality keys should keep ``combine="hash"`` (partial size
+    is groups × blocks, reduced in one task).
 
     Aggregations Ray lacks natively (count_distinct, distinct, collect,
     mode, first/last, any/all, median — reference SURVEY §2.7) fall back
@@ -441,6 +449,9 @@ def summarize(
         parsed.append((alias, fn, col, param))
     native = all(fn in _AGGS and fn != "median" for _a, fn, _c, _p in parsed)
     by = [by] if isinstance(by, str) else by
+    if combine == "auto" and by is not None and all(
+            fn in _PARTIAL_FNS for _a, fn, _c, _p in parsed):
+        return summarize_partial(ds, by, **aggs)
     if native:
         specs = []
         for alias, fn, col, _param in parsed:

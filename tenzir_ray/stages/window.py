@@ -41,6 +41,7 @@ def summarize_window(
     ds: Dataset, time_col: str, every: str,
     by: list[str] | str | None = None,
     window_col: str = "window",
+    combine: str = "auto",
     **aggs,
 ) -> Dataset:
     """Tumbling event-time windowed aggregation: one vectorized
@@ -56,7 +57,7 @@ def summarize_window(
         return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     return summarize(ds.map_batches(tag, batch_format="pyarrow"),
-                     [window_col] + by, **aggs)
+                     [window_col] + by, combine=combine, **aggs)
 
 
 class TimeoutSummarize:
