@@ -617,6 +617,68 @@ def load_http(url: str, *, params: dict | None = None,
     return rd.from_arrow([conform(t) for t in tables])
 
 
+def write_bitz(ds, path: str) -> None:
+    """``bitz`` analog — the reference's internal wire format is a
+    self-framed stream of serialized batches (read_bitz.mdx / bitz
+    plugin: length-prefixed FlatBuffers-wrapped record batches, built
+    for cheap catenation). Here: each frame is ``uint32 LE length`` +
+    one Arrow IPC stream holding one batch; one file per block
+    (partitioned, resumable), and FILES CONCATENATE — ``cat a b > c``
+    is a valid bitz file."""
+    import os
+    import struct
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, t.schema) as w:
+                w.write_table(t)
+            payload = sink.getvalue().to_pybytes()
+            name = os.path.join(path, f"part-{uuid.uuid4().hex}.bitz")
+            with open(name + ".tmp", "wb") as f:
+                f.write(struct.pack("<I", len(payload)))
+                f.write(payload)
+            os.rename(name + ".tmp", name)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(_write, batch_format="pyarrow").materialize()
+
+
+def read_bitz(paths):
+    """Read ``bitz`` files (see :func:`write_bitz`): parse the length-
+    prefixed frames, one Arrow table per frame. Distributed: one read
+    task per file via ``read_binary_files`` + a frame-splitting
+    flat-map."""
+    import struct
+
+    import ray.data as rd
+
+    def split_frames(t: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        for raw in t.column("bytes").to_pylist():
+            off = 0
+            while off + 4 <= len(raw):
+                (n,) = struct.unpack_from("<I", raw, off)
+                off += 4
+                buf = raw[off:off + n]
+                off += n
+                with pa.ipc.open_stream(pa.py_buffer(buf)) as r:
+                    out.append(r.read_all())
+        if not out:
+            return pa.table({})
+        uni = pa.unify_schemas([x.schema for x in out],
+                               promote_options="permissive")
+        return pa.concat_tables(
+            [x.cast(uni) if x.schema != uni else x for x in out],
+            promote_options="permissive")
+
+    return rd.read_binary_files(paths, file_extensions=["bitz"]) \
+        .map_batches(split_frames, batch_format="pyarrow")
+
+
 def read_tsv(paths, **kw):
     """TSV (read_tsv.mdx) — csv with tab delimiter."""
     import ray.data as rd

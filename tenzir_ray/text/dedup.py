@@ -23,10 +23,11 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 @functools.lru_cache(maxsize=8)
-def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+def _perm_params(num_perm: int, seed: int = 1337) -> tuple[np.ndarray, np.ndarray]:
     """Permutation constants derived once per process (actor), not per
-    batch — deterministic (fixed seed) so every worker agrees."""
-    rng = np.random.default_rng(1337)
+    batch — deterministic (fixed seed) so every worker agrees. Distinct
+    seeds give independent permutation families (multi-probe LSH)."""
+    rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
@@ -291,6 +292,7 @@ def exact_dedup_wide(
 def minhash_lsh_candidates(
     ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 64, bands: int = 16, ngram: int = 3,
+    seed: int = 1337,
 ) -> Dataset:
     """Near-dup candidate groups via MinHash-LSH: per-batch signatures in
     an actor pool (permutations compiled once), explode to band rows,
@@ -301,7 +303,7 @@ def minhash_lsh_candidates(
     banded = ds.map_batches(
         functools.partial(
             _minhash_batch, id_col=id_col, text_col=text_col,
-            num_perm=num_perm, bands=bands, ngram=ngram,
+            num_perm=num_perm, bands=bands, ngram=ngram, seed=seed,
         ),
         batch_format="pyarrow",
         batch_size=1024,  # bounds the (num_perm × shingles) work matrix
@@ -324,14 +326,16 @@ def minhash_lsh_candidates(
     )
 
 
-def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands, ngram) -> pa.Table:
+def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands,
+                   ngram, seed: int = 1337,
+                   band_offset: int = 0) -> pa.Table:
     """Batch-vectorized minhash banding: shingles of ALL docs are hashed
     in one ``hash_array`` call, all permutations applied as one
     ``(P, total_shingles)`` modular matmul, and per-doc minima taken with
     ``np.minimum.reduceat`` over the doc segments — ~10× the per-doc-loop
     throughput. Memory is P × total_shingles × 8B, so keep map_batches
     ``batch_size`` ≲ 1k docs."""
-    a, b = _perm_params(num_perm)
+    a, b = _perm_params(num_perm, seed)
     r = num_perm // bands
     ids = t.column(id_col).to_pylist()
     texts = t.column(text_col).to_pylist()
@@ -357,7 +361,9 @@ def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands, ngram) -> 
     ).astype(np.int64)
     return pa.table({
         "doc": pa.array(np.repeat(np.array(doc_ids, np.int64), bands)),
-        "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), len(doc_ids))),
+        "band": pa.array(np.tile(
+            np.arange(band_offset, band_offset + bands, dtype=np.int64),
+            len(doc_ids))),
         "band_key": pa.array(keys, pa.int64()),
     })
 
@@ -374,6 +380,7 @@ def minhash_lsh_dedup(
     num_perm: int = 64, bands: int = 16, ngram: int = 3,
     verify_threshold: float | None = None,
     max_broadcast_bytes: int | None = None,
+    seeds: tuple[int, ...] = (1337,),
 ) -> Dataset:
     """Full near-dup dedup: LSH candidates → union into duplicate sets via
     min-label (each doc keeps the min candidate-group id it ever sees) →
@@ -398,14 +405,24 @@ def minhash_lsh_dedup(
     import ray
     from ray.data.aggregate import Min
 
-    banded = ds.map_batches(
-        functools.partial(
-            _minhash_batch, id_col=id_col, text_col=text_col,
-            num_perm=num_perm, bands=bands, ngram=ngram,
-        ),
-        batch_format="pyarrow",
-        batch_size=1024,
-    )
+    # multi-probe: independent permutation families union their band
+    # rows; per-seed band indices are offset so buckets never collide
+    # across probes. Candidate pairs (hence drops) are a SUPERSET of any
+    # single probe's — recall rises with each seed, cost is linear.
+    probes = []
+    for pi, seed in enumerate(seeds):
+        probes.append(ds.map_batches(
+            functools.partial(
+                _minhash_batch, id_col=id_col, text_col=text_col,
+                num_perm=num_perm, bands=bands, ngram=ngram, seed=seed,
+                band_offset=pi * bands,
+            ),
+            batch_format="pyarrow",
+            batch_size=1024,
+        ))
+    banded = probes[0]
+    for p in probes[1:]:
+        banded = banded.union(p)
 
     def add_salt(t: pa.Table) -> pa.Table:
         salt = pc.bit_wise_and(t.column("band_key"), 255)
@@ -669,3 +686,71 @@ def simhash_dedup(
         return g.slice(0, 1)
 
     return sigs.groupby("simhash").map_groups(first, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- recall metric
+
+
+def minhash_lsh_recall(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
+    ngram: int = 3, sample: int = 512,
+    seeds: tuple[int, ...] = (1337, 7331, 990001),
+) -> dict:
+    """Measured LSH candidate recall on a corpus sample: what fraction of
+    TRUE near-dup pairs (exact n-gram Jaccard ≥ threshold) collide in at
+    least one band — per probe seed, and cumulatively as probes union
+    (multi-probe). Deliberately a driver-side sample diagnostic (O(s²)
+    exact Jaccard ground truth); use it to choose (num_perm, bands,
+    seeds) before a full run, not inside one.
+
+    Returns ``{"true_pairs": n, "recall_per_seed": [...],
+    "recall_cumulative": [...], "sample": s}``."""
+    rows = ds.limit(sample).take_all()
+    ids = [r[id_col] for r in rows]
+    texts = [r[text_col] for r in rows]
+    grams = [_token_ngrams(t or "", ngram) for t in texts]
+
+    true_pairs: set[tuple] = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            gi, gj = grams[i], grams[j]
+            if not gi and not gj:
+                continue
+            jac = len(gi & gj) / max(1, len(gi | gj))
+            if jac >= threshold:
+                true_pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+
+    t = pa.table({id_col: pa.array(ids), text_col: pa.array(texts)})
+    caught_union: set[tuple] = set()
+    per_seed, cumulative = [], []
+    for seed in seeds:
+        banded = _minhash_batch(
+            t, id_col=id_col, text_col=text_col, num_perm=num_perm,
+            bands=bands, ngram=ngram, seed=seed)
+        buckets: dict[tuple, list] = {}
+        for d, b, k in zip(banded.column("doc").to_pylist(),
+                           banded.column("band").to_pylist(),
+                           banded.column("band_key").to_pylist()):
+            buckets.setdefault((b, k), []).append(d)
+        caught: set[tuple] = set()
+        for docs in buckets.values():
+            if len(docs) < 2:
+                continue
+            docs = sorted(set(docs))
+            for x in range(len(docs)):
+                for y in range(x + 1, len(docs)):
+                    caught.add((docs[x], docs[y]))
+        per_seed.append(
+            len(caught & true_pairs) / len(true_pairs) if true_pairs
+            else 1.0)
+        caught_union |= caught
+        cumulative.append(
+            len(caught_union & true_pairs) / len(true_pairs) if true_pairs
+            else 1.0)
+    return {
+        "true_pairs": len(true_pairs),
+        "recall_per_seed": [round(r, 4) for r in per_seed],
+        "recall_cumulative": [round(r, 4) for r in cumulative],
+        "sample": len(ids),
+    }

@@ -255,3 +255,28 @@ def test_load_http_pages_from_serve(ray_session):
         h.stop()
     assert sorted(r["i"] for r in rows) == list(range(2500))
     assert {r["tag"] for r in rows} == {"t0", "t1", "t2"}
+
+
+def test_bitz_roundtrip_and_catenation(ray_session, tmp_path):
+    """bitz analog: length-framed Arrow IPC batches; files concatenate."""
+    import glob
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import read_bitz, write_bitz
+
+    ds = rd.from_items([{"i": i, "s": f"v{i}"} for i in range(500)]) \
+        .repartition(4)
+    out = str(tmp_path / "bz")
+    write_bitz(ds, out)
+    files = sorted(glob.glob(out + "/*.bitz"))
+    assert len(files) >= 2
+    back = read_bitz(out).take_all()
+    assert sorted(r["i"] for r in back) == list(range(500))
+
+    # catenation: cat two part files into one -> still a valid stream
+    cat = tmp_path / "cat" ; cat.mkdir()
+    with open(cat / "all.bitz", "wb") as f:
+        for p in files[:2]:
+            f.write(open(p, "rb").read())
+    n1 = read_bitz(str(files[0])).count() + read_bitz(str(files[1])).count()
+    assert read_bitz(str(cat)).count() == n1

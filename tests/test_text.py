@@ -317,3 +317,40 @@ def test_simhash_near_dedup_matches_sequential(ray_session):
         exp = simhash_near_seq(
             list(range(150)), texts, k=k).column("doc_id").to_pylist()
         assert got == exp, k
+
+
+def test_minhash_recall_and_multiprobe(ray_session):
+    """Recall diagnostic: with few bands (high S-curve threshold), one
+    probe misses borderline pairs; unioning independent permutation
+    families (multi-probe) raises cumulative recall monotonically, and
+    multi-probe dedup drops a superset of single-probe drops."""
+    from tenzir_ray.text.dedup import minhash_lsh_dedup, minhash_lsh_recall
+
+    rng = np.random.default_rng(5)
+    words = ["w%d" % i for i in range(40)]
+    texts = []
+    for i in range(240):
+        if i % 3 == 1:
+            base = texts[-1].split()
+            for _ in range(8):   # ~0.5-0.7 Jaccard neighbors
+                base[rng.integers(0, len(base))] = \
+                    words[rng.integers(0, 40)]
+            texts.append(" ".join(base))
+        else:
+            texts.append(" ".join(
+                words[rng.integers(0, 40)] for _ in range(40)))
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+    rep = minhash_lsh_recall(ds, threshold=0.35, sample=240,
+                             num_perm=64, bands=4)
+    assert rep["true_pairs"] > 10
+    rc = rep["recall_cumulative"]
+    assert all(rc[i] <= rc[i + 1] for i in range(len(rc) - 1))
+    assert rc[-1] >= rep["recall_per_seed"][0]
+
+    a = set(r["doc_id"] for r in minhash_lsh_dedup(
+        ds, bands=4, seeds=(1337,)).take_all())
+    b = set(r["doc_id"] for r in minhash_lsh_dedup(
+        ds, bands=4, seeds=(1337, 7331, 990001)).take_all())
+    assert b <= a  # more probes → more (or equal) drops
