@@ -513,6 +513,23 @@ class Pipeline:
             col = rest.strip() or "line"
             return lambda ds: ds.map_batches(
                 lambda t: batch_fn(t, col=col), batch_format="pyarrow")
+        if op == "window":
+            # window <every> <time_col> <alias>=<agg>(col)[, ...]
+            #        [by k1, k2] — tumbling event-time windowed summarize
+            # (operators/summarize.cpp:100-142 batch form)
+            from tenzir_ray.stages.window import summarize_window
+
+            every, _, spec = rest.strip().partition(" ")
+            time_col, _, spec = spec.strip().partition(" ")
+            m = _SUMMARIZE.match(spec.strip())
+            aggs: dict = {}
+            for alias, fn, col in _AGG.findall(m.group("aggs")):
+                col = col.strip()
+                aggs[alias] = "count" if fn == "count" and \
+                    col in ("", "*") else (fn, col)
+            by = csv(m.group("by")) if m.group("by") else None
+            return lambda ds: summarize_window(
+                ds, time_col, every, by=by, **aggs)
         if op == "sigma":
             # sigma <rules.yml> — YAML file with one rule document or a
             # stream of documents (operators/sigma.cpp; rules compile

@@ -63,6 +63,7 @@ _EXT_READERS = {
     ".tsv": read_csv,
     ".txt": read_lines,
     ".log": read_lines,
+    ".bitz": lambda uri, **kw: read_bitz(uri),
 }
 
 

@@ -55,3 +55,22 @@ def test_timeout_summarize_flush_drains():
     ts.feed(pa.table({"k": ["x", "y", "x"]}))
     got = sorted(ts.flush().to_pylist(), key=lambda r: r["k"])
     assert got == [{"k": "x", "n": 2}, {"k": "y", "n": 1}]
+
+
+def test_window_operator_in_tql(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    base = dt.datetime(2026, 3, 1)
+    rows = [{"ts": base + dt.timedelta(minutes=50 * i), "k": "a" if i % 2
+             else "b", "v": i} for i in range(30)]
+    out = Pipeline.parse(
+        "window 2h ts n=count(*), s=sum(v) by k").run(
+        rd.from_items(rows)).take_all()
+    assert sum(r["n"] for r in out) == 30
+    assert {r["k"] for r in out} == {"a", "b"}
+    assert all(r["window"].minute == 0 and r["window"].hour % 2 == 0
+               for r in out)
