@@ -378,6 +378,31 @@ def _simhash_docs(sf_dir: str):
     return simhash_dedup(ds, "doc_id", "text")
 
 
+def _bpe_tokens(sf_dir: str):
+    """Real BPE tokenizer: merges trained distributed (word-count
+    partials → one combine; driver only ever sees the vocabulary-sized
+    frequency dict), tokenization in an actor pool with the merge table
+    broadcast once. Checked against an independent sequential BPE
+    (text/sequential.py bpe_seq)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
+    from tenzir_ray.text.sequential import bpe_seq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+        _write_oracle("bpe_tokens", bpe_seq(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(), num_merges=64))
+    else:
+        _skip_oracle("bpe_tokens")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(ds, "text", num_merges=64)
+    return bpe_tokenize(ds, merges, "text") \
+        .select_columns(["doc_id", "bpe_n_tokens"])
+
+
 def _simhash_near_docs(sf_dir: str):
     """Banded Hamming-≤3 SimHash near-dup dedup (pigeonhole-exact
     banding), checked against a sequential plain-Python O(n²) popcount
@@ -1158,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "simhash_near_docs": _simhash_near_docs,
+        "bpe_tokens": _bpe_tokens,
         "ann_topk": _ann_topk,
         "flatten_unflatten": _flatten_unflatten,
         "agg_extended": _agg_extended,
@@ -1302,6 +1328,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/simhash_near_docs.parquet'
+        """,
+        "bpe_tokens": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/bpe_tokens.parquet'
         """,
         "minhash_dedup_docs": """
             SELECT d.* FROM documents d

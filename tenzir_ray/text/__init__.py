@@ -13,6 +13,7 @@ from tenzir_ray.text.dedup import (
     simhash_dedup,
     simhash_near_dedup,
 )
+from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
 from tenzir_ray.text.quality import analyze_documents
 from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf_search, ivf_write
 
@@ -24,6 +25,8 @@ __all__ = [
     "simhash_dedup",
     "simhash_near_dedup",
     "analyze_documents",
+    "bpe_train",
+    "bpe_tokenize",
     "ann_cosine_topk",
     "embedding_dedup",
     "ivf_build",

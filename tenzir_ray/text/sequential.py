@@ -159,3 +159,83 @@ def ivf_ann_seq(
         "vec_id": pa.array(out_id, pa.int64()),
         "cosine": pa.array(out_cos, pa.float64()),
     })
+
+
+def bpe_seq(doc_ids: list, texts: list, num_merges: int = 64,
+            lowercase: bool = True) -> pa.Table:
+    """Sequential BPE reference: word counts in one pass, the Sennrich
+    merge loop, then per-doc greedy tokenization - all plain Python,
+    independent of the distributed implementation (which must match it
+    exactly: word-count partials, broadcast merge table, per-actor
+    caches all under test). Tie-break: max count, then lexicographic."""
+    import re as _re
+
+    word_re = _re.compile(r"\w+|[^\w\s]", _re.UNICODE)
+    eow = "\u0001"
+
+    counts: dict[str, int] = {}
+    for txt in texts:
+        if not txt:
+            continue
+        if lowercase:
+            txt = txt.lower()
+        for w in word_re.findall(txt):
+            counts[w] = counts.get(w, 0) + 1
+
+    words: dict[tuple, int] = {}
+    for w, n in counts.items():
+        sym = tuple(w) + (eow,)
+        words[sym] = words.get(sym, 0) + n
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict[tuple, int] = {}
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = \
+                    pairs.get((sym[i], sym[i + 1]), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        nw: dict[tuple, int] = {}
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nw[tuple(out)] = nw.get(tuple(out), 0) + n
+        words = nw
+
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def count_word(w: str) -> int:
+        sym = list(w) + [eow]
+        while len(sym) > 1:
+            br, bi = None, None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (br is None or r < br):
+                    br, bi = r, i
+            if bi is None:
+                break
+            sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+        return len([s for s in sym if s != eow])
+
+    out = []
+    for txt in texts:
+        if not txt:
+            out.append(0)
+            continue
+        t = txt.lower() if lowercase else txt
+        out.append(sum(count_word(w) for w in word_re.findall(t)))
+    order = sorted(range(len(doc_ids)), key=lambda i: doc_ids[i])
+    return pa.table({
+        "doc_id": pa.array([doc_ids[i] for i in order], pa.int64()),
+        "bpe_n_tokens": pa.array([out[i] for i in order], pa.int64()),
+    })

@@ -354,3 +354,30 @@ def test_minhash_recall_and_multiprobe(ray_session):
     b = set(r["doc_id"] for r in minhash_lsh_dedup(
         ds, bands=4, seeds=(1337, 7331, 990001)).take_all())
     assert b <= a  # more probes → more (or equal) drops
+
+
+def test_bpe_train_tokenize_matches_sequential(ray_session):
+    """Distributed BPE (word-count partials + broadcast merges + actor
+    cache) == independent sequential Sennrich implementation."""
+    from tenzir_ray.text.bpe import bpe_encode_word, bpe_tokenize, bpe_train
+    from tenzir_ray.text.sequential import bpe_seq
+
+    rng = np.random.default_rng(9)
+    vocab = ["lower", "lowest", "newer", "newest", "wider", "widest",
+             "low", "new", "wide", "the", "a"]
+    texts = [" ".join(vocab[rng.integers(0, len(vocab))]
+                      for _ in range(30)) for _ in range(120)]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(5)
+    merges = bpe_train(ds, "text", num_merges=40)
+    assert len(merges) > 5
+    got = {r["doc_id"]: r["bpe_n_tokens"]
+           for r in bpe_tokenize(ds, merges, "text").take_all()}
+    exp = bpe_seq(list(range(120)), texts, num_merges=40)
+    expd = dict(zip(exp.column("doc_id").to_pylist(),
+                    exp.column("bpe_n_tokens").to_pylist()))
+    assert got == expd
+    # frequent full words end up as single tokens
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    assert len(bpe_encode_word("the", ranks)) == 1
