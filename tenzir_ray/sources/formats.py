@@ -618,6 +618,57 @@ def load_http(url: str, *, params: dict | None = None,
     return rd.from_arrow([conform(t) for t in tables])
 
 
+def load_http_server(host: str = "127.0.0.1", port: int = 0,
+                     max_events: int | None = None,
+                     idle_timeout: float = 5.0):
+    """HTTP *server* source (reference ``from_http`` server mode,
+    operators/http.cpp: listen and ingest pushed events): accept POSTed
+    NDJSON bodies on loopback until ``max_events`` or idle timeout —
+    the same finite-drain batch semantics as :func:`load_tcp`. Returns
+    ``(make_dataset, bound_port)``."""
+    import queue
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import ray.data as rd
+
+    q: "queue.Queue[str]" = queue.Queue()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode(errors="replace")
+            for line in body.splitlines():
+                if line.strip():
+                    q.put(line)
+            self.send_response(204)
+            self.end_headers()
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    bound = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    def drain():
+        import queue as _q
+        lines: list[str] = []
+        while True:
+            try:
+                lines.append(q.get(timeout=idle_timeout))
+            except _q.Empty:
+                break
+            if max_events and len(lines) >= max_events:
+                break
+        srv.shutdown()
+        srv.server_close()
+        return rd.from_items([{"line": l} for l in lines])
+
+    return drain, bound
+
+
 def write_bitz(ds, path: str) -> None:
     """``bitz`` analog — the reference's internal wire format is a
     self-framed stream of serialized batches (read_bitz.mdx / bitz

@@ -280,3 +280,28 @@ def test_bitz_roundtrip_and_catenation(ray_session, tmp_path):
             f.write(open(p, "rb").read())
     n1 = read_bitz(str(files[0])).count() + read_bitz(str(files[1])).count()
     assert read_bitz(str(cat)).count() == n1
+
+
+def test_load_http_server_push(ray_session):
+    """from_http server mode: POSTed NDJSON drains into a Dataset."""
+    import threading
+    import urllib.request
+
+    from tenzir_ray.sources.formats import load_http_server
+
+    mk, port = load_http_server(max_events=6, idle_timeout=3.0)
+
+    def pusher():
+        body = "\n".join('{"i": %d}' % i for i in range(6)).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/", data=body, method="POST")
+        urllib.request.urlopen(req)
+
+    th = threading.Thread(target=pusher)
+    th.start()
+    ds = mk()
+    th.join()
+    import json as _json
+
+    got = sorted(_json.loads(r["line"])["i"] for r in ds.take_all())
+    assert got == list(range(6))
