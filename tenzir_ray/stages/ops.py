@@ -384,6 +384,10 @@ def summarize_partial(ds: Dataset, by: list[str] | str,
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
     refs = [r for bundle in partials.iter_internal_ref_bundles()
             for r in bundle.block_refs]
+    if not refs:  # empty input: zero blocks → typed empty result
+        return rd.from_arrow(pa.table(
+            {b: pa.array([], pa.null()) for b in by}
+            | {alias: pa.array([], pa.null()) for alias, _f, _c in parsed}))
 
     @ray.remote
     def _combine(*blocks):
