@@ -85,6 +85,10 @@ def compile_expr(src: str):
     for node in ast.walk(tree):  # guard: only safe node types
         if isinstance(node, (ast.Call, ast.Attribute)):
             raise ValueError(f"unsupported expression construct in {src!r}")
+        if isinstance(node, ast.Compare) and len(node.ops) > 1:
+            raise ValueError(
+                f"chained comparison in {src!r} - write "
+                "'(a < x) and (x < b)'")
         if isinstance(node, ast.Name) and node.id not in env:
             env[node.id] = pads.field(node.id)
     # NB: pyarrow's scalar inference imports `decimal` through the active
@@ -128,8 +132,7 @@ for _name, _k in [("gt", pc.greater), ("ge", pc.greater_equal),
                   ("eq", pc.equal), ("ne", pc.not_equal),
                   ("add", pc.add), ("sub", pc.subtract),
                   ("mul", pc.multiply), ("truediv", pc.divide),
-                  ("mod", lambda a, b: pc.subtract(
-                      a, pc.multiply(pc.floor(pc.divide(a, b)), b)),),
+                  ("mod", lambda a, b: _floor_mod(a, b)),
                   ("and", pc.and_), ("or", pc.or_)]:
     setattr(_Arr, f"__{_name}__", _op(_k))
 for _name, _k in [("radd", pc.add), ("rsub", pc.subtract),
@@ -137,6 +140,33 @@ for _name, _k in [("radd", pc.add), ("rsub", pc.subtract),
     setattr(_Arr, f"__{_name}__", _rop(_k))
 _Arr.__invert__ = lambda self: _Arr(pc.invert(self.a))
 _Arr.__neg__ = lambda self: _Arr(pc.negate(self.a))
+
+
+def _arr_bool(self):
+    # Python's chained-comparison/short-circuit machinery calls bool()
+    # on intermediate results; defaulting to True silently drops the
+    # first leg of `a < x < b`. Refuse loudly (the compiler also rejects
+    # chained comparisons up front).
+    raise TypeError(
+        "array expression used in a boolean context - write "
+        "'(a < x) and (x < b)' instead of a chained comparison")
+
+
+_Arr.__bool__ = _arr_bool
+
+
+def _floor_mod(a, b):
+    """Python floor-mod semantics for % (pc.divide truncates for ints,
+    which flips the sign for negative dividends). Float64 intermediate:
+    exact for |values| < 2^53."""
+    af = pc.cast(a, pa.float64()) if not isinstance(a, (int, float)) else a
+    bf = pc.cast(b, pa.float64()) if not isinstance(b, (int, float)) else b
+    m = pc.subtract(af, pc.multiply(pc.floor(pc.divide(af, bf)), bf))
+    atype = getattr(a, "type", None)
+    if atype is not None and pa.types.is_integer(atype) and \
+            isinstance(b, int):
+        return pc.cast(m, atype)
+    return m
 
 
 def _expr_funcs() -> dict:
@@ -194,14 +224,17 @@ def _expr_funcs() -> dict:
         # enumeration type (type.hpp:930-944)
         "to_enum": EN.to_enum, "from_enum": EN.from_enum,
         # string concat (variadic)
-        "concat": lambda *a: pc.binary_join_element_wise(
-            *[x if not isinstance(x, str) else x for x in a], ""),
+        "concat": lambda *a: pc.binary_join_element_wise(*a, ""),
     }
 
 
 def expr_has_calls(src: str) -> bool:
-    return any(isinstance(n, ast.Call)
-               for n in ast.walk(ast.parse(src.strip(), mode="eval")))
+    """True when the expression needs the array-eval path: function
+    calls, or operators pads Expressions lack (modulo)."""
+    return any(
+        isinstance(n, ast.Call)
+        or (isinstance(n, ast.BinOp) and isinstance(n.op, ast.Mod))
+        for n in ast.walk(ast.parse(src.strip(), mode="eval")))
 
 
 def compile_array_expr(src: str):
@@ -233,6 +266,10 @@ def compile_array_expr(src: str):
     for node in ast.walk(tree):
         if isinstance(node, ast.Attribute):
             raise ValueError(f"unsupported construct in {src!r}")
+        if isinstance(node, ast.Compare) and len(node.ops) > 1:
+            raise ValueError(
+                f"chained comparison in {src!r} - write "
+                "'(a < x) and (x < b)'")
     col_names = {n.id for n in ast.walk(tree)
                  if isinstance(n, ast.Name) and not n.id.startswith("__fn_")
                  and n.id not in ("True", "False", "None")}
@@ -447,6 +484,15 @@ class Pipeline:
             f = rest.strip()
             return lambda ds: ops.rare(ds, f)
         if op == "summarize":
+            # trailing ``using hash|partial|auto`` picks the combine
+            # strategy; default auto (TQL summarize keys are typically
+            # low-cardinality type/route/flag fields — high-cardinality
+            # grouping should say ``using hash``)
+            combine = "auto"
+            mm = re.search(r"\s+using\s+(hash|partial|auto)\s*$", rest)
+            if mm:
+                combine = mm.group(1)
+                rest = rest[:mm.start()]
             m = _SUMMARIZE.match(rest)
             aggs: dict = {}
             for alias, fn, col in _AGG.findall(m.group("aggs")):
@@ -456,10 +502,10 @@ class Pipeline:
                 else:
                     aggs[alias] = (fn, col)
             by = csv(m.group("by")) if m.group("by") else None
-            # TQL summarize keys are typically low-cardinality (type/route/
-            # flag): auto routes algebraic aggs through the shuffle-free
-            # partial path; high-card grouping belongs on the Python API
-            return lambda ds: ops.summarize(ds, by, combine="auto", **aggs)
+            if combine == "partial":
+                return lambda ds: ops.summarize_partial(ds, by, **aggs)
+            return lambda ds: ops.summarize(ds, by, combine=combine,
+                                            **aggs)
         if op == "distinct":
             cols2 = csv(rest)
             return lambda ds: ops.distinct(ds, *cols2)

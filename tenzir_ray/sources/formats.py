@@ -356,6 +356,23 @@ def parse_cef_batch(t: pa.Table, col: str = "text") -> pa.Table:
     return t
 
 
+#: default routed_json staging dirs created this process — cleaned at
+#: exit so repeated runs don't accumulate corpus-sized copies in /tmp
+_ROUTED_STAGES: list[str] = []
+
+
+def _cleanup_routed_stages() -> None:
+    import shutil
+
+    for d in _ROUTED_STAGES:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_routed_stages)
+
+
 def routed_json(ds, col: str = "line", selector: str = "event_type",
                 stage_dir: str | None = None):
     """Selector-routed NDJSON parsing: one output Dataset PER value of
@@ -376,8 +393,9 @@ def routed_json(ds, col: str = "line", selector: str = "event_type",
 
     Returns ``dict[route, Dataset]``; lines that fail to parse, aren't
     JSON objects, or lack the selector land verbatim under
-    ``"_unroutable"``. Staged files live under ``stage_dir`` (a fresh
-    ``/tmp`` dir by default) until the caller removes them."""
+    ``"_unroutable"``. Default staged files (fresh ``/tmp`` dir) are
+    removed at interpreter exit; an explicit ``stage_dir`` is the
+    caller's to manage."""
     import json
     import os
     import tempfile
@@ -387,7 +405,11 @@ def routed_json(ds, col: str = "line", selector: str = "event_type",
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    stage = stage_dir or tempfile.mkdtemp(prefix="tenzir_ray_routed_")
+    if stage_dir is None:
+        stage = tempfile.mkdtemp(prefix="tenzir_ray_routed_")
+        _ROUTED_STAGES.append(stage)  # removed at interpreter exit
+    else:
+        stage = stage_dir
 
     def split(t: pa.Table) -> pa.Table:
         by_route: dict[str, list] = {}
@@ -554,7 +576,8 @@ def load_http(url: str, *, params: dict | None = None,
               next_header: str = "X-Next-Offset",
               offset_param: str = "offset", limit: int | None = None,
               max_pages: int = 100_000, parse: str = "ndjson",
-              headers: dict | None = None, timeout: float = 30.0):
+              headers: dict | None = None, timeout: float = 30.0,
+              allow_truncated: bool = False):
     """HTTP client source (reference operators/http.cpp:423 load_http /
     from_http): GET ``url``, following continuation paging via the
     ``X-Next-Offset`` response header (the protocol :func:`~tenzir_ray.
@@ -585,6 +608,13 @@ def load_http(url: str, *, params: dict | None = None,
         with _ur.urlopen(req, timeout=timeout) as resp:
             body = resp.read().decode()
             nxt = resp.headers.get(next_header)
+            if resp.headers.get("X-Truncated") == "true" \
+                    and not allow_truncated:
+                raise ValueError(
+                    f"{url} advertises X-Truncated: the server buffer "
+                    "capped the result set - raise serve(max_rows=...) "
+                    "or pass allow_truncated=True to accept partial "
+                    "data")
         lines = [l for l in body.splitlines() if l]
         if lines:
             if parse == "lines":

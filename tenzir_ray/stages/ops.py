@@ -389,31 +389,45 @@ def summarize_partial(ds: Dataset, by: list[str] | str,
             {b: pa.array([], pa.null()) for b in by}
             | {alias: pa.array([], pa.null()) for alias, _f, _c in parsed}))
 
+    merge_fn = {name: (fn if fn in ("min", "max") else "sum")
+                for name, (_col, fn) in specs.items()}
+
     @ray.remote
-    def _combine(*blocks):
+    def _merge(*blocks):
         import pyarrow as _pa
         # partial blocks are always typed (even empty), so concat keeps
-        # the schema and an all-empty input yields a typed empty result
+        # the schema and an all-empty input yields a typed empty result.
+        # Output columns rename back to canonical partial names, so
+        # merges compose (fan-in tree) without suffix build-up.
         tb = _pa.concat_tables(blocks, promote_options="permissive")
-        merge = [
-            (name, fn if fn in ("min", "max") else "sum")
-            for name, (_col, fn) in specs.items()
-        ]
-        g = tb.group_by(by, use_threads=False).aggregate(merge)
-        out = {b: g.column(b) for b in by}
+        g = tb.group_by(by, use_threads=False).aggregate(
+            [(name, mf) for name, mf in merge_fn.items()])
+        ren = {f"{name}_{mf}": name for name, mf in merge_fn.items()}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
+    @ray.remote
+    def _final(tb: pa.Table) -> pa.Table:
+        # input has unique group keys and canonical partial columns
+        out = {b: tb.column(b) for b in by}
         for alias, fn, col in parsed:
             if fn == "count":
-                src = "__n" if col is None else f"__cnt_{col}"
-                out[alias] = g.column(f"{src}_sum")
+                out[alias] = tb.column(
+                    "__n" if col is None else f"__cnt_{col}")
             elif fn == "mean":
-                s = pc.cast(g.column(f"__sum_{col}_sum"), pa.float64())
-                n = pc.cast(g.column(f"__cnt_{col}_sum"), pa.float64())
+                s = pc.cast(tb.column(f"__sum_{col}"), pa.float64())
+                n = pc.cast(tb.column(f"__cnt_{col}"), pa.float64())
                 out[alias] = pc.divide(s, n)
             else:
-                out[alias] = g.column(f"__{fn}_{col}_{fn}")
+                out[alias] = tb.column(f"__{fn}_{col}")
         return pa.table(out)
 
-    return rd.from_arrow_refs([_combine.remote(*refs)])
+    # fan-in-8 merge tree: every task touches ≤ 8 blocks (≤ 8 × distinct
+    # groups rows), so high-cardinality keys can't OOM a single combine;
+    # only the FINAL result (one row per group) lands in one block.
+    while len(refs) > 1:
+        refs = [_merge.remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    return rd.from_arrow_refs([_final.remote(refs[0])])
 
 
 def summarize(

@@ -1,12 +1,14 @@
 """publish / subscribe (reference operators/publish.cpp,
 subscribe.cpp: named in-process topics connecting pipelines).
 
-A named detached Ray actor buffers published blocks per topic — as
-OBJECT REFS, never block values: the blocks stay in the object store
-(shared memory, spillable) and neither publish nor subscribe ever
-copies row data through the driver or the actor heap. A retention cap
-bounds the buffer; the oldest blocks are evicted Kafka-style and
-``read`` answers from the trimmed base.
+A named detached Ray actor buffers published blocks per topic as
+actor-OWNED object refs: each block ships plasma→actor once and is
+re-``ray.put`` so its owner is the detached actor — published data
+outlives the publishing driver (refs owned by that driver would die
+with it), lives in the object store (shared memory, spillable), is
+never retained in the actor heap, and never crosses the driver on
+either side. A retention cap bounds the buffer; the oldest blocks are
+evicted Kafka-style and ``read`` answers from the trimmed base.
 
 ``subscribe`` drains from a sequence number (batch semantics — one
 finished read per call, with the cursor for the next; the reference's
@@ -21,14 +23,20 @@ TOPIC_RETENTION = 4096
 
 class _Topic:
     def __init__(self, retention: int = TOPIC_RETENTION):
-        self.refs: list = []       # ObjectRefs, pinned while held here
+        self.refs: list = []       # actor-OWNED ObjectRefs
         self.base_seq = 0          # seq of refs[0] after eviction
         self.retention = retention
 
-    def append(self, wrapped: list) -> int:
-        """``wrapped`` is ``[ObjectRef]`` — the list wrapper stops Ray
-        from dereferencing the block into this actor's heap."""
-        self.refs.append(wrapped[0])
+    def append(self, block) -> int:
+        """Receives the block value (plasma → here, no driver hop) and
+        re-puts it so the OBJECT'S OWNER IS THIS ACTOR: a detached topic
+        must outlive the publishing driver, and refs owned by that
+        driver would die with it (OwnerDiedError on later subscribes).
+        The block transits this heap once and lives on in the object
+        store; eviction here releases it."""
+        import ray
+
+        self.refs.append(ray.put(block))
         if len(self.refs) > self.retention:
             drop = len(self.refs) - self.retention
             del self.refs[:drop]
@@ -73,7 +81,9 @@ def publish(ds, topic: str) -> int:
     seq = 0
     for bundle in ds.iter_internal_ref_bundles():
         for ref in bundle.block_refs:
-            seq = ray.get(actor.append.remote([ref]))
+            # bare ref → Ray ships the block plasma→actor directly;
+            # the actor re-puts it under its own ownership
+            seq = ray.get(actor.append.remote(ref))
     return seq
 
 

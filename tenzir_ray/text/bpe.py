@@ -54,10 +54,14 @@ def _word_counts_distributed(ds: Dataset, text_col: str,
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
     refs = [r for b in partials.iter_internal_ref_bundles()
             for r in b.block_refs]
+    if not refs:  # empty corpus
+        return {}
 
     @ray.remote
     def combine(*blocks) -> pa.Table:
-        tb = pa.concat_tables([b for b in blocks if b.num_rows])
+        # blocks are always typed (even 0-row), so concat keeps schema
+        # and an all-empty corpus yields an empty (not crashing) result
+        tb = pa.concat_tables(blocks)
         g = tb.group_by("word", use_threads=False).aggregate([("n", "sum")])
         return g
 

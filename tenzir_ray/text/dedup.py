@@ -471,57 +471,56 @@ def minhash_lsh_dedup(
 
     drop_refs = [r for b in drops.iter_internal_ref_bundles()
                  for r in b.block_refs]
-    if True:  # verified path (candidate-sized pair set → broadcast stays)
-        # exact n-gram Jaccard verification of every (doc, rep) candidate
-        # pair before dropping — LSH can collide dissimilar docs. The
-        # pair set and its texts are candidate-sized (small fraction of
-        # the corpus): fetch candidate texts with one broadcast id
-        # filter, verify in one remote task. Driver touches refs only.
-        @ray.remote
-        def _concat_pairs(*blocks) -> pa.Table:
-            tabs = [b for b in blocks if b.num_rows]
-            if not tabs:
-                return pa.table({"__drop_id": pa.array([], pa.int64()),
-                                 "__rep": pa.array([], pa.int64())})
-            return pa.concat_tables(tabs).combine_chunks()
+    # exact n-gram Jaccard verification of every (doc, rep) candidate
+    # pair before dropping — LSH can collide dissimilar docs. The
+    # pair set and its texts are candidate-sized (small fraction of
+    # the corpus): fetch candidate texts with one broadcast id
+    # filter, verify in one remote task. Driver touches refs only.
+    @ray.remote
+    def _concat_pairs(*blocks) -> pa.Table:
+        tabs = [b for b in blocks if b.num_rows]
+        if not tabs:
+            return pa.table({"__drop_id": pa.array([], pa.int64()),
+                             "__rep": pa.array([], pa.int64())})
+        return pa.concat_tables(tabs).combine_chunks()
 
-        pairs_ref = _concat_pairs.remote(*drop_refs)
+    pairs_ref = _concat_pairs.remote(*drop_refs)
 
-        @ray.remote
-        def _cand_ids(pairs: pa.Table) -> pa.Array:
-            return pc.unique(pa.chunked_array([
-                pairs.column("__drop_id"), pairs.column("__rep")]))
+    @ray.remote
+    def _cand_ids(pairs: pa.Table) -> pa.Array:
+        return pc.unique(pa.chunked_array([
+            pairs.column("__drop_id"), pairs.column("__rep")]))
 
-        cand_ref = _cand_ids.remote(pairs_ref)
+    cand_ref = _cand_ids.remote(pairs_ref)
 
-        def cand_texts(t: pa.Table) -> pa.Table:
-            vs = ray.get(cand_ref)
-            keep = pc.is_in(pc.cast(t.column(id_col).combine_chunks(),
-                                    pa.int64()), value_set=vs)
-            out = t.filter(keep).select([id_col, text_col])
-            return out.replace_schema_metadata(None) \
-                if out.schema.metadata else out
+    def cand_texts(t: pa.Table) -> pa.Table:
+        vs = ray.get(cand_ref)
+        keep = pc.is_in(pc.cast(t.column(id_col).combine_chunks(),
+                                pa.int64()), value_set=vs)
+        out = t.filter(keep).select([id_col, text_col])
+        return out.replace_schema_metadata(None) \
+            if out.schema.metadata else out
 
-        text_refs = [r for b in ds.map_batches(cand_texts,
-                                               batch_format="pyarrow")
-                     .iter_internal_ref_bundles() for r in b.block_refs]
+    text_refs = [r for b in ds.map_batches(cand_texts,
+                                           batch_format="pyarrow")
+                 .iter_internal_ref_bundles() for r in b.block_refs]
 
-        @ray.remote
-        def _verify(pairs: pa.Table, *text_blocks) -> pa.Array:
-            texts: dict = {}
-            for b in text_blocks:
-                for i, s in zip(b.column(id_col).to_pylist(),
-                                b.column(text_col).to_pylist()):
-                    texts[i] = s
-            keep = [
-                d for d, r in zip(pairs.column("__drop_id").to_pylist(),
-                                  pairs.column("__rep").to_pylist())
-                if jaccard(texts.get(d) or "", texts.get(r) or "",
-                           ngram) >= verify_threshold
-            ]
-            return pa.array(sorted(set(keep)), pa.int64())
+    @ray.remote
+    def _verify(pairs: pa.Table, *text_blocks) -> pa.Array:
+        texts: dict = {}
+        for b in text_blocks:
+            for i, s in zip(b.column(id_col).to_pylist(),
+                            b.column(text_col).to_pylist()):
+                texts[i] = s
+        keep = [
+            d for d, r in zip(pairs.column("__drop_id").to_pylist(),
+                              pairs.column("__rep").to_pylist())
+            if jaccard(texts.get(d) or "", texts.get(r) or "",
+                       ngram) >= verify_threshold
+        ]
+        return pa.array(sorted(set(keep)), pa.int64())
 
-        drop_ref = _verify.remote(pairs_ref, *text_refs)
+    drop_ref = _verify.remote(pairs_ref, *text_refs)
 
     def survivors(t: pa.Table) -> pa.Table:
         vs = ray.get(drop_ref)

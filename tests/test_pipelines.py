@@ -267,3 +267,43 @@ def test_tql_sigma_operator(tmp_path, ray_session):
     out = Pipeline.parse(f"sigma {rules}").run(ds).take_all()
     got = {r["user"]: r["sigma_rules"] for r in out}
     assert got == {"alice": ["high_sev"], "mallory": ["bad_user"]}
+
+
+def test_tql_chained_comparison_rejected(ray_session):
+    """bool(_Arr) would silently drop the first leg of `a < x < b`;
+    both expression compilers must reject chained comparisons."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = rd.from_items([{"x": "abcd"}])
+    with pytest.raises(ValueError, match="chained"):
+        Pipeline.parse("where 3 < length(x) < 5").run(ds)
+    with pytest.raises(ValueError, match="chained"):
+        Pipeline.parse("where 1 < x < 5").run(ds)
+
+
+def test_tql_floor_mod_semantics(ray_session):
+    """% follows Python floor-mod (negative dividends included)."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = rd.from_items([{"n": -7}, {"n": 7}, {"n": -3}])
+    out = Pipeline.parse("set m = n % 3").run(ds).take_all()
+    assert sorted((r["n"], r["m"]) for r in out) == \
+        [(-7, 2), (-3, 0), (7, 1)]
+
+
+def test_tql_summarize_using_hash(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = rd.from_items([{"k": i % 2, "v": i} for i in range(10)])
+    a = sorted(Pipeline.parse("summarize n=count(*), s=sum(v) by k")
+               .run(ds).take_all(), key=lambda r: r["k"])
+    b = sorted(Pipeline.parse(
+        "summarize n=count(*), s=sum(v) by k using hash")
+        .run(ds).take_all(), key=lambda r: r["k"])
+    assert a == b

@@ -65,3 +65,23 @@ def test_serve_spools_and_caps(ray_session, tmp_path):
     finally:
         h.stop()
     assert not glob.glob(spool + "/page-*.arrow")  # spool removed on stop
+
+
+def test_load_http_rejects_truncated(ray_session, tmp_path):
+    """A truncated serve buffer must not silently yield partial data."""
+    import pytest
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import load_http
+    from tenzir_ray.stages.serve import serve
+
+    ds = rd.from_items([{"i": i} for i in range(1000)])
+    h = serve(ds, max_rows=100)
+    try:
+        with pytest.raises(ValueError, match="X-Truncated"):
+            load_http(f"http://127.0.0.1:{h.port}/events")
+        got = load_http(f"http://127.0.0.1:{h.port}/events",
+                        allow_truncated=True)
+        assert got.count() == 100
+    finally:
+        h.stop()
