@@ -301,6 +301,18 @@ def _exact_dedup_docs(sf_dir: str):
     return exact_dedup(ds, "text", keep_by="doc_id")
 
 
+def _line_dedup_docs(sf_dir: str):
+    """corpus-level boilerplate line removal: chunk each doc into 5-word
+    lines, delete every line occurring in >1 distinct documents, rejoin.
+    Only (hash, count) pairs ride the shuffle; the over-threshold hash
+    set broadcasts once (text/dedup.py line_dedup)."""
+    from tenzir_ray.text import chunk_lines, line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = chunk_lines(ds, text_col="text", width=5)
+    return line_dedup(ds, id_col="doc_id", text_col="text", max_df=1)
+
+
 def _token_counts(sf_dir: str):
     """token counting over documents (whitespace tokens)."""
     from tenzir_ray.text.quality import token_count_batch
@@ -357,6 +369,31 @@ def _minhash_dedup_docs(sf_dir: str):
         _skip_oracle("minhash_dedup_docs")
     ds = _read(sf_dir, "documents")
     return minhash_lsh_dedup(ds, "doc_id", "text")
+
+
+def _jaccard_dedup_docs(sf_dir: str):
+    """n-gram Jaccard near-dup dedup: LSH candidate generation + exact
+    trigram-Jaccard verification of every (doc, representative) pair
+    before dropping (minhash_lsh_dedup verify_threshold path — pair set
+    is candidate-sized, verified in one remote task). Oracle: the same
+    semantics from the independent sequential reimplementation."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text import minhash_lsh_dedup
+    from tenzir_ray.text.sequential import minhash_dedup_seq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+        ids = minhash_dedup_seq(docs.column("doc_id").to_pylist(),
+                                docs.column("text").to_pylist(),
+                                verify_threshold=0.5)
+        _write_oracle("jaccard_dedup_docs",
+                      pa.table({"doc_id": pa.array(sorted(ids), pa.int64())}))
+    else:
+        _skip_oracle("jaccard_dedup_docs")
+    ds = _read(sf_dir, "documents")
+    return minhash_lsh_dedup(ds, "doc_id", "text", verify_threshold=0.5)
 
 
 def _simhash_docs(sf_dir: str):
@@ -1178,9 +1215,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_events": _hourly_events,
         "unroll_embeddings": _unroll_embeddings,
         "exact_dedup_docs": _exact_dedup_docs,
+        "line_dedup_docs": _line_dedup_docs,
         "token_counts": _token_counts,
         "lang_quality": _lang_quality,
         "minhash_dedup_docs": _minhash_dedup_docs,
+        "jaccard_dedup_docs": _jaccard_dedup_docs,
         "simhash_docs": _simhash_docs,
         "simhash_near_docs": _simhash_near_docs,
         "bpe_tokens": _bpe_tokens,
@@ -1281,6 +1320,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents QUALIFY
             row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         """,
+        "line_dedup_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS wd,
+                       generate_subscripts(
+                           string_split(coalesce(text, ''), ' '), 1) AS ord
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, (ord - 1) // 5 AS lno,
+                       string_agg(wd, ' ' ORDER BY ord) AS line
+                FROM w GROUP BY doc_id, (ord - 1) // 5
+            ), freq AS (
+                SELECT line, count(DISTINCT doc_id) AS df
+                FROM lines GROUP BY line
+            )
+            SELECT l.doc_id,
+                   coalesce(string_agg(l.line, chr(10) ORDER BY l.lno)
+                            FILTER (WHERE f.df <= 1), '') AS text
+            FROM lines l JOIN freq f USING (line)
+            GROUP BY l.doc_id
+        """,
         "token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -1335,6 +1395,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": """
             SELECT d.* FROM documents d
             JOIN '/tmp/tenzir_ray_oracle/minhash_dedup_docs.parquet' s
+              ON d.doc_id = s.doc_id
+        """,
+        "jaccard_dedup_docs": """
+            SELECT d.* FROM documents d
+            JOIN '/tmp/tenzir_ray_oracle/jaccard_dedup_docs.parquet' s
               ON d.doc_id = s.doc_id
         """,
         "routed_json": """

@@ -141,7 +141,7 @@ def bench_queries() -> dict[str, float]:
         "embedding_dedup", "agg_extended2", "tql_pushdown",
         "cidr_enrich", "routed_json",
         "tql_functions", "windowed_agg", "path_funcs", "simhash_near_docs",
-        "bpe_tokens", "http_roundtrip",
+        "bpe_tokens", "http_roundtrip", "line_dedup_docs",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -6,8 +6,10 @@ analysis, and similarity search — all expressed as Dataset stages.
 """
 
 from tenzir_ray.text.dedup import (
+    chunk_lines,
     exact_dedup,
     exact_dedup_wide,
+    line_dedup,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     simhash_dedup,
@@ -18,6 +20,8 @@ from tenzir_ray.text.quality import analyze_documents
 from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf_search, ivf_write
 
 __all__ = [
+    "chunk_lines",
+    "line_dedup",
     "exact_dedup",
     "exact_dedup_wide",
     "minhash_lsh_candidates",

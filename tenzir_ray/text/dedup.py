@@ -286,6 +286,136 @@ def exact_dedup_wide(
                            max_broadcast_bytes=max_broadcast_bytes)
 
 
+# ------------------------------------------------------ line-level dedup
+
+
+def _flat_lines(texts: list, delim: str) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten every doc's lines into one object array + per-doc counts.
+    ``"".split`` yields ``[""]`` so every doc contributes >=1 line and
+    reassembly preserves row count."""
+    per_doc = [(t or "").split(delim) for t in texts]
+    counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
+                         count=len(per_doc))
+    total = int(counts.sum())
+    flat = np.fromiter((ln for p in per_doc for ln in p), dtype=object,
+                       count=total)
+    return flat, counts
+
+
+def chunk_lines(ds: Dataset, text_col: str = "text", width: int = 5,
+                word_delim: str = " ", line_delim: str = "\n") -> Dataset:
+    """Rewrap each document into lines of ``width`` words — the line
+    structure :func:`line_dedup` operates on for corpora whose text has
+    no newlines (the common shape after HTML extraction collapses
+    whitespace). Pure per-batch transform, no shuffle."""
+    def rewrap(t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t.column(text_col).to_pylist():
+            words = (txt or "").split(word_delim)
+            out.append(line_delim.join(
+                word_delim.join(words[i:i + width])
+                for i in range(0, len(words), width)))
+        idx = t.schema.get_field_index(text_col)
+        t = t.set_column(idx, text_col, pa.array(out, pa.string()))
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return ds.map_batches(rewrap, batch_format="pyarrow")
+
+
+def line_dedup(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    max_df: int = 1, min_chars: int = 0, delim: str = "\n",
+) -> Dataset:
+    """Corpus-level boilerplate-line removal (the RefinedWeb/CCNet
+    pattern): a line that occurs in more than ``max_df`` DISTINCT
+    documents (nav menus, cookie banners, footers) is deleted from every
+    document; each doc's surviving lines are rejoined in order. Lines
+    shorter than ``min_chars`` are exempt (never counted, never dropped).
+
+    Scale shape — the corpus never rides a shuffle:
+
+    1. per-batch partial document frequencies: lines are 64-bit hashed
+       (one vectorized ``pd.util.hash_array`` per batch), deduped
+       within-doc, counted per batch → a narrow ``(h, n)`` table
+       (16 B/row) is the ONLY thing entering the ``groupby("h").sum``
+       exchange;
+    2. the over-threshold hash set is concatenated in a REMOTE task
+       (driver holds a ref) — boilerplate sets are tiny by construction
+       (a line must repeat across docs to qualify);
+    3. one broadcast ``np.isin`` per batch scrubs the lines and rejoins.
+
+    No reference analog (Tenzir has no corpus-level text ops); the
+    distributed shape mirrors exact_dedup_wide's narrow-projection +
+    broadcast-filter contract."""
+    import ray
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        flat, counts = _flat_lines(t.column(text_col).to_pylist(), delim)
+        if flat.size == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        h = pd.util.hash_array(flat)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if min_chars:
+            lens = np.fromiter(map(len, flat), dtype=np.int64,
+                               count=flat.size)
+            mask = lens >= min_chars
+            h, doc_idx = h[mask], doc_idx[mask]
+        if h.size == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        # distinct (doc, line-hash) pairs → per-batch partial df
+        pairs = np.unique(np.stack([doc_idx.astype(np.uint64), h], axis=1),
+                          axis=0)
+        uniq, cnt = np.unique(pairs[:, 1], return_counts=True)
+        return pa.table({"h": pa.array(uniq, pa.uint64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    df = (ds.map_batches(partial_df, batch_format="pyarrow")
+          .groupby("h").sum("n"))
+
+    @ray.remote
+    def _common(*blocks) -> np.ndarray:
+        hs = []
+        for b in blocks:
+            if not b.num_rows:
+                continue
+            keep = pc.greater(b.column("sum(n)"), pa.scalar(max_df))
+            hs.append(b.filter(keep).column("h").combine_chunks()
+                      .to_numpy(zero_copy_only=False))
+        if not hs:
+            return np.array([], dtype=np.uint64)
+        return np.concatenate(hs).astype(np.uint64)
+
+    bundles = list(df.iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    common_ref = _common.remote(*refs)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        vs = ray.get(common_ref)
+        if vs.size == 0:
+            return t
+        texts = t.column(text_col).to_pylist()
+        flat, counts = _flat_lines(texts, delim)
+        h = pd.util.hash_array(flat)
+        keep = ~np.isin(h, vs)
+        if min_chars:
+            lens = np.fromiter(map(len, flat), dtype=np.int64,
+                               count=flat.size)
+            keep |= lens < min_chars
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        out = []
+        for s, c in zip(starts, counts):
+            seg = flat[s:s + c][keep[s:s + c]]
+            out.append(delim.join(seg.tolist()))
+        idx = t.schema.get_field_index(text_col)
+        t = t.set_column(idx, text_col, pa.array(out, pa.string()))
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- minhash
 
 

@@ -89,10 +89,15 @@ def simhash_near_seq(doc_ids: list, texts: list, k: int = 3,
 def minhash_dedup_seq(
     doc_ids: list, texts: list,
     num_perm: int = 64, bands: int = 16, ngram: int = 3,
+    verify_threshold: float | None = None,
 ) -> list[int]:
     """Sequential MinHash-LSH dedup: per-doc signature (one doc at a
     time), band buckets in a plain dict, min-label resolution, survivors
-    = docs equal to their own representative. Returns surviving ids."""
+    = docs equal to their own representative. With ``verify_threshold``,
+    a candidate is only dropped when its exact n-gram Jaccard similarity
+    to its representative reaches the threshold (set-arithmetic here,
+    independent of the engine's remote-task verifier). Returns surviving
+    ids."""
     a, b = _perm_params(num_perm)
     r = num_perm // bands
     buckets: dict[tuple, list] = {}
@@ -119,7 +124,21 @@ def minhash_dedup_seq(
         m = min(docs)
         for d in docs:
             rep[d] = min(rep.get(d, d), m)
-    return [i for i in all_ids if rep.get(i, i) == i]
+    if verify_threshold is None:
+        return [i for i in all_ids if rep.get(i, i) == i]
+    txt = dict(zip(doc_ids, texts))
+
+    def jac(x: str, y: str) -> float:
+        sx, sy = _token_ngrams(x, ngram), _token_ngrams(y, ngram)
+        if not sx and not sy:
+            return 1.0
+        return len(sx & sy) / max(1, len(sx | sy))
+
+    return [
+        i for i in all_ids
+        if rep.get(i, i) == i
+        or jac(txt.get(i) or "", txt.get(rep[i]) or "") < verify_threshold
+    ]
 
 
 def ivf_ann_seq(

@@ -381,3 +381,77 @@ def test_bpe_train_tokenize_matches_sequential(ray_session):
     # frequent full words end up as single tokens
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     assert len(bpe_encode_word("the", ranks)) == 1
+
+
+def test_line_dedup(ray_session):
+    from tenzir_ray.text import chunk_lines, line_dedup
+
+    boiler = "accept cookies to continue"
+    docs = [
+        {"doc_id": 1, "text": f"unique alpha text\n{boiler}\nmore alpha"},
+        {"doc_id": 2, "text": f"{boiler}\nunique beta text"},
+        {"doc_id": 3, "text": "only gamma content here"},
+        {"doc_id": 4, "text": f"{boiler}"},
+        {"doc_id": 5, "text": ""},
+    ]
+    ds = rd.from_items(docs).repartition(3)
+    out = {r["doc_id"]: r["text"]
+           for r in line_dedup(ds, max_df=1).take_all()}
+    # the boilerplate line (3 distinct docs) is scrubbed everywhere,
+    # unique lines survive in order, rows are never dropped
+    assert out[1] == "unique alpha text\nmore alpha"
+    assert out[2] == "unique beta text"
+    assert out[3] == "only gamma content here"
+    assert out[4] == ""
+    assert out[5] == ""
+
+    # within-doc repetition alone does not reach max_df (distinct docs)
+    ds2 = rd.from_items([
+        {"doc_id": 1, "text": "same line\nsame line"},
+        {"doc_id": 2, "text": "other line"},
+    ])
+    out2 = {r["doc_id"]: r["text"]
+            for r in line_dedup(ds2, max_df=1).take_all()}
+    assert out2[1] == "same line\nsame line"
+
+    # min_chars exempts short lines from counting and dropping
+    ds3 = rd.from_items([
+        {"doc_id": i, "text": "ok\nthis is a long shared boilerplate line"}
+        for i in range(3)
+    ])
+    out3 = {r["doc_id"]: r["text"]
+            for r in line_dedup(ds3, max_df=1, min_chars=10).take_all()}
+    assert all(v == "ok" for v in out3.values())
+
+
+def test_chunk_lines_and_line_dedup_vs_duckdb(ray_session):
+    """The driver-graded query shape vs the DuckDB oracle at sf0.001."""
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    from tenzir_ray.text import chunk_lines, line_dedup
+
+    got = (line_dedup(chunk_lines(ds, width=5), max_df=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = duckdb.sql(f"""
+        WITH d AS (SELECT * FROM '{SF}/documents.parquet'), w AS (
+            SELECT doc_id,
+                   unnest(string_split(coalesce(text, ''), ' ')) AS wd,
+                   generate_subscripts(
+                       string_split(coalesce(text, ''), ' '), 1) AS ord
+            FROM d
+        ), lines AS (
+            SELECT doc_id, (ord - 1) // 5 AS lno,
+                   string_agg(wd, ' ' ORDER BY ord) AS line
+            FROM w GROUP BY doc_id, (ord - 1) // 5
+        ), freq AS (
+            SELECT line, count(DISTINCT doc_id) AS df
+            FROM lines GROUP BY line
+        )
+        SELECT l.doc_id,
+               coalesce(string_agg(l.line, chr(10) ORDER BY l.lno)
+                        FILTER (WHERE f.df <= 1), '') AS text
+        FROM lines l JOIN freq f USING (line)
+        GROUP BY l.doc_id ORDER BY l.doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
