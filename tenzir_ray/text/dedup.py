@@ -40,12 +40,37 @@ def _token_ngrams(text: str, n: int) -> set[bytes]:
     return {" ".join(toks[i : i + n]).encode() for i in range(len(toks) - n + 1)}
 
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """Stable 64-bit hashes of word n-gram shingles."""
-    grams = _token_ngrams(text, n)
-    if not grams:
+#: Fixed per-position odd multipliers for combining token hashes into
+#: shingle hashes (seeded once → identical in every process/worker).
+_POS_MULT = np.random.default_rng(7331).integers(
+    1, 1 << 63, size=64, dtype=np.uint64) | np.uint64(1)
+
+
+def _combine_windows(th: np.ndarray, n: int) -> np.ndarray:
+    """Hashes of all length-``n`` sliding windows over a token-hash
+    array: XOR of position-multiplied token hashes (wrapping uint64
+    arithmetic), deduped. Shorter-than-``n`` inputs yield one combined
+    hash; empty inputs one zero hash — the vectorized replacement for
+    hashing joined n-gram strings (no per-window Python string work)."""
+    if th.size == 0:
         return np.zeros(1, dtype=np.uint64)
-    return pd.util.hash_array(np.fromiter(grams, dtype=object, count=len(grams)))
+    k = min(n, th.size)
+    length = th.size - k + 1
+    acc = np.zeros(length, dtype=np.uint64)
+    for j in range(k):
+        acc ^= th[j:j + length] * _POS_MULT[j]
+    return np.unique(acc)
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Stable 64-bit hashes of word n-gram shingles (token hashes
+    combined per window; the leaf primitive shared by the distributed
+    paths and the sequential verification oracles)."""
+    toks = _WORD.findall(text.lower())
+    if not toks:
+        return np.zeros(1, dtype=np.uint64)
+    th = pd.util.hash_array(np.array(toks, dtype=object))
+    return _combine_windows(th, n)
 
 
 # ------------------------------------------------------ drop-set filter
@@ -469,26 +494,41 @@ def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands,
     r = num_perm // bands
     ids = t.column(id_col).to_pylist()
     texts = t.column(text_col).to_pylist()
-    flat: list[bytes] = []
-    starts, doc_ids = [], []
+    tok_lists: list[list] = []
+    doc_ids = []
     for i, txt in zip(ids, texts):
         if txt is None:
             continue
-        grams = _token_ngrams(txt, ngram) or {b""}
-        starts.append(len(flat))
-        flat.extend(grams)
+        tok_lists.append(_WORD.findall(txt.lower()))
         doc_ids.append(i)
     if not doc_ids:
         return pa.table({"doc": pa.array([], pa.int64()),
                          "band": pa.array([], pa.int64()),
                          "band_key": pa.array([], pa.int64())})
-    sh = pd.util.hash_array(np.array(flat, dtype=object))  # (S,)
+    # ONE object-hash call for every token in the batch (4× the per-doc
+    # hash_array throughput), then per-doc window combines on views
+    flat_toks = np.array([w for tk in tok_lists for w in tk], dtype=object)
+    th_all = pd.util.hash_array(flat_toks) if flat_toks.size \
+        else np.array([], dtype=np.uint64)
+    per_doc: list[np.ndarray] = []
+    starts = []
+    total = pos = 0
+    for tk in tok_lists:
+        sh_doc = _combine_windows(th_all[pos:pos + len(tk)], ngram)
+        pos += len(tk)
+        starts.append(total)
+        total += sh_doc.size
+        per_doc.append(sh_doc)
+    sh = np.concatenate(per_doc)  # (S,)
     v = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE  # (P, S)
     sigs = np.minimum.reduceat(v, np.array(starts), axis=1)  # (P, D)
     sigs = sigs.T[:, : bands * r].reshape(len(doc_ids), bands, r)  # (D, bands, r)
-    keys = pd.util.hash_array(
-        np.array([bv.tobytes() for doc in sigs for bv in doc], dtype=object)
-    ).astype(np.int64)
+    # band key = same XOR-multiplier combine as shingles (no per-band
+    # tobytes loop); bit-reinterpret to int64 for Arrow
+    acc = np.zeros(sigs.shape[:2], dtype=np.uint64)
+    for l in range(r):
+        acc ^= sigs[:, :, l].astype(np.uint64) * _POS_MULT[l]
+    keys = np.ascontiguousarray(acc.reshape(-1)).view(np.int64)
     return pa.table({
         "doc": pa.array(np.repeat(np.array(doc_ids, np.int64), bands)),
         "band": pa.array(np.tile(

@@ -17,6 +17,7 @@ import pyarrow as pa
 from tenzir_ray.text.dedup import (
     _MERSENNE,
     _perm_params,
+    _POS_MULT,
     _shingle_hashes,
     _token_ngrams,
 )
@@ -107,15 +108,13 @@ def minhash_dedup_seq(
             all_ids.append(i)
             continue
         all_ids.append(i)
-        grams = _token_ngrams(txt, ngram) or {b""}
-        sh = pd.util.hash_array(
-            np.fromiter(grams, dtype=object, count=len(grams)))
+        sh = _shingle_hashes(txt, ngram)
         v = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
         sig = v.min(axis=1)
         for band in range(bands):
-            key_bytes = sig[band * r:(band + 1) * r].tobytes()
-            key = (band, int(pd.util.hash_array(
-                np.array([key_bytes], dtype=object))[0].astype(np.int64)))
+            seg = sig[band * r:(band + 1) * r].astype(np.uint64)
+            acc = np.bitwise_xor.reduce(seg * _POS_MULT[:r])
+            key = (band, int(np.array([acc], np.uint64).view(np.int64)[0]))
             buckets.setdefault(key, []).append(i)
     rep: dict[int, int] = {}
     for docs in buckets.values():
