@@ -19,6 +19,9 @@ Supported operators (reference file cited in OPS below)::
     window 6h ts n=count() by k  sigma rules.yml      parse_kv col
     parse_syslog|cef|leef col    parse_grok col "pat"
     enrich key=c, table=f.parquet, field=v, out=name[, table_key=c2]
+    move new=old, ...            unflatten [sep]      assert <expr>
+    timeshift field [-]N[smhd]   delay field [speed]  throttle rate
+    yara rules.yar [col]
 
 Expressions are Python syntax evaluated over pyarrow.dataset field
 expressions (``l_quantity > 45 and l_discount < 0.1`` →
@@ -534,6 +537,49 @@ class Pipeline:
             return lambda ds: ops.shell(ds, cmd)
         if op == "pass":
             return lambda ds: ds
+        if op == "move":
+            pairs = dict(p.split("=", 1) for p in csv(rest))
+            mapping = {new.strip(): old.strip() for new, old in pairs.items()}
+            return lambda ds: ops.move(ds, **mapping)
+        if op == "unflatten":
+            sep = rest.strip() or "."
+            return lambda ds: ops.unflatten(ds, sep)
+        if op == "assert":
+            fn = compile_array_expr(rest.strip())
+            return lambda ds: ops.assert_(ds, fn)
+        if op == "timeshift":
+            # timeshift <field> <[-]N[smhd]> (operators/timeshift.cpp)
+            import datetime
+
+            field, _, spec = rest.strip().partition(" ")
+            spec = spec.strip()
+            sign = -1 if spec.startswith("-") else 1
+            spec = spec.lstrip("+-")
+            unit = {"s": "seconds", "m": "minutes", "h": "hours",
+                    "d": "days"}[spec[-1]]
+            delta = sign * datetime.timedelta(**{unit: int(spec[:-1])})
+            return lambda ds: ops.timeshift(ds, field, delta)
+        if op == "delay":
+            # delay <time_field> [speed] (operators/delay.cpp)
+            from tenzir_ray.stages.flow import delay as _delay
+
+            field, _, speed = rest.strip().partition(" ")
+            return lambda ds: _delay(ds, field,
+                                     speed=float(speed.strip() or 1.0))
+        if op == "throttle":
+            # throttle <events_per_s> (operators/throttle.cpp)
+            from tenzir_ray.stages.flow import throttle as _throttle
+
+            rate = float(rest.strip())
+            return lambda ds: _throttle(ds, rate)
+        if op == "yara":
+            # yara <rules-file> [col] — mini-YARA scan (plugins/yara)
+            from tenzir_ray.stages.yara import yara_match
+
+            path, _, col = rest.strip().partition(" ")
+            with open(path.strip().strip('"')) as fh:
+                src = fh.read()
+            return lambda ds: yara_match(ds, src, col.strip() or "data")
         if op == "enrich":
             # enrich key=<col>, table=<path.parquet>, field=<lookup col>,
             # out=<name>[, table_key=<col in table>] — the lookup-table

@@ -307,3 +307,50 @@ def test_tql_summarize_using_hash(ray_session):
         "summarize n=count(*), s=sum(v) by k using hash")
         .run(ds).take_all(), key=lambda r: r["k"])
     assert a == b
+
+
+def test_tql_move_unflatten_assert_timeshift(ray_session, tmp_path):
+    import pyarrow as pa
+
+    ds = rd.from_items([
+        {"a": 1, "u.x": 10, "ts": pd.Timestamp("2024-01-01 00:00:00")},
+        {"a": 2, "u.x": 20, "ts": pd.Timestamp("2024-01-01 01:00:00")},
+    ])
+    p = Pipeline.parse("""
+        move b=a
+        unflatten
+        assert b < 10
+        timeshift ts 2h
+    """)
+    out = p.run(ds).to_pandas().sort_values("b").reset_index(drop=True)
+    assert list(out.columns.sort_values()) == ["b", "ts", "u"]
+    assert out["b"].tolist() == [1, 2]
+    assert out["u"].tolist() == [{"x": 10}, {"x": 20}]
+    assert out["ts"].iloc[0] == pd.Timestamp("2024-01-01 02:00:00")
+
+    # assert drops rows failing the predicate (with a logged warning)
+    p2 = Pipeline.parse("assert a > 1")
+    out2 = p2.run(rd.from_items([{"a": 1}, {"a": 2}])).to_pandas()
+    assert out2["a"].tolist() == [2]
+
+
+def test_tql_throttle_and_yara(ray_session, tmp_path):
+    rules = tmp_path / "r.yar"
+    rules.write_text('''
+rule hit {
+  strings:
+    $a = "needle"
+  condition:
+    $a
+}
+''')
+    ds = rd.from_items([
+        {"data": "has a needle inside"},
+        {"data": "nothing here"},
+    ])
+    p = Pipeline.parse(f"yara {rules} data\nselect data")
+    out = p.run(ds).to_pandas()
+    assert out["data"].tolist() == ["has a needle inside"]
+
+    p3 = Pipeline.parse("throttle 100000")
+    assert p3.run(rd.from_items([{"a": i} for i in range(5)])).count() == 5
