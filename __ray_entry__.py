@@ -1061,6 +1061,30 @@ def _embedding_dedup(sf_dir: str):
                            dtype=np.float64, dim=dim)
 
 
+def _kmeans_clusters(sf_dir: str):
+    """distributed k-means clustering over the embedding corpus: ivf_build
+    trains centroids on an id-sorted sample (the only global state) and
+    assigns every vector in one vectorized matmul pass; checked against
+    the sequential one-vector-at-a-time reimplementation."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.ann import ivf_build
+    from tenzir_ray.text.sequential import kmeans_assign_seq
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    if emb.num_rows <= 2000:  # skip oracle work at bench scale
+        _write_oracle("kmeans_clusters", kmeans_assign_seq(
+            emb.column("vec_id").to_pylist(),
+            np.stack(emb.column("embedding").to_pylist()), n_lists=8))
+    else:
+        _skip_oracle("kmeans_clusters")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assigned = ivf_build(ds, n_lists=8)
+    return assigned.select_columns(["vec_id", "ivf_list"]) \
+        .rename_columns({"ivf_list": "cluster"})
+
+
 def _ivf_ann(sf_dir: str):
     """IVF-bucketed ANN: k-means lists → write partitioned by list →
     search opens ONLY probed lists' partitions (file pruning at the
@@ -1252,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_funcs": _path_funcs,
         "windowed_agg": _windowed_agg,
         "embedding_dedup": _embedding_dedup,
+        "kmeans_clusters": _kmeans_clusters,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
         "semi_join_orders": _semi_join_orders,
@@ -1379,6 +1404,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_ann": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/ivf_ann.parquet'
+        """,
+        "kmeans_clusters": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/kmeans_clusters.parquet'
         """,
         "cdc_replay": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/cdc_replay.parquet'

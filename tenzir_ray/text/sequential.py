@@ -140,6 +140,29 @@ def minhash_dedup_seq(
     ]
 
 
+def kmeans_assign_seq(
+    doc_ids: list, vectors: "np.ndarray",
+    n_lists: int = 8, iters: int = 5, seed: int = 11,
+) -> pa.Table:
+    """Sequential k-means clustering: deterministic kmeans_cosine over
+    the id-sorted corpus, then one-vector-at-a-time argmax assignment.
+    Verifies the distributed ivf_build assign pass as a first-class
+    clustering op."""
+    from tenzir_ray.text.ann import _normalize, kmeans_cosine
+
+    order = np.argsort(np.asarray(doc_ids))
+    ids_sorted = [doc_ids[i] for i in order]
+    m = _normalize(np.asarray(vectors, dtype=np.float32))[order]
+    cents = kmeans_cosine(m, n_lists, iters, seed)
+    clusters = []
+    for i in range(len(m)):  # one vector at a time
+        clusters.append(int(np.argmax(cents @ m[i])))
+    return pa.table({
+        "vec_id": pa.array(ids_sorted, pa.int64()),
+        "cluster": pa.array(clusters, pa.int32()),
+    })
+
+
 def ivf_ann_seq(
     doc_ids: list, vectors: "np.ndarray", queries: "np.ndarray",
     n_lists: int = 8, k: int = 5, n_probe: int = 4,

@@ -455,3 +455,24 @@ def test_chunk_lines_and_line_dedup_vs_duckdb(ray_session):
     """).df()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_kmeans_clusters_matches_sequential(ray_session):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.ann import ivf_build
+    from tenzir_ray.text.sequential import kmeans_assign_seq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    want = kmeans_assign_seq(
+        emb.column("vec_id").to_pylist(),
+        np.stack(emb.column("embedding").to_pylist()), n_lists=8)
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    _, assigned = ivf_build(ds, n_lists=8)
+    got = (assigned.select_columns(["vec_id", "ivf_list"])
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    wantd = want.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert got["vec_id"].tolist() == wantd["vec_id"].tolist()
+    assert got["ivf_list"].tolist() == wantd["cluster"].tolist()
