@@ -1061,6 +1061,33 @@ def _embedding_dedup(sf_dir: str):
                            dtype=np.float64, dim=dim)
 
 
+def _hll_distinct_users(sf_dir: str):
+    """approximate distinct count via HyperLogLog: per-batch 4 KiB
+    register fold, max-merged in one remote task — the scale path past
+    exact count_distinct's distinct-set shuffle. Deterministic, so the
+    oracle is the sequential one-value-at-a-time fold."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.stages.sketch import (
+        hll_count_distinct,
+        hll_count_distinct_seq,
+    )
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id"])
+    if ev.num_rows <= 200_000:
+        vals = ev.column("user_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        est = hll_count_distinct_seq(vals, p=12)
+        _write_oracle("hll_distinct_users", pa.table(
+            {"approx_users": pa.array([est], pa.int64())}))
+    else:
+        _skip_oracle("hll_distinct_users")
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = hll_count_distinct(ds, "user_id", p=12)
+    return pa.table({"approx_users": pa.array([est], pa.int64())})
+
+
 def _kmeans_clusters(sf_dir: str):
     """distributed k-means clustering over the embedding corpus: ivf_build
     trains centroids on an id-sorted sample (the only global state) and
@@ -1277,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": _windowed_agg,
         "embedding_dedup": _embedding_dedup,
         "kmeans_clusters": _kmeans_clusters,
+        "hll_distinct_users": _hll_distinct_users,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
         "semi_join_orders": _semi_join_orders,
@@ -1407,6 +1435,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/kmeans_clusters.parquet'
+        """,
+        "hll_distinct_users": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/hll_distinct_users.parquet'
         """,
         "cdc_replay": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/cdc_replay.parquet'

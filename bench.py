@@ -142,7 +142,7 @@ def bench_queries() -> dict[str, float]:
         "cidr_enrich", "routed_json",
         "tql_functions", "windowed_agg", "path_funcs", "simhash_near_docs",
         "bpe_tokens", "http_roundtrip", "line_dedup_docs",
-        "kmeans_clusters",
+        "kmeans_clusters", "hll_distinct_users",
     ]
     out: dict[str, float] = {}
     for name in names:

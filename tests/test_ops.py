@@ -228,3 +228,30 @@ def test_summarize_partial_rejects_holistic():
 
     with pytest.raises(ValueError):
         ops.summarize_partial(None, "k", m=("median", "x"))
+
+
+def test_hll_count_distinct(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from tenzir_ray.stages.sketch import (
+        hll_count_distinct,
+        hll_count_distinct_seq,
+        hll_estimate,
+        hll_registers,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 20_000, size=60_000)  # ~19k distinct
+    exact = len(np.unique(vals))
+    ds = rd.from_items([{"v": int(x)} for x in vals]).repartition(8)
+    est = hll_count_distinct(ds, "v", p=12)
+    # distributed == sequential (deterministic, order-free max-merge)
+    assert est == hll_count_distinct_seq(vals, p=12)
+    # within ~5 standard errors of exact (1.04/sqrt(4096) ~ 1.6%)
+    assert abs(est - exact) / exact < 0.08
+    # register fold is order-insensitive and mergeable
+    a = hll_registers(vals[:30_000], 12)
+    b = hll_registers(vals[30_000:], 12)
+    merged = np.maximum(a, b)
+    assert int(round(hll_estimate(merged))) == est
