@@ -325,6 +325,55 @@ def _token_counts(sf_dir: str):
     ).select_columns(["doc_id", "n_tokens_ws"])
 
 
+def _pii_redact(sf_dir: str):
+    """PII redaction (email/phone/IPv4 → typed tokens) over documents.
+    The synthetic corpus carries no PII, so both sides first append a
+    deterministic PII suffix derived from doc_id, then scrub it — the
+    oracle is pure DuckDB SQL (both engines run RE2, patterns verbatim,
+    text/pii.py)."""
+    from tenzir_ray.text.pii import redact_pii_batch
+
+    def salt_and_redact(t: pa.Table) -> pa.Table:
+        def imod(a, m):  # pc has no mod kernel in this version
+            return pc.subtract(a, pc.multiply(pc.divide(a, m), m))
+
+        did = pc.cast(t.column("doc_id"), pa.string())
+        salted = pc.binary_join_element_wise(
+            t.column("text"), " contact user", did, "@example.com from 10.",
+            pc.cast(imod(t.column("doc_id"), 200), pa.string()),
+            ".3.7 tel +49 151 ",
+            pc.cast(pc.add(imod(t.column("doc_id"), 9000), 1000),
+                    pa.string()),
+            "")
+        t = t.set_column(t.column_names.index("text"), "text", salted)
+        return redact_pii_batch(t)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(salt_and_redact, batch_format="pyarrow")
+
+
+def _gopher_quality(sf_dir: str):
+    """Gopher repetition signals (dup-line / top-n-gram / dup-n-gram
+    char fractions, Rae et al. 2021 thresholds) + keep decision.
+    Not SQL-expressible; oracle = precomputed expected table from the
+    independent pure-Python sequential reimplementation
+    (text/sequential.py gopher_seq)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.quality import repetition_signals
+    from tenzir_ray.text.sequential import gopher_seq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    if docs.num_rows <= 2000:
+        _write_oracle("gopher_quality", gopher_seq(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    else:
+        _skip_oracle("gopher_quality")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_signals(ds).drop_columns(["text"])
+
+
 def _lang_quality(sf_dir: str):
     """language id + quality scoring + fingerprint. Not SQL-expressible
     (heuristic model); the oracle is a precomputed expected table — the
@@ -1268,6 +1317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _exact_dedup_docs,
         "line_dedup_docs": _line_dedup_docs,
         "token_counts": _token_counts,
+        "pii_redact": _pii_redact,
+        "gopher_quality": _gopher_quality,
         "lang_quality": _lang_quality,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "jaccard_dedup_docs": _jaccard_dedup_docs,
@@ -1426,6 +1477,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/multimodal_decode.parquet'
+        """,
+        "pii_redact": r"""
+            WITH salted AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com from 10.' || (doc_id % 200)
+                            || '.3.7 tel +49 151 ' || (doc_id % 9000 + 1000)
+                           AS text
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                       )) AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM salted
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t1,
+                           '\+\d{1,3}[ \-]\d{1,4}[ \-]\d{3,9}')) AS n_phone,
+                       regexp_replace(t1,
+                           '\+\d{1,3}[ \-]\d{1,4}[ \-]\d{3,9}',
+                           '<PHONE>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id, n_email, n_phone,
+                   len(regexp_extract_all(t2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   regexp_replace(t2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS text
+            FROM s2
+        """,
+        "gopher_quality": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/gopher_quality.parquet'
         """,
         "lang_quality": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/lang_quality.parquet'

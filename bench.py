@@ -143,6 +143,7 @@ def bench_queries() -> dict[str, float]:
         "tql_functions", "windowed_agg", "path_funcs", "simhash_near_docs",
         "bpe_tokens", "http_roundtrip", "line_dedup_docs",
         "kmeans_clusters", "hll_distinct_users",
+        "gopher_quality", "pii_redact",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -190,6 +190,127 @@ def analyze_documents(
     )
 
 
+# Gopher repetition-filter thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", appendix A1 — public). A document is
+# kept when EVERY signal is at or below its threshold.
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+class RepetitionAnalyzer:
+    """Actor-pool stage computing the Gopher repetition signals per
+    document:
+
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
+      (resp. line characters) that are repeats of an earlier identical
+      line (newline-split, stripped, empty lines ignored).
+    * ``top_{2,3,4}gram_char_frac`` — fraction of word-characters
+      covered by all occurrences of the single most frequent n-gram
+      (only when it occurs ≥2×; occurrences may overlap, so the value
+      is clipped to 1.0). Ties broken lexicographically for
+      determinism.
+    * ``dup_{5..10}gram_char_frac`` — fraction of word-characters
+      covered by ANY occurrence of an n-gram that occurs ≥2× (each
+      character counted once — position-marking, the public
+      DataTrove/NeMo-Curator convention).
+    * ``gopher_keep`` — all signals within ``GOPHER_THRESHOLDS``.
+
+    All fractions are ratios of exact integer counts, so the float64
+    results are bit-deterministic across workers. The per-document loop
+    is inherent (n-gram counting per text); the batch assembly is
+    columnar. No shuffle, no driver state — embarrassingly parallel at
+    any scale."""
+
+    TOP_NS = (2, 3, 4)
+    DUP_NS = (5, 6, 7, 8, 9, 10)
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    @staticmethod
+    def _doc_signals(text: str) -> dict[str, float]:
+        from collections import Counter
+
+        sig = {k: 0.0 for k in GOPHER_THRESHOLDS}
+        if text:
+            lines = [ln.strip() for ln in text.split("\n")]
+            lines = [ln for ln in lines if ln]
+            if lines:
+                lc = Counter(lines)
+                dups = {ln: c for ln, c in lc.items() if c > 1}
+                sig["dup_line_frac"] = sum(c - 1 for c in dups.values()) / len(lines)
+                tot_lc = sum(len(ln) for ln in lines)
+                if tot_lc:
+                    sig["dup_line_char_frac"] = sum(
+                        (c - 1) * len(ln) for ln, c in dups.items()) / tot_lc
+            words = text.split()
+            wlen = np.array([len(w) for w in words], np.int64)
+            total = int(wlen.sum())
+            if total:
+                for n in RepetitionAnalyzer.TOP_NS:
+                    if len(words) < n:
+                        break
+                    grams = list(zip(*(words[i:] for i in range(n))))
+                    cnt = Counter(grams)
+                    c, g = max(((c, g) for g, c in cnt.items()))
+                    if c >= 2:
+                        sig[f"top_{n}gram_char_frac"] = min(
+                            1.0, c * sum(len(w) for w in g) / total)
+                for n in RepetitionAnalyzer.DUP_NS:
+                    if len(words) < n:
+                        break
+                    grams = list(zip(*(words[i:] for i in range(n))))
+                    cnt = Counter(grams)
+                    mask = np.zeros(len(words), bool)
+                    for i, g in enumerate(grams):
+                        if cnt[g] >= 2:
+                            mask[i:i + n] = True
+                    sig[f"dup_{n}gram_char_frac"] = int(wlen[mask].sum()) / total
+        return sig
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        cols: dict[str, list[float]] = {k: [] for k in GOPHER_THRESHOLDS}
+        keep: list[bool] = []
+        for txt in texts:
+            sig = self._doc_signals(txt or "")
+            ok = True
+            for k, v in sig.items():
+                cols[k].append(v)
+                if v > GOPHER_THRESHOLDS[k]:
+                    ok = False
+            keep.append(ok)
+        out = t
+        for k, vals in cols.items():
+            out = out.append_column(k, pa.array(vals, pa.float64()))
+        out = out.append_column("gopher_keep", pa.array(keep, pa.bool_()))
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
+
+
+def repetition_signals(
+    ds: Dataset, text_col: str = "text", concurrency=(1, 8), batch_size: int = 512
+) -> Dataset:
+    """Gopher repetition signals + keep decision as an actor-pool stage."""
+    return ds.map_batches(
+        RepetitionAnalyzer,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Cheap whitespace+regex token count (vectorized pandas str kernel) —
     the stateless fast path when only counts are needed."""

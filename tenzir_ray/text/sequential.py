@@ -280,3 +280,67 @@ def bpe_seq(doc_ids: list, texts: list, num_merges: int = 64,
         "doc_id": pa.array([doc_ids[i] for i in order], pa.int64()),
         "bpe_n_tokens": pa.array([out[i] for i in order], pa.int64()),
     })
+
+
+def gopher_seq(doc_ids: list, texts: list) -> pa.Table:
+    """Sequential Gopher repetition signals (quality.RepetitionAnalyzer
+    semantics), pure-Python dict/list implementation — no numpy masking,
+    no Counter-free-ride on the engine code. Same integer-ratio
+    definitions, so floats must match bit-for-bit."""
+    from tenzir_ray.text.quality import GOPHER_THRESHOLDS
+
+    names = list(GOPHER_THRESHOLDS)
+    rows: list[dict] = []
+    for did, txt in zip(doc_ids, texts):
+        sig = dict.fromkeys(names, 0.0)
+        txt = txt or ""
+        lines = [s for s in (ln.strip() for ln in txt.split("\n")) if s]
+        if lines:
+            seen: dict[str, int] = {}
+            for ln in lines:
+                seen[ln] = seen.get(ln, 0) + 1
+            rep = sum(c - 1 for c in seen.values() if c > 1)
+            sig["dup_line_frac"] = rep / len(lines)
+            tot = sum(len(ln) for ln in lines)
+            if tot:
+                sig["dup_line_char_frac"] = sum(
+                    (c - 1) * len(ln) for ln, c in seen.items() if c > 1) / tot
+        words = txt.split()
+        total = sum(len(w) for w in words)
+        if total:
+            for n in (2, 3, 4):
+                if len(words) < n:
+                    break
+                cnt: dict[tuple, int] = {}
+                for i in range(len(words) - n + 1):
+                    g = tuple(words[i:i + n])
+                    cnt[g] = cnt.get(g, 0) + 1
+                best = max((c, g) for g, c in cnt.items())
+                if best[0] >= 2:
+                    frac = best[0] * sum(len(w) for w in best[1]) / total
+                    sig[f"top_{n}gram_char_frac"] = frac if frac < 1.0 else 1.0
+            for n in (5, 6, 7, 8, 9, 10):
+                if len(words) < n:
+                    break
+                cnt = {}
+                for i in range(len(words) - n + 1):
+                    g = tuple(words[i:i + n])
+                    cnt[g] = cnt.get(g, 0) + 1
+                covered: set[int] = set()
+                for i in range(len(words) - n + 1):
+                    if cnt[tuple(words[i:i + n])] >= 2:
+                        covered.update(range(i, i + n))
+                sig[f"dup_{n}gram_char_frac"] = (
+                    sum(len(words[j]) for j in covered) / total)
+        row = {"doc_id": did, **sig}
+        row["gopher_keep"] = all(sig[k] <= GOPHER_THRESHOLDS[k] for k in names)
+        rows.append(row)
+    rows.sort(key=lambda r: r["doc_id"])
+    cols: dict[str, list] = {"doc_id": [r["doc_id"] for r in rows]}
+    for k in names:
+        cols[k] = [r[k] for r in rows]
+    cols["gopher_keep"] = [r["gopher_keep"] for r in rows]
+    schema = [("doc_id", pa.int64())] + [(k, pa.float64()) for k in names] \
+        + [("gopher_keep", pa.bool_())]
+    return pa.table({k: pa.array(v, t) for (k, t), v in
+                     zip(schema, cols.values())})

@@ -476,3 +476,69 @@ def test_kmeans_clusters_matches_sequential(ray_session):
     wantd = want.to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert got["vec_id"].tolist() == wantd["vec_id"].tolist()
     assert got["ivf_list"].tolist() == wantd["cluster"].tolist()
+
+
+def test_gopher_signals_match_sequential(ray_session):
+    """Distributed RepetitionAnalyzer == pure-Python gopher_seq on
+    adversarial texts (dup lines, overlapping top-ngrams, short docs,
+    nulls), across batch boundaries."""
+    from tenzir_ray.text.quality import repetition_signals
+    from tenzir_ray.text.sequential import gopher_seq
+
+    texts = [
+        "a b c d e f g h i j k l m",
+        "spam spam spam spam spam ham",
+        "one two three four five " * 4,
+        "hdr\nsame line\nsame line\nother\nsame line\n\n ",
+        "", None, "solo",
+        "x " * 40,
+        "alpha beta gamma delta epsilon zeta eta theta " * 3,
+        "p q r s t u v w x y z " + "p q r s t u v w x y z",
+    ] * 7  # > one batch at batch_size=16
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = (repetition_signals(ds, batch_size=16)
+           .drop_columns(["text"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = gopher_seq(ids, texts).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+    # repeated docs must be rejected, plain ones kept
+    keep = dict(zip(got["doc_id"], got["gopher_keep"]))
+    assert keep[0] and not keep[1] and not keep[2]
+
+
+def test_pii_redact_vs_duckdb(ray_session):
+    """PII scrub (email/phone/ipv4) matches DuckDB regexp_replace with
+    the same RE2 patterns, including match counts."""
+    from tenzir_ray.text.pii import PII_PATTERNS, redact_pii
+
+    texts = [
+        "contact bob.smith+x@mail.example.org or a@b.co now",
+        "server 10.0.3.77 and 255.255.255.0 up",
+        "call +49 151 123456 or +1 800 5551234",
+        "clean text without secrets", "", None,
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = (redact_pii(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", t)
+    expr, counts = "text", []
+    for kind, pat, tok in PII_PATTERNS:
+        counts.append(
+            f"CASE WHEN text IS NULL THEN NULL ELSE "
+            f"len(regexp_extract_all({expr}, '{pat}')) END AS n_{kind}")
+        expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+    want = con.execute(
+        f"SELECT doc_id, {', '.join(counts)}, {expr} AS text "
+        f"FROM docs ORDER BY doc_id").df()
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    for c in ("n_email", "n_phone", "n_ipv4"):
+        assert got[c].fillna(-1).astype(int).tolist() == \
+            want[c].fillna(-1).astype(int).tolist(), c
+    assert got["text"].tolist() == want["text"].tolist()
+    assert "<EMAIL>" in got["text"][0] and "<IP>" in got["text"][1]
