@@ -374,6 +374,48 @@ def _gopher_quality(sf_dir: str):
     return repetition_signals(ds).drop_columns(["text"])
 
 
+def _curation_pipeline(sf_dir: str):
+    """Flagship training-data curation chain, composed end-to-end as ONE
+    streaming Dataset pipeline: Gopher repetition filter → MinHash-LSH
+    near-dup dedup → whitespace token count. Only (doc_id, text) ever
+    rides the pipeline; signals are dropped before the dedup shuffle.
+    Oracle: the same chain composed from the independent sequential
+    pieces (gopher_seq → minhash_dedup_seq → regex count)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text import minhash_lsh_dedup
+    from tenzir_ray.text.quality import repetition_signals, token_count_batch
+    from tenzir_ray.text.sequential import gopher_seq, minhash_dedup_seq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    if docs.num_rows <= 2000:
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        g = gopher_seq(ids, texts)
+        keep = {d for d, k in zip(g.column("doc_id").to_pylist(),
+                                  g.column("gopher_keep").to_pylist()) if k}
+        kept = [(d, t) for d, t in zip(ids, texts) if d in keep]
+        surv = set(minhash_dedup_seq([d for d, _ in kept],
+                                     [t for _, t in kept]))
+        rows = sorted((d, len(re.findall(r"\S+", t or "")))
+                      for d, t in kept if d in surv)
+        _write_oracle("curation_pipeline", pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_tokens_ws": pa.array([r[1] for r in rows], pa.int64())}))
+    else:
+        _skip_oracle("curation_pipeline")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = repetition_signals(ds)
+    ds = ds.filter(expr="gopher_keep == True").select_columns(
+        ["doc_id", "text"])
+    ds = minhash_lsh_dedup(ds, "doc_id", "text")
+    return ds.map_batches(token_count_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens_ws"])
+
+
 def _lang_quality(sf_dir: str):
     """language id + quality scoring + fingerprint. Not SQL-expressible
     (heuristic model); the oracle is a precomputed expected table — the
@@ -1319,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _token_counts,
         "pii_redact": _pii_redact,
         "gopher_quality": _gopher_quality,
+        "curation_pipeline": _curation_pipeline,
         "lang_quality": _lang_quality,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "jaccard_dedup_docs": _jaccard_dedup_docs,
@@ -1514,6 +1557,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_quality": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/gopher_quality.parquet'
+        """,
+        "curation_pipeline": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/curation_pipeline.parquet'
         """,
         "lang_quality": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/lang_quality.parquet'
