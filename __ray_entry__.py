@@ -1166,7 +1166,10 @@ def _hll_distinct_users(sf_dir: str):
 
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
                        columns=["user_id"])
-    if ev.num_rows <= 200_000:
+    # correctness-gate scale only (sf<=0.01): the sequential oracle is a
+    # deliberate one-value-at-a-time fold, ~100 µs/value — at bench scale
+    # (sf0.1 = 100 K rows) it would dominate the measured wall.
+    if ev.num_rows <= 20_000:
         vals = ev.column("user_id").combine_chunks() \
             .to_numpy(zero_copy_only=False)
         est = hll_count_distinct_seq(vals, p=12)
