@@ -374,6 +374,42 @@ def _gopher_quality(sf_dir: str):
     return repetition_signals(ds).drop_columns(["text"])
 
 
+def _cap_per_source(sf_dir: str):
+    """Per-key quota capping (domain-mix control): keep the 30 longest
+    documents per source, deterministic doc_id tie-break. Combiner
+    pre-reduces inside each batch before the keyed shuffle
+    (text/curation.py cap_per_key); oracle = DuckDB window function."""
+    from tenzir_ray.text.curation import cap_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return cap_per_key(ds, "source", 30, order_by="n_chars",
+                       descending=True, id_col="doc_id")
+
+
+def _decontam_docs(sf_dir: str):
+    """Benchmark decontamination (GPT-3/Pile protocol): flag documents
+    sharing any word-5-gram with a broadcast benchmark set (here: every
+    97th document's text). Corpus never shuffles; the benchmark hash
+    array broadcasts once. Oracle = independent sequential set-
+    intersection reimplementation (shares only the leaf shingle hash)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.curation import decontaminate, decontaminate_seq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    bench = [t for d, t in zip(ids, texts) if d % 97 == 0]
+    if docs.num_rows <= 2000:
+        _write_oracle("decontam_docs",
+                      decontaminate_seq(ids, texts, bench, ngram=5))
+    else:
+        _skip_oracle("decontam_docs")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return decontaminate(ds, bench, ngram=5).drop_columns(["text"])
+
+
 def _curation_pipeline(sf_dir: str):
     """Flagship training-data curation chain, composed end-to-end as ONE
     streaming Dataset pipeline: Gopher repetition filter → MinHash-LSH
@@ -1365,6 +1401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _pii_redact,
         "gopher_quality": _gopher_quality,
         "curation_pipeline": _curation_pipeline,
+        "cap_per_source": _cap_per_source,
+        "decontam_docs": _decontam_docs,
         "lang_quality": _lang_quality,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "jaccard_dedup_docs": _jaccard_dedup_docs,
@@ -1563,6 +1601,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curation_pipeline": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/curation_pipeline.parquet'
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 30
+        """,
+        "decontam_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/decontam_docs.parquet'
         """,
         "lang_quality": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/lang_quality.parquet'

@@ -1,0 +1,151 @@
+"""Corpus-shaping operators for training-data curation: per-key quota
+capping (domain-mix control) and benchmark decontamination (test-set
+n-gram overlap removal, the GPT-3/Pile protocol).
+
+Reference analogs: Tenzir's `deduplicate key, limit=n`
+(operators/deduplicate.cpp:126 — per-key emission limit) and the
+context-enrich membership probe (contexts/lookup_table.cpp) — both
+re-expressed Ray-Data-first.
+
+Scale notes:
+* ``cap_per_key`` pre-reduces INSIDE each batch before the keyed
+  shuffle (per-batch top-n per key), so the exchange carries at most
+  ``n × keys_per_batch`` rows per block, not the corpus — the
+  combiner pattern that keeps a 100 TB per-domain quota from moving
+  every row.
+* ``decontaminate`` broadcasts the benchmark's n-gram hash set ONCE
+  (``ray.put`` of a sorted uint64 array, ~8 B per distinct n-gram);
+  each actor binary-searches its batches against it. The corpus never
+  shuffles; benchmark sets (even 10 M n-grams = 80 MB) fit every
+  worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from tenzir_ray.text.dedup import _shingle_hashes
+
+
+def _top_n_pdf(df: pd.DataFrame, key_col: str, n: int, order_by: str,
+               descending: bool, id_col: str) -> pd.DataFrame:
+    df = df.sort_values([order_by, id_col],
+                        ascending=[not descending, True], kind="mergesort")
+    return df.groupby(key_col, sort=False).head(n)
+
+
+def cap_per_key(
+    ds: Dataset, key_col: str, n: int, order_by: str,
+    descending: bool = True, id_col: str = "doc_id",
+) -> Dataset:
+    """Keep at most ``n`` rows per ``key_col`` value, preferring rows
+    with the highest (``descending=True``) ``order_by`` value;
+    deterministic tie-break by ascending ``id_col``. The domain-quota /
+    source-rebalancing primitive (cap web-crawl domains, per-source
+    mixture control).
+
+    Two stages: a per-batch combiner (top-n per key inside each batch —
+    correct because the global top-n per key is a subset of every
+    batch-local top-n union) then one keyed ``map_groups`` finalize."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _top_n_pdf(df, key_col, n, order_by, descending, id_col)
+
+    pruned = ds.map_batches(partial, batch_format="pandas")
+    return pruned.groupby(key_col).map_groups(
+        lambda df: _top_n_pdf(df, key_col, n, order_by, descending, id_col),
+        batch_format="pandas")
+
+
+class _Decontaminator:
+    """Actor-pool stage: flag documents sharing ≥ ``threshold`` distinct
+    word-``ngram`` shingle hashes with a broadcast benchmark set. The
+    benchmark array is fetched from the object store once per actor."""
+
+    def __init__(self, bench_ref, text_col: str, ngram: int, threshold: int):
+        import ray
+
+        self.bench = ray.get(bench_ref) if not isinstance(
+            bench_ref, np.ndarray) else bench_ref  # sorted uint64
+        self.text_col = text_col
+        self.ngram = ngram
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        hits = np.zeros(len(texts), np.int64)
+        for i, txt in enumerate(texts):
+            if not txt or self.bench.size == 0:
+                continue
+            h = np.unique(_shingle_hashes(txt, self.ngram))
+            idx = np.searchsorted(self.bench, h)
+            idx[idx == self.bench.size] = 0
+            hits[i] = int(np.count_nonzero(self.bench[idx] == h))
+        t = t.append_column("n_contaminated_ngrams", pa.array(hits))
+        t = t.append_column(
+            "contaminated", pa.array(hits >= self.threshold))
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def benchmark_hashes(texts: list[str | None], ngram: int = 8) -> np.ndarray:
+    """Sorted distinct shingle-hash array for a benchmark corpus."""
+    parts = [_shingle_hashes(t, ngram) for t in texts if t]
+    if not parts:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(
+    ds: Dataset, benchmark_texts: list[str | None], text_col: str = "text",
+    ngram: int = 8, threshold: int = 1, drop: bool = False,
+    concurrency=(1, 8), batch_size: int = 512,
+) -> Dataset:
+    """Benchmark decontamination: mark (or drop) documents whose text
+    shares ≥ ``threshold`` distinct word-``ngram`` shingles with any
+    benchmark document. Adds ``n_contaminated_ngrams`` and
+    ``contaminated`` columns; with ``drop=True`` removes contaminated
+    rows instead."""
+    import ray
+
+    bench_ref = ray.put(benchmark_hashes(benchmark_texts, ngram))
+    out = ds.map_batches(
+        _Decontaminator,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "text_col": text_col,
+                               "ngram": ngram, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if drop:
+        out = out.filter(expr="contaminated == False").drop_columns(
+            ["n_contaminated_ngrams", "contaminated"])
+    return out
+
+
+def decontaminate_seq(
+    doc_ids: list, texts: list, benchmark_texts: list,
+    ngram: int = 8, threshold: int = 1,
+) -> pa.Table:
+    """Sequential verification oracle: plain-Python set intersection per
+    document against a set() of benchmark hashes (shares only the leaf
+    ``_shingle_hashes`` primitive with the distributed path)."""
+    bench: set[int] = set()
+    for t in benchmark_texts:
+        if t:
+            bench.update(int(x) for x in _shingle_hashes(t, ngram))
+    rows = []
+    for did, txt in zip(doc_ids, texts):
+        if txt:
+            mine = {int(x) for x in _shingle_hashes(txt, ngram)}
+            k = len(mine & bench)
+        else:
+            k = 0
+        rows.append((did, k, k >= threshold))
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_contaminated_ngrams": pa.array([r[1] for r in rows], pa.int64()),
+        "contaminated": pa.array([r[2] for r in rows], pa.bool_()),
+    })

@@ -542,3 +542,65 @@ def test_pii_redact_vs_duckdb(ray_session):
             want[c].fillna(-1).astype(int).tolist(), c
     assert got["text"].tolist() == want["text"].tolist()
     assert "<EMAIL>" in got["text"][0] and "<IP>" in got["text"][1]
+
+
+def test_cap_per_key_vs_duckdb(ray_session):
+    from tenzir_ray.text.curation import cap_per_key
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{int(x)}" for x in rng.integers(0, 12, n)]),
+        "n_chars": pa.array(rng.integers(0, 500, n), pa.int64()),
+    })
+    got = (cap_per_key(rd.from_arrow(t).repartition(8), "source", 25,
+                       order_by="n_chars", descending=True, id_col="doc_id")
+           .to_pandas())
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.execute("""
+        SELECT doc_id, source, n_chars FROM docs
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 25
+    """).df()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # ascending variant: keep the 5 SHORTEST per source
+    got2 = (cap_per_key(rd.from_arrow(t).repartition(8), "source", 5,
+                        order_by="n_chars", descending=False,
+                        id_col="doc_id").to_pandas())
+    want2 = con.execute("""
+        SELECT doc_id FROM docs
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY n_chars ASC, doc_id) <= 5
+    """).df()
+    assert sorted(got2["doc_id"]) == sorted(want2["doc_id"])
+
+
+def test_decontaminate_matches_sequential(ray_session):
+    from tenzir_ray.text.curation import decontaminate, decontaminate_seq
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "a completely different sentence with no overlap here at all",
+        "quick brown fox jumps over the lazy dog again and again",
+        None, "",
+        "short text",
+        "the quick brown fox jumps over something else entirely now ok",
+    ]
+    ids = list(range(len(texts)))
+    bench = ["the quick brown fox jumps over the lazy dog"]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = (decontaminate(rd.from_arrow(t), bench, ngram=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = decontaminate_seq(ids, texts, bench, ngram=5).to_pandas()
+    assert got["n_contaminated_ngrams"].tolist() == \
+        want["n_contaminated_ngrams"].tolist()
+    assert got["contaminated"].tolist() == want["contaminated"].tolist()
+    assert got["contaminated"][0] and not got["contaminated"][1]
+    # drop=True removes flagged rows and the bookkeeping columns
+    kept = decontaminate(rd.from_arrow(t), bench, ngram=5, drop=True)
+    kp = kept.to_pandas()
+    assert set(kp.columns) == {"doc_id", "text"}
+    assert 0 not in kp["doc_id"].tolist()
