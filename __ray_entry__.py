@@ -386,24 +386,47 @@ def _cap_per_source(sf_dir: str):
                        descending=True, id_col="doc_id")
 
 
+def _mixture_sample(sf_dir: str):
+    """Deterministic stratified mixture sampling: re-weight the corpus
+    to 90% of src0, 60% of src1, 30% of src2, 5% of everything else via
+    a pure id-hash — no RNG state, no shuffle, reproducible at any
+    parallelism (text/curation.py sample_mixture). Oracle = the same
+    arithmetic hash spelled in ANSI SQL."""
+    from tenzir_ray.text.curation import sample_mixture
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    return sample_mixture(
+        ds, {"src0": 0.9, "src1": 0.6, "src2": 0.3},
+        key_col="source", id_col="doc_id", default_rate=0.05)
+
+
 def _decontam_docs(sf_dir: str):
     """Benchmark decontamination (GPT-3/Pile protocol): flag documents
     sharing any word-5-gram with a broadcast benchmark set (here: every
     97th document's text). Corpus never shuffles; the benchmark hash
     array broadcasts once. Oracle = independent sequential set-
     intersection reimplementation (shares only the leaf shingle hash)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from tenzir_ray.text.curation import decontaminate, decontaminate_seq
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    ids = docs.column("doc_id").to_pylist()
-    texts = docs.column("text").to_pylist()
-    bench = [t for d, t in zip(ids, texts) if d % 97 == 0]
-    if docs.num_rows <= 2000:
-        _write_oracle("decontam_docs",
-                      decontaminate_seq(ids, texts, bench, ngram=5))
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_rows = pq.read_metadata(path).num_rows
+    # The benchmark set is a SMALL external input in real use; here it's
+    # synthesised as every 97th doc via a row-filter pushdown, so only
+    # ~1% of the text column reaches the driver at any scale.
+    ids_np = (pq.read_table(path, columns=["doc_id"])
+              .column("doc_id").to_numpy())
+    bench_ids = pa.array(ids_np[ids_np % 97 == 0])
+    bench_t = pq.read_table(path, columns=["text"],
+                            filters=pc.field("doc_id").isin(bench_ids))
+    bench = bench_t.column("text").to_pylist()
+    if n_rows <= 2000:
+        docs = pq.read_table(path, columns=["doc_id", "text"])
+        _write_oracle("decontam_docs", decontaminate_seq(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(), bench, ngram=5))
     else:
         _skip_oracle("decontam_docs")
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1402,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _gopher_quality,
         "curation_pipeline": _curation_pipeline,
         "cap_per_source": _cap_per_source,
+        "mixture_sample": _mixture_sample,
         "decontam_docs": _decontam_docs,
         "lang_quality": _lang_quality,
         "minhash_dedup_docs": _minhash_dedup_docs,
@@ -1607,6 +1631,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY row_number() OVER (
                 PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 30
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE (xor(doc_id, doc_id >> 17) * 2654435761) % 4294967296
+                  < 4294967296.0 * CASE source
+                        WHEN 'src0' THEN 0.9
+                        WHEN 'src1' THEN 0.6
+                        WHEN 'src2' THEN 0.3
+                        ELSE 0.05 END
         """,
         "decontam_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/decontam_docs.parquet'

@@ -144,6 +144,7 @@ def bench_queries() -> dict[str, float]:
         "bpe_tokens", "http_roundtrip", "line_dedup_docs",
         "kmeans_clusters", "hll_distinct_users",
         "gopher_quality", "pii_redact",
+        "cap_per_source", "mixture_sample", "decontam_docs",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -59,6 +59,50 @@ def cap_per_key(
         batch_format="pandas")
 
 
+def mixture_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-row sampling hash in [0, 2^32): Knuth
+    multiplicative over a xor-folded id. Chosen to be exactly
+    expressible in ANSI SQL for oracle checks:
+    ``(xor(id, id >> 17) * 2654435761) % 4294967296``."""
+    ids = ids.astype(np.uint64)
+    return ((ids ^ (ids >> np.uint64(17))) * np.uint64(2654435761)) \
+        % np.uint64(1 << 32)
+
+
+def sample_mixture(
+    ds: Dataset, rates: dict[str, float], key_col: str = "source",
+    id_col: str = "doc_id", default_rate: float = 0.0,
+) -> Dataset:
+    """Deterministic stratified sampling for domain-mixture control:
+    keep each row with probability ``rates[key]`` (else
+    ``default_rate``), decided by a pure hash of ``id_col`` — no RNG
+    state, so the sample is reproducible, resumable across retries, and
+    identical at any parallelism. Pure ``map_batches`` filter: no
+    shuffle, no driver traffic, the scale-safe way to re-weight a
+    100 TB corpus mix (cf. The Pile / DoReMi mixture weights).
+
+    Reference analog: Tenzir `sample` (operators/sample.cpp) is
+    rate-based but stateful-sequential; this is the order-free keyed
+    variant."""
+    keys = list(rates)
+    key_arr = pa.array(keys, pa.string())
+    thresholds = np.array(
+        [min(max(rates[k], 0.0), 1.0) * (1 << 32) for k in keys]
+        + [min(max(default_rate, 0.0), 1.0) * (1 << 32)], np.float64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = mixture_hash(t.column(id_col).to_numpy(zero_copy_only=False))
+        idx = pc.index_in(t.column(key_col), key_arr) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.where(np.isnan(idx.astype(np.float64)), len(keys),
+                       idx).astype(np.int64)
+        return t.filter(pa.array(h < thresholds[idx]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 class _Decontaminator:
     """Actor-pool stage: flag documents sharing ≥ ``threshold`` distinct
     word-``ngram`` shingle hashes with a broadcast benchmark set. The

@@ -604,3 +604,34 @@ def test_decontaminate_matches_sequential(ray_session):
     kp = kept.to_pandas()
     assert set(kp.columns) == {"doc_id", "text"}
     assert 0 not in kp["doc_id"].tolist()
+
+
+def test_sample_mixture_deterministic(ray_session):
+    from tenzir_ray.text.curation import mixture_hash, sample_mixture
+
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+    })
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    got = sample_mixture(rd.from_arrow(t).repartition(7), rates,
+                         default_rate=0.25).to_pandas()
+    # rate 1.0 keeps all, 0.0 keeps none
+    assert (got["source"] == "s0").sum() == n // 4
+    assert (got["source"] == "s2").sum() == 0
+    # matches the hash rule exactly (independent numpy recompute)
+    ids = np.arange(n, dtype=np.int64)
+    h = mixture_hash(ids)
+    srcs = np.array([f"s{i % 4}" for i in range(n)])
+    thr = np.select([srcs == "s0", srcs == "s1", srcs == "s2"],
+                    [1.0, 0.5, 0.0], 0.25) * (1 << 32)
+    want_ids = sorted(ids[h < thr].tolist())
+    assert sorted(got["doc_id"].tolist()) == want_ids
+    # identical result at a different partitioning (order-free)
+    got2 = sample_mixture(rd.from_arrow(t).repartition(2), rates,
+                          default_rate=0.25).to_pandas()
+    assert sorted(got2["doc_id"].tolist()) == want_ids
+    # sampled fraction is near the requested rate
+    frac = (got["source"] == "s1").sum() / (n // 4)
+    assert 0.4 < frac < 0.6
