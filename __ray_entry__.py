@@ -386,6 +386,29 @@ def _cap_per_source(sf_dir: str):
                        descending=True, id_col="doc_id")
 
 
+def _repeated_passages(sf_dir: str):
+    """ExactSubstr-style repeated-passage coverage via winnowing
+    fingerprints: any ≥(window+ngram-1)-token passage shared by ≥2 docs
+    is guaranteed detected, while only (hash,count) rows ride the
+    shuffle (text/passages.py). Oracle = independent sequential Counter
+    reimplementation (shares only the per-doc fingerprint leaf)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.passages import (repeated_passages,
+                                          repeated_passages_seq)
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if pq.read_metadata(path).num_rows <= 2000:
+        docs = pq.read_table(path, columns=["doc_id", "text"])
+        _write_oracle("repeated_passages", repeated_passages_seq(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(), ngram=6, window=4))
+    else:
+        _skip_oracle("repeated_passages")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repeated_passages(ds, ngram=6, window=4)
+
+
 def _mixture_sample(sf_dir: str):
     """Deterministic stratified mixture sampling: re-weight the corpus
     to 90% of src0, 60% of src1, 30% of src2, 5% of everything else via
@@ -1426,6 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _curation_pipeline,
         "cap_per_source": _cap_per_source,
         "mixture_sample": _mixture_sample,
+        "repeated_passages": _repeated_passages,
         "decontam_docs": _decontam_docs,
         "lang_quality": _lang_quality,
         "minhash_dedup_docs": _minhash_dedup_docs,
@@ -1631,6 +1655,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY row_number() OVER (
                 PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 30
+        """,
+        "repeated_passages": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/repeated_passages.parquet'
         """,
         "mixture_sample": """
             SELECT doc_id, source, lang FROM documents

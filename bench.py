@@ -145,6 +145,7 @@ def bench_queries() -> dict[str, float]:
         "kmeans_clusters", "hll_distinct_users",
         "gopher_quality", "pii_redact",
         "cap_per_source", "mixture_sample", "decontam_docs",
+        "repeated_passages",
     ]
     out: dict[str, float] = {}
     for name in names:

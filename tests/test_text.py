@@ -635,3 +635,37 @@ def test_sample_mixture_deterministic(ray_session):
     # sampled fraction is near the requested rate
     frac = (got["source"] == "s1").sum() / (n // 4)
     assert 0.4 < frac < 0.6
+
+
+def test_repeated_passages_winnowing(ray_session):
+    from tenzir_ray.text.passages import (repeated_passages,
+                                          repeated_passages_seq)
+
+    rng = np.random.default_rng(99991)
+    vocab = [f"w{i}" for i in range(500)]
+    passage = " ".join(vocab[i] for i in rng.integers(0, 500, 30))
+
+    def doc(seed, inject):
+        r = np.random.default_rng(seed)
+        words = [vocab[i] for i in r.integers(0, 500, 60)]
+        return " ".join(words[:30]) + (" " + passage + " " if inject
+                                       else " ") + " ".join(words[30:])
+
+    texts = [doc(s, s % 3 == 0) for s in range(40)] + [None, ""]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = (repeated_passages(rd.from_arrow(t).repartition(6),
+                             ngram=6, window=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = repeated_passages_seq(ids, texts, ngram=6, window=4).to_pandas()
+    for c in ("n_fingerprints", "n_repeated"):
+        assert got[c].tolist() == want[c].tolist(), c
+    assert np.allclose(got["repeated_fraction"], want["repeated_fraction"])
+    # winnowing guarantee: every doc containing the 30-token passage
+    # (>= window+ngram-1 = 9 tokens) is flagged; unique docs score 0
+    inj = got["doc_id"] % 3 == 0
+    inj &= got["doc_id"] < 40
+    assert (got.loc[inj, "n_repeated"] > 0).all()
+    clean = (~inj) & (got["doc_id"] < 40)
+    assert (got.loc[clean, "repeated_fraction"] < 0.2).all()
