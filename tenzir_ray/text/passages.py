@@ -38,39 +38,58 @@ from ray.data import Dataset
 from tenzir_ray.text.dedup import _WORD, _POS_MULT
 
 
-def _position_hashes(text: str, n: int) -> np.ndarray:
-    """64-bit hash of the word n-gram STARTING at each token position
-    (positional — NOT deduped, unlike dedup._shingle_hashes)."""
-    import pandas as pd
-
-    toks = _WORD.findall(text.lower())
-    if not toks:
+def _fps_from_token_hashes(th: np.ndarray, n: int, w: int) -> np.ndarray:
+    """Winnowed fingerprints from one document's token-hash array:
+    positional n-gram XOR-multiplier combine, then window-of-``w``
+    minima, deduped."""
+    if th.size == 0:
         return np.zeros(0, dtype=np.uint64)
-    th = pd.util.hash_array(np.array(toks, dtype=object))
     k = min(n, th.size)
     length = th.size - k + 1
     acc = np.zeros(length, dtype=np.uint64)
     for j in range(k):
         acc ^= th[j:j + length] * _POS_MULT[j]
-    return acc
+    w = min(w, acc.size)
+    mins = np.lib.stride_tricks.sliding_window_view(acc, w).min(axis=1)
+    return np.unique(mins)
 
 
 def doc_fingerprints(text: str, ngram: int = 8, window: int = 4) -> np.ndarray:
     """Winnowed fingerprint set of one document: distinct window-minima
     over the positional n-gram hashes. Shared leaf of the distributed
     path and the sequential verification oracle."""
-    ph = _position_hashes(text, ngram)
-    if ph.size == 0:
+    import pandas as pd
+
+    toks = _WORD.findall((text or "").lower())
+    if not toks:
         return np.zeros(0, dtype=np.uint64)
-    w = min(window, ph.size)
-    mins = np.lib.stride_tricks.sliding_window_view(ph, w).min(axis=1)
-    return np.unique(mins)
+    th = pd.util.hash_array(np.array(toks, dtype=object))
+    return _fps_from_token_hashes(th, ngram, window)
+
+
+def _batch_fingerprints(texts: list, ngram: int, window: int) \
+        -> list[np.ndarray]:
+    """Per-doc fingerprint arrays for a whole batch with ONE
+    ``hash_array`` call over every token in the batch (the same
+    batch-flat vectorization as dedup._minhash_batch; identical results
+    to per-doc :func:`doc_fingerprints`)."""
+    import pandas as pd
+
+    tok_lists = [_WORD.findall((t or "").lower()) for t in texts]
+    flat = np.array([x for tk in tok_lists for x in tk], dtype=object)
+    th_all = pd.util.hash_array(flat) if flat.size \
+        else np.zeros(0, dtype=np.uint64)
+    out, pos = [], 0
+    for tk in tok_lists:
+        out.append(_fps_from_token_hashes(
+            th_all[pos:pos + len(tk)], ngram, window))
+        pos += len(tk)
+    return out
 
 
 def repeated_passages(
     ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
     ngram: int = 8, window: int = 4, min_docs: int = 2,
-    concurrency=(1, 8),
 ) -> Dataset:
     """Score every document's repeated-passage coverage: the fraction of
     its winnowed fingerprints that occur in at least ``min_docs``
@@ -82,7 +101,7 @@ def repeated_passages(
 
     def partial_df(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
-        parts = [doc_fingerprints(x or "", ngram, window) for x in texts]
+        parts = _batch_fingerprints(texts, ngram, window)
         flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
         if flat.size == 0:
             return pa.table({"h": pa.array([], pa.uint64()),
@@ -112,30 +131,36 @@ def repeated_passages(
     refs = [r for b in bundles for r in b.block_refs]
     hot_ref = _hot.remote(*refs)
 
-    class _Score:
-        def __init__(self):
-            self.hot = ray.get(hot_ref)
+    def score(t: pa.Table) -> pa.Table:
+        # plain task (no actor pool): the hot array is a single plasma
+        # object, so per-task ray.get is a zero-copy shared-memory read
+        hot = ray.get(hot_ref)
+        texts = t.column(text_col).to_pylist()
+        parts = _batch_fingerprints(texts, ngram, window)
+        n_fp = np.fromiter((p.size for p in parts), np.int64,
+                           count=len(parts))
+        flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+        if flat.size and hot.size:
+            idx = np.searchsorted(hot, flat)
+            idx[idx == hot.size] = 0
+            hit = (hot[idx] == flat).astype(np.int64)
+            starts = np.zeros(len(parts), np.int64)
+            np.cumsum(n_fp[:-1], out=starts[1:])
+            # reduceat needs in-range indices; empty docs' degenerate
+            # segments are masked by the n_fp > 0 guard below
+            seg = np.add.reduceat(hit, np.minimum(
+                starts, max(flat.size - 1, 0)))
+            n_hot = np.where(n_fp > 0, seg, 0)
+        else:
+            n_hot = np.zeros(len(parts), np.int64)
+        frac = np.where(n_fp > 0, n_hot / np.maximum(n_fp, 1), 0.0)
+        out = t.select([id_col])
+        out = out.append_column("n_fingerprints", pa.array(n_fp))
+        out = out.append_column("n_repeated", pa.array(n_hot))
+        out = out.append_column("repeated_fraction", pa.array(frac))
+        return out
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t.column(text_col).to_pylist()
-            n_fp = np.zeros(len(texts), np.int64)
-            n_hot = np.zeros(len(texts), np.int64)
-            for i, x in enumerate(texts):
-                fps = doc_fingerprints(x or "", ngram, window)
-                n_fp[i] = fps.size
-                if fps.size and self.hot.size:
-                    idx = np.searchsorted(self.hot, fps)
-                    idx[idx == self.hot.size] = 0
-                    n_hot[i] = int(np.count_nonzero(self.hot[idx] == fps))
-            frac = np.where(n_fp > 0, n_hot / np.maximum(n_fp, 1), 0.0)
-            out = t.select([id_col])
-            out = out.append_column("n_fingerprints", pa.array(n_fp))
-            out = out.append_column("n_repeated", pa.array(n_hot))
-            out = out.append_column("repeated_fraction", pa.array(frac))
-            return out
-
-    return ds.map_batches(
-        _Score, batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def repeated_passages_seq(
