@@ -103,34 +103,22 @@ def sample_mixture(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-class _Decontaminator:
-    """Actor-pool stage: flag documents sharing ≥ ``threshold`` distinct
-    word-``ngram`` shingle hashes with a broadcast benchmark set. The
-    benchmark array is fetched from the object store once per actor."""
-
-    def __init__(self, bench_ref, text_col: str, ngram: int, threshold: int):
-        import ray
-
-        self.bench = ray.get(bench_ref) if not isinstance(
-            bench_ref, np.ndarray) else bench_ref  # sorted uint64
-        self.text_col = text_col
-        self.ngram = ngram
-        self.threshold = threshold
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column(self.text_col).to_pylist()
-        hits = np.zeros(len(texts), np.int64)
-        for i, txt in enumerate(texts):
-            if not txt or self.bench.size == 0:
-                continue
-            h = np.unique(_shingle_hashes(txt, self.ngram))
-            idx = np.searchsorted(self.bench, h)
-            idx[idx == self.bench.size] = 0
-            hits[i] = int(np.count_nonzero(self.bench[idx] == h))
-        t = t.append_column("n_contaminated_ngrams", pa.array(hits))
-        t = t.append_column(
-            "contaminated", pa.array(hits >= self.threshold))
-        return t.replace_schema_metadata(None) if t.schema.metadata else t
+def _decontam_batch(t: pa.Table, bench: np.ndarray, text_col: str,
+                    ngram: int, threshold: int) -> pa.Table:
+    """Flag documents sharing ≥ ``threshold`` distinct word-``ngram``
+    shingle hashes with the (sorted uint64) benchmark set."""
+    texts = t.column(text_col).to_pylist()
+    hits = np.zeros(len(texts), np.int64)
+    for i, txt in enumerate(texts):
+        if not txt or bench.size == 0:
+            continue
+        h = np.unique(_shingle_hashes(txt, ngram))
+        idx = np.searchsorted(bench, h)
+        idx[idx == bench.size] = 0
+        hits[i] = int(np.count_nonzero(bench[idx] == h))
+    t = t.append_column("n_contaminated_ngrams", pa.array(hits))
+    t = t.append_column("contaminated", pa.array(hits >= threshold))
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
 def benchmark_hashes(texts: list[str | None], ngram: int = 8) -> np.ndarray:
@@ -144,7 +132,7 @@ def benchmark_hashes(texts: list[str | None], ngram: int = 8) -> np.ndarray:
 def decontaminate(
     ds: Dataset, benchmark_texts: list[str | None], text_col: str = "text",
     ngram: int = 8, threshold: int = 1, drop: bool = False,
-    concurrency=(1, 8), batch_size: int = 512,
+    batch_size: int = 512,
 ) -> Dataset:
     """Benchmark decontamination: mark (or drop) documents whose text
     shares ≥ ``threshold`` distinct word-``ngram`` shingles with any
@@ -154,14 +142,15 @@ def decontaminate(
     import ray
 
     bench_ref = ray.put(benchmark_hashes(benchmark_texts, ngram))
-    out = ds.map_batches(
-        _Decontaminator,
-        fn_constructor_kwargs={"bench_ref": bench_ref, "text_col": text_col,
-                               "ngram": ngram, "threshold": threshold},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        # plain task: the benchmark array is one plasma object, so the
+        # per-task ray.get is a zero-copy shared-memory read
+        return _decontam_batch(t, ray.get(bench_ref), text_col, ngram,
+                               threshold)
+
+    out = ds.map_batches(probe, batch_format="pyarrow",
+                         batch_size=batch_size)
     if drop:
         out = out.filter(expr="contaminated == False").drop_columns(
             ["n_contaminated_ngrams", "contaminated"])
