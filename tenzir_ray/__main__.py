@@ -109,14 +109,29 @@ def main(argv: list[str] | None = None) -> int:
         sink = segs.pop()
     uri = segs[0][len("from "):].strip()
     if uri == "-":
-        # stdin NDJSON → events (the reference's implicit `load stdin |
-        # read json`, src/exec_pipeline.cpp)
-        import json as _json
+        # stdin → events (the reference's `load stdin | read <fmt>`,
+        # src/exec_pipeline.cpp). An optional leading `read <fmt>`
+        # segment picks the parser; default ndjson. The byte stream is
+        # spooled to a tmp file so every existing reader (and Arrow's
+        # block-splitting parallel parse) applies unchanged — a console
+        # pipe is inherently a single driver-side stream.
+        import tempfile
 
-        import ray.data as rd
-
-        rows = [_json.loads(l) for l in sys.stdin if l.strip()]
-        ds = Pipeline.parse("\n".join(segs[1:])).run(rd.from_items(rows))
+        body = segs[1:]
+        fmt = "ndjson"
+        if body and body[0].startswith("read "):
+            fmt = body.pop(0)[len("read "):].strip()
+        ext = {"json": ".ndjson", "ndjson": ".ndjson", "jsonl": ".ndjson",
+               "csv": ".csv", "tsv": ".tsv", "lines": ".txt",
+               "parquet": ".parquet", "bitz": ".bitz"}.get(fmt)
+        if ext is None:
+            print(f"error: unknown stdin format {fmt!r}", file=sys.stderr)
+            return 2
+        tmp = tempfile.NamedTemporaryFile(
+            suffix=ext, prefix="tenzir_ray_stdin_", delete=False)
+        tmp.write(sys.stdin.buffer.read())
+        tmp.close()
+        ds = Pipeline.parse("\n".join(body)).run(open_uri(tmp.name))
     elif uri.endswith(".parquet"):
         # parquet: let the planner keep `from` so leading where/select
         # push into the scan (filter + projection at the read)
@@ -129,8 +144,34 @@ def main(argv: list[str] | None = None) -> int:
         fmt = parts[1] if parts[0] == "write" else "parquet"
         path = parts[-1] if len(parts) > 2 or parts[0] == "to" else None
         if path is None:
-            for row in ds.iter_rows():
-                print(json.dumps(row, default=str))
+            # `write <fmt>` with no path → stdout (the reference's
+            # `write <fmt> | save stdout`): stream printer lines
+            # batch-by-batch, never materializing the result
+            if fmt in ("syslog", "cef", "leef", "kv", "ndjson", "csv",
+                       "lines"):
+                import functools
+
+                from tenzir_ray.sources import printers as pr
+
+                printer = {
+                    "syslog": pr.print_syslog_batch,
+                    "cef": pr.print_cef_batch,
+                    "leef": pr.print_leef_batch, "kv": pr.print_kv_batch,
+                    "ndjson": pr.print_ndjson_batch,
+                    "csv": functools.partial(pr.print_csv_batch,
+                                             include_header=False),
+                    "lines": functools.partial(pr.print_csv_batch,
+                                               include_header=False),
+                }[fmt]
+                lines_ds = ds.map_batches(printer, batch_format="pyarrow")
+                if fmt == "csv":
+                    print(",".join(ds.schema().names))
+                for b in lines_ds.iter_batches(batch_format="pyarrow"):
+                    sys.stdout.write(
+                        "\n".join(b.column("line").to_pylist()) + "\n")
+            else:
+                for row in ds.iter_rows():
+                    print(json.dumps(row, default=str))
             ray.shutdown()
             return 0
         if fmt == "parquet":

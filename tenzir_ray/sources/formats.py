@@ -60,7 +60,7 @@ _EXT_READERS = {
     ".ndjson": read_json,
     ".jsonl": read_json,
     ".csv": read_csv,
-    ".tsv": read_csv,
+    ".tsv": lambda uri, **kw: read_tsv(uri, **kw),
     ".txt": read_lines,
     ".log": read_lines,
     ".bitz": lambda uri, **kw: read_bitz(uri),

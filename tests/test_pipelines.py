@@ -354,3 +354,36 @@ rule hit {
 
     p3 = Pipeline.parse("throttle 100000")
     assert p3.run(rd.from_items([{"a": i} for i in range(5)])).count() == 5
+
+
+def test_cli_stdin_formats_and_stdout_printers(tmp_path):
+    import subprocess, sys
+    base = [sys.executable, "-m", "tenzir_ray"]
+    # stdin csv -> kv on stdout
+    r = subprocess.run(
+        base + ["from - | read csv | where a >= 2 | write kv",
+                "--num-cpus", "2"],
+        input="a,b\n1,x\n2,y\n3,z\n", capture_output=True, text=True,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert sorted(r.stdout.strip().splitlines()) == ["a=2 b=y", "a=3 b=z"]
+    # stdin ndjson (default) -> csv on stdout, RFC4180 quoting intact
+    r = subprocess.run(
+        base + ["from - | set b = a * 10 | write csv", "--num-cpus", "2"],
+        input='{"a":1,"t":"hi, there"}\n{"a":2,"t":"yo"}\n',
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = r.stdout.strip().splitlines()
+    assert lines[0] == "a,t,b" and '1,"hi, there",10' in lines
+    # stdin tsv parses with tab delimiter
+    r = subprocess.run(
+        base + ["from - | read tsv | write ndjson", "--num-cpus", "2"],
+        input="a\tb\n5\tq\n", capture_output=True, text=True,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stdout.strip() == '{"a":5,"b":"q"}'
+    # unknown stdin format fails loudly
+    r = subprocess.run(base + ["from - | read pcapng | write kv"],
+                       input="", capture_output=True, text=True,
+                       cwd="/root/repo")
+    assert r.returncode == 2 and "unknown stdin format" in r.stderr
