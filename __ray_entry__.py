@@ -53,6 +53,19 @@ def _write_oracle(name: str, table: pa.Table) -> None:
     pq.write_table(table, os.path.join(_ORACLE_DIR, f"{name}.parquet"))
 
 
+def _oracle_table(path: str, limit: int,
+                  columns: list[str] | None = None) -> pa.Table | None:
+    """Row-count gate for sequential oracles that touches ONLY the
+    parquet footer at bench scale: returns the table when it is small
+    enough for the oracle, else None without reading any data (the
+    full-column driver read the round-2 review flagged)."""
+    import pyarrow.parquet as pq
+
+    if pq.read_metadata(path).num_rows > limit:
+        return None
+    return pq.read_table(path, columns=columns)
+
+
 def _skip_oracle(name: str) -> None:
     """Called when a query skips its sequential-oracle computation (bench
     scale): remove any stale oracle parquet from a previous small-scale
@@ -363,9 +376,9 @@ def _gopher_quality(sf_dir: str):
     from tenzir_ray.text.quality import repetition_signals
     from tenzir_ray.text.sequential import gopher_seq
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
                          columns=["doc_id", "text"])
-    if docs.num_rows <= 2000:
+    if docs is not None:
         _write_oracle("gopher_quality", gopher_seq(
             docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
     else:
@@ -471,9 +484,9 @@ def _curation_pipeline(sf_dir: str):
     from tenzir_ray.text.quality import repetition_signals, token_count_batch
     from tenzir_ray.text.sequential import gopher_seq, minhash_dedup_seq
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
                          columns=["doc_id", "text"])
-    if docs.num_rows <= 2000:
+    if docs is not None:
         ids = docs.column("doc_id").to_pylist()
         texts = docs.column("text").to_pylist()
         g = gopher_seq(ids, texts)
@@ -509,8 +522,8 @@ def _lang_quality(sf_dir: str):
     from tenzir_ray.text import analyze_documents
     from tenzir_ray.text.quality import DocumentAnalyzer
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    if docs.num_rows <= 2000:
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000)
+    if docs is not None:
         expected = DocumentAnalyzer()(docs.replace_schema_metadata(None))
         _write_oracle("lang_quality", expected.select(
             ["doc_id", "lang_pred", "quality", "n_words", "fingerprint"]))
@@ -531,9 +544,9 @@ def _minhash_dedup_docs(sf_dir: str):
     from tenzir_ray.text import minhash_lsh_dedup
     from tenzir_ray.text.sequential import minhash_dedup_seq
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
                          columns=["doc_id", "text"])
-    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+    if docs is not None:
         ids = minhash_dedup_seq(docs.column("doc_id").to_pylist(),
                                 docs.column("text").to_pylist())
         _write_oracle("minhash_dedup_docs",
@@ -555,9 +568,9 @@ def _jaccard_dedup_docs(sf_dir: str):
     from tenzir_ray.text import minhash_lsh_dedup
     from tenzir_ray.text.sequential import minhash_dedup_seq
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
                          columns=["doc_id", "text"])
-    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+    if docs is not None:
         ids = minhash_dedup_seq(docs.column("doc_id").to_pylist(),
                                 docs.column("text").to_pylist(),
                                 verify_threshold=0.5)
@@ -577,9 +590,9 @@ def _simhash_docs(sf_dir: str):
     from tenzir_ray.text import simhash_dedup
     from tenzir_ray.text.sequential import simhash_seq
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
                          columns=["doc_id", "text"])
-    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+    if docs is not None:
         _write_oracle("simhash_docs", simhash_seq(
             docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
     else:
@@ -599,9 +612,9 @@ def _bpe_tokens(sf_dir: str):
     from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
     from tenzir_ray.text.sequential import bpe_seq
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
                          columns=["doc_id", "text"])
-    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+    if docs is not None:
         _write_oracle("bpe_tokens", bpe_seq(
             docs.column("doc_id").to_pylist(),
             docs.column("text").to_pylist(), num_merges=64))
@@ -622,9 +635,9 @@ def _simhash_near_docs(sf_dir: str):
     from tenzir_ray.text import simhash_near_dedup
     from tenzir_ray.text.sequential import simhash_near_seq
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
                          columns=["doc_id", "text"])
-    if docs.num_rows <= 2000:  # skip oracle work at bench scale
+    if docs is not None:
         _write_oracle("simhash_near_docs", simhash_near_seq(
             docs.column("doc_id").to_pylist(),
             docs.column("text").to_pylist(), k=3))
@@ -775,7 +788,7 @@ def _http_roundtrip(sf_dir: str):
         got = load_http(f"http://127.0.0.1:{h.port}/events", limit=700)
     finally:
         h.stop()
-    return ops.summarize(got, "event_type",
+    return ops.summarize(got, "event_type", combine="auto",
                          n="count", s=("sum", "user_id"))
 
 
@@ -882,7 +895,8 @@ def _timeshift_hours(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "event_id"])
     ds = ops.timeshift(ds, "ts", datetime.timedelta(hours=1))
     ds = ops.set_(ds, day=lambda t: pc.floor_temporal(t["ts"], unit="day"))
-    return ops.summarize(ds, "day", n="count", mx=("max", "event_id"))
+    return ops.summarize(ds, "day", combine="auto",
+                         n="count", mx=("max", "event_id"))
 
 
 def _syslog_parse(sf_dir: str):
@@ -907,7 +921,8 @@ def _syslog_parse(sf_dir: str):
         lambda t: parse_syslog_batch(t, col="text").drop_columns(["text"]),
         batch_format="pyarrow",
     )
-    return ops.summarize(parsed, ["facility", "severity"], n="count")
+    return ops.summarize(parsed, ["facility", "severity"],
+                         combine="auto", n="count")
 
 
 def _enumerate_sorted(sf_dir: str):
@@ -1032,7 +1047,7 @@ def _grok_parse(sf_dir: str):
 
     return ops.summarize(
         parsed.map_batches(norm, batch_format="pyarrow"),
-        "etype", n="count", mx=("max", "eid"),
+        "etype", combine="auto", n="count", mx=("max", "eid"),
     )
 
 
@@ -1074,7 +1089,7 @@ def _sigma_match(sf_dir: str):
 
     return ops2.summarize(
         matched.map_batches(explode_rules, batch_format="pyarrow"),
-        "rule", n="count", mx=("max", "event_id"),
+        "rule", combine="auto", n="count", mx=("max", "event_id"),
     )
 
 
@@ -1117,9 +1132,10 @@ def _network_funcs(sf_dir: str):
     # sequential expected table (whole table, one call)
     import pyarrow.parquet as pq
 
-    all_ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                           columns=["event_id", "user_id"]).sort_by("event_id")
-    if all_ev.num_rows <= 50_000:
+    all_ev = _oracle_table(os.path.join(sf_dir, "events.parquet"), 50_000,
+                           columns=["event_id", "user_id"])
+    if all_ev is not None:
+        all_ev = all_ev.sort_by("event_id")
         seq = add_net(derive(all_ev.replace_schema_metadata(None)))
         _write_oracle("network_funcs", seq)
     else:
@@ -1180,6 +1196,47 @@ def _path_funcs(sf_dir: str):
             "stem": PATH.file_stem(pth),
             "ext": PATH.file_extension(pth),
             "et_rt": EN.from_enum(EN.to_enum(t["event_type"])),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _url_funcs(sf_dir: str):
+    """url_* scalar functions (functions/url.py — web-corpus extension,
+    no reference analog): deterministic URLs synthesized from doc_id
+    (mixed-case hosts, default + explicit + absent ports, optional query
+    and fragment), split and canonicalized by single-pass RE2 kernels,
+    checked value-for-value against a DuckDB regexp oracle."""
+    from tenzir_ray.functions import url as U
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        dstr = pc.cast(d, pa.string())
+
+        def mod(k: int):
+            return pc.subtract(d, pc.multiply(pc.divide(d, k), k))
+
+        m2, m3, m4, m5, m7 = mod(2), mod(3), mod(4), mod(5), mod(7)
+        scheme = pc.if_else(pc.equal(m2, 0), "https", "http")
+        host = pc.binary_join_element_wise(
+            "Sub", pc.cast(m7, pa.string()), ".Example.org", "")
+        port = pc.if_else(
+            pc.equal(m3, 0), ":443",
+            pc.if_else(pc.equal(m3, 1), ":8080", ""))
+        path = pc.binary_join_element_wise("/p/", dstr, "")
+        qs = pc.if_else(
+            pc.equal(m4, 0),
+            pc.binary_join_element_wise("?q=", dstr, ""), "")
+        frag = pc.if_else(pc.equal(m5, 0), "#sec", "")
+        url = pc.binary_join_element_wise(
+            scheme, "://", host, port, path, qs, frag, "")
+        return pa.table({
+            "doc_id": d, "url": url,
+            "scheme": U.url_scheme(url), "host": U.url_host(url),
+            "port": U.url_port(url), "path": U.url_path(url),
+            "qs": U.url_query(url), "canon": U.url_normalize(url),
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -1246,12 +1303,12 @@ def _hll_distinct_users(sf_dir: str):
         hll_count_distinct_seq,
     )
 
-    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                       columns=["user_id"])
     # correctness-gate scale only (sf<=0.01): the sequential oracle is a
     # deliberate one-value-at-a-time fold, ~100 µs/value — at bench scale
     # (sf0.1 = 100 K rows) it would dominate the measured wall.
-    if ev.num_rows <= 20_000:
+    ev = _oracle_table(os.path.join(sf_dir, "events.parquet"), 20_000,
+                       columns=["user_id"])
+    if ev is not None:
         vals = ev.column("user_id").combine_chunks() \
             .to_numpy(zero_copy_only=False)
         est = hll_count_distinct_seq(vals, p=12)
@@ -1274,9 +1331,9 @@ def _kmeans_clusters(sf_dir: str):
     from tenzir_ray.text.ann import ivf_build
     from tenzir_ray.text.sequential import kmeans_assign_seq
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = _oracle_table(os.path.join(sf_dir, "embeddings.parquet"), 2000,
                         columns=["vec_id", "embedding"])
-    if emb.num_rows <= 2000:  # skip oracle work at bench scale
+    if emb is not None:
         _write_oracle("kmeans_clusters", kmeans_assign_seq(
             emb.column("vec_id").to_pylist(),
             np.stack(emb.column("embedding").to_pylist()), n_lists=8))
@@ -1347,9 +1404,10 @@ def _multimodal_decode(sf_dir: str):
     # actor-pool result must match it exactly
     import pyarrow.parquet as pq
 
-    all_ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id"]).sort_by("doc_id")
-    if all_ids.num_rows <= 2000:
+    all_ids = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                            columns=["doc_id"])
+    if all_ids is not None:
+        all_ids = all_ids.sort_by("doc_id")
         from tenzir_ray.text.multimodal import ImageDecoder
 
         seq = attach(all_ids)
@@ -1423,7 +1481,8 @@ def _parse_props(sf_dir: str):
 
     ds = ds.map_batches(parse, batch_format="pyarrow")
     return ops.summarize(
-        ds, "event_type", k_sum=("sum", "k"), k_max=("max", "k"), n="count"
+        ds, "event_type", combine="auto",
+        k_sum=("sum", "k"), k_max=("max", "k"), n="count"
     )
 
 
@@ -1484,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "http_roundtrip": _http_roundtrip,
         "tql_functions": _tql_functions,
         "path_funcs": _path_funcs,
+        "url_funcs": _url_funcs,
         "windowed_agg": _windowed_agg,
         "embedding_dedup": _embedding_dedup,
         "kmeans_clusters": _kmeans_clusters,
@@ -1733,6 +1793,44 @@ def oracle_sql() -> dict[str, str]:
                                   '(\\.[^.]*)$', 1)     AS ext,
                    event_type                           AS et_rt
             FROM p
+        """,
+        "url_funcs": """
+            WITH u AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'https'
+                             ELSE 'http' END)
+                       || '://Sub' || (doc_id % 7) || '.Example.org'
+                       || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+                                WHEN doc_id % 3 = 1 THEN ':8080'
+                                ELSE '' END)
+                       || '/p/' || doc_id
+                       || (CASE WHEN doc_id % 4 = 0 THEN '?q=' || doc_id
+                                ELSE '' END)
+                       || (CASE WHEN doc_id % 5 = 0 THEN '#sec'
+                                ELSE '' END) AS url
+                FROM documents),
+            c AS (
+                SELECT doc_id, url,
+                       regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                       regexp_extract(url, '://([^/:?#]*)', 1) AS host,
+                       TRY_CAST(NULLIF(regexp_extract(url,
+                           '://[^/:?#]*:([0-9]+)', 1), '') AS BIGINT)
+                           AS port,
+                       regexp_extract(url,
+                           '://[^/?#]*([^?#]*)', 1) AS path,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS qs
+                FROM u)
+            SELECT doc_id, url, scheme, host, port, path, qs,
+                   lower(scheme) || '://' || lower(host)
+                   || (CASE WHEN port IS NULL
+                             OR (lower(scheme) = 'https' AND port = 443)
+                             OR (lower(scheme) = 'http' AND port = 80)
+                        THEN '' ELSE ':' || port END)
+                   || (CASE WHEN path = '' THEN '/' ELSE path END)
+                   || (CASE WHEN qs = '' THEN ''
+                        ELSE '?' || qs END) AS canon
+            FROM c
         """,
         "tql_functions": """
             SELECT lower(o_orderpriority) AS pr,

@@ -140,7 +140,8 @@ def bench_queries() -> dict[str, float]:
         "tql_pipeline", "semi_join_orders", "parse_props",
         "embedding_dedup", "agg_extended2", "tql_pushdown",
         "cidr_enrich", "routed_json",
-        "tql_functions", "windowed_agg", "path_funcs", "simhash_near_docs",
+        "tql_functions", "windowed_agg", "path_funcs", "url_funcs",
+        "simhash_near_docs",
         "bpe_tokens", "http_roundtrip", "line_dedup_docs",
         "kmeans_clusters", "hll_distinct_users",
         "gopher_quality", "pii_redact",

@@ -59,6 +59,10 @@ def one(ncpu: int) -> float:
             os.path.dirname(os.path.abspath(__file__))),
         env={**os.environ, "RAY_DEDUP_LOGS": "0"},
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"probe child (num_cpus={ncpu}) failed rc={out.returncode}: "
+            f"{out.stderr.strip()[-800:]}")
     return float(out.stdout.strip().splitlines()[-1])
 
 

@@ -127,11 +127,20 @@ def main(argv: list[str] | None = None) -> int:
         if ext is None:
             print(f"error: unknown stdin format {fmt!r}", file=sys.stderr)
             return 2
+        import atexit
+        import os
+
+        import ray.data as rd
+
         tmp = tempfile.NamedTemporaryFile(
             suffix=ext, prefix="tenzir_ray_stdin_", delete=False)
         tmp.write(sys.stdin.buffer.read())
         tmp.close()
-        ds = Pipeline.parse("\n".join(body)).run(open_uri(tmp.name))
+        atexit.register(lambda p=tmp.name: os.path.exists(p)
+                        and os.unlink(p))
+        src = rd.from_items([]) if os.path.getsize(tmp.name) == 0 \
+            else open_uri(tmp.name)
+        ds = Pipeline.parse("\n".join(body)).run(src)
     elif uri.endswith(".parquet"):
         # parquet: let the planner keep `from` so leading where/select
         # push into the scan (filter + projection at the read)
@@ -160,15 +169,15 @@ def main(argv: list[str] | None = None) -> int:
                     "ndjson": pr.print_ndjson_batch,
                     "csv": functools.partial(pr.print_csv_batch,
                                              include_header=False),
-                    "lines": functools.partial(pr.print_csv_batch,
-                                               include_header=False),
+                    "lines": pr.print_lines_batch,
                 }[fmt]
                 lines_ds = ds.map_batches(printer, batch_format="pyarrow")
                 if fmt == "csv":
                     print(",".join(ds.schema().names))
                 for b in lines_ds.iter_batches(batch_format="pyarrow"):
-                    sys.stdout.write(
-                        "\n".join(b.column("line").to_pylist()) + "\n")
+                    if b.num_rows:
+                        sys.stdout.write(
+                            "\n".join(b.column("line").to_pylist()) + "\n")
             else:
                 for row in ds.iter_rows():
                     print(json.dumps(row, default=str))
@@ -182,16 +191,13 @@ def main(argv: list[str] | None = None) -> int:
             ds.write_json(path)
         elif fmt in ("syslog", "cef", "leef", "kv", "ndjson", "lines"):
             # printer sinks: rows → format lines → distributed text files
-            import functools
-
             from tenzir_ray.sources import printers as pr
 
             printer = {
                 "syslog": pr.print_syslog_batch, "cef": pr.print_cef_batch,
                 "leef": pr.print_leef_batch, "kv": pr.print_kv_batch,
                 "ndjson": pr.print_ndjson_batch,
-                "lines": functools.partial(pr.print_csv_batch,
-                                           include_header=False),
+                "lines": pr.print_lines_batch,
             }[fmt]
             pr.write_lines(
                 ds.map_batches(printer, batch_format="pyarrow"), path)

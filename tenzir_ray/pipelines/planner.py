@@ -180,7 +180,7 @@ def _expr_funcs() -> dict:
     compose with operators through :class:`_Arr`."""
     from tenzir_ray.functions import (
         encoding as E, enumtype as EN, hashing as H, parsing as P,
-        path as PATH, strings as S, time as T,
+        path as PATH, strings as S, time as T, url as U,
     )
     from tenzir_ray.functions.ip import ip_parse, ip_print, subnet_contains
 
@@ -226,6 +226,10 @@ def _expr_funcs() -> dict:
         "file_stem": PATH.file_stem, "file_extension": PATH.file_extension,
         # enumeration type (type.hpp:930-944)
         "to_enum": EN.to_enum, "from_enum": EN.from_enum,
+        # url (web-corpus extension; no reference analog)
+        "url_host": U.url_host, "url_scheme": U.url_scheme,
+        "url_path": U.url_path, "url_query": U.url_query,
+        "url_port": U.url_port, "url_normalize": U.url_normalize,
         # string concat (variadic)
         "concat": lambda *a: pc.binary_join_element_wise(*a, ""),
     }

@@ -32,6 +32,26 @@ def print_ndjson_batch(t: pa.Table, out: str = "line",
     return pa.table({out: pa.array(lines, pa.string())})
 
 
+def print_lines_batch(t: pa.Table, out: str = "line") -> pa.Table:
+    """rows → space-joined non-null values, strings VERBATIM (no CSV
+    quoting/escaping) — the reference `lines` printer contract
+    (formats/lines.cpp:100-148): nulls skipped, scalars printed
+    JSON-style. A single-string-column table round-trips read_lines
+    exactly."""
+    per_col = []
+    for name in t.column_names:
+        c = t.column(name)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            per_col.append(c.to_pylist())
+        else:
+            per_col.append([
+                None if v is None else json.dumps(v, default=str)
+                for v in c.to_pylist()])
+    lines = [" ".join(x for x in row if x is not None)
+             for row in zip(*per_col)]
+    return pa.table({out: pa.array(lines, pa.string())})
+
+
 def print_csv_batch(t: pa.Table, out: str = "line",
                     include_header: bool = False,
                     delimiter: str = ",") -> pa.Table:

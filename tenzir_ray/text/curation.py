@@ -34,7 +34,9 @@ def _top_n_pdf(df: pd.DataFrame, key_col: str, n: int, order_by: str,
                descending: bool, id_col: str) -> pd.DataFrame:
     df = df.sort_values([order_by, id_col],
                         ascending=[not descending, True], kind="mergesort")
-    return df.groupby(key_col, sort=False).head(n)
+    # dropna=False: null keys form a real group (SQL PARTITION BY
+    # semantics) instead of being silently discarded
+    return df.groupby(key_col, sort=False, dropna=False).head(n)
 
 
 def cap_per_key(
@@ -53,9 +55,24 @@ def cap_per_key(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return _top_n_pdf(df, key_col, n, order_by, descending, id_col)
 
-    pruned = ds.map_batches(partial, batch_format="pandas")
-    return pruned.groupby(key_col).map_groups(
-        lambda df: _top_n_pdf(df, key_col, n, order_by, descending, id_col),
+    # Ray's sort-based groupby cannot order None vs str, so group on a
+    # null-safe derived pair: (key-as-string with nulls filled, is_null
+    # flag) — injective, so co-location per original key is preserved
+    # and null keys form their own group (SQL PARTITION BY semantics).
+    def add_gkey(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = t.column(key_col)
+        t = t.append_column("__cpk_nul", pc.is_null(c))
+        t = t.append_column(
+            "__cpk_key", pc.fill_null(pc.cast(c, pa.string()), ""))
+        return t
+
+    pruned = ds.map_batches(partial, batch_format="pandas") \
+        .map_batches(add_gkey, batch_format="pyarrow")
+    return pruned.groupby(["__cpk_key", "__cpk_nul"]).map_groups(
+        lambda df: _top_n_pdf(df, key_col, n, order_by, descending, id_col)
+        .drop(columns=["__cpk_key", "__cpk_nul"]),
         batch_format="pandas")
 
 

@@ -140,19 +140,20 @@ def repeated_passages(
         n_fp = np.fromiter((p.size for p in parts), np.int64,
                            count=len(parts))
         flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+        n_hot = np.zeros(len(parts), np.int64)
         if flat.size and hot.size:
             idx = np.searchsorted(hot, flat)
             idx[idx == hot.size] = 0
             hit = (hot[idx] == flat).astype(np.int64)
             starts = np.zeros(len(parts), np.int64)
             np.cumsum(n_fp[:-1], out=starts[1:])
-            # reduceat needs in-range indices; empty docs' degenerate
-            # segments are masked by the n_fp > 0 guard below
-            seg = np.add.reduceat(hit, np.minimum(
-                starts, max(flat.size - 1, 0)))
-            n_hot = np.where(n_fp > 0, seg, 0)
-        else:
-            n_hot = np.zeros(len(parts), np.int64)
+            # reduceat over NON-EMPTY docs' starts only: empty docs
+            # contribute no flat elements, so consecutive non-empty
+            # starts delimit exactly the non-empty segments (clamping
+            # empty trailing starts instead would truncate the last
+            # real segment)
+            nz = n_fp > 0
+            n_hot[nz] = np.add.reduceat(hit, starts[nz])
         frac = np.where(n_fp > 0, n_hot / np.maximum(n_fp, 1), 0.0)
         out = t.select([id_col])
         out = out.append_column("n_fingerprints", pa.array(n_fp))

@@ -117,3 +117,42 @@ def test_path_funcs_in_tql(ray_session):
         "| set e = file_extension(p)").run(ds).take_all()
     assert out[0]["f"] == "yy.parquet" and out[0]["d"] == "/data/x"
     assert out[0]["e"] == ".parquet"
+
+
+def test_url_functions():
+    from tenzir_ray.functions.url import (
+        url_host, url_normalize, url_parse, url_port, url_scheme,
+    )
+
+    a = pa.array([
+        "https://Ex.COM:443/path/x?q=1#frag",   # default port + fragment
+        "http://A.B:8080/p",                    # explicit port kept
+        "http://a.b:80",                        # default port, empty path
+        "wss://H/ws",                           # ws family default-less
+        "notaurl",
+        None,
+    ])
+    assert url_normalize(a).to_pylist() == [
+        "https://ex.com/path/x?q=1", "http://a.b:8080/p", "http://a.b/",
+        "wss://h/ws", None, None]
+    assert url_port(a).to_pylist() == [443, 8080, 80, None, None, None]
+    assert url_host(a).to_pylist() == ["Ex.COM", "A.B", "a.b", "H",
+                                       None, None]
+    assert url_scheme(a).to_pylist() == ["https", "http", "http", "wss",
+                                         None, None]
+    s = url_parse(a)
+    assert pc.struct_field(s, "fragment").to_pylist()[0] == "frag"
+
+
+def test_url_funcs_in_tql(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = rd.from_items([{"u": "https://WWW.Foo.org:443/a?x=1#top"}])
+    out = Pipeline.parse(
+        "set h = url_host(u) | set c = url_normalize(u) "
+        "| set p = url_port(u)").run(ds).take_all()
+    assert out[0]["h"] == "WWW.Foo.org"
+    assert out[0]["c"] == "https://www.foo.org/a?x=1"
+    assert out[0]["p"] == 443

@@ -387,3 +387,17 @@ def test_cli_stdin_formats_and_stdout_printers(tmp_path):
                        input="", capture_output=True, text=True,
                        cwd="/root/repo")
     assert r.returncode == 2 and "unknown stdin format" in r.stderr
+    # empty stdin → empty output, exit 0 (no ArrowInvalid crash)
+    r = subprocess.run(base + ["from - | write ndjson", "--num-cpus", "2"],
+                       input="", capture_output=True, text=True,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stdout.strip() == ""
+    # write lines = verbatim strings (no CSV quoting), round-trips
+    r = subprocess.run(
+        base + ["from - | read lines | write lines", "--num-cpus", "2"],
+        input='hello, world\nhas"quote\n', capture_output=True, text=True,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert sorted(r.stdout.strip().splitlines()) == \
+        ['has"quote', "hello, world"]

@@ -149,6 +149,24 @@ def test_write_lines_structural_chars(ray_session, tmp_path):
     assert sorted(got) == sorted(payload)
 
 
+def test_print_lines_verbatim():
+    """The `lines` printer (formats/lines.cpp:100-148 contract):
+    space-joined non-null values, strings VERBATIM — no CSV quoting,
+    commas/quotes untouched; a single string column round-trips."""
+    from tenzir_ray.sources.printers import print_lines_batch
+
+    t = pa.table({
+        "msg": pa.array(['hello, world', 'has"quote', None, "plain"]),
+        "n": pa.array([1, None, 3, 4], pa.int64()),
+    })
+    got = print_lines_batch(t).column("line").to_pylist()
+    assert got == ["hello, world 1", 'has"quote', "3", "plain 4"]
+    # single string column → raw passthrough (read_lines dual)
+    t1 = pa.table({"line": pa.array(['{"a":1}', "x,y"])})
+    assert print_lines_batch(t1).column("line").to_pylist() == \
+        ['{"a":1}', "x,y"]
+
+
 def test_cli_printer_sink(ray_session, tmp_path):
     """`write kv <dir>` lands printer-formatted lines as text files."""
     import glob

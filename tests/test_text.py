@@ -577,6 +577,32 @@ def test_cap_per_key_vs_duckdb(ray_session):
     assert sorted(got2["doc_id"]) == sorted(want2["doc_id"])
 
 
+def test_cap_per_key_null_keys(ray_session):
+    """Null keys form a real group (SQL PARTITION BY semantics) — the
+    pandas groupby dropna default used to silently drop them."""
+    from tenzir_ray.text.curation import cap_per_key
+
+    t = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "source": pa.array(
+            [None if i % 4 == 0 else f"s{i % 3}" for i in range(20)]),
+        "n_chars": pa.array([100 - i for i in range(20)], pa.int64()),
+    })
+    got = (cap_per_key(rd.from_arrow(t).repartition(4), "source", 2,
+                       order_by="n_chars", descending=True,
+                       id_col="doc_id").to_pandas())
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.execute("""
+        SELECT doc_id FROM docs
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 2
+    """).df()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # the null group survived with exactly n rows
+    assert int(got["source"].isna().sum()) == 2
+
+
 def test_decontaminate_matches_sequential(ray_session):
     from tenzir_ray.text.curation import decontaminate, decontaminate_seq
 
@@ -669,3 +695,25 @@ def test_repeated_passages_winnowing(ray_session):
     assert (got.loc[inj, "n_repeated"] > 0).all()
     clean = (~inj) & (got["doc_id"] < 40)
     assert (got.loc[clean, "repeated_fraction"] < 0.2).all()
+
+
+def test_repeated_passages_trailing_empty_docs(ray_session):
+    """A block ending in empty/None-text docs must not truncate the last
+    real doc's reduceat segment (the clamped-starts undercount): two
+    identical docs are 100% hot, so n_repeated == n_fingerprints even
+    for the final doc before the trailing empties."""
+    from tenzir_ray.text.passages import (repeated_passages,
+                                          repeated_passages_seq)
+
+    body = " ".join(f"tok{i}" for i in range(40))
+    texts = [body, body, None, ""]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = (repeated_passages(rd.from_arrow(t).repartition(1),
+                             ngram=6, window=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = repeated_passages_seq(ids, texts, ngram=6, window=4).to_pandas()
+    assert got["n_repeated"].tolist() == want["n_repeated"].tolist()
+    assert (got.loc[:1, "n_repeated"] == got.loc[:1, "n_fingerprints"]).all()
+    assert (got.loc[:1, "n_fingerprints"] > 0).all()
