@@ -377,9 +377,11 @@ def line_dedup(
     def partial_df(t: pa.Table) -> pa.Table:
         flat, counts = _flat_lines(t.column(text_col).to_pylist(), delim)
         if flat.size == 0:
-            return pa.table({"h": pa.array([], pa.uint64()),
+            return pa.table({"h": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        h = pd.util.hash_array(flat)
+        # int64 bit-view of the uint64 line hash: keys above 2^63 would
+        # overflow Ray's native aggregate into pickled-object blocks
+        h = pd.util.hash_array(flat).view(np.int64)
         doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         if min_chars:
             lens = np.fromiter(map(len, flat), dtype=np.int64,
@@ -387,13 +389,12 @@ def line_dedup(
             mask = lens >= min_chars
             h, doc_idx = h[mask], doc_idx[mask]
         if h.size == 0:
-            return pa.table({"h": pa.array([], pa.uint64()),
+            return pa.table({"h": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         # distinct (doc, line-hash) pairs → per-batch partial df
-        pairs = np.unique(np.stack([doc_idx.astype(np.uint64), h], axis=1),
-                          axis=0)
+        pairs = np.unique(np.stack([doc_idx, h], axis=1), axis=0)
         uniq, cnt = np.unique(pairs[:, 1], return_counts=True)
-        return pa.table({"h": pa.array(uniq, pa.uint64()),
+        return pa.table({"h": pa.array(uniq, pa.int64()),
                          "n": pa.array(cnt.astype(np.int64))})
 
     df = (ds.map_batches(partial_df, batch_format="pyarrow")
@@ -409,8 +410,8 @@ def line_dedup(
             hs.append(b.filter(keep).column("h").combine_chunks()
                       .to_numpy(zero_copy_only=False))
         if not hs:
-            return np.array([], dtype=np.uint64)
-        return np.concatenate(hs).astype(np.uint64)
+            return np.array([], dtype=np.int64)
+        return np.concatenate(hs).astype(np.int64)
 
     bundles = list(df.iter_internal_ref_bundles())
     refs = [r for b in bundles for r in b.block_refs]
@@ -422,7 +423,7 @@ def line_dedup(
             return t
         texts = t.column(text_col).to_pylist()
         flat, counts = _flat_lines(texts, delim)
-        h = pd.util.hash_array(flat)
+        h = pd.util.hash_array(flat).view(np.int64)
         keep = ~np.isin(h, vs)
         if min_chars:
             lens = np.fromiter(map(len, flat), dtype=np.int64,

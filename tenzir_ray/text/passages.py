@@ -104,10 +104,14 @@ def repeated_passages(
         parts = _batch_fingerprints(texts, ngram, window)
         flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
         if flat.size == 0:
-            return pa.table({"h": pa.array([], pa.uint64()),
+            return pa.table({"h": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         uniq, counts = np.unique(flat, return_counts=True)
-        return pa.table({"h": pa.array(uniq),
+        # int64 BIT VIEW of the uint64 hash: values above 2^63 would
+        # overflow Ray's native aggregate into pickled-object key
+        # blocks (type-unstable, slow); the signed view is a bijection
+        # so grouping/membership are unchanged
+        return pa.table({"h": pa.array(uniq.view(np.int64), pa.int64()),
                          "n": pa.array(counts.astype(np.int64))})
 
     df = (ds.map_batches(partial_df, batch_format="pyarrow")
@@ -124,8 +128,8 @@ def repeated_passages(
             hs.append(b.filter(keep).column("h").combine_chunks()
                       .to_numpy(zero_copy_only=False))
         if not hs:
-            return np.array([], dtype=np.uint64)
-        return np.sort(np.concatenate(hs).astype(np.uint64))
+            return np.array([], dtype=np.int64)
+        return np.sort(np.concatenate(hs).astype(np.int64))
 
     bundles = list(df.iter_internal_ref_bundles())
     refs = [r for b in bundles for r in b.block_refs]
@@ -140,11 +144,12 @@ def repeated_passages(
         n_fp = np.fromiter((p.size for p in parts), np.int64,
                            count=len(parts))
         flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+        flat_i = flat.view(np.int64)  # same bit-view as the hot set
         n_hot = np.zeros(len(parts), np.int64)
         if flat.size and hot.size:
-            idx = np.searchsorted(hot, flat)
+            idx = np.searchsorted(hot, flat_i)
             idx[idx == hot.size] = 0
-            hit = (hot[idx] == flat).astype(np.int64)
+            hit = (hot[idx] == flat_i).astype(np.int64)
             starts = np.zeros(len(parts), np.int64)
             np.cumsum(n_fp[:-1], out=starts[1:])
             # reduceat over NON-EMPTY docs' starts only: empty docs
