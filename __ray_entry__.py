@@ -387,6 +387,26 @@ def _gopher_quality(sf_dir: str):
     return repetition_signals(ds).drop_columns(["text"])
 
 
+def _lm_score_docs(sf_dir: str):
+    """CCNet-style corpus-LM quality scoring (text/lm.py): distributed
+    unigram train (keyed count aggregate → broadcast model) + map-only
+    scoring. Not SQL-expressible; oracle = precomputed expected table
+    from the independent sequential dict-fold (lm_score_seq)."""
+    from tenzir_ray.text.lm import lm_score, lm_score_seq, lm_train
+
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
+        _write_oracle("lm_score_docs", lm_score_seq(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(), vocab_size=4096))
+    else:
+        _skip_oracle("lm_score_docs")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    model = lm_train(ds, vocab_size=4096)
+    return lm_score(ds, model)
+
+
 def _cap_per_source(sf_dir: str):
     """Per-key quota capping (domain-mix control): keep the 30 longest
     documents per source, deterministic doc_id tie-break. Combiner
@@ -1505,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _token_counts,
         "pii_redact": _pii_redact,
         "gopher_quality": _gopher_quality,
+        "lm_score_docs": _lm_score_docs,
         "curation_pipeline": _curation_pipeline,
         "cap_per_source": _cap_per_source,
         "mixture_sample": _mixture_sample,
@@ -1706,6 +1727,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_quality": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/gopher_quality.parquet'
+        """,
+        "lm_score_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/lm_score_docs.parquet'
         """,
         "curation_pipeline": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/curation_pipeline.parquet'

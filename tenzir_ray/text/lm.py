@@ -1,0 +1,164 @@
+"""Corpus-trained unigram language-model scoring — the CCNet-style
+quality signal (Wenzek et al. 2019 score Common-Crawl text with a
+KenLM model and keep the low-perplexity tail; with no model artifacts
+in this container, the honest in-container analog is a unigram LM
+trained ON the corpus itself, distributed end-to-end).
+
+No reference analog (Tenzir has no corpus-level text ops). Distributed
+shape — the same two-pass contract as ``line_dedup``:
+
+1. **Train** (one keyed aggregate over 16 B/token-type rows): per-batch
+   ``np.unique`` token-hash counts → ``groupby(h).sum(n)`` → one remote
+   task ranks types by ``(count desc, hash asc)``, keeps the top
+   ``vocab_size``, converts to log2-probabilities over the FULL corpus
+   token total, and leaves the model in plasma. Only distinct-type
+   partial counts ride the shuffle, never tokens.
+2. **Score** (map-only): each task binary-searches its docs' token
+   hashes against the broadcast model; per-doc bits/token =
+   mean(−log2 p), OOV tokens priced at count-1 probability
+   (−log2(1/total)). The corpus never moves.
+
+Tokens are identified by their 64-bit hash everywhere (collisions merge
+types identically in the distributed path and the sequential oracle —
+`lm_score_seq` shares only the tokenize+hash leaf)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from tenzir_ray.text.quality import _WORD
+
+
+def _token_hashes(text: str | None) -> np.ndarray:
+    """lowercased word tokens → uint64 hashes (one per token, in doc
+    order)."""
+    if not text:
+        return np.zeros(0, np.uint64)
+    toks = _WORD.findall(text.lower())
+    if not toks:
+        return np.zeros(0, np.uint64)
+    return pd.util.hash_array(np.asarray(toks, dtype=object))
+
+
+def lm_train(ds: Dataset, text_col: str = "text",
+             vocab_size: int = 65536):
+    """Train the unigram LM; returns ``(model_ref, oov_logp)`` where the
+    plasma-held model is ``(sorted_h int64, logp float64, total)``."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = [_token_hashes(x) for x in t.column(text_col).to_pylist()]
+        flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+        if flat.size == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(flat, return_counts=True)
+        # int64 bit-view: uint64 keys above 2^63 overflow Ray's native
+        # aggregate into pickled-object blocks (see text/dedup.py)
+        return pa.table({"h": pa.array(uniq.view(np.int64), pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("h").sum("n"))
+
+    @ray.remote
+    def _model(*blocks):
+        hs, ns = [], []
+        for b in blocks:
+            if not b.num_rows:
+                continue
+            hs.append(b.column("h").combine_chunks()
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+            ns.append(b.column("sum(n)").combine_chunks()
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+        if not hs:
+            return (np.zeros(0, np.int64), np.zeros(0, np.float64), 0)
+        h = np.concatenate(hs)
+        n = np.concatenate(ns)
+        total = int(n.sum())
+        # deterministic top-V cut: count desc, hash asc tie-break
+        order = np.lexsort((h, -n))[:vocab_size]
+        keep_h, keep_n = h[order], n[order]
+        s = np.argsort(keep_h)
+        logp = np.log2(keep_n[s].astype(np.float64)) - np.log2(total)
+        return (keep_h[s], logp, total)
+
+    bundles = list(counts.iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    return _model.remote(*refs)
+
+
+def lm_score(ds: Dataset, model_ref, text_col: str = "text",
+             id_col: str = "doc_id",
+             out_col: str = "lm_bits_per_token") -> Dataset:
+    """Per-doc bits/token under the trained model (lower = more
+    in-distribution, the CCNet keep signal). Empty docs score null."""
+    import ray
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_h, logp, total = ray.get(model_ref)
+        oov_logp = -np.log2(total) if total > 0 else 0.0
+        vals, mask = [], []
+        for x in t.column(text_col).to_pylist():
+            th = _token_hashes(x).view(np.int64)
+            if th.size == 0:
+                vals.append(0.0)
+                mask.append(False)
+                continue
+            if vocab_h.size:
+                idx = np.searchsorted(vocab_h, th)
+                idx[idx == vocab_h.size] = 0
+                hit = vocab_h[idx] == th
+                bits = np.where(hit, -logp[idx], -oov_logp)
+            else:
+                bits = np.full(th.size, -oov_logp)
+            vals.append(float(np.mean(bits)))
+            mask.append(True)
+        out = t.select([id_col])
+        return out.append_column(out_col, pa.array(
+            [v if m else None for v, m in zip(vals, mask)], pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_score_seq(doc_ids: list, texts: list,
+                 vocab_size: int = 65536) -> pa.Table:
+    """Sequential verification oracle: one-pass dict fold over the same
+    token hashes (shares only the tokenize+hash leaf)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    per_doc = []
+    for x in texts:
+        th = _token_hashes(x).view(np.int64)
+        per_doc.append(th)
+        for v in th.tolist():
+            c[v] += 1
+    total = sum(c.values())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    top.sort(key=lambda kv: kv[0])
+    vocab_h = np.array([k for k, _ in top], np.int64)
+    logp = np.log2(np.array([v for _, v in top], np.float64)) \
+        - np.log2(total) if top else np.zeros(0, np.float64)
+    oov_logp = -np.log2(total) if total > 0 else 0.0
+    scores = []
+    for th in per_doc:
+        if th.size == 0:
+            scores.append(None)
+            continue
+        if vocab_h.size:
+            idx = np.searchsorted(vocab_h, th)
+            idx[idx == vocab_h.size] = 0
+            hit = vocab_h[idx] == th
+            bits = np.where(hit, -logp[idx], -oov_logp)
+        else:
+            bits = np.full(th.size, -oov_logp)
+        scores.append(float(np.mean(bits)))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "lm_bits_per_token": pa.array(scores, pa.float64()),
+    })

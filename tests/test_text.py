@@ -717,3 +717,26 @@ def test_repeated_passages_trailing_empty_docs(ray_session):
     assert got["n_repeated"].tolist() == want["n_repeated"].tolist()
     assert (got.loc[:1, "n_repeated"] == got.loc[:1, "n_fingerprints"]).all()
     assert (got.loc[:1, "n_fingerprints"] > 0).all()
+
+
+def test_lm_score_matches_sequential(ray_session):
+    from tenzir_ray.text.lm import lm_score, lm_score_seq, lm_train
+
+    texts = (["the cat sat on the mat", "the dog ate the cat food",
+              None, "", "zqxjkw gibberish unseen tokens here",
+              "the the the the"] * 4)
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(5)
+    model = lm_train(ds, vocab_size=8)  # tiny vocab → OOV path exercised
+    got = (lm_score(ds, model).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = lm_score_seq(ids, texts, vocab_size=8).to_pandas()
+    assert np.array_equal(got["lm_bits_per_token"].values,
+                          want["lm_bits_per_token"].values, equal_nan=True)
+    # repeated-token doc is the most predictable; gibberish the least
+    s = got.set_index("doc_id")["lm_bits_per_token"]
+    assert s[5] < s[0] < s[4]
+    # null/empty docs score null
+    assert np.isnan(s[2]) and np.isnan(s[3])
