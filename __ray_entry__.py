@@ -407,6 +407,27 @@ def _lm_score_docs(sf_dir: str):
     return lm_score(ds, model)
 
 
+def _lm2_score_docs(sf_dir: str):
+    """Bigram stupid-backoff LM scoring (text/lm.py lm2_*, Brants et al.
+    2007): one-pass unigram+bigram count aggregate → broadcast model →
+    map-only conditional-bits scoring. Oracle = precomputed expected
+    table from the sequential Counter fold (shared scoring kernel,
+    independent counting)."""
+    from tenzir_ray.text.lm import lm2_score, lm2_score_seq, lm2_train
+
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
+        _write_oracle("lm2_score_docs", lm2_score_seq(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(), vocab_size=4096))
+    else:
+        _skip_oracle("lm2_score_docs")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    model = lm2_train(ds, vocab_size=4096)
+    return lm2_score(ds, model)
+
+
 def _cap_per_source(sf_dir: str):
     """Per-key quota capping (domain-mix control): keep the 30 longest
     documents per source, deterministic doc_id tie-break. Combiner
@@ -1526,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _pii_redact,
         "gopher_quality": _gopher_quality,
         "lm_score_docs": _lm_score_docs,
+        "lm2_score_docs": _lm2_score_docs,
         "curation_pipeline": _curation_pipeline,
         "cap_per_source": _cap_per_source,
         "mixture_sample": _mixture_sample,
@@ -1730,6 +1752,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lm_score_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/lm_score_docs.parquet'
+        """,
+        "lm2_score_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/lm2_score_docs.parquet'
         """,
         "curation_pipeline": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/curation_pipeline.parquet'

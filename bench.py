@@ -144,7 +144,7 @@ def bench_queries() -> dict[str, float]:
         "simhash_near_docs",
         "bpe_tokens", "http_roundtrip", "line_dedup_docs",
         "kmeans_clusters", "hll_distinct_users",
-        "gopher_quality", "lm_score_docs", "pii_redact",
+        "gopher_quality", "lm_score_docs", "lm2_score_docs", "pii_redact",
         "cap_per_source", "mixture_sample", "decontam_docs",
         "repeated_passages",
     ]

@@ -162,3 +162,181 @@ def lm_score_seq(doc_ids: list, texts: list,
         "doc_id": pa.array(doc_ids, pa.int64()),
         "lm_bits_per_token": pa.array(scores, pa.float64()),
     })
+
+
+# ------------------------------------------------- bigram stupid backoff
+
+_BI_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _bigram_keys(th: np.ndarray) -> np.ndarray:
+    """uint64 token hashes (doc order) → uint64 bigram keys
+    ``(h_prev * M) ^ h_cur`` (wrapping); length n-1."""
+    if th.size < 2:
+        return np.zeros(0, np.uint64)
+    return (th[:-1] * _BI_MULT) ^ th[1:]
+
+
+def lm2_train(ds: Dataset, text_col: str = "text",
+              vocab_size: int = 65536, bigram_vocab: int | None = None):
+    """Train the bigram stupid-backoff LM (Brants et al. 2007 'Large
+    language models in machine translation'): one pass emits BOTH
+    unigram and bigram hashed counts (``kind`` column keeps the key
+    spaces disjoint through a single keyed aggregate); one remote task
+    ranks each kind by (count desc, hash asc), keeps the top V / 4·V,
+    and leaves ``(uni_h, uni_cnt, bi_h, bi_cnt, total)`` in plasma."""
+    import ray
+
+    bigram_vocab = bigram_vocab or vocab_size * 4
+
+    def partial(t: pa.Table) -> pa.Table:
+        uni_parts, bi_parts = [], []
+        for x in t.column(text_col).to_pylist():
+            th = _token_hashes(x)
+            if th.size:
+                uni_parts.append(th)
+                bi_parts.append(_bigram_keys(th))
+        def counted(parts):
+            flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+            if flat.size == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            u, c = np.unique(flat, return_counts=True)
+            return u.view(np.int64), c.astype(np.int64)
+        uh, un = counted(uni_parts)
+        bh, bn = counted(bi_parts)
+        return pa.table({
+            "kind": pa.array([1] * uh.size + [2] * bh.size, pa.int8()),
+            "h": pa.array(np.concatenate([uh, bh]), pa.int64()),
+            "n": pa.array(np.concatenate([un, bn]), pa.int64()),
+        })
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["kind", "h"]).sum("n"))
+
+    @ray.remote
+    def _model(*blocks):
+        ks, hs, ns = [], [], []
+        for b in blocks:
+            if not b.num_rows:
+                continue
+            ks.append(b.column("kind").combine_chunks()
+                      .to_numpy(zero_copy_only=False).astype(np.int8))
+            hs.append(b.column("h").combine_chunks()
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+            ns.append(b.column("sum(n)").combine_chunks()
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+        if not hs:
+            z = np.zeros(0, np.int64)
+            return (z, z, z, z, 0)
+        k = np.concatenate(ks)
+        h = np.concatenate(hs)
+        n = np.concatenate(ns)
+
+        def top(kind, cap):
+            m = k == kind
+            hh, nn = h[m], n[m]
+            order = np.lexsort((hh, -nn))[:cap]
+            hh, nn = hh[order], nn[order]
+            s = np.argsort(hh)
+            return hh[s], nn[s]
+
+        uni_h, uni_cnt = top(1, vocab_size)
+        total = int(n[k == 1].sum())
+        bi_h, bi_cnt = top(2, bigram_vocab)
+        return (uni_h, uni_cnt, bi_h, bi_cnt, total)
+
+    bundles = list(counts.iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    return _model.remote(*refs)
+
+
+def _lm2_doc_bits(th_u: np.ndarray, uni_h, uni_cnt, bi_h, bi_cnt,
+                  total: int) -> float:
+    """bits/token of one doc under the stupid-backoff model — the ONE
+    shared scoring kernel (distributed + sequential run this exact
+    float path, so results are bit-identical)."""
+    th = th_u.view(np.int64)
+    oov_bits = np.log2(total) if total > 0 else 0.0
+    if uni_h.size:
+        idx = np.searchsorted(uni_h, th)
+        idx[idx == uni_h.size] = 0
+        u_hit = uni_h[idx] == th
+        u_cnt = np.where(u_hit, uni_cnt[np.minimum(idx, uni_h.size - 1)], 1)
+        u_bits = np.where(u_hit,
+                          np.log2(total) - np.log2(u_cnt.astype(np.float64)),
+                          oov_bits)
+    else:
+        u_hit = np.zeros(th.size, bool)
+        u_cnt = np.ones(th.size, np.int64)
+        u_bits = np.full(th.size, oov_bits)
+    bits = u_bits.copy()
+    if th.size > 1 and bi_h.size:
+        bk = _bigram_keys(th_u).view(np.int64)
+        bidx = np.searchsorted(bi_h, bk)
+        bidx[bidx == bi_h.size] = 0
+        b_hit = bi_h[bidx] == bk
+        # conditional bits need the PREFIX unigram count too
+        use = b_hit & u_hit[:-1]
+        b_cnt = bi_cnt[np.minimum(bidx, bi_h.size - 1)].astype(np.float64)
+        cond = np.log2(u_cnt[:-1].astype(np.float64)) - np.log2(b_cnt)
+        backoff = -np.log2(0.4) + u_bits[1:]
+        bits[1:] = np.where(use, cond, backoff)
+    elif th.size > 1:
+        bits[1:] = -np.log2(0.4) + u_bits[1:]
+    return float(np.mean(bits))
+
+
+def lm2_score(ds: Dataset, model_ref, text_col: str = "text",
+              id_col: str = "doc_id",
+              out_col: str = "lm2_bits_per_token") -> Dataset:
+    """Per-doc bits/token under the bigram stupid-backoff model; empty
+    docs score null. Map-only: the model is one plasma read per task."""
+    import ray
+
+    def score(t: pa.Table) -> pa.Table:
+        uni_h, uni_cnt, bi_h, bi_cnt, total = ray.get(model_ref)
+        vals = []
+        for x in t.column(text_col).to_pylist():
+            th = _token_hashes(x)
+            vals.append(None if th.size == 0 else _lm2_doc_bits(
+                th, uni_h, uni_cnt, bi_h, bi_cnt, total))
+        out = t.select([id_col])
+        return out.append_column(out_col, pa.array(vals, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm2_score_seq(doc_ids: list, texts: list, vocab_size: int = 65536,
+                  bigram_vocab: int | None = None) -> pa.Table:
+    """Sequential verification oracle: Counter fold over the same hash
+    streams (shares the tokenize/hash/bigram-combine leaves and the
+    per-doc scoring kernel; the corpus-wide COUNTING is independent)."""
+    from collections import Counter
+
+    bigram_vocab = bigram_vocab or vocab_size * 4
+    uc: Counter = Counter()
+    bc: Counter = Counter()
+    per_doc = []
+    for x in texts:
+        th = _token_hashes(x)
+        per_doc.append(th)
+        for v in th.view(np.int64).tolist():
+            uc[v] += 1
+        for v in _bigram_keys(th).view(np.int64).tolist():
+            bc[v] += 1
+
+    def top(c: Counter, cap):
+        t = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+        t.sort(key=lambda kv: kv[0])
+        return (np.array([k for k, _ in t], np.int64),
+                np.array([v for _, v in t], np.int64))
+
+    uni_h, uni_cnt = top(uc, vocab_size)
+    bi_h, bi_cnt = top(bc, bigram_vocab)
+    total = sum(uc.values())
+    scores = [None if th.size == 0 else _lm2_doc_bits(
+        th, uni_h, uni_cnt, bi_h, bi_cnt, total) for th in per_doc]
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "lm2_bits_per_token": pa.array(scores, pa.float64()),
+    })

@@ -740,3 +740,28 @@ def test_lm_score_matches_sequential(ray_session):
     assert s[5] < s[0] < s[4]
     # null/empty docs score null
     assert np.isnan(s[2]) and np.isnan(s[3])
+
+
+def test_lm2_bigram_backoff_matches_sequential(ray_session):
+    from tenzir_ray.text.lm import lm2_score, lm2_score_seq, lm2_train
+
+    texts = (["the cat sat on the mat", "the cat sat on the rug",
+              "dog days are over now", None, "",
+              "the cat sat on the mat again",
+              "zq wx unseen pair stream"] * 3)
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(4)
+    model = lm2_train(ds, vocab_size=12, bigram_vocab=16)
+    got = (lm2_score(ds, model).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = lm2_score_seq(ids, texts, vocab_size=12,
+                         bigram_vocab=16).to_pandas()
+    assert np.array_equal(got["lm2_bits_per_token"].values,
+                          want["lm2_bits_per_token"].values, equal_nan=True)
+    s = got.set_index("doc_id")["lm2_bits_per_token"]
+    # repeated bigram phrases beat unigram-only prediction; unseen-pair
+    # docs pay the backoff penalty
+    assert s[0] < s[2] < s[6] + 2
+    assert np.isnan(s[3]) and np.isnan(s[4])
