@@ -35,7 +35,6 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns, schema=schema)
 
 
-
 # Precomputed-expected-table oracles: for pipelines whose semantics are
 # not SQL-expressible (engine-internal WAL replay, MinHash/SimHash), the
 # query ALSO runs an independent SEQUENTIAL reference implementation
@@ -371,7 +370,6 @@ def _gopher_quality(sf_dir: str):
     Not SQL-expressible; oracle = precomputed expected table from the
     independent pure-Python sequential reimplementation
     (text/sequential.py gopher_seq)."""
-    import pyarrow.parquet as pq
 
     from tenzir_ray.text.quality import repetition_signals
     from tenzir_ray.text.sequential import gopher_seq
@@ -519,7 +517,6 @@ def _curation_pipeline(sf_dir: str):
     pieces (gopher_seq → minhash_dedup_seq → regex count)."""
     import re
 
-    import pyarrow.parquet as pq
 
     from tenzir_ray.text import minhash_lsh_dedup
     from tenzir_ray.text.quality import repetition_signals, token_count_batch
@@ -558,7 +555,6 @@ def _lang_quality(sf_dir: str):
     analyzer applied to the WHOLE table in ONE sequential driver-side
     call, which the distributed actor-pool result must match exactly
     (catches partitioning / batch-boundary bugs)."""
-    import pyarrow.parquet as pq
 
     from tenzir_ray.text import analyze_documents
     from tenzir_ray.text.quality import DocumentAnalyzer
@@ -580,7 +576,6 @@ def _minhash_dedup_docs(sf_dir: str):
     """MinHash-LSH near-dup dedup, checked against a sequential
     one-doc-at-a-time reimplementation (text/sequential.py) joined back
     to the documents table."""
-    import pyarrow.parquet as pq
 
     from tenzir_ray.text import minhash_lsh_dedup
     from tenzir_ray.text.sequential import minhash_dedup_seq
@@ -604,7 +599,6 @@ def _jaccard_dedup_docs(sf_dir: str):
     before dropping (minhash_lsh_dedup verify_threshold path — pair set
     is candidate-sized, verified in one remote task). Oracle: the same
     semantics from the independent sequential reimplementation."""
-    import pyarrow.parquet as pq
 
     from tenzir_ray.text import minhash_lsh_dedup
     from tenzir_ray.text.sequential import minhash_dedup_seq
@@ -626,7 +620,6 @@ def _jaccard_dedup_docs(sf_dir: str):
 def _simhash_docs(sf_dir: str):
     """SimHash fingerprint dedup, checked against a sequential
     plain-Python bit-count reimplementation (text/sequential.py)."""
-    import pyarrow.parquet as pq
 
     from tenzir_ray.text import simhash_dedup
     from tenzir_ray.text.sequential import simhash_seq
@@ -648,7 +641,6 @@ def _bpe_tokens(sf_dir: str):
     frequency dict), tokenization in an actor pool with the merge table
     broadcast once. Checked against an independent sequential BPE
     (text/sequential.py bpe_seq)."""
-    import pyarrow.parquet as pq
 
     from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
     from tenzir_ray.text.sequential import bpe_seq
@@ -671,7 +663,6 @@ def _simhash_near_docs(sf_dir: str):
     """Banded Hamming-≤3 SimHash near-dup dedup (pigeonhole-exact
     banding), checked against a sequential plain-Python O(n²) popcount
     reimplementation (text/sequential.py) joined back to documents."""
-    import pyarrow.parquet as pq
 
     from tenzir_ray.text import simhash_near_dedup
     from tenzir_ray.text.sequential import simhash_near_seq
@@ -731,7 +722,6 @@ def _agg_extended(sf_dir: str):
     )
 
 
-
 def _agg_extended2(sf_dir: str):
     """quantile / variance / once-sample aggregations (reference
     quantile.cpp:13-65, stddev_variance.cpp, once.cpp, sample.cpp)."""
@@ -771,9 +761,6 @@ def _tql_pipeline(sf_dir: str):
     import tenzir_ray.stages as ops
 
     return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
-
-
-
 
 
 def _routed_json(sf_dir: str):
@@ -860,7 +847,6 @@ def _cidr_enrich(sf_dir: str):
     return out.select_columns(["event_id", "ip", "zone"])
 
 
-
 def _exact_dedup_wide_docs(sf_dir: str):
     """wide-row exact dedup: rows never ride a shuffle (narrow (hash,id)
     projection + worker-side drop-set broadcast). Same result as the
@@ -914,7 +900,6 @@ def _kv_roundtrip(sf_dir: str):
     ds = ds.map_batches(roundtrip, batch_format="pyarrow")
     return ops.summarize(ds, "event_type",
                          users=("count_distinct", "user_id"), n="count")
-
 
 
 def _distinct_pairs(sf_dir: str):
@@ -985,7 +970,6 @@ def _distinct_collect(sf_dir: str):
     return ops.summarize(ds, "event_type", ubs=("distinct", "ub"), n="count")
 
 
-
 def _scalar_funcs(sf_dir: str):
     """scalar function battery driver-checked in one query: string
     (upper/replace/slice), hashing (md5/sha256), encoding (base64/hex),
@@ -1022,7 +1006,6 @@ def _reverse_head(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_id"]).sort("event_id")
     return ops.head(ops.reverse(ds), 25)
-
 
 
 def _list_funcs(sf_dir: str):
@@ -1092,7 +1075,6 @@ def _grok_parse(sf_dir: str):
     )
 
 
-
 def _sigma_match(sf_dir: str):
     """sigma rule engine driver-checked: two rules over events (equality
     + numeric-range modifier + condition logic), matches aggregated per
@@ -1134,7 +1116,6 @@ def _sigma_match(sf_dir: str):
     )
 
 
-
 def _network_funcs(sf_dir: str):
     """community_id + Crypto-PAn pseudonymization driver-checked via a
     precomputed expected table: the same functions applied to the WHOLE
@@ -1171,7 +1152,6 @@ def _network_funcs(sf_dir: str):
     flows = base.map_batches(derive, batch_format="pyarrow")
 
     # sequential expected table (whole table, one call)
-    import pyarrow.parquet as pq
 
     all_ev = _oracle_table(os.path.join(sf_dir, "events.parquet"), 50_000,
                            columns=["event_id", "user_id"])
@@ -1273,11 +1253,17 @@ def _url_funcs(sf_dir: str):
         frag = pc.if_else(pc.equal(m5, 0), "#sec", "")
         url = pc.binary_join_element_wise(
             scheme, "://", host, port, path, qs, frag, "")
+        # parse ONCE; every component and the canonical form derive
+        # from the struct (one RE2 pass per batch, not one per column)
+        s = U.url_parse(url)
         return pa.table({
             "doc_id": d, "url": url,
-            "scheme": U.url_scheme(url), "host": U.url_host(url),
-            "port": U.url_port(url), "path": U.url_path(url),
-            "qs": U.url_query(url), "canon": U.url_normalize(url),
+            "scheme": pc.struct_field(s, "scheme"),
+            "host": pc.struct_field(s, "host"),
+            "port": U.port_from_parsed(s),
+            "path": pc.struct_field(s, "path"),
+            "qs": pc.struct_field(s, "query"),
+            "canon": U.normalize_from_parsed(s),
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -1337,7 +1323,6 @@ def _hll_distinct_users(sf_dir: str):
     register fold, max-merged in one remote task — the scale path past
     exact count_distinct's distinct-set shuffle. Deterministic, so the
     oracle is the sequential one-value-at-a-time fold."""
-    import pyarrow.parquet as pq
 
     from tenzir_ray.stages.sketch import (
         hll_count_distinct,
@@ -1367,7 +1352,6 @@ def _kmeans_clusters(sf_dir: str):
     trains centroids on an id-sorted sample (the only global state) and
     assigns every vector in one vectorized matmul pass; checked against
     the sequential one-vector-at-a-time reimplementation."""
-    import pyarrow.parquet as pq
 
     from tenzir_ray.text.ann import ivf_build
     from tenzir_ray.text.sequential import kmeans_assign_seq
@@ -1443,7 +1427,6 @@ def _multimodal_decode(sf_dir: str):
     # precomputed expected table: the same decode→resize→features chain
     # applied in ONE sequential driver-side pass — the distributed
     # actor-pool result must match it exactly
-    import pyarrow.parquet as pq
 
     all_ids = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
                             columns=["doc_id"])

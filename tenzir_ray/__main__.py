@@ -172,7 +172,9 @@ def main(argv: list[str] | None = None) -> int:
                     "lines": pr.print_lines_batch,
                 }[fmt]
                 lines_ds = ds.map_batches(printer, batch_format="pyarrow")
-                if fmt == "csv":
+                if fmt == "csv" and ds.schema() is not None:
+                    # schema() is None for an empty from_items([]) (empty
+                    # stdin) — no rows, no header
                     print(",".join(ds.schema().names))
                 for b in lines_ds.iter_batches(batch_format="pyarrow"):
                     if b.num_rows:

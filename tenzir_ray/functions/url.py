@@ -64,18 +64,33 @@ def url_fragment(arr) -> pa.Array:
     return _field(arr, "fragment")
 
 
+def port_from_parsed(s: pa.StructArray) -> pa.Array:
+    """Port component of a parsed struct as int64; null when absent,
+    non-URL, or too long to fit int64 (TRY_CAST semantics — the regex
+    port group is unbounded, so a 20-digit 'port' must become null, not
+    an ArrowInvalid that aborts the batch)."""
+    p = pc.struct_field(s, "port")
+    bad = pc.or_(pc.equal(p, ""), pc.greater(pc.utf8_length(p), 18))
+    return pc.cast(pc.if_else(bad, pa.nulls(len(p), pa.string()), p),
+                   pa.int64())
+
+
 def url_port(arr) -> pa.Array:
     """Explicit port as int64; null when absent (or non-URL)."""
-    p = _field(arr, "port")
-    return pc.cast(pc.if_else(pc.equal(p, ""),
-                              pa.nulls(len(p), pa.string()), p), pa.int64())
+    return port_from_parsed(url_parse(arr))
 
 
 def url_normalize(arr) -> pa.Array:
     """Canonical form for dedup/grouping: lowercase scheme + host, strip
     the fragment, drop the scheme's default port, "/" for an empty
     path, keep a non-empty query. Null for non-URL rows."""
-    s = url_parse(arr)
+    return normalize_from_parsed(url_parse(arr))
+
+
+def normalize_from_parsed(s: pa.StructArray) -> pa.Array:
+    """`url_normalize` over an already-parsed struct — callers needing
+    several components parse ONCE and derive everything from the
+    struct (one RE2 pass per batch, not one per accessor)."""
     scheme = pc.utf8_lower(pc.struct_field(s, "scheme"))
     host = pc.utf8_lower(pc.struct_field(s, "host"))
     port = pc.struct_field(s, "port")

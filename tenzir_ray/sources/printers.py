@@ -36,8 +36,11 @@ def print_lines_batch(t: pa.Table, out: str = "line") -> pa.Table:
     """rows → space-joined non-null values, strings VERBATIM (no CSV
     quoting/escaping) — the reference `lines` printer contract
     (formats/lines.cpp:100-148): nulls skipped, scalars printed
-    JSON-style. A single-string-column table round-trips read_lines
-    exactly."""
+    JSON-style. A single-string-column table whose values contain no
+    newlines round-trips read_lines exactly; embedded newlines pass
+    through verbatim (as in the reference) and will span physical
+    lines — `lines` is a lossy format, use ndjson for total
+    round-trips."""
     per_col = []
     for name in t.column_names:
         c = t.column(name)

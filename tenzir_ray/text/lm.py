@@ -46,8 +46,9 @@ def _token_hashes(text: str | None) -> np.ndarray:
 
 def lm_train(ds: Dataset, text_col: str = "text",
              vocab_size: int = 65536):
-    """Train the unigram LM; returns ``(model_ref, oov_logp)`` where the
-    plasma-held model is ``(sorted_h int64, logp float64, total)``."""
+    """Train the unigram LM; returns an ObjectRef to the plasma-held
+    model ``(sorted_h int64, logp float64, total)`` — pass it straight
+    to :func:`lm_score`."""
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
@@ -101,28 +102,29 @@ def lm_score(ds: Dataset, model_ref, text_col: str = "text",
 
     def score(t: pa.Table) -> pa.Table:
         vocab_h, logp, total = ray.get(model_ref)
-        oov_logp = -np.log2(total) if total > 0 else 0.0
-        vals, mask = [], []
-        for x in t.column(text_col).to_pylist():
-            th = _token_hashes(x).view(np.int64)
-            if th.size == 0:
-                vals.append(0.0)
-                mask.append(False)
-                continue
-            if vocab_h.size:
-                idx = np.searchsorted(vocab_h, th)
-                idx[idx == vocab_h.size] = 0
-                hit = vocab_h[idx] == th
-                bits = np.where(hit, -logp[idx], -oov_logp)
-            else:
-                bits = np.full(th.size, -oov_logp)
-            vals.append(float(np.mean(bits)))
-            mask.append(True)
+        vals = [None if (th := _token_hashes(x).view(np.int64)).size == 0
+                else _lm1_doc_bits(th, vocab_h, logp, total)
+                for x in t.column(text_col).to_pylist()]
         out = t.select([id_col])
-        return out.append_column(out_col, pa.array(
-            [v if m else None for v, m in zip(vals, mask)], pa.float64()))
+        return out.append_column(out_col, pa.array(vals, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _lm1_doc_bits(th: np.ndarray, vocab_h: np.ndarray, logp: np.ndarray,
+                  total: int) -> float:
+    """bits/token of one doc under the unigram model — the ONE shared
+    scoring kernel (distributed + sequential oracle run this exact
+    float path, so results are bit-identical)."""
+    oov_logp = -np.log2(total) if total > 0 else 0.0
+    if vocab_h.size:
+        idx = np.searchsorted(vocab_h, th)
+        idx[idx == vocab_h.size] = 0
+        hit = vocab_h[idx] == th
+        bits = np.where(hit, -logp[idx], -oov_logp)
+    else:
+        bits = np.full(th.size, -oov_logp)
+    return float(np.mean(bits))
 
 
 def lm_score_seq(doc_ids: list, texts: list,
@@ -144,20 +146,9 @@ def lm_score_seq(doc_ids: list, texts: list,
     vocab_h = np.array([k for k, _ in top], np.int64)
     logp = np.log2(np.array([v for _, v in top], np.float64)) \
         - np.log2(total) if top else np.zeros(0, np.float64)
-    oov_logp = -np.log2(total) if total > 0 else 0.0
-    scores = []
-    for th in per_doc:
-        if th.size == 0:
-            scores.append(None)
-            continue
-        if vocab_h.size:
-            idx = np.searchsorted(vocab_h, th)
-            idx[idx == vocab_h.size] = 0
-            hit = vocab_h[idx] == th
-            bits = np.where(hit, -logp[idx], -oov_logp)
-        else:
-            bits = np.full(th.size, -oov_logp)
-        scores.append(float(np.mean(bits)))
+    scores = [None if th.size == 0
+              else _lm1_doc_bits(th, vocab_h, logp, total)
+              for th in per_doc]
     return pa.table({
         "doc_id": pa.array(doc_ids, pa.int64()),
         "lm_bits_per_token": pa.array(scores, pa.float64()),
