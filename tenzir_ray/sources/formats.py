@@ -572,6 +572,65 @@ def load_udp(host: str = "127.0.0.1", port: int = 0,
     return (lambda: rd.from_items([{"line": l} for l in drain()])), bound
 
 
+def _parse_ndjson_staged(ds, col: str = "line"):
+    """Distributed tolerant NDJSON parse with key-union typing — the
+    single-route core of :func:`routed_json`: each batch json-parses its
+    lines once (non-JSON lines fall back to ``{col: line}``), stages a
+    key-union parquet file, and only (path, rows) summaries reach the
+    driver; the result is a parquet read over the staged files with a
+    permissively-unified footer schema."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    stage = tempfile.mkdtemp(prefix="tenzir_ray_ndjson_")
+    _ROUTED_STAGES.append(stage)
+
+    def parse_stage(t: pa.Table) -> pa.Table:
+        rows = []
+        for s in t.column(col).to_pylist():
+            d = None
+            if s is not None:
+                try:
+                    d = json.loads(s)
+                except (TypeError, ValueError):
+                    d = None
+            rows.append(d if isinstance(d, dict) else {col: s})
+        if not rows:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        keys: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        tbl = pa.table({k: pa.array([r.get(k) for r in rows])
+                        for k in keys})
+        path = os.path.join(stage, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, path + ".tmp")
+        os.rename(path + ".tmp", path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([tbl.num_rows], pa.int64())})
+
+    summary = ds.map_batches(parse_stage, batch_format="pyarrow").take_all()
+    paths = sorted(r["path"] for r in summary)
+    if not paths:
+        return rd.from_items([]).limit(0)
+    uni = pa.unify_schemas([pq.read_schema(p) for p in paths],
+                           promote_options="permissive")
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    return rd.read_parquet(
+        paths, schema=uni, partitioning=None,
+        override_num_blocks=max(1, min(len(paths), cpus)))
+
+
 def load_http(url: str, *, params: dict | None = None,
               next_header: str = "X-Next-Offset",
               offset_param: str = "offset", limit: int | None = None,
@@ -584,20 +643,25 @@ def load_http(url: str, *, params: dict | None = None,
     stages.serve.serve` speaks) until exhausted. Each page's NDJSON body
     parses into rows; ``parse="lines"`` keeps raw lines.
 
-    A paged HTTP endpoint is an inherently serial stream (each page's
-    cursor comes from the previous response), so pages are fetched in a
-    driver loop — like the reference's single-connection http loader —
-    and land as one Arrow table per page (blocks parallelize from there).
-    Returns a Dataset."""
-    import json as _json
+    A paged HTTP endpoint is an inherently serial BYTE stream (each
+    page's cursor comes from the previous response), so the driver loop
+    only copies raw page bodies to a local spool — one page in memory
+    at a time, no parsing. Parsing/typing then runs distributed: pages
+    are read back with ``read_text`` and NDJSON-parsed in ``map_batches``
+    through the same file-staged key-union pass ``routed_json`` uses
+    (only schema-sized summaries reach the driver). Returns a Dataset."""
+    import os
+    import tempfile
     import urllib.parse as _up
     import urllib.request as _ur
 
     import ray.data as rd
 
-    tables: list[pa.Table] = []
+    spool = tempfile.mkdtemp(prefix="tenzir_ray_http_")
+    _ROUTED_STAGES.append(spool)  # removed at interpreter exit
+    paths: list[str] = []
     offset: str | None = None
-    for _page in range(max_pages):
+    for page in range(max_pages):
         q = dict(params or {})
         if offset is not None:
             q[offset_param] = offset
@@ -606,7 +670,7 @@ def load_http(url: str, *, params: dict | None = None,
         full = url + ("?" + _up.urlencode(q) if q else "")
         req = _ur.Request(full, headers=headers or {})
         with _ur.urlopen(req, timeout=timeout) as resp:
-            body = resp.read().decode()
+            body = resp.read()
             nxt = resp.headers.get(next_header)
             if resp.headers.get("X-Truncated") == "true" \
                     and not allow_truncated:
@@ -615,37 +679,23 @@ def load_http(url: str, *, params: dict | None = None,
                     "capped the result set - raise serve(max_rows=...) "
                     "or pass allow_truncated=True to accept partial "
                     "data")
-        lines = [l for l in body.splitlines() if l]
-        if lines:
-            if parse == "lines":
-                tables.append(pa.table(
-                    {"line": pa.array(lines, pa.string())}))
-            else:
-                rows = []
-                for l in lines:
-                    try:
-                        d = _json.loads(l)
-                    except ValueError:
-                        d = {"line": l}
-                    rows.append(d if isinstance(d, dict) else {"line": l})
-                tables.append(pa.Table.from_pylist(rows))
+        if body.strip():
+            p = os.path.join(spool, f"page-{page:06d}.txt")
+            with open(p + ".tmp", "wb") as f:
+                f.write(body)
+            os.rename(p + ".tmp", p)
+            paths.append(p)
         if nxt is None:
             break
         offset = nxt
-    if not tables:
+    if not paths:
         return rd.from_items([]).limit(0)
-    uni = pa.unify_schemas([t.schema for t in tables],
-                           promote_options="permissive")
-
-    def conform(t: pa.Table) -> pa.Table:
-        return pa.table({
-            f.name: (t.column(f.name).cast(f.type)
-                     if f.name in t.column_names
-                     else pa.nulls(t.num_rows, f.type))
-            for f in uni
-        })
-
-    return rd.from_arrow([conform(t) for t in tables])
+    lines = rd.read_text(paths).map_batches(
+        lambda t: pa.table({"line": t.column("text")}),
+        batch_format="pyarrow")
+    if parse == "lines":
+        return lines
+    return _parse_ndjson_staged(lines, col="line")
 
 
 def load_http_server(host: str = "127.0.0.1", port: int = 0,
