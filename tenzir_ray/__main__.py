@@ -201,8 +201,13 @@ def main(argv: list[str] | None = None) -> int:
                 "ndjson": pr.print_ndjson_batch,
                 "lines": pr.print_lines_batch,
             }[fmt]
+            # extension-inferred save-side compression (`write kv out.gz`
+            # — the reference's to "x.json.gz" dual, from_to_2.cpp:172)
+            codec = next((c for c, e in pr._CODEC_EXT.items()
+                          if path.endswith(e)), None)
             pr.write_lines(
-                ds.map_batches(printer, batch_format="pyarrow"), path)
+                ds.map_batches(printer, batch_format="pyarrow"), path,
+                codec=codec)
         else:
             print(f"error: unknown sink format {fmt!r}", file=sys.stderr)
             return 2

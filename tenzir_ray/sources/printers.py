@@ -197,25 +197,39 @@ def print_zeek_tsv(t: pa.Table, path: str = "log", out: str = "line") -> pa.Tabl
     return pa.table({out: pa.array(lines, pa.string())})
 
 
-def write_lines(ds, path: str, column: str = "line") -> None:
+_CODEC_EXT = {"gzip": ".gz", "zstd": ".zst", "lz4": ".lz4", "bz2": ".bz2",
+              "brotli": ".br"}
+
+
+def write_lines(ds, path: str, column: str = "line",
+                codec: str | None = None) -> None:
     """Distributed plain-text writer: one file per block under ``path``
     (resumable, partitioned output — never one giant file). Each block's
     lines are written verbatim by the worker holding the block — no CSV
     writer in the path, so commas / quotes / embedded newlines in the
-    payload pass through untouched (they are the line content)."""
+    payload pass through untouched (they are the line content).
+    ``codec`` (gzip/zstd/lz4/bz2/brotli) compresses each part file with
+    the matching extension — the save-side dual of the reference's
+    extension-inferred compression (operators/from_to_2.cpp:172-210)."""
     import os
     import uuid
 
     os.makedirs(path, exist_ok=True)
+    ext = ".txt" + (_CODEC_EXT[codec] if codec else "")
 
     def _write_block(t: pa.Table) -> pa.Table:
         if t.num_rows:
             col = t.column(column).cast(pa.string()).to_pylist()
-            name = os.path.join(path, f"part-{uuid.uuid4().hex}.txt")
+            name = os.path.join(path, f"part-{uuid.uuid4().hex}{ext}")
             tmp = name + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write("\n".join("" if v is None else v for v in col))
-                f.write("\n")
+            payload = ("\n".join("" if v is None else v for v in col)
+                       + "\n").encode("utf-8")
+            if codec:
+                sink = pa.output_stream(tmp, compression=codec)
+            else:
+                sink = pa.output_stream(tmp)
+            with sink as f:
+                f.write(payload)
             os.rename(tmp, name)  # atomic publish → resumable output
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 

@@ -186,3 +186,23 @@ def test_cli_printer_sink(ray_session, tmp_path):
         lines += open(f).read().splitlines()
     assert sorted(lines)[0].startswith("event_id=0 event_type=")
     assert len(lines) == 3
+
+
+def test_write_lines_compressed(ray_session, tmp_path):
+    """codec= compresses each part file with the matching extension —
+    the save-side dual of extension-inferred read compression."""
+    import glob
+    import gzip
+
+    import ray.data as rd
+
+    payload = [f"line {i}" for i in range(50)]
+    ds = rd.from_items([{"line": s} for s in payload])
+    out = str(tmp_path / "gz")
+    write_lines(ds, out, codec="gzip")
+    files = glob.glob(out + "/*.txt.gz")
+    assert files
+    got = []
+    for f in sorted(files):
+        got += gzip.open(f, "rt", encoding="utf-8").read().splitlines()
+    assert sorted(got) == sorted(payload)
