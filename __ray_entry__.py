@@ -1269,6 +1269,25 @@ def _url_funcs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _python_udf(sf_dir: str):
+    """`python "code"` per-batch UDF from pipeline TEXT
+    (operators/python.cpp — venv+Arrow-IPC subprocess there, native
+    pandas exec here) with explicit per-stage placement knobs
+    (num_cpus/concurrency, the local/remote analog of
+    pipeline.hpp:123-128); checked against plain SQL."""
+    from tenzir_ray.pipelines import Pipeline
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return Pipeline.parse(
+        f"from {path}\n"
+        'python num_cpus=0.5 concurrency=2 "import numpy as np; '
+        "df['vk'] = np.floor(df.value * 10).astype('int64') "
+        '+ df.user_id % 7"\n'
+        "where vk > 40\n"
+        "select event_id, vk"
+    ).run()
+
+
 def _tql_functions(sf_dir: str):
     """Expression FUNCTION CALLS inside a pure TQL pipeline (the
     reference evaluates its function library in expressions —
@@ -1570,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tql_functions": _tql_functions,
         "path_funcs": _path_funcs,
         "url_funcs": _url_funcs,
+        "python_udf": _python_udf,
         "windowed_agg": _windowed_agg,
         "embedding_dedup": _embedding_dedup,
         "kmeans_clusters": _kmeans_clusters,
@@ -1863,6 +1883,12 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN qs = '' THEN ''
                         ELSE '?' || qs END) AS canon
             FROM c
+        """,
+        "python_udf": """
+            SELECT event_id,
+                   CAST(floor(value * 10) AS BIGINT) + user_id % 7 AS vk
+            FROM events
+            WHERE CAST(floor(value * 10) AS BIGINT) + user_id % 7 > 40
         """,
         "tql_functions": """
             SELECT lower(o_orderpriority) AS pr,

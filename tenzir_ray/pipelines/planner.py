@@ -21,7 +21,7 @@ Supported operators (reference file cited in OPS below)::
     enrich key=c, table=f.parquet, field=v, out=name[, table_key=c2]
     move new=old, ...            unflatten [sep]      assert <expr>
     timeshift field [-]N[smhd]   delay field [speed]  throttle rate
-    yara rules.yar [col]
+    yara rules.yar [col]         python [num_cpus=c] [concurrency=n] "code"
 
 Expressions are Python syntax evaluated over pyarrow.dataset field
 expressions (``l_quantity > 45 and l_discount < 0.1`` →
@@ -652,6 +652,42 @@ class Pipeline:
             return lambda ds: ds.map_batches(
                 lambda t: _fmt.parse_grok_batch(t, pat, col=col),
                 batch_format="pyarrow")
+        if op == "python":
+            # per-batch Python UDF (operators/python.cpp — venv+Arrow-IPC
+            # subprocess there, trivially native here: the code runs over
+            # a pandas DataFrame named `df`). Optional leading
+            # num_cpus=/concurrency= knobs are the engine's placement
+            # analog of local/remote (pipeline.hpp:123-128): explicit
+            # per-stage resources + an actor pool when concurrency is
+            # given (code compiled ONCE per actor in __init__).
+            rest = rest.strip()
+            opts: dict = {}
+            m = re.match(
+                r"^((?:(?:num_cpus|concurrency)=\S+\s+)+)", rest)
+            if m:
+                for kv in m.group(1).split():
+                    k, _, v = kv.partition("=")
+                    opts[k] = float(v) if k == "num_cpus" else int(v)
+                rest = rest[m.end():]
+            code_src = rest.strip().strip('"')
+
+            class _PyUDF:
+                def __init__(self, src: str = code_src):
+                    self._code = compile(src, "<python-op>", "exec")
+
+                def __call__(self, df):
+                    ns = {"df": df}
+                    exec(self._code, ns)
+                    return ns["df"]
+
+            if opts:
+                kwargs = {"batch_format": "pandas",
+                          "concurrency": int(opts.get("concurrency", 2))}
+                if "num_cpus" in opts:
+                    kwargs["num_cpus"] = opts["num_cpus"]
+                return lambda ds: ds.map_batches(_PyUDF, **kwargs)
+            udf = _PyUDF()
+            return lambda ds: ds.map_batches(udf, batch_format="pandas")
         raise ValueError(f"unknown operator {op!r}")
 
     def run(self, ds: Dataset | None = None) -> Dataset:

@@ -401,3 +401,21 @@ def test_cli_stdin_formats_and_stdout_printers(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     assert sorted(r.stdout.strip().splitlines()) == \
         ['has"quote', "hello, world"]
+
+
+def test_python_operator(ray_session):
+    """`python "code"` per-batch UDF (operators/python.cpp analog) with
+    optional per-stage placement knobs (the local/remote analog)."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = rd.from_items([{"a": i} for i in range(12)])
+    out = Pipeline.parse(
+        'python "df[\'b\'] = df.a * 3"\nwhere b >= 9').run(ds).to_pandas()
+    assert sorted(out["b"]) == [9 + 3 * i for i in range(9)]
+    # actor-pool path: code compiled once per actor, explicit resources
+    out2 = Pipeline.parse(
+        'python num_cpus=0.5 concurrency=2 "df = df[df.a % 3 == 0]"'
+    ).run(ds).to_pandas()
+    assert sorted(out2["a"]) == [0, 3, 6, 9]
