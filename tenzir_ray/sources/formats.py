@@ -732,19 +732,50 @@ def load_http_server(host: str = "127.0.0.1", port: int = 0,
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
 
-    def drain():
+    def drain(spool_every: int = 50_000):
+        """Drain to a disk spool in ``spool_every``-line part files (at
+        most one part buffered in driver memory, never the full feed —
+        the bounded-ingest contract serve/load_http follow), then hand
+        back a distributed ``read_text`` over the spool."""
+        import os
         import queue as _q
-        lines: list[str] = []
+        import tempfile
+
+        spool = tempfile.mkdtemp(prefix="tenzir_ray_httpsrv_")
+        _ROUTED_STAGES.append(spool)  # removed at interpreter exit
+        paths: list[str] = []
+        buf: list[str] = []
+        total = 0
+
+        def flush():
+            nonlocal buf
+            if not buf:
+                return
+            p = os.path.join(spool, f"part-{len(paths):06d}.txt")
+            with open(p + ".tmp", "w", encoding="utf-8") as f:
+                f.write("\n".join(buf) + "\n")
+            os.rename(p + ".tmp", p)
+            paths.append(p)
+            buf = []
+
         while True:
             try:
-                lines.append(q.get(timeout=idle_timeout))
+                buf.append(q.get(timeout=idle_timeout))
             except _q.Empty:
                 break
-            if max_events and len(lines) >= max_events:
+            total += 1
+            if len(buf) >= spool_every:
+                flush()
+            if max_events and total >= max_events:
                 break
         srv.shutdown()
         srv.server_close()
-        return rd.from_items([{"line": l} for l in lines])
+        flush()
+        if not paths:
+            return rd.from_items([]).limit(0)
+        return rd.read_text(paths).map_batches(
+            lambda t: pa.table({"line": t.column("text")}),
+            batch_format="pyarrow")
 
     return drain, bound
 
