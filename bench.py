@@ -141,6 +141,7 @@ def bench_queries() -> dict[str, float]:
         "embedding_dedup", "agg_extended2", "tql_pushdown",
         "cidr_enrich", "routed_json",
         "tql_functions", "windowed_agg", "path_funcs", "url_funcs",
+        "python_udf",
         "simhash_near_docs",
         "bpe_tokens", "http_roundtrip", "line_dedup_docs",
         "kmeans_clusters", "hll_distinct_users",
