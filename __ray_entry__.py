@@ -1269,6 +1269,21 @@ def _url_funcs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _duration_funcs(sf_dir: str):
+    """Duration constructors/extractors from pipeline text
+    (duration.cpp:257-269 — std::chrono ratios, months = 2629746 s):
+    ints multiply exactly in int64 ns, counts return double."""
+    from tenzir_ray.pipelines import Pipeline
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return Pipeline.parse(
+        f"from {path}\n"
+        "set d_h = count_minutes(hours(user_id % 13))\n"
+        "set d_m = count_seconds(months(event_id % 3))\n"
+        "select event_id, d_h, d_m"
+    ).run()
+
+
 def _python_udf(sf_dir: str):
     """`python "code"` per-batch UDF from pipeline TEXT
     (operators/python.cpp — venv+Arrow-IPC subprocess there, native
@@ -1590,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_funcs": _path_funcs,
         "url_funcs": _url_funcs,
         "python_udf": _python_udf,
+        "duration_funcs": _duration_funcs,
         "windowed_agg": _windowed_agg,
         "embedding_dedup": _embedding_dedup,
         "kmeans_clusters": _kmeans_clusters,
@@ -1883,6 +1899,12 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN qs = '' THEN ''
                         ELSE '?' || qs END) AS canon
             FROM c
+        """,
+        "duration_funcs": """
+            SELECT event_id,
+                   (user_id % 13) * 60.0       AS d_h,
+                   (event_id % 3) * 2629746.0  AS d_m
+            FROM events
         """,
         "python_udf": """
             SELECT event_id,

@@ -58,3 +58,21 @@ def hash_fast64(arr) -> pa.Array:
         arr = arr.combine_chunks()
     h = pd.util.hash_array(arr.to_numpy(zero_copy_only=False))
     return pa.array(h.astype(np.uint64), pa.uint64())
+
+
+def hash_xxh3(arr) -> pa.Array:
+    """xxh3 via the ``xxhash`` wheel when present; this container ships
+    none, so the absence is LOUD instead of silently substituting an
+    incompatible hash (hash_fast64 is the in-repo 64-bit fast hash)."""
+    try:
+        import xxhash
+    except ImportError as e:
+        raise NotImplementedError(
+            "hash_xxh3 needs the 'xxhash' package (not in this "
+            "environment); use hash_fast64 for a fast non-portable "
+            "64-bit hash") from e
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(
+        [None if v is None else xxhash.xxh3_64_intdigest(str(v))
+         for v in arr.to_pylist()], pa.uint64())

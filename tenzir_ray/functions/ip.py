@@ -122,6 +122,12 @@ def is_v4(arr) -> pa.Array:
     return res
 
 
+def is_v6(arr) -> pa.Array:
+    """True for addresses OUTSIDE the v4-mapped range (reference is_v6 =
+    !is_v4 over the 16-byte storage); null in → null out."""
+    return pc.invert(is_v4(arr))
+
+
 def _mask_bytes(prefix_len: int) -> np.ndarray:
     """16-byte mask for a 128-bit prefix length."""
     mask = np.zeros(16, dtype=np.uint8)

@@ -43,3 +43,43 @@ def sort_elements(arr) -> pa.Array:
     return pa.array(
         [None if v is None else sorted(v) for v in arr.to_pylist()], arr.type
     )
+
+
+def _add_element(arr, value, front: bool) -> pa.Array:
+    """Shared append/prepend kernel (builtins/functions/list.cpp): grow
+    every list by one element, vectorized — a take-index interleave
+    over [flat values ++ n copies of value], no per-row Python."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    flat = arr.flatten()
+    offs = np.asarray(arr.offsets)
+    val_arr = pa.array([value] * n, type=flat.type)
+    lengths = np.diff(offs)
+    new_offs = offs + np.arange(n + 1)
+    idx = np.empty(len(flat) + n, np.int64)
+    owner = np.repeat(np.arange(n), lengths)
+    if front:
+        idx[new_offs[:-1]] = len(flat) + np.arange(n)
+        idx[np.arange(len(flat)) + owner + 1] = np.arange(len(flat))
+    else:
+        idx[new_offs[1:] - 1] = len(flat) + np.arange(n)
+        idx[np.arange(len(flat)) + owner] = np.arange(len(flat))
+    values = pa.concat_arrays([flat, val_arr]).take(pa.array(idx))
+    out = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), values)
+    if arr.null_count:
+        out = pc.if_else(pc.is_valid(arr), out,
+                         pa.scalar(None, out.type))
+    return out
+
+
+def append(arr, value) -> pa.Array:
+    """list, x → list with x appended (list.cpp append)."""
+    return _add_element(arr, value, front=False)
+
+
+def prepend(arr, value) -> pa.Array:
+    """list, x → list with x prepended (list.cpp prepend)."""
+    return _add_element(arr, value, front=True)

@@ -70,3 +70,19 @@ def secret(name: str) -> str:
     if v is None:
         raise KeyError(f"unknown secret {name!r}")
     return v
+
+
+def type_of(arr) -> "pa.Array":
+    """Arrow type name of the column, one constant string per row
+    (reference type_of; our runtime type system IS Arrow's)."""
+    import pyarrow as pa
+
+    return pa.array([str(arr.type)] * len(arr), pa.string())
+
+
+def type_id(arr) -> "pa.Array":
+    """Stable numeric id of the column's Arrow type (reference
+    type_id)."""
+    import pyarrow as pa
+
+    return pa.array([arr.type.id] * len(arr), pa.int64())

@@ -103,3 +103,52 @@ def parse_csv_col(arr, columns: list[str], delimiter: str = ",") -> pa.Array:
     cols = [pc.list_element(parts, i) if len(arr) else pa.array([], pa.string())
             for i in range(len(columns))]
     return pa.StructArray.from_arrays(cols, names=columns)
+
+
+def parse_tsv_col(arr, columns: list[str]) -> pa.Array:
+    """field-level parse_tsv (xsv family, formats/xsv.cpp)."""
+    return parse_csv_col(arr, columns, delimiter="\t")
+
+
+def parse_ssv_col(arr, columns: list[str]) -> pa.Array:
+    """field-level parse_ssv (space-separated, formats/xsv.cpp)."""
+    return parse_csv_col(arr, columns, delimiter=" ")
+
+
+def parse_xsv_col(arr, columns: list[str], delimiter: str) -> pa.Array:
+    """field-level parse_xsv with an explicit separator."""
+    return parse_csv_col(arr, columns, delimiter=delimiter)
+
+
+def parse_yaml_col(arr) -> pa.Array:
+    """YAML string column → struct column (field-level parse_yaml,
+    formats/yaml.cpp). Per-value safe_load is inherent to YAML; rows
+    that fail to parse or aren't mappings become null."""
+    import yaml
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = []
+    for s in arr.to_pylist():
+        d = None
+        if s is not None:
+            try:
+                v = yaml.safe_load(s)
+                d = v if isinstance(v, dict) else None
+            except yaml.YAMLError:
+                d = None
+        out.append(d)
+    return pa.array(out)
+
+
+def print_yaml_col(arr) -> pa.Array:
+    """struct column → single-document YAML strings (print_yaml dual)."""
+    import yaml
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(
+        [None if v is None
+         else yaml.safe_dump(v, sort_keys=False, default_flow_style=False)
+         for v in arr.to_pylist()],
+        pa.string())

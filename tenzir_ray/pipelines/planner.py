@@ -179,9 +179,11 @@ def _expr_funcs() -> dict:
     Arrow arrays / Python scalars and returns an Arrow array, so calls
     compose with operators through :class:`_Arr`."""
     from tenzir_ray.functions import (
-        encoding as E, enumtype as EN, hashing as H, parsing as P,
-        path as PATH, strings as S, time as T, url as U,
+        encoding as E, enumtype as EN, hashing as H, lists as L,
+        misc as M, parsing as P, path as PATH, strings as S, time as T,
+        url as U,
     )
+    from tenzir_ray.functions import ip as _ipm
     from tenzir_ray.functions.ip import ip_parse, ip_print, subnet_contains
 
     return {
@@ -203,6 +205,14 @@ def _expr_funcs() -> dict:
         "format_time": T.format_time, "parse_time": T.parse_time,
         "since_epoch": T.since_epoch, "from_epoch": T.from_epoch,
         "floor_time": T.floor_time, "round_time": T.round_time,
+        # duration constructors / extractors (duration.cpp:257-269)
+        "years": T.years, "months": T.months, "weeks": T.weeks,
+        "days": T.days, "hours": T.hours, "minutes": T.minutes,
+        "seconds": T.seconds, "milliseconds": T.milliseconds,
+        "count_years": T.count_years, "count_months": T.count_months,
+        "count_weeks": T.count_weeks, "count_days": T.count_days,
+        "count_hours": T.count_hours, "count_minutes": T.count_minutes,
+        "count_seconds": T.count_seconds,
         # casts
         "to_int": lambda a: pc.cast(a, pa.int64()),
         "to_float": lambda a: pc.cast(a, pa.float64()),
@@ -221,6 +231,11 @@ def _expr_funcs() -> dict:
         "is_null": pc.is_null,
         # network
         "ip": ip_parse, "ip_str": ip_print, "in_subnet": subnet_contains,
+        "is_v4": _ipm.is_v4, "is_v6": _ipm.is_v6,
+        # lists / yaml / typing
+        "append": L.append, "prepend": L.prepend,
+        "parse_yaml": P.parse_yaml_col, "print_yaml": P.print_yaml_col,
+        "type_of": M.type_of, "type_id": M.type_id,
         # path/file (builtins/functions/path.cpp)
         "file_name": PATH.file_name, "parent_dir": PATH.parent_dir,
         "file_stem": PATH.file_stem, "file_extension": PATH.file_extension,
