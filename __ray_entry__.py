@@ -1269,6 +1269,22 @@ def _url_funcs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _list_lambda(sf_dir: str):
+    """Lambda-over-list map/where from pipeline text
+    (where_map.cpp:265-455): the element expression compiles once and
+    evaluates over the FLAT values of the whole batch — offsets rebuilt
+    by a cumulative-sum gather, no per-element Python."""
+    from tenzir_ray.pipelines import Pipeline
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return Pipeline.parse(
+        f"from {path}\n"
+        'set n_pos = to_int(list_length(list_where(embedding, "x > 0")))\n'
+        "set n_all = to_int(list_length(embedding))\n"
+        "select vec_id, n_pos, n_all"
+    ).run()
+
+
 def _duration_funcs(sf_dir: str):
     """Duration constructors/extractors from pipeline text
     (duration.cpp:257-269 — std::chrono ratios, months = 2629746 s):
@@ -1606,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_funcs": _url_funcs,
         "python_udf": _python_udf,
         "duration_funcs": _duration_funcs,
+        "list_lambda": _list_lambda,
         "windowed_agg": _windowed_agg,
         "embedding_dedup": _embedding_dedup,
         "kmeans_clusters": _kmeans_clusters,
@@ -1899,6 +1916,12 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN qs = '' THEN ''
                         ELSE '?' || qs END) AS canon
             FROM c
+        """,
+        "list_lambda": """
+            SELECT vec_id,
+                   len(list_filter(embedding, x -> x > 0)) AS n_pos,
+                   len(embedding)                           AS n_all
+            FROM embeddings
         """,
         "duration_funcs": """
             SELECT event_id,

@@ -83,3 +83,47 @@ def append(arr, value) -> pa.Array:
 def prepend(arr, value) -> pa.Array:
     """list, x → list with x prepended (list.cpp prepend)."""
     return _add_element(arr, value, front=True)
+
+
+def map_elements(arr, fn) -> pa.Array:
+    """Lambda-over-list, vectorized (where_map.cpp:265-455 `map`): the
+    kernel ``fn`` (Array → Array) runs ONCE over the flat element
+    values of the whole column; offsets are reused unchanged — no
+    per-row or per-element Python."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out_flat = fn(arr.flatten())
+    if isinstance(out_flat, pa.ChunkedArray):
+        out_flat = out_flat.combine_chunks()
+    out = pa.ListArray.from_arrays(arr.offsets, out_flat)
+    if arr.null_count:
+        out = pc.if_else(pc.is_valid(arr), out, pa.scalar(None, out.type))
+    return out
+
+
+def filter_elements(arr, fn) -> pa.Array:
+    """Lambda-over-list `where` (where_map.cpp:265-455): keep elements
+    whose predicate holds. One vectorized mask over the flat values;
+    new offsets come from a cumulative-sum gather (kept-before-position
+    indexed at the old offsets), so empty lists cost nothing."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten()
+    mask = fn(flat)
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    if len(mask) == 0:
+        mask = pa.array([], pa.bool_())
+    # null predicate = drop (SQL WHERE semantics)
+    mask = pc.fill_null(mask, False)
+    offs = np.asarray(arr.offsets)
+    kept_before = np.concatenate(
+        [[0], np.cumsum(mask.to_numpy(zero_copy_only=False))])
+    new_offs = kept_before[offs].astype(np.int32)
+    out = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                   flat.filter(mask))
+    if arr.null_count:
+        out = pc.if_else(pc.is_valid(arr), out, pa.scalar(None, out.type))
+    return out

@@ -234,6 +234,12 @@ def _expr_funcs() -> dict:
         "is_v4": _ipm.is_v4, "is_v6": _ipm.is_v6,
         # lists / yaml / typing
         "append": L.append, "prepend": L.prepend,
+        # lambda-over-list (where_map.cpp:265-455): the element expr is
+        # a STRING compiled once and evaluated over the flat values
+        "list_map": lambda xs, expr: L.map_elements(
+            _u(xs), _element_fn(expr)),
+        "list_where": lambda xs, expr: L.filter_elements(
+            _u(xs), _element_fn(expr)),
         "parse_yaml": P.parse_yaml_col, "print_yaml": P.print_yaml_col,
         "type_of": M.type_of, "type_id": M.type_id,
         # path/file (builtins/functions/path.cpp)
@@ -323,6 +329,27 @@ def expr_columns(src: str) -> list[str]:
     return sorted({n.id for n in ast.walk(tree)
                    if isinstance(n, ast.Name)
                    and n.id not in ("True", "False", "None")})
+
+
+def _element_fn(src: str):
+    """Element-lambda compiler for ``list_map``/``list_where``: the
+    expression's free names (conventionally ``x``) all bind to the FLAT
+    element array, so the lambda evaluates once per batch — reuses the
+    whitelisted array-expression compiler, never per-element Python."""
+    if not isinstance(src, str):
+        return src  # already a callable (Python-API use)
+    fn = compile_array_expr(src)
+    tree = ast.parse(src.strip(), mode="eval")
+    called = {n.func.id for n in ast.walk(tree)
+              if isinstance(n, ast.Call) and isinstance(n.func, ast.Name)}
+    names = sorted({n.id for n in ast.walk(tree)
+                    if isinstance(n, ast.Name) and n.id not in called
+                    and n.id not in ("True", "False", "None")}) or ["x"]
+
+    def f(flat: pa.Array) -> pa.Array:
+        return fn(pa.table({n: flat for n in names}))
+
+    return f
 
 
 def _apply_expr_filter(ds: Dataset, expr) -> Dataset:

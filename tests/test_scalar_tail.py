@@ -71,3 +71,28 @@ def test_hash_xxh3_loud_absence():
         pass
     with pytest.raises(NotImplementedError):
         hash_xxh3(pa.array(["x"]))
+
+
+def test_list_map_where_kernels():
+    import pyarrow.compute as pc
+
+    from tenzir_ray.functions.lists import filter_elements, map_elements
+
+    a = pa.array([[1, 2, 3], [4], [], None], pa.list_(pa.int64()))
+    assert map_elements(a, lambda f: pc.multiply(f, 10)).to_pylist() == \
+        [[10, 20, 30], [40], [], None]
+    assert filter_elements(a, lambda f: pc.greater(f, 1)).to_pylist() == \
+        [[2, 3], [4], [], None]
+
+
+def test_list_lambdas_in_tql(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = rd.from_items([{"xs": [1.0, 2.25, 3.5]}])
+    out = Pipeline.parse(
+        'set d = list_map(xs, "round(x * 2, 1)") '
+        '| set big = list_where(xs, "x > 2")').run(ds).take_all()
+    assert out[0]["d"] == [2.0, 4.5, 7.0]
+    assert out[0]["big"] == [2.25, 3.5]
