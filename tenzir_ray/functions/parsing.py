@@ -152,3 +152,35 @@ def print_yaml_col(arr) -> pa.Array:
          else yaml.safe_dump(v, sort_keys=False, default_flow_style=False)
          for v in arr.to_pylist()],
         pa.string())
+
+
+def _struct_to_table(arr) -> pa.Table:
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.table({f.name: pc.struct_field(arr, f.name)
+                     for f in arr.type})
+
+
+def print_kv_col(arr) -> pa.Array:
+    """struct column → k=v lines (field-level print_kv dual; delegates
+    to the round-trip-tested batch printer)."""
+    from tenzir_ray.sources.printers import print_kv_batch
+
+    return print_kv_batch(_struct_to_table(arr)).column("line") \
+        .combine_chunks()
+
+
+def print_csv_col(arr, delimiter: str = ",") -> pa.Array:
+    """struct column → CSV record strings (field-level print_csv)."""
+    from tenzir_ray.sources.printers import print_csv_batch
+
+    return print_csv_batch(_struct_to_table(arr), delimiter=delimiter) \
+        .column("line").combine_chunks()
+
+
+def print_ndjson_col(arr) -> pa.Array:
+    """struct column → compact JSON strings (print_ndjson alias of
+    print_json)."""
+    return print_json_col(arr)

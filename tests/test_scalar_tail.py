@@ -96,3 +96,24 @@ def test_list_lambdas_in_tql(ray_session):
         '| set big = list_where(xs, "x > 2")').run(ds).take_all()
     assert out[0]["d"] == [2.0, 4.5, 7.0]
     assert out[0]["big"] == [2.25, 3.5]
+
+
+def test_field_level_print_duals():
+    from tenzir_ray.functions.parsing import (
+        parse_kv_col,
+        print_csv_col,
+        print_kv_col,
+        print_ndjson_col,
+    )
+
+    s = pa.array([{"a": 1, "b": "x y"}, {"a": 2, "b": "q"}])
+    kv = print_kv_col(s).to_pylist()
+    assert kv == ['a=1 b="x y"', "a=2 b=q"]
+    # kv round-trips through its parser dual
+    back = parse_kv_col(pa.array(kv)).to_pylist()
+    assert [r["b"] for r in back] == ["x y", "q"]
+    assert print_csv_col(s).to_pylist() == ['1,"x y"', '2,"q"']
+    import json
+
+    assert [json.loads(x) for x in print_ndjson_col(s).to_pylist()] == \
+        s.to_pylist()
