@@ -184,3 +184,18 @@ def print_ndjson_col(arr) -> pa.Array:
     """struct column → compact JSON strings (print_ndjson alias of
     print_json)."""
     return print_json_col(arr)
+
+
+def print_tsv_col(arr) -> pa.Array:
+    """struct column → TSV record strings (print_tsv)."""
+    return print_csv_col(arr, delimiter="\t")
+
+
+def print_ssv_col(arr) -> pa.Array:
+    """struct column → space-separated record strings (print_ssv)."""
+    return print_csv_col(arr, delimiter=" ")
+
+
+def print_xsv_col(arr, delimiter: str) -> pa.Array:
+    """struct column → x-separated record strings (print_xsv)."""
+    return print_csv_col(arr, delimiter=delimiter)

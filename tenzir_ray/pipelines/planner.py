@@ -240,6 +240,10 @@ def _expr_funcs() -> dict:
             _u(xs), _element_fn(expr)),
         "list_where": lambda xs, expr: L.filter_elements(
             _u(xs), _element_fn(expr)),
+        # the reference's own names for the list lambdas (where_map.cpp)
+        "map": lambda xs, expr: L.map_elements(_u(xs), _element_fn(expr)),
+        "where": lambda xs, expr: L.filter_elements(
+            _u(xs), _element_fn(expr)),
         "parse_yaml": P.parse_yaml_col, "print_yaml": P.print_yaml_col,
         "type_of": M.type_of, "type_id": M.type_id,
         # path/file (builtins/functions/path.cpp)
