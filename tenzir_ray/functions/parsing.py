@@ -199,3 +199,23 @@ def print_ssv_col(arr) -> pa.Array:
 def print_xsv_col(arr, delimiter: str) -> pa.Array:
     """struct column → x-separated record strings (print_xsv)."""
     return print_csv_col(arr, delimiter=delimiter)
+
+
+def parse_cef_col(arr) -> pa.Array:
+    """CEF string column → struct (field-level parse_cef)."""
+    from tenzir_ray.sources.formats import parse_cef_batch
+
+    t = parse_cef_batch(_one_col(arr), col="__x").drop_columns(["__x"])
+    return pa.StructArray.from_arrays(
+        [t.column(n).combine_chunks() for n in t.column_names],
+        names=t.column_names)
+
+
+def parse_leef_col(arr) -> pa.Array:
+    """LEEF string column → struct (field-level parse_leef)."""
+    from tenzir_ray.sources.formats import parse_leef_batch
+
+    t = parse_leef_batch(_one_col(arr), col="__x").drop_columns(["__x"])
+    return pa.StructArray.from_arrays(
+        [t.column(n).combine_chunks() for n in t.column_names],
+        names=t.column_names)
