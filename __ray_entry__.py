@@ -79,12 +79,9 @@ def _skip_oracle(name: str) -> None:
 # --------------------------------------------------------------- flagship
 
 
-def _cdc_replay(sf_dir: str):
-    """Flagship: deterministic WAL (scaled to sf) → Lake upsert → final
-    merged pages state. Rows-only check (the WAL is engine-internal); the
-    pytest suites hold the replay-equivalence proof against a sequential
-    oracle."""
-    from tenzir_ray.cdc import Lake, generate_wal
+def _cdc_scratch(sf_dir: str) -> tuple[str, str]:
+    """Deterministic per-sf WAL + lake scratch roots (WAL generated once)."""
+    from tenzir_ray.cdc import generate_wal
     from tenzir_ray.cdc.wal import WalSpec
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.001"
@@ -99,7 +96,30 @@ def _cdc_replay(sf_dir: str):
     if not os.path.exists(marker):
         generate_wal(wal_dir, spec)
         open(marker, "w").close()
-    lake = Lake(os.path.join(scratch, "lake"), partitions=8, salt=2)
+    return wal_dir, os.path.join(scratch, "lake")
+
+
+def _canon_pages(t: pa.Table) -> pa.Table:
+    # html → utf-8 string (BLOBs defeat hash comparators) and
+    # warc_ts → µs (DuckDB timestamps are µs; the lake stores ns)
+    j = t.column_names.index("html")
+    t = t.set_column(j, "html", pc.cast(t.column("html"), pa.string()))
+    j = t.column_names.index("warc_ts")
+    t = t.set_column(
+        j, "warc_ts",
+        pc.floor_temporal(t.column("warc_ts"), unit="microsecond")
+        .cast(pa.timestamp("us")))
+    return t
+
+
+def _cdc_replay(sf_dir: str):
+    """Flagship: deterministic WAL (scaled to sf) → Lake upsert → final
+    merged pages state, hash-checked against the sequential row-at-a-time
+    replay oracle."""
+    from tenzir_ray.cdc import Lake
+
+    wal_dir, lake_root = _cdc_scratch(sf_dir)
+    lake = Lake(lake_root, partitions=8, salt=2)
     lake.apply_wal(wal_dir)
     out = lake.read()
     # sequential replay oracle (row-at-a-time pandas, total lsn order).
@@ -108,21 +128,31 @@ def _cdc_replay(sf_dir: str):
     from tenzir_ray.cdc.oracle import replay_wal
 
     oracle = pa.Table.from_pandas(replay_wal(wal_dir), preserve_index=False)
+    _write_oracle("cdc_replay", _canon_pages(oracle))
+    return out.map_batches(_canon_pages, batch_format="pyarrow")
 
-    def _canon(t: pa.Table) -> pa.Table:
-        # html → utf-8 string (BLOBs defeat hash comparators) and
-        # warc_ts → µs (DuckDB timestamps are µs; the lake stores ns)
-        j = t.column_names.index("html")
-        t = t.set_column(j, "html", pc.cast(t.column("html"), pa.string()))
-        j = t.column_names.index("warc_ts")
-        t = t.set_column(
-            j, "warc_ts",
-            pc.floor_temporal(t.column("warc_ts"), unit="microsecond")
-            .cast(pa.timestamp("us")))
-        return t
 
-    _write_oracle("cdc_replay", _canon(oracle))
-    return out.map_batches(_canon, batch_format="pyarrow")
+def _cdc_asof(sf_dir: str):
+    """Time-travel read (`Lake.read(as_of_epoch=3)`): apply the FULL WAL
+    (all 6 epochs incl. the later lang-widen and text→body rename), then
+    reconstruct the state as of epoch 3 — after `title` was added, before
+    the widen/rename — from the per-epoch delta files. The historical
+    narrower schema must come back too. Oracle = the sequential replay
+    cut at the same epoch prefix (cdc/oracle.py max_epoch).
+    Reference analog: retro export over retained partitions,
+    operators/export.cpp:47-67."""
+    from tenzir_ray.cdc import Lake
+    from tenzir_ray.cdc.oracle import replay_wal
+
+    wal_dir, lake_root = _cdc_scratch(sf_dir)
+    lake = Lake(lake_root, partitions=8, salt=2)
+    lake.apply_wal(wal_dir)  # idempotent: no-op when cdc_replay ran first
+    out = lake.read(as_of_epoch=3)
+    oracle = pa.Table.from_pandas(
+        replay_wal(wal_dir, max_epoch=3), preserve_index=False
+    )
+    _write_oracle("cdc_asof", _canon_pages(oracle))
+    return out.map_batches(_canon_pages, batch_format="pyarrow")
 
 
 def entry() -> Any:
@@ -1563,6 +1593,7 @@ def _parse_props(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _cdc_replay,
+        "cdc_asof": _cdc_asof,
         "q1_summarize": _q1_summarize,
         "where_select": _where_select,
         "set_revenue": _set_revenue,
@@ -1830,6 +1861,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/cdc_replay.parquet'
+        """,
+        "cdc_asof": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/cdc_asof.parquet'
         """,
         "simhash_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/simhash_docs.parquet'

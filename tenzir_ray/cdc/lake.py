@@ -66,6 +66,14 @@ _EPOCH = "__epoch"
 _HASH = "__h"
 
 
+class TimeTravelHorizonError(ValueError):
+    """Requested ``as_of_epoch`` precedes the compaction/GC horizon: the
+    per-epoch deltas needed to reconstruct that state were folded into a
+    newer base and garbage-collected (time travel is bounded by the newest
+    base's covered epoch, like any LSM lake without version-retaining
+    snapshots)."""
+
+
 # ---------------------------------------------------------------- kernels
 
 
@@ -411,20 +419,41 @@ def _manifest_table(m: dict) -> pa.Table:
 # ------------------------------------------------------- partition merge
 
 
-def _live_files(root: str, pid: int) -> tuple[list[str], int]:
+def _live_files(
+    root: str, pid: int, as_of: int | None = None
+) -> tuple[list[str], int]:
     """(live files, base-covered epoch). Base ``base-e{upto}.parquet`` covers
-    all deltas with epoch <= upto; those are dead (GC'able)."""
+    all deltas with epoch <= upto; those are dead (GC'able).
+
+    With ``as_of`` set, returns the file set reconstructing the state after
+    applying epochs ``<= as_of`` (time travel): the newest base covering
+    ``upto <= as_of`` plus deltas in ``(upto, as_of]``. Raises
+    :class:`TimeTravelHorizonError` when every surviving base covers past
+    ``as_of`` — the needed deltas were compacted away."""
     pdir = os.path.join(root, f"p={pid:04d}")
     bases = sorted(glob.glob(os.path.join(pdir, "base-e*.parquet")))
+
+    def _epoch_of(path: str) -> int:
+        return int(os.path.basename(path)[len("base-e"):-len(".parquet")])
+
     upto = -1
     files: list[str] = []
+    if as_of is not None:
+        eligible = [b for b in bases if _epoch_of(b) <= as_of]
+        if not eligible and bases:
+            raise TimeTravelHorizonError(
+                f"partition {pid}: state as of epoch {as_of} is before the "
+                f"compaction horizon (newest base covers epoch "
+                f"{_epoch_of(bases[-1])})"
+            )
+        bases = eligible
     if bases:
         best = bases[-1]
-        upto = int(os.path.basename(best)[len("base-e"):-len(".parquet")])
+        upto = _epoch_of(best)
         files.append(best)
     for f in sorted(glob.glob(os.path.join(pdir, "delta-e*.parquet"))):
         e = int(os.path.basename(f).split("-")[1][1:])
-        if e > upto:
+        if e > upto and (as_of is None or e <= as_of):
             files.append(f)
     return files, upto
 
@@ -437,9 +466,10 @@ def _read_schema(schema: pa.Schema) -> pa.Schema:
 
 
 def _read_partition(
-    root: str, pid: int, schema: pa.Schema, filter=None
+    root: str, pid: int, schema: pa.Schema, filter=None,
+    as_of: int | None = None,
 ) -> pa.Table | None:
-    files, _ = _live_files(root, pid)
+    files, _ = _live_files(root, pid, as_of=as_of)
     if not files:
         return None
     # Explicit unified schema: older files lack later-added columns →
@@ -451,15 +481,16 @@ def _read_partition(
 
 def _merge_partition(
     batch: pa.Table, *, root: str, schema: pa.Schema, with_tombstones: bool,
-    keep_engine_cols: bool,
+    keep_engine_cols: bool, as_of: int | None = None,
 ) -> pa.Table:
     """Merge-on-read for the partition ids in ``batch`` (reference analog:
     export's retro partition fan-in, operators/export.cpp:47-67). No global
     shuffle: a url lives in exactly one partition, so per-partition LWW is
-    globally correct."""
+    globally correct. ``as_of`` reads the historical state after epochs
+    ``<= as_of`` (bounded by the compaction horizon)."""
     out: list[pa.Table] = []
     for pid in batch.column("pid").to_pylist():
-        t = _read_partition(root, int(pid), schema)
+        t = _read_partition(root, int(pid), schema, as_of=as_of)
         if t is None or t.num_rows == 0:
             continue
         t = lww_reduce(t)
@@ -602,9 +633,18 @@ class Lake:
 
     # -------------------------------------------------- schema tracking
 
-    def schema(self) -> pa.Schema | None:
-        """Latest unified schema committed to the lake (None if empty)."""
+    def schema(self, as_of_epoch: int | None = None) -> pa.Schema | None:
+        """Latest unified schema committed to the lake (None if empty).
+        With ``as_of_epoch``, the schema as committed at that epoch — a
+        time-travel read reproduces the narrower historical schema before
+        later add/widen/rename evolution."""
         paths = sorted(glob.glob(os.path.join(self.root, "_manifest", "schema-e*.json")))
+        if as_of_epoch is not None:
+            paths = [
+                p for p in paths
+                if int(os.path.basename(p)[len("schema-e"):-len(".json")])
+                <= as_of_epoch
+            ]
         if not paths:
             return None
         with open(paths[-1]) as f:
@@ -788,14 +828,24 @@ class Lake:
 
     # ------------------------------------------------------------- read
 
-    def read(self, with_tombstones: bool = False, keep_engine_cols: bool = False):
-        """Merge-on-read final state as a Ray Dataset: one merge task per
-        partition, no global shuffle (url → exactly one partition)."""
+    def read(self, with_tombstones: bool = False, keep_engine_cols: bool = False,
+             as_of_epoch: int | None = None):
+        """Merge-on-read state as a Ray Dataset: one merge task per
+        partition, no global shuffle (url → exactly one partition).
+
+        ``as_of_epoch`` time-travels to the state after applying epochs
+        ``<= as_of_epoch`` (the historical schema included). Bounded by the
+        compaction horizon — reading past it raises
+        :class:`TimeTravelHorizonError` (reference analog: retro export
+        scans whatever partitions the catalog retains,
+        operators/export.cpp:47-67; the LSM here retains exactly
+        base-horizon..head)."""
         import ray.data as rd
 
-        schema = self.schema()
+        schema = self.schema(as_of_epoch=as_of_epoch)
         if schema is None:
-            raise ValueError("empty lake")
+            raise ValueError("empty lake" if as_of_epoch is None else
+                             f"no epoch <= {as_of_epoch} committed")
         ds = rd.from_items([{"pid": p} for p in range(self.P)])
         return ds.map_batches(
             partial(
@@ -804,6 +854,7 @@ class Lake:
                 schema=schema,
                 with_tombstones=with_tombstones,
                 keep_engine_cols=keep_engine_cols,
+                as_of=as_of_epoch,
             ),
             batch_format="pyarrow",
             batch_size=1,
@@ -811,7 +862,8 @@ class Lake:
 
     def read_table(self, **kw) -> pa.Table:
         """Small-scale convenience: full merged state as one Arrow table."""
-        schema = self.schema()
+        as_of = kw.get("as_of_epoch")
+        schema = self.schema(as_of_epoch=as_of)
         if schema is None:
             raise ValueError("empty lake")
         batch = pa.table({"pid": pa.array(range(self.P), pa.int32())})
@@ -819,6 +871,7 @@ class Lake:
             batch, root=self.root, schema=schema,
             with_tombstones=kw.get("with_tombstones", False),
             keep_engine_cols=kw.get("keep_engine_cols", False),
+            as_of=as_of,
         )
 
     # ------------------------------------------------------- compaction
@@ -867,14 +920,14 @@ class Lake:
 
     # ----------------------------------------------------------- lookup
 
-    def lookup(self, urls: list[str]) -> pa.Table:
+    def lookup(self, urls: list[str], as_of_epoch: int | None = None) -> pa.Table:
         """Point lookup of live rows for the given urls — the `export` /
         `lookup` fast path (reference: catalog-pruned partition selection,
         libtenzir/src/index.cpp:893-1030). Pruning is structural: a url's
         partition is ``hash(url) % G // salt``, so only those partitions'
         files are opened, with an ``isin`` row filter pushed into the
-        parquet scan."""
-        schema = self.schema()
+        parquet scan. ``as_of_epoch`` looks up the historical state."""
+        schema = self.schema(as_of_epoch=as_of_epoch)
         if schema is None:
             raise ValueError("empty lake")
         h = _key_hashes(pa.array(urls, pa.string())).astype(np.uint64)
@@ -882,7 +935,8 @@ class Lake:
         flt = pads.field("url").isin(urls)
         out = []
         for pid in pids:
-            t = _read_partition(self.root, pid, schema, filter=flt)
+            t = _read_partition(self.root, pid, schema, filter=flt,
+                                as_of=as_of_epoch)
             if t is None or t.num_rows == 0:
                 continue
             t = lww_reduce(t)

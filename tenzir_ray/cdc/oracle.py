@@ -13,10 +13,17 @@ import pyarrow.parquet as pq
 from tenzir_ray.cdc.wal import list_epochs
 
 
-def replay_wal(wal_dir: str, aliases: dict[str, str] | None = None) -> pd.DataFrame:
+def replay_wal(
+    wal_dir: str, aliases: dict[str, str] | None = None,
+    max_epoch: int | None = None,
+) -> pd.DataFrame:
+    """``max_epoch`` replays only epochs ``<= max_epoch`` (the sequential
+    dual of the lake's ``as_of_epoch`` time-travel read)."""
     aliases = {"body": "text"} if aliases is None else aliases
     frames = []
     for _e, files in list_epochs(wal_dir):
+        if max_epoch is not None and _e > max_epoch:
+            continue
         for f in files:
             t = pq.read_table(f)
             t = t.rename_columns(

@@ -358,3 +358,85 @@ def test_unify_types_edges():
         unify_types(pa2.string(), pa2.int64())  # reference returns nullopt
     u = unify_schemas([pa2.schema([("x", pa2.int32())]), pa2.schema([("y", pa2.string())])])
     assert u.names == ["x", "y"]
+
+
+def test_time_travel_read(tmp_path):
+    """as_of_epoch=E reproduces the state after replaying epochs <= E —
+    including the narrower historical schema before later evolution —
+    and matches the sequential oracle replayed over the same prefix."""
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, EVOLVED)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=2)
+    lake.apply_wal(wal)
+
+    for e in range(EVOLVED.n_epochs):
+        got = (
+            lake.read_table(as_of_epoch=e)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        want = replay_wal(wal, max_epoch=e)
+        assert list(got["url"]) == list(want["url"]), f"epoch {e}"
+        assert list(got["text"]) == list(want["text"]), f"epoch {e}"
+    # historical schema: `title` only exists from its add-epoch onward
+    assert "title" not in lake.schema(as_of_epoch=1).names
+    assert "title" in lake.schema(as_of_epoch=2).names
+    # final as-of == plain read
+    full = _final_df(lake)
+    asof_last = (
+        lake.read_table(as_of_epoch=EVOLVED.n_epochs - 1)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, asof_last)
+
+
+def test_time_travel_distributed_read(tmp_path):
+    """Lake.read(as_of_epoch=) (the Ray Dataset path) equals read_table."""
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=2)
+    lake.apply_wal(wal)
+    ds = lake.read(as_of_epoch=2)
+    got = (
+        ds.to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    want = (
+        lake.read_table(as_of_epoch=2)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_time_travel_horizon(tmp_path):
+    """Compaction moves the horizon: as-of reads before the newest base's
+    covered epoch raise TimeTravelHorizonError; at/after it still work."""
+    from tenzir_ray.cdc.lake import TimeTravelHorizonError
+
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    epochs = list_epochs(wal)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    for e, files in epochs[:3]:
+        lake.apply_epoch(e, files)
+    lake.compact()  # base covers epochs <= 2
+    for e, files in epochs[3:]:
+        lake.apply_epoch(e, files)
+
+    with pytest.raises(TimeTravelHorizonError):
+        lake.read_table(as_of_epoch=1)
+    # horizon epoch itself and later epochs remain readable
+    got = (
+        lake.read_table(as_of_epoch=2)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    want = replay_wal(wal, max_epoch=2)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["text"]) == list(want["text"])
+    got3 = lake.read_table(as_of_epoch=3)
+    want3 = replay_wal(wal, max_epoch=3)
+    assert got3.num_rows == len(want3)
+    # point lookup honors as_of
+    urls = list(want["url"][:5])
+    t = lake.lookup(urls, as_of_epoch=2)
+    assert sorted(t.column("url").to_pylist()) == sorted(urls)
