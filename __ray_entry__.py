@@ -1450,6 +1450,30 @@ def _kmeans_clusters(sf_dir: str):
         .rename_columns({"ivf_list": "cluster"})
 
 
+def _semdedup_docs(sf_dir: str):
+    """SemDeDup semantic dedup (Abbas et al. 2023): spherical k-means →
+    within-cluster exact-cosine prune keeping the low-centroid-similarity
+    "edge" examples. Threshold 0.45 sits ≥1e-3 clear of every same-cluster
+    pair at verification sf (≥1e-4 at sf0.1), so BLAS-vs-loop float
+    rounding can't flip a decision; checked against the one-pair-at-a-time
+    sequential reimplementation."""
+    from tenzir_ray.text.ann import semdedup
+    from tenzir_ray.text.sequential import semdedup_seq
+
+    emb = _oracle_table(os.path.join(sf_dir, "embeddings.parquet"), 2000,
+                        columns=["vec_id", "embedding"])
+    if emb is not None:
+        _write_oracle("semdedup_docs", semdedup_seq(
+            emb.column("vec_id").to_pylist(),
+            np.stack(emb.column("embedding").to_pylist()),
+            n_clusters=8, threshold=0.45))
+    else:
+        _skip_oracle("semdedup_docs")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semdedup(ds, n_clusters=8, threshold=0.45)
+    return out.select_columns(["vec_id", "sem_cluster"])
+
+
 def _ivf_ann(sf_dir: str):
     """IVF-bucketed ANN: k-means lists → write partitioned by list →
     search opens ONLY probed lists' partitions (file pruning at the
@@ -1657,6 +1681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": _windowed_agg,
         "embedding_dedup": _embedding_dedup,
         "kmeans_clusters": _kmeans_clusters,
+        "semdedup_docs": _semdedup_docs,
         "hll_distinct_users": _hll_distinct_users,
         "ivf_ann": _ivf_ann,
         "multimodal_decode": _multimodal_decode,
@@ -1855,6 +1880,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/kmeans_clusters.parquet'
+        """,
+        "semdedup_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/semdedup_docs.parquet'
         """,
         "hll_distinct_users": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/hll_distinct_users.parquet'

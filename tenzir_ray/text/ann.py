@@ -352,3 +352,67 @@ def ivf_search(
             sub, sort_keys=[("cosine", "descending"), (id_col, "ascending")]))
         out.append(sub.slice(0, k))
     return pa.concat_tables(out)
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semdedup(
+    ds: Dataset,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 11,
+) -> Dataset:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical k-means over the embedding corpus, then
+    an exact pairwise-cosine prune WITHIN each cluster — the cluster
+    assignment bounds the quadratic pass to O(cluster²), never O(n²).
+
+    Keep rule (paper-faithful + deterministic): within a cluster, rows
+    are ordered by (cosine-to-centroid ASC, id ASC) — the paper keeps the
+    LOW-centroid-similarity "edge" examples — and a row is dropped iff
+    any earlier row in that order has cosine ≥ threshold with it.
+
+    Scale shape: centroids are the only global state (``ray.put`` once,
+    read per task); assignment is one vectorized matmul pass; the ONLY
+    shuffle is ``groupby(sem_cluster)``, and at corpus scale
+    ``n_clusters`` is sized so clusters stay bounded (the paper uses
+    ~0.1% of corpus size). Output = surviving rows + ``sem_cluster``.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+    import ray
+
+    cents, assigned = ivf_build(
+        ds, n_lists=n_clusters, id_col=id_col, vec_col=vec_col,
+        iters=iters, seed=seed,
+    )
+    cref = ray.put(cents)
+
+    def prune(g: pa.Table, *, cref, threshold: float) -> pa.Table:
+        cents = ray.get(cref)
+        cl = int(g.column("ivf_list")[0].as_py())
+        m = _normalize(_to_matrix(g.column(vec_col)))
+        csim = m @ cents[cl]  # per-row dot — row-order independent
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, csim))  # centroid-sim asc, id asc
+        ms = m[order]
+        sims = ms @ ms.T
+        drop = np.triu(sims >= threshold, k=1).any(axis=0)
+        out = (
+            g.take(pa.array(order[~drop]))
+            .rename_columns(
+                [n if n != "ivf_list" else "sem_cluster"
+                 for n in g.column_names]
+            )
+        )
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
+
+    return assigned.groupby("ivf_list").map_groups(
+        functools.partial(prune, cref=cref, threshold=threshold),
+        batch_format="pyarrow",
+    )

@@ -344,3 +344,45 @@ def gopher_seq(doc_ids: list, texts: list) -> pa.Table:
         + [("gopher_keep", pa.bool_())]
     return pa.table({k: pa.array(v, t) for (k, t), v in
                      zip(schema, cols.values())})
+
+
+def semdedup_seq(
+    doc_ids: list, vectors: "np.ndarray", n_clusters: int = 8,
+    threshold: float = 0.95, iters: int = 5, seed: int = 11,
+) -> pa.Table:
+    """Sequential SemDeDup: same deterministic kmeans_cosine (over the
+    id-sorted corpus = the distributed sample at verification scale),
+    then one-vector-at-a-time assignment and a per-cluster
+    one-pair-at-a-time prune in (centroid-sim asc, id asc) order —
+    keeps the paper's low-centroid-similarity "edge" examples."""
+    from tenzir_ray.text.ann import _normalize, kmeans_cosine
+
+    order = np.argsort(np.asarray(doc_ids))
+    ids_sorted = [doc_ids[i] for i in order]
+    m = _normalize(np.asarray(vectors, dtype=np.float32))[order]
+    cents = kmeans_cosine(m, n_clusters, iters, seed)
+    assign = []
+    for i in range(len(m)):  # one vector at a time
+        assign.append(int(np.argmax(cents @ m[i])))
+    out_id, out_cl = [], []
+    for cl in range(n_clusters):
+        members = [i for i in range(len(m)) if assign[i] == cl]
+        # (centroid-sim asc, id asc)
+        members.sort(key=lambda i: (float(m[i] @ cents[cl]), ids_sorted[i]))
+        # drop i iff ANY earlier-ordered member is >= threshold similar
+        # (same deterministic rule as the distributed kernel and
+        # embedding_dedup; differs from greedy keep-survivors only on
+        # similarity chains)
+        for pos, i in enumerate(members):
+            dup = False
+            for j in members[:pos]:  # one pair at a time
+                if float(m[i] @ m[j]) >= threshold:
+                    dup = True
+                    break
+            if not dup:
+                out_id.append(ids_sorted[i])
+                out_cl.append(cl)
+    return pa.table({
+        "vec_id": pa.array(out_id, pa.int64()),
+        "sem_cluster": pa.array(out_cl, pa.int32()),
+    })

@@ -765,3 +765,30 @@ def test_lm2_bigram_backoff_matches_sequential(ray_session):
     # docs pay the backoff penalty
     assert s[0] < s[2] < s[6] + 2
     assert np.isnan(s[3]) and np.isnan(s[4])
+
+
+def test_semdedup_drops_planted_duplicates(ray_session):
+    """SemDeDup: planted near-identical vectors collapse to one survivor
+    per duplicate family; the distributed result equals the sequential
+    one-pair-at-a-time reimplementation."""
+    from tenzir_ray.text.ann import semdedup
+    from tenzir_ray.text.sequential import semdedup_seq
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    # 10 duplicate families: tiny perturbations of the first 10 vectors
+    dup = base[:10] + rng.normal(scale=1e-3, size=(10, 16)).astype(np.float32)
+    vecs = np.concatenate([base, dup])
+    ids = list(range(len(vecs)))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    out = semdedup(ds, n_clusters=4, threshold=0.95).to_pandas()
+    want = semdedup_seq(ids, vecs, n_clusters=4, threshold=0.95).to_pandas()
+    assert len(out) == len(want) <= 40  # every planted dup family collapsed
+    got = out.sort_values("vec_id").reset_index(drop=True)
+    want = want.sort_values("vec_id").reset_index(drop=True)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert list(got["sem_cluster"]) == list(want["sem_cluster"])
