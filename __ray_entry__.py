@@ -491,6 +491,29 @@ def _repeated_passages(sf_dir: str):
     return repeated_passages(ds, ngram=6, window=4)
 
 
+def _scrub_passages_docs(sf_dir: str):
+    """duplicated-passage REMOVAL (the act-on-it dual of
+    repeated_passages; ExactSubstr removal, Lee et al. 2021): cut every
+    char span covered by an n-gram shared by ≥2 documents; only narrow
+    (hash, count) rows ride the shuffle, the hot set broadcasts once.
+    Oracle = one-position-at-a-time sequential reimplementation with
+    pure-Python integer hashing."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.passages import scrub_passages, scrub_passages_seq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if pq.read_metadata(path).num_rows <= 2000:
+        docs = pq.read_table(path, columns=["doc_id", "text"])
+        _write_oracle("scrub_passages_docs", scrub_passages_seq(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(), ngram=6))
+    else:
+        _skip_oracle("scrub_passages_docs")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return scrub_passages(ds, ngram=6)
+
+
 def _mixture_sample(sf_dir: str):
     """Deterministic stratified mixture sampling: re-weight the corpus
     to 90% of src0, 60% of src1, 30% of src2, 5% of everything else via
@@ -1640,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _cap_per_source,
         "mixture_sample": _mixture_sample,
         "repeated_passages": _repeated_passages,
+        "scrub_passages_docs": _scrub_passages_docs,
         "decontam_docs": _decontam_docs,
         "lang_quality": _lang_quality,
         "minhash_dedup_docs": _minhash_dedup_docs,
@@ -1859,6 +1883,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repeated_passages": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/repeated_passages.parquet'
+        """,
+        "scrub_passages_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/scrub_passages_docs.parquet'
         """,
         "mixture_sample": """
             SELECT doc_id, source, lang FROM documents

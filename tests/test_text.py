@@ -792,3 +792,40 @@ def test_semdedup_drops_planted_duplicates(ray_session):
     want = want.sort_values("vec_id").reset_index(drop=True)
     assert list(got["vec_id"]) == list(want["vec_id"])
     assert list(got["sem_cluster"]) == list(want["sem_cluster"])
+
+
+def test_scrub_passages_removes_shared_spans(ray_session):
+    """A passage shared verbatim by >=2 docs is physically cut from the
+    text; unique surroundings survive verbatim; result equals the
+    sequential one-position-at-a-time oracle."""
+    from tenzir_ray.text.passages import scrub_passages, scrub_passages_seq
+
+    # unique tokens flank the boilerplate on BOTH sides so no hot n-gram
+    # crosses the boundary (a shared "keeps going. <boiler>" prefix would
+    # legitimately extend the cut into the shared boundary words)
+    boiler = "all rights reserved contact us terms of service apply now"
+    texts = [
+        f"unique opener alpha{i} beta{i}. {boiler}. gamma{i} closer {i}!"
+        for i in range(6)
+    ] + ["totally original document with no shared passage at all " * 3]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = scrub_passages(ds, ngram=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = scrub_passages_seq(ids, texts, ngram=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["text_scrubbed"]) == list(want["text_scrubbed"])
+    assert list(got["n_removed_tokens"]) == list(want["n_removed_tokens"])
+    # the boilerplate is gone from every sharing doc, surroundings kept
+    for i in range(6):
+        s = got["text_scrubbed"][i]
+        assert "rights reserved" not in s
+        assert f"alpha{i}" in s and f"gamma{i}" in s
+    # the unique doc: repeated INTERNALLY ("...at all " * 3 repeats the
+    # n-gram within one doc) but not across docs -> df counts docs, so
+    # it must be untouched
+    assert got["n_removed_tokens"][6] == 0
+    assert got["text_scrubbed"][6] == texts[6]
