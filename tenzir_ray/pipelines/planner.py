@@ -22,6 +22,11 @@ Supported operators (reference file cited in OPS below)::
     move new=old, ...            unflatten [sep]      assert <expr>
     timeshift field [-]N[smhd]   delay field [speed]  throttle rate
     yara rules.yar [col]         python [num_cpus=c] [concurrency=n] "code"
+    quality [text_col]           dedup_exact [text_col]
+    dedup_minhash [id= text= ngram= num_perm= bands=]
+    semdedup [threshold= clusters= id= vec=]
+    scrub_passages [ngram= min_docs= id= text=]
+    cap <n> by <key> order_by <col> [desc|asc]
 
 Expressions are Python syntax evaluated over pyarrow.dataset field
 expressions (``l_quantity > 45 and l_discount < 0.1`` →
@@ -698,6 +703,73 @@ class Pipeline:
             return lambda ds: ds.map_batches(
                 lambda t: _fmt.parse_grok_batch(t, pat, col=col),
                 batch_format="pyarrow")
+        if op == "quality":
+            # quality [text_col] — fused lang-id / quality-score /
+            # token-count actor-pool stage (text/quality.py)
+            from tenzir_ray.text.quality import analyze_documents
+
+            col = rest.strip() or "text"
+            return lambda ds: analyze_documents(ds, text_col=col)
+        if op == "dedup_exact":
+            # dedup_exact [text_col] — corpus exact dedup by content hash
+            from tenzir_ray.text.dedup import exact_dedup
+
+            col = rest.strip() or "text"
+            return lambda ds: exact_dedup(ds, text_col=col)
+        if op == "dedup_minhash":
+            # dedup_minhash [id=doc_id] [text=text] [ngram=3]
+            #   [num_perm=64] [bands=16] — MinHash-LSH near-dup removal
+            kv = dict(p.split("=", 1)
+                      for p in rest.replace(",", " ").split()) \
+                if rest.strip() else {}
+            from tenzir_ray.text.dedup import minhash_lsh_dedup
+
+            return lambda ds: minhash_lsh_dedup(
+                ds, id_col=kv.get("id", "doc_id").strip(),
+                text_col=kv.get("text", "text").strip(),
+                ngram=int(kv.get("ngram", 3)),
+                num_perm=int(kv.get("num_perm", 64)),
+                bands=int(kv.get("bands", 16)))
+        if op == "semdedup":
+            # semdedup [threshold=0.95] [clusters=8] [id=vec_id]
+            #   [vec=embedding] — semantic dedup (Abbas et al. 2023)
+            kv = dict(p.split("=", 1)
+                      for p in rest.replace(",", " ").split()) \
+                if rest.strip() else {}
+            from tenzir_ray.text.ann import semdedup
+
+            return lambda ds: semdedup(
+                ds, n_clusters=int(kv.get("clusters", 8)),
+                threshold=float(kv.get("threshold", 0.95)),
+                id_col=kv.get("id", "vec_id").strip(),
+                vec_col=kv.get("vec", "embedding").strip())
+        if op == "scrub_passages":
+            # scrub_passages [ngram=8] [min_docs=2] [id=doc_id]
+            #   [text=text] — cross-doc duplicated-passage removal
+            kv = dict(p.split("=", 1)
+                      for p in rest.replace(",", " ").split()) \
+                if rest.strip() else {}
+            from tenzir_ray.text.passages import scrub_passages
+
+            return lambda ds: scrub_passages(
+                ds, id_col=kv.get("id", "doc_id").strip(),
+                text_col=kv.get("text", "text").strip(),
+                ngram=int(kv.get("ngram", 8)),
+                min_docs=int(kv.get("min_docs", 2)))
+        if op == "cap":
+            # cap <n> by <key> order_by <col> [desc|asc] — per-key quota
+            # (text/curation.py cap_per_key)
+            from tenzir_ray.text.curation import cap_per_key
+
+            m = re.match(
+                r"^\s*(\d+)\s+by\s+(\S+)\s+order_by\s+(\S+)(?:\s+(desc|asc))?\s*$",
+                rest)
+            if not m:
+                raise ValueError(
+                    "cap syntax: cap <n> by <key> order_by <col> [desc|asc]")
+            return lambda ds: cap_per_key(
+                ds, m.group(2), int(m.group(1)), m.group(3),
+                descending=(m.group(4) or "desc") == "desc")
         if op == "python":
             # per-batch Python UDF (operators/python.cpp — venv+Arrow-IPC
             # subprocess there, trivially native here: the code runs over

@@ -419,3 +419,52 @@ def test_python_operator(ray_session):
         'python num_cpus=0.5 concurrency=2 "df = df[df.a % 3 == 0]"'
     ).run(ds).to_pandas()
     assert sorted(out2["a"]) == [0, 3, 6, 9]
+
+
+def test_tql_curation_operators(ray_session):
+    """quality / dedup_exact / cap / scrub_passages / semdedup reachable
+    from pipeline text."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "source": pa.array(["a", "a", "a", "b", "b", "b", "b", "b"]),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog again today",
+            "the quick brown fox jumps over the lazy dog again today",
+            "completely different text body number three here now",
+            "yet another unique document four with more words",
+            "fifth document text goes here with its own words",
+            "sixth unique body of text for the cap test run",
+            "seventh unique body of text for the cap test run two",
+            "eighth unique body of text for the cap test run three",
+        ]),
+    }))
+
+    out = run_pipeline("dedup_exact text", docs).to_pandas()
+    assert len(out) == 7  # one exact dup dropped
+
+    out = run_pipeline("quality text", docs).to_pandas()
+    assert {"doc_id", "lang"} <= set(out.columns) or len(out.columns) > 2
+
+    out = run_pipeline("cap 2 by source order_by doc_id asc", docs) \
+        .to_pandas()
+    assert len(out) == 4
+    assert sorted(out["doc_id"]) == [0, 1, 3, 4]
+
+    out = run_pipeline("scrub_passages ngram=4 min_docs=2 text=text",
+                       docs).to_pandas()
+    assert "text_scrubbed" in out.columns
+
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, np.sin(np.arange(8) + i))) for i in range(10)]
+            * 2, pa.list_(pa.float32())),
+    }))
+    out = run_pipeline("semdedup threshold=0.99 clusters=2", emb) \
+        .to_pandas()
+    assert len(out) == 10  # exact-duplicate vectors collapsed
