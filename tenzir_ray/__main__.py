@@ -41,11 +41,11 @@ def _lake_main(args) -> int:
             for r in results:
                 print(json.dumps(r), flush=True)
     elif args.lake_cmd == "read":
-        t = lake.read_table()
+        t = lake.read_table(as_of_epoch=args.as_of)
         for row in t.slice(0, args.limit or t.num_rows).to_pylist():
             print(json.dumps(row, default=repr))
     elif args.lake_cmd == "lookup":
-        for row in lake.lookup(args.urls).to_pylist():
+        for row in lake.lookup(args.urls, as_of_epoch=args.as_of).to_pylist():
             print(json.dumps(row, default=repr))
     elif args.lake_cmd == "compact":
         print(json.dumps(lake.compact(), default=str))
@@ -70,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--limit", type=int, default=None)
     lk.add_argument("--num-cpus", type=int, default=8)
     lk.add_argument("--urls", nargs="+", default=[])
+    lk.add_argument("--as-of", type=int, default=None, dest="as_of",
+                    help="time-travel: state after epochs <= N "
+                         "(bounded by the compaction horizon)")
 
     exe = sub.add_parser("exec", help="run a pipeline (default)")
     exe.add_argument("pipeline")
