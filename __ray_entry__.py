@@ -514,6 +514,39 @@ def _scrub_passages_docs(sf_dir: str):
     return scrub_passages(ds, ngram=6)
 
 
+def _pack_sequences_docs(sf_dir: str):
+    """sequence packing for pretraining (concat-and-chunk): tokenize
+    (deterministic hash-id stand-in; real BPE ids plug into the same
+    column), then pack each id//256 range into 512-token sequences with
+    EOS separators — deterministic at any parallelism because the pack
+    group is a pure function of doc_id, never of batch boundaries.
+    Oracle = one-token-at-a-time sequential reimplementation."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.packing import (hash_token_ids, pack_sequences,
+                                         pack_sequences_seq)
+    from tenzir_ray.text.dedup import _WORD
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if pq.read_metadata(path).num_rows <= 2000:
+        docs = pq.read_table(path, columns=["doc_id", "text"])
+        ids = docs.column("doc_id").to_pylist()
+        toks = []
+        for x in docs.column("text").to_pylist():
+            ws = _WORD.findall((x or "").lower())
+            h = pd.util.hash_array(np.array(ws, dtype=object)) \
+                % np.uint64(50_000) if ws else np.zeros(0, np.uint64)
+            toks.append([int(v) for v in h])
+        _write_oracle("pack_sequences_docs", pack_sequences_seq(
+            ids, toks, max_len=512, group_size=256, eos_id=0))
+    else:
+        _skip_oracle("pack_sequences_docs")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = hash_token_ids(ds, vocab=50_000)
+    return pack_sequences(ds, max_len=512, group_size=256, eos_id=0)
+
+
 def _mixture_sample(sf_dir: str):
     """Deterministic stratified mixture sampling: re-weight the corpus
     to 90% of src0, 60% of src1, 30% of src2, 5% of everything else via
@@ -1664,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _mixture_sample,
         "repeated_passages": _repeated_passages,
         "scrub_passages_docs": _scrub_passages_docs,
+        "pack_sequences_docs": _pack_sequences_docs,
         "decontam_docs": _decontam_docs,
         "lang_quality": _lang_quality,
         "minhash_dedup_docs": _minhash_dedup_docs,
@@ -1886,6 +1920,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scrub_passages_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/scrub_passages_docs.parquet'
+        """,
+        "pack_sequences_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/pack_sequences_docs.parquet'
         """,
         "mixture_sample": """
             SELECT doc_id, source, lang FROM documents

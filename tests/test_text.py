@@ -829,3 +829,41 @@ def test_scrub_passages_removes_shared_spans(ray_session):
     # it must be untouched
     assert got["n_removed_tokens"][6] == 0
     assert got["text_scrubbed"][6] == texts[6]
+
+
+def test_pack_sequences_concat_and_chunk(ray_session):
+    """Concat-and-chunk packing: exact max_len windows per id-range
+    group, EOS separators, docs crossing boundaries, long docs split;
+    distributed result equals the one-token-at-a-time oracle."""
+    from tenzir_ray.text.packing import pack_sequences, pack_sequences_seq
+
+    ids = [0, 1, 2, 100, 101]  # two pack groups at group_size=100
+    toks = [
+        list(range(10, 16)),        # 6 tokens
+        list(range(20, 23)),        # 3
+        list(range(30, 55)),        # 25 — longer than max_len=8, splits
+        list(range(60, 64)),        # 4
+        [],                         # empty doc: contributes only EOS
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "tokens": pa.array(toks, pa.list_(pa.int64())),
+    }))
+    got = pack_sequences(ds, max_len=8, group_size=100, eos_id=9999) \
+        .to_pandas().sort_values(["pack_group", "seq_in_group"]) \
+        .reset_index(drop=True)
+    want = pack_sequences_seq(ids, toks, max_len=8, group_size=100,
+                              eos_id=9999).to_pandas() \
+        .sort_values(["pack_group", "seq_in_group"]).reset_index(drop=True)
+    assert list(map(list, got["input_ids"])) == \
+        list(map(list, want["input_ids"]))
+    assert list(map(list, got["doc_ids"])) == list(map(list, want["doc_ids"]))
+    # group 0 stream: 6+1 + 3+1 + 25+1 = 37 tokens -> 4 full + 1 of 5
+    g0 = got[got["pack_group"] == 0]
+    assert list(g0["n_tokens"]) == [8, 8, 8, 8, 5]
+    # first sequence holds docs 0 and 1 (doc 1 crosses into it)
+    assert list(g0["doc_ids"].iloc[0]) == [0, 1]
+    # group 1: 4+1 + 0+1 = 6 tokens, one short sequence, both docs listed
+    g1 = got[got["pack_group"] == 1]
+    assert list(g1["n_tokens"]) == [6]
+    assert list(g1["doc_ids"].iloc[0]) == [100, 101]
