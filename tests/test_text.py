@@ -867,3 +867,49 @@ def test_pack_sequences_concat_and_chunk(ray_session):
     g1 = got[got["pack_group"] == 1]
     assert list(g1["n_tokens"]) == [6]
     assert list(g1["doc_ids"].iloc[0]) == [100, 101]
+
+
+def test_pack_sequences_property_token_conservation():
+    """Property (hypothesis): packing conserves the token stream — for
+    every group, concatenating its sequences reproduces exactly the
+    id-ordered concatenation of its docs' tokens + EOS markers, and all
+    but the last sequence are exactly max_len long."""
+    from hypothesis import given, settings, strategies as st
+
+    from tenzir_ray.text.packing import _pack_group, pack_sequences_seq
+
+    docs = st.lists(
+        st.tuples(st.integers(0, 500),
+                  st.lists(st.integers(0, 99), max_size=30)),
+        min_size=1, max_size=20, unique_by=lambda d: d[0])
+
+    @settings(max_examples=60, deadline=None)
+    @given(docs=docs, max_len=st.integers(1, 16),
+           eos=st.none() | st.just(999))
+    def run(docs, max_len, eos):
+        ids = [d[0] for d in docs]
+        toks = [d[1] for d in docs]
+        t = pack_sequences_seq(ids, toks, max_len=max_len,
+                               group_size=100, eos_id=eos)
+        df = t.to_pandas()
+        for g, sub in df.groupby("pack_group"):
+            sub = sub.sort_values("seq_in_group")
+            flat = [x for s in sub["input_ids"] for x in s]
+            want = []
+            for did, tl in sorted((d for d in docs
+                                   if d[0] // 100 == g)):
+                want.extend(tl)
+                if eos is not None:
+                    want.append(eos)
+            assert flat == want
+            lens = list(sub["n_tokens"])
+            assert all(n == max_len for n in lens[:-1])
+            assert 0 < lens[-1] <= max_len
+            # kernel agrees with the stream oracle
+            gids = [d[0] for d in docs if d[0] // 100 == g]
+            gtoks = [d[1] for d in docs if d[0] // 100 == g]
+            ker = _pack_group(gids, gtoks, max_len, eos)
+            assert [s[0] for s in ker] == list(map(list, sub["input_ids"]))
+            assert [s[1] for s in ker] == list(map(list, sub["doc_ids"]))
+
+    run()
