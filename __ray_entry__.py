@@ -498,20 +498,19 @@ def _scrub_passages_docs(sf_dir: str):
     (hash, count) rows ride the shuffle, the hot set broadcasts once.
     Oracle = one-position-at-a-time sequential reimplementation with
     pure-Python integer hashing."""
-    import pyarrow.parquet as pq
-
     from tenzir_ray.text.passages import scrub_passages, scrub_passages_seq
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    if pq.read_metadata(path).num_rows <= 2000:
-        docs = pq.read_table(path, columns=["doc_id", "text"])
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
         _write_oracle("scrub_passages_docs", scrub_passages_seq(
             docs.column("doc_id").to_pylist(),
             docs.column("text").to_pylist(), ngram=6))
     else:
         _skip_oracle("scrub_passages_docs")
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return scrub_passages(ds, ngram=6)
+    return scrub_passages(ds, ngram=6).select_columns(
+        ["doc_id", "text_scrubbed", "n_tokens", "n_removed_tokens"])
 
 
 def _pack_sequences_docs(sf_dir: str):
@@ -521,16 +520,14 @@ def _pack_sequences_docs(sf_dir: str):
     EOS separators — deterministic at any parallelism because the pack
     group is a pure function of doc_id, never of batch boundaries.
     Oracle = one-token-at-a-time sequential reimplementation."""
-    import pyarrow.parquet as pq
-
     from tenzir_ray.text.packing import (hash_token_ids, pack_sequences,
                                          pack_sequences_seq)
     from tenzir_ray.text.dedup import _WORD
     import pandas as pd
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    if pq.read_metadata(path).num_rows <= 2000:
-        docs = pq.read_table(path, columns=["doc_id", "text"])
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
         ids = docs.column("doc_id").to_pylist()
         toks = []
         for x in docs.column("text").to_pylist():

@@ -475,6 +475,17 @@ class Pipeline:
     @staticmethod
     def _compile_step(op: str, rest: str):
         csv = lambda s: [c.strip() for c in s.split(",") if c.strip()]
+
+        def _kv(s: str, what: str) -> dict:
+            """key=value option list, space- or comma-separated."""
+            out: dict = {}
+            for p in s.replace(",", " ").split():
+                k, eq, v = p.partition("=")
+                if not eq:
+                    raise ValueError(
+                        f"{what}: expected key=value options, got {p!r}")
+                out[k.strip()] = v.strip()
+            return out
         if op == "where":
             if expr_has_calls(rest):
                 fn = compile_array_expr(rest)
@@ -719,9 +730,7 @@ class Pipeline:
         if op == "dedup_minhash":
             # dedup_minhash [id=doc_id] [text=text] [ngram=3]
             #   [num_perm=64] [bands=16] — MinHash-LSH near-dup removal
-            kv = dict(p.split("=", 1)
-                      for p in rest.replace(",", " ").split()) \
-                if rest.strip() else {}
+            kv = _kv(rest, "dedup_minhash")
             from tenzir_ray.text.dedup import minhash_lsh_dedup
 
             return lambda ds: minhash_lsh_dedup(
@@ -733,9 +742,7 @@ class Pipeline:
         if op == "semdedup":
             # semdedup [threshold=0.95] [clusters=8] [id=vec_id]
             #   [vec=embedding] — semantic dedup (Abbas et al. 2023)
-            kv = dict(p.split("=", 1)
-                      for p in rest.replace(",", " ").split()) \
-                if rest.strip() else {}
+            kv = _kv(rest, "semdedup")
             from tenzir_ray.text.ann import semdedup
 
             return lambda ds: semdedup(
@@ -746,9 +753,7 @@ class Pipeline:
         if op == "scrub_passages":
             # scrub_passages [ngram=8] [min_docs=2] [id=doc_id]
             #   [text=text] — cross-doc duplicated-passage removal
-            kv = dict(p.split("=", 1)
-                      for p in rest.replace(",", " ").split()) \
-                if rest.strip() else {}
+            kv = _kv(rest, "scrub_passages")
             from tenzir_ray.text.passages import scrub_passages
 
             return lambda ds: scrub_passages(
@@ -757,19 +762,24 @@ class Pipeline:
                 ngram=int(kv.get("ngram", 8)),
                 min_docs=int(kv.get("min_docs", 2)))
         if op == "cap":
-            # cap <n> by <key> order_by <col> [desc|asc] — per-key quota
-            # (text/curation.py cap_per_key)
+            # cap <n> by <key> order_by <col> [desc|asc] [id <col>] —
+            # per-key quota (text/curation.py cap_per_key). Tie-break id
+            # defaults to the order_by column so generic tables (no
+            # doc_id) work out of the box.
             from tenzir_ray.text.curation import cap_per_key
 
             m = re.match(
-                r"^\s*(\d+)\s+by\s+(\S+)\s+order_by\s+(\S+)(?:\s+(desc|asc))?\s*$",
+                r"^\s*(\d+)\s+by\s+(\S+)\s+order_by\s+(\S+)"
+                r"(?:\s+(desc|asc))?(?:\s+id\s+(\S+))?\s*$",
                 rest)
             if not m:
                 raise ValueError(
-                    "cap syntax: cap <n> by <key> order_by <col> [desc|asc]")
+                    "cap syntax: cap <n> by <key> order_by <col> "
+                    "[desc|asc] [id <col>]")
             return lambda ds: cap_per_key(
                 ds, m.group(2), int(m.group(1)), m.group(3),
-                descending=(m.group(4) or "desc") == "desc")
+                descending=(m.group(4) or "desc") == "desc",
+                id_col=m.group(5) or m.group(3))
         if op == "python":
             # per-batch Python UDF (operators/python.cpp — venv+Arrow-IPC
             # subprocess there, trivially native here: the code runs over

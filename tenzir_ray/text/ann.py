@@ -397,7 +397,12 @@ def semdedup(
         cents = ray.get(cref)
         cl = int(g.column("ivf_list")[0].as_py())
         m = _normalize(_to_matrix(g.column(vec_col)))
-        csim = m @ cents[cl]  # per-row dot — row-order independent
+        # float64 dot for the SORT KEY: gemv-vs-loop float32 rounding
+        # (~1e-7) could order two near-equal centroid sims differently
+        # from the sequential oracle; float64 shrinks the window to
+        # ~1e-15 (the >= threshold DECISION still uses float32 with a
+        # documented distribution-gap margin)
+        csim = m.astype(np.float64) @ cents[cl].astype(np.float64)
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, csim))  # centroid-sim asc, id asc
         ms = m[order]

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 from ray.data import Dataset
 
 
@@ -73,8 +72,14 @@ def pack_sequences(
     sequence: ``(pack_group, seq_in_group, input_ids, doc_ids,
     n_tokens, n_docs)``."""
     def add_group(t: pa.Table) -> pa.Table:
-        g = pc.divide(pc.cast(t.column(id_col), pa.int64()), group_size)
-        t = t.append_column("pack_group", pc.cast(g, pa.int64()))
+        # numpy floor_divide, NOT pc.divide: Arrow integer division
+        # truncates toward zero, which would disagree with the
+        # documented `id // group_size` contract (and the oracle) on
+        # negative ids
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = np.floor_divide(ids, np.int64(group_size))
+        t = t.append_column("pack_group", pa.array(g, pa.int64()))
         return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     def pack(t: pa.Table) -> pa.Table:

@@ -38,10 +38,10 @@ from ray.data import Dataset
 from tenzir_ray.text.dedup import _WORD, _POS_MULT
 
 
-def _fps_from_token_hashes(th: np.ndarray, n: int, w: int) -> np.ndarray:
-    """Winnowed fingerprints from one document's token-hash array:
-    positional n-gram XOR-multiplier combine, then window-of-``w``
-    minima, deduped."""
+def _acc_hashes(th: np.ndarray, n: int) -> np.ndarray:
+    """Positional n-gram hashes for every n-gram start (XOR-multiplier
+    combine) — the shared leaf of winnowed detection and per-position
+    removal."""
     if th.size == 0:
         return np.zeros(0, dtype=np.uint64)
     k = min(n, th.size)
@@ -49,9 +49,43 @@ def _fps_from_token_hashes(th: np.ndarray, n: int, w: int) -> np.ndarray:
     acc = np.zeros(length, dtype=np.uint64)
     for j in range(k):
         acc ^= th[j:j + length] * _POS_MULT[j]
+    return acc
+
+
+def _fps_from_token_hashes(th: np.ndarray, n: int, w: int) -> np.ndarray:
+    """Winnowed fingerprints from one document's token-hash array:
+    positional n-gram hashes, then window-of-``w`` minima, deduped."""
+    acc = _acc_hashes(th, n)
+    if acc.size == 0:
+        return acc
     w = min(w, acc.size)
     mins = np.lib.stride_tricks.sliding_window_view(acc, w).min(axis=1)
     return np.unique(mins)
+
+
+def _hot_hash_ref(df: Dataset, min_docs: int):
+    """(h, sum(n)) aggregate Dataset → object ref of the sorted int64
+    hot-hash array (total count >= ``min_docs``), concatenated in a
+    REMOTE task — the driver only ever holds the ref; scoring tasks
+    read it zero-copy from plasma."""
+    import ray
+
+    @ray.remote
+    def _hot(*blocks) -> np.ndarray:
+        hs = []
+        for b in blocks:
+            if not b.num_rows:
+                continue
+            keep = pc.greater_equal(b.column("sum(n)"), pa.scalar(min_docs))
+            hs.append(b.filter(keep).column("h").combine_chunks()
+                      .to_numpy(zero_copy_only=False))
+        if not hs:
+            return np.array([], dtype=np.int64)
+        return np.sort(np.concatenate(hs).astype(np.int64))
+
+    bundles = list(df.iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    return _hot.remote(*refs)
 
 
 def doc_fingerprints(text: str, ngram: int = 8, window: int = 4) -> np.ndarray:
@@ -116,24 +150,7 @@ def repeated_passages(
 
     df = (ds.map_batches(partial_df, batch_format="pyarrow")
             .groupby("h").sum("n"))
-
-    @ray.remote
-    def _hot(*blocks) -> np.ndarray:
-        hs = []
-        for b in blocks:
-            if not b.num_rows:
-                continue
-            keep = pc.greater_equal(b.column("sum(n)"),
-                                    pa.scalar(min_docs))
-            hs.append(b.filter(keep).column("h").combine_chunks()
-                      .to_numpy(zero_copy_only=False))
-        if not hs:
-            return np.array([], dtype=np.int64)
-        return np.sort(np.concatenate(hs).astype(np.int64))
-
-    bundles = list(df.iter_internal_ref_bundles())
-    refs = [r for b in bundles for r in b.block_refs]
-    hot_ref = _hot.remote(*refs)
+    hot_ref = _hot_hash_ref(df, min_docs)
 
     def score(t: pa.Table) -> pa.Table:
         # plain task (no actor pool): the hot array is a single plasma
@@ -199,20 +216,6 @@ def repeated_passages_seq(
 # ------------------------------------------------------- passage removal
 
 
-def _acc_hashes(th: np.ndarray, n: int) -> np.ndarray:
-    """Positional n-gram hashes for every n-gram start (the combine step
-    of _fps_from_token_hashes WITHOUT winnowing — removal needs per-
-    position coverage, not sampled fingerprints)."""
-    if th.size == 0:
-        return np.zeros(0, dtype=np.uint64)
-    k = min(n, th.size)
-    length = th.size - k + 1
-    acc = np.zeros(length, dtype=np.uint64)
-    for j in range(k):
-        acc ^= th[j:j + length] * _POS_MULT[j]
-    return acc
-
-
 def _tok_spans(text: str) -> tuple[list[str], list[tuple[int, int]]]:
     """(lowercased tokens, char spans) from the ORIGINAL text — spans
     index the original string so removal is a verbatim char-range cut
@@ -275,23 +278,7 @@ def scrub_passages(
 
     df = (ds.map_batches(partial_df, batch_format="pyarrow")
             .groupby("h").sum("n"))
-
-    @ray.remote
-    def _hot(*blocks) -> np.ndarray:
-        hs = []
-        for b in blocks:
-            if not b.num_rows:
-                continue
-            keep = pc.greater_equal(b.column("sum(n)"), pa.scalar(min_docs))
-            hs.append(b.filter(keep).column("h").combine_chunks()
-                      .to_numpy(zero_copy_only=False))
-        if not hs:
-            return np.array([], dtype=np.int64)
-        return np.sort(np.concatenate(hs).astype(np.int64))
-
-    bundles = list(df.iter_internal_ref_bundles())
-    refs = [r for b in bundles for r in b.block_refs]
-    hot_ref = _hot.remote(*refs)
+    hot_ref = _hot_hash_ref(df, min_docs)
 
     def scrub(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -341,12 +328,14 @@ def scrub_passages(
             outs.append("".join(pieces))
             n_tok.append(L)
             n_rem.append(int(covered.sum()))
-        out = t.select([id_col])
-        out = out.append_column(out_col, pa.array(outs, pa.string()))
+        # transform semantics: CARRY the input columns (a removal stage
+        # must compose with downstream stages needing source/lang/etc.)
+        out = t.append_column(out_col, pa.array(outs, pa.string()))
         out = out.append_column("n_tokens", pa.array(n_tok, pa.int64()))
         out = out.append_column("n_removed_tokens",
                                 pa.array(n_rem, pa.int64()))
-        return out
+        return out.replace_schema_metadata(None) if out.schema.metadata \
+            else out
 
     return ds.map_batches(scrub, batch_format="pyarrow")
 

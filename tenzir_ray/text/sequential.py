@@ -367,8 +367,11 @@ def semdedup_seq(
     out_id, out_cl = [], []
     for cl in range(n_clusters):
         members = [i for i in range(len(m)) if assign[i] == cl]
-        # (centroid-sim asc, id asc)
-        members.sort(key=lambda i: (float(m[i] @ cents[cl]), ids_sorted[i]))
+        # (centroid-sim asc, id asc); float64 sort key to match the
+        # distributed prune's rounding-hardened ordering
+        members.sort(key=lambda i: (
+            float(m[i].astype(np.float64) @ cents[cl].astype(np.float64)),
+            ids_sorted[i]))
         # drop i iff ANY earlier-ordered member is >= threshold similar
         # (same deterministic rule as the distributed kernel and
         # embedding_dedup; differs from greedy keep-survivors only on
