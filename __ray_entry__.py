@@ -1667,6 +1667,109 @@ def _parse_props(sf_dir: str):
     )
 
 
+def _synth_packet_batch(t: pa.Table) -> pa.Table:
+    """events → Ethernet/IPv4/TCP|UDP frames with every header field an
+    ARITHMETIC function of (event_id, user_id), so the full
+    encode → pcap file → decode path is DuckDB-checkable. Vectorized:
+    per-class template tile + numpy column scatter, no per-packet Python."""
+    import struct
+
+    eid = t.column("event_id").to_numpy(zero_copy_only=False)
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    is_tcp = (eid % 3) != 0
+    has_vlan = (eid % 5) == 0
+
+    def tmpl(vlan: bool, tcp: bool) -> np.ndarray:
+        out = (bytes.fromhex("aabbccddeeff112233445566")
+               + (struct.pack(">HH", 0x8100, 0) if vlan else b"")
+               + struct.pack(">H", 0x0800))
+        l4len = 20 if tcp else 8
+        out += struct.pack(">BBHHHBBH", 0x45, 0, 20 + l4len, 1, 0, 64,
+                           6 if tcp else 17, 0) + b"\x00" * 8
+        if tcp:
+            out += struct.pack(">HHIIBBHHH", 0, 80, 1, 2, 5 << 4, 0x18,
+                               8192, 0, 0)
+        else:
+            out += struct.pack(">HHHH", 0, 53, 8, 0)
+        return np.frombuffer(out, np.uint8)
+
+    tables = []
+    for vlan in (False, True):
+        for tcp in (False, True):
+            sel = np.flatnonzero((has_vlan == vlan) & (is_tcp == tcp))
+            if not len(sel):
+                continue
+            e, u = eid[sel], uid[sel]
+            m = np.tile(tmpl(vlan, tcp), (len(sel), 1))
+            l3 = 18 if vlan else 14
+            if vlan:
+                vid = (u % 4094 + 1).astype(np.uint16)
+                m[:, 14], m[:, 15] = vid >> 8, vid & 255
+            m[:, l3 + 12] = 10
+            m[:, l3 + 13] = (u >> 8) & 255
+            m[:, l3 + 14] = u & 255
+            m[:, l3 + 15] = e & 255
+            m[:, l3 + 16], m[:, l3 + 17] = 192, 168
+            m[:, l3 + 18], m[:, l3 + 19] = u & 15, 1
+            sport = (1024 + e % 60000).astype(np.uint16)
+            m[:, l3 + 20], m[:, l3 + 21] = sport >> 8, sport & 255
+            width = m.shape[1]
+            offs = (np.arange(len(sel) + 1, dtype=np.int32) * width)
+            data = pa.Array.from_buffers(
+                pa.binary(), len(sel),
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(np.ascontiguousarray(m).tobytes())])
+            tables.append(pa.table({
+                "ts": pa.array(np.full(len(sel), 1_700_000_000_000_000_000,
+                                       np.int64)).cast(pa.timestamp("ns")),
+                "data": data,
+            }))
+    return pa.concat_tables(tables) if tables else pa.table({
+        "ts": pa.array([], pa.timestamp("ns")),
+        "data": pa.array([], pa.binary())})
+
+
+def _pcap_decap(sf_dir: str):
+    """pcap write → read → decapsulate end-to-end (formats/pcap.cpp,
+    operators/decapsulate.cpp): packets synthesized arithmetically from
+    events, round-tripped through classic-pcap files on disk, L2-L4
+    decoded, aggregated — every recovered header field must agree with
+    DuckDB recomputing the same arithmetic straight from events."""
+    import hashlib
+    import shutil
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.pcap import decapsulate, read_pcap, write_pcap
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    spool = os.path.join(
+        "/tmp", "tenzir_ray_pcap_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10])
+    shutil.rmtree(spool, ignore_errors=True)
+    write_pcap(ds.map_batches(_synth_packet_batch, batch_format="pyarrow"),
+               spool)
+    decap = decapsulate(read_pcap(spool))
+    out = ops.summarize(
+        decap, ["ip_proto", "dst_port"],
+        combine="auto",  # all-algebraic → shuffle-free partial/combine
+        n="count",
+        sport_sum=("sum", "src_port"),
+        off_sum=("sum", "payload_offset"),
+        vlan_sum=("sum", "vlan"),
+        min_src=("min", "ip_src"),
+        max_src=("max", "ip_src"),
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        for c in ("ip_proto", "dst_port", "sport_sum", "off_sum",
+                  "vlan_sum"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.cast(t.column(c), pa.int64()))
+        return t
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _cdc_replay,
@@ -1744,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_orders": _anti_join_orders,
         "slice_events": _slice_events,
         "parse_props": _parse_props,
+        "pcap_decap": _pcap_decap,
     }
 
 
@@ -2213,5 +2317,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.08
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "pcap_decap": """
+            WITH x AS (
+              SELECT CASE WHEN event_id % 3 <> 0 THEN 6 ELSE 17 END AS ip_proto,
+                     CASE WHEN event_id % 3 <> 0 THEN 80 ELSE 53 END AS dst_port,
+                     1024 + event_id % 60000 AS sport,
+                     14 + CASE WHEN event_id % 5 = 0 THEN 4 ELSE 0 END + 20
+                        + CASE WHEN event_id % 3 <> 0 THEN 20 ELSE 8 END AS poff,
+                     CASE WHEN event_id % 5 = 0 THEN user_id % 4094 + 1 END AS vlan,
+                     '10.' || ((user_id >> 8) & 255) || '.' || (user_id & 255)
+                          || '.' || (event_id & 255) AS src
+              FROM events)
+            SELECT ip_proto::BIGINT AS ip_proto, dst_port::BIGINT AS dst_port,
+                   count(*) AS n,
+                   (sum(sport))::BIGINT AS sport_sum,
+                   (sum(poff))::BIGINT  AS off_sum,
+                   (sum(vlan))::BIGINT  AS vlan_sum,
+                   min(src) AS min_src, max(src) AS max_src
+            FROM x GROUP BY 1, 2
         """,
     }

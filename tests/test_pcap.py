@@ -1,0 +1,158 @@
+"""PCAP read/write + decapsulate (sources/pcap.py) — hand-built frames
+with known field values, byte-level file fixtures for both byte orders,
+and a Ray round-trip."""
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tenzir_ray.sources.pcap import (
+    MAGIC_NS,
+    MAGIC_US,
+    decapsulate,
+    decapsulate_batch,
+    parse_pcap_bytes,
+    read_pcap,
+    write_pcap,
+)
+
+
+def eth(dst="aa:bb:cc:dd:ee:ff", src="11:22:33:44:55:66",
+        etype=0x0800, vlan=None) -> bytes:
+    out = bytes.fromhex(dst.replace(":", "")) + \
+        bytes.fromhex(src.replace(":", ""))
+    if vlan is not None:
+        out += struct.pack(">HH", 0x8100, vlan)
+    return out + struct.pack(">H", etype)
+
+
+def ipv4(src="10.0.0.1", dst="192.168.1.2", proto=6, ttl=64,
+         payload_len=20, opts=b"") -> bytes:
+    ihl = 5 + len(opts) // 4
+    total = ihl * 4 + payload_len
+    parts = [bytes(map(int, x.split("."))) for x in (src, dst)]
+    return struct.pack(">BBHHHBBH", (4 << 4) | ihl, 0, total, 1, 0,
+                       ttl, proto, 0) + parts[0] + parts[1] + opts
+
+
+def tcp(sport=4321, dport=80, flags=0x18, doff=5) -> bytes:
+    return struct.pack(">HHIIBBHHH", sport, dport, 1, 2,
+                       doff << 4, flags, 8192, 0, 0)
+
+
+def udp(sport=5353, dport=53, length=8) -> bytes:
+    return struct.pack(">HHHH", sport, dport, length, 0)
+
+
+def pcap_file(packets, magic=MAGIC_US, endian="<") -> bytes:
+    out = struct.pack(endian + "IHHiIII", magic, 2, 4, 0, 0, 262144, 1)
+    for i, p in enumerate(packets):
+        frac = 500 if magic == MAGIC_US else 500_000
+        out += struct.pack(endian + "IIII", 1700000000 + i, frac,
+                           len(p), len(p)) + p
+    return out
+
+
+TCP_PKT = eth() + ipv4(proto=6) + tcp() + b"PAYLOAD!"
+UDP_PKT = eth(etype=0x0800) + ipv4(proto=17, payload_len=16) + \
+    udp(length=16) + b"dnsdata!"
+VLAN_PKT = eth(vlan=42) + ipv4(src="172.16.0.9", proto=6) + \
+    tcp(sport=1111, dport=443, flags=0x02)
+ARP_PKT = eth(etype=0x0806) + b"\x00" * 28
+OPTS_PKT = eth() + ipv4(proto=6, opts=b"\x01\x01\x01\x01") + \
+    tcp(sport=9, dport=10)
+
+
+def test_parse_pcap_bytes_both_endians_and_precisions():
+    for magic, endian in [(MAGIC_US, "<"), (MAGIC_NS, "<"),
+                          (MAGIC_US, ">"), (MAGIC_NS, ">")]:
+        t = parse_pcap_bytes(pcap_file([TCP_PKT, UDP_PKT], magic, endian))
+        assert t.num_rows == 2
+        assert t.column("captured_len").to_pylist() == \
+            [len(TCP_PKT), len(UDP_PKT)]
+        assert t.column("data").to_pylist() == [TCP_PKT, UDP_PKT]
+        ns = t.column("ts").cast(pa.int64()).to_pylist()[0]
+        assert ns == 1700000000 * 10**9 + 500_000  # both precisions agree
+
+
+def test_parse_truncated_tail():
+    raw = pcap_file([TCP_PKT])
+    t = parse_pcap_bytes(raw[:-4])  # capture cut mid-packet
+    assert t.num_rows == 1
+    assert t.column("captured_len").to_pylist()[0] == len(TCP_PKT) - 4
+    assert t.column("original_len").to_pylist()[0] == len(TCP_PKT)
+
+
+def test_decapsulate_fields():
+    t = pa.table({"data": pa.array(
+        [TCP_PKT, UDP_PKT, VLAN_PKT, ARP_PKT, OPTS_PKT], pa.binary())})
+    d = decapsulate_batch(t)
+    assert d.column("ether_src").to_pylist()[0] == "11:22:33:44:55:66"
+    assert d.column("ether_dst").to_pylist()[0] == "aa:bb:cc:dd:ee:ff"
+    assert d.column("ether_type").to_pylist() == \
+        [0x0800, 0x0800, 0x0800, 0x0806, 0x0800]
+    assert d.column("vlan").to_pylist() == [None, None, 42, None, None]
+    assert d.column("ip_src").to_pylist() == \
+        ["10.0.0.1", "10.0.0.1", "172.16.0.9", None, "10.0.0.1"]
+    assert d.column("ip_proto").to_pylist() == [6, 17, 6, None, 6]
+    assert d.column("src_port").to_pylist() == [4321, 5353, 1111, None, 9]
+    assert d.column("dst_port").to_pylist() == [80, 53, 443, None, 10]
+    assert d.column("tcp_flags").to_pylist() == [0x18, None, 0x02, None, 0x18]
+    # payload offsets: eth14+ip20+tcp20 / eth14+ip20+udp8 / vlan18+ip20+tcp20
+    assert d.column("payload_offset").to_pylist() == [54, 42, 58, None, 58]
+    assert d.column("payload_len").to_pylist()[0] == len(b"PAYLOAD!")
+
+
+def test_decapsulate_ipv6():
+    import ipaddress
+    v6 = eth(etype=0x86DD) + struct.pack(
+        ">IHBB", 6 << 28, 8, 17, 64) + \
+        ipaddress.IPv6Address("2001:db8::1").packed + \
+        ipaddress.IPv6Address("2001:db8::2").packed + udp(length=8)
+    d = decapsulate_batch(pa.table({"data": pa.array([v6], pa.binary())}))
+    assert d.column("ip_src").to_pylist() == ["2001:db8::1"]
+    assert d.column("ip_dst").to_pylist() == ["2001:db8::2"]
+    assert d.column("ip_proto").to_pylist() == [17]
+    assert d.column("src_port").to_pylist() == [5353]
+
+
+def test_roundtrip_ray(ray_session, tmp_path):
+    import ray.data as rd
+
+    pkts = [TCP_PKT, UDP_PKT, VLAN_PKT] * 40
+    ts = [1_700_000_000_000_000_000 + i * 1000 for i in range(len(pkts))]
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("ns")),
+        "data": pa.array(pkts, pa.binary()),
+    }))
+    out = str(tmp_path / "caps")
+    write_pcap(ds, out)
+    files = [f for f in os.listdir(out) if f.endswith(".pcap")]
+    assert files
+    back = read_pcap(out).take_all()
+    assert len(back) == len(pkts)
+    got = sorted((r["ts"], r["data"]) for r in back)
+    want = sorted(zip(
+        pa.array(ts, pa.int64()).cast(pa.timestamp("ns")).to_pylist(), pkts))
+    assert got == want
+
+
+def test_decapsulate_dataset(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"data": pa.array([TCP_PKT] * 10,
+                                                  pa.binary())}))
+    d = decapsulate(ds).take_all()
+    assert all(r["dst_port"] == 80 for r in d)
+
+
+def test_empty_and_garbage():
+    assert parse_pcap_bytes(b"").num_rows == 0
+    with pytest.raises(ValueError):
+        parse_pcap_bytes(b"not a pcap file at all........")
+    # zero-row decapsulate keeps a typed schema
+    d = decapsulate_batch(pa.table({"data": pa.array([], pa.binary())}))
+    assert d.num_rows == 0 and "ip_src" in d.column_names
