@@ -194,6 +194,11 @@ def main(argv: list[str] | None = None) -> int:
             ds.write_csv(path)
         elif fmt == "json":
             ds.write_json(path)
+        elif fmt == "pcap":
+            # packet sink: (ts, data) rows → classic-pcap part files
+            from tenzir_ray.sources.pcap import write_pcap
+
+            write_pcap(ds, path)
         elif fmt in ("syslog", "cef", "leef", "kv", "ndjson", "lines"):
             # printer sinks: rows → format lines → distributed text files
             from tenzir_ray.sources import printers as pr

@@ -638,6 +638,13 @@ class Pipeline:
 
             rate = float(rest.strip())
             return lambda ds: _throttle(ds, rate)
+        if op == "decapsulate":
+            # decapsulate [col] — Ethernet/802.1Q/IPv4/IPv6/TCP/UDP field
+            # decode over a packet-bytes column (operators/decapsulate.cpp)
+            from tenzir_ray.sources.pcap import decapsulate
+
+            col = rest.strip() or "data"
+            return lambda ds: decapsulate(ds, col=col)
         if op == "yara":
             # yara <rules-file> [col] — mini-YARA scan (plugins/yara)
             from tenzir_ray.stages.yara import yara_match

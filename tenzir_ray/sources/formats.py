@@ -64,7 +64,14 @@ _EXT_READERS = {
     ".txt": read_lines,
     ".log": read_lines,
     ".bitz": lambda uri, **kw: read_bitz(uri),
+    ".pcap": lambda uri, **kw: _read_pcap_uri(uri),
 }
+
+
+def _read_pcap_uri(uri: str):
+    from tenzir_ray.sources.pcap import read_pcap
+
+    return read_pcap(uri)
 
 
 def open_uri(uri: str, **kw):
@@ -838,7 +845,14 @@ def read_bitz(paths):
             [x.cast(uni) if x.schema != uni else x for x in out],
             promote_options="permissive")
 
-    return rd.read_binary_files(paths, file_extensions=["bitz"]) \
+    # task count = file count: Ray's default over-split emits
+    # schema-less empty blocks for taskless readers (they bypass
+    # downstream map_batches UDFs entirely)
+    from tenzir_ray.sources.pcap import _count_files
+
+    n = max(1, _count_files(paths, "bitz"))
+    return rd.read_binary_files(paths, file_extensions=["bitz"],
+                                override_num_blocks=n) \
         .map_batches(split_frames, batch_format="pyarrow")
 
 

@@ -235,8 +235,19 @@ def _empty_packets() -> pa.Table:
     })
 
 
+def _count_files(paths, ext: str) -> int:
+    if isinstance(paths, (list, tuple)):
+        return len(paths)
+    if os.path.isdir(paths):
+        return sum(1 for f in os.listdir(paths) if f.endswith("." + ext))
+    return 1
+
+
 def read_pcap(paths):
-    """Distributed pcap source: one read task per file."""
+    """Distributed pcap source: one read task per file.
+    ``override_num_blocks`` pins task count to file count — Ray's
+    default over-splitting emits schema-less empty blocks for taskless
+    readers, which bypass downstream ``map_batches`` UDFs."""
     import ray.data as rd
 
     def split(t: pa.Table) -> pa.Table:
@@ -244,7 +255,9 @@ def read_pcap(paths):
                  for raw in t.column("bytes").to_pylist()]
         return pa.concat_tables(parts) if parts else _empty_packets()
 
-    return rd.read_binary_files(paths, file_extensions=["pcap"]) \
+    n = max(1, _count_files(paths, "pcap"))
+    return rd.read_binary_files(paths, file_extensions=["pcap"],
+                                override_num_blocks=n) \
         .map_batches(split, batch_format="pyarrow")
 
 

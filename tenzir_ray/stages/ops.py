@@ -395,11 +395,15 @@ def summarize_partial(ds: Dataset, by: list[str] | str,
     @ray.remote
     def _merge(*blocks):
         import pyarrow as _pa
-        # partial blocks are always typed (even empty), so concat keeps
-        # the schema and an all-empty input yields a typed empty result.
-        # Output columns rename back to canonical partial names, so
-        # merges compose (fan-in tree) without suffix build-up.
+        # Drop schema-LESS empties first: Ray emits zero-column empty
+        # blocks for read tasks that got no files/fragments, and those
+        # bypass upstream map_batches UDFs entirely, so they reach the
+        # merge unpartialed. Typed empty partials are kept — concat
+        # preserves their schema.
+        blocks = [b for b in blocks if b.num_columns] or [blocks[0]]
         tb = _pa.concat_tables(blocks, promote_options="permissive")
+        if not tb.num_columns:  # every input block was schema-less
+            return tb
         g = tb.group_by(by, use_threads=False).aggregate(
             [(name, mf) for name, mf in merge_fn.items()])
         ren = {f"{name}_{mf}": name for name, mf in merge_fn.items()}
@@ -407,6 +411,11 @@ def summarize_partial(ds: Dataset, by: list[str] | str,
 
     @ray.remote
     def _final(tb: pa.Table) -> pa.Table:
+        if not tb.num_columns:  # all-schema-less input: typed empty
+            return pa.table(
+                {b: pa.array([], pa.null()) for b in by}
+                | {alias: pa.array([], pa.null())
+                   for alias, _f, _c in parsed})
         # input has unique group keys and canonical partial columns
         out = {b: tb.column(b) for b in by}
         for alias, fn, col in parsed:

@@ -149,6 +149,28 @@ def test_decapsulate_dataset(ray_session):
     assert all(r["dst_port"] == 80 for r in d)
 
 
+def test_pipeline_text_decapsulate(ray_session, tmp_path):
+    """`from <uri.pcap> | decapsulate | …` — pcap source dispatch via
+    open_uri + the decapsulate planner op."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+    from tenzir_ray.sources import open_uri
+
+    caps = str(tmp_path / "caps")
+    write_pcap(rd.from_arrow(pa.table({
+        "ts": pa.array([0] * 30, pa.int64()).cast(pa.timestamp("ns")),
+        "data": pa.array([TCP_PKT, UDP_PKT, VLAN_PKT] * 10, pa.binary()),
+    })), caps)
+    one = os.path.join(caps, sorted(os.listdir(caps))[0])
+    src = open_uri(one)
+    out = Pipeline.parse(
+        "decapsulate | where dst_port == 80 | select ip_src, dst_port"
+    ).run(src).take_all()
+    assert len(out) == 10
+    assert all(r["ip_src"] == "10.0.0.1" for r in out)
+
+
 def test_empty_and_garbage():
     assert parse_pcap_bytes(b"").num_rows == 0
     with pytest.raises(ValueError):
