@@ -147,7 +147,7 @@ def bench_queries() -> dict[str, float]:
         "kmeans_clusters", "hll_distinct_users",
         "gopher_quality", "lm_score_docs", "lm2_score_docs", "pii_redact",
         "cap_per_source", "mixture_sample", "decontam_docs",
-        "repeated_passages",
+        "repeated_passages", "pcap_decap",
     ]
     out: dict[str, float] = {}
     for name in names:
