@@ -1770,6 +1770,128 @@ def _pcap_decap(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+_YARA_RULES = """
+rule has_merge {
+    strings:
+        $a = "merge"
+    condition:
+        $a
+}
+rule windowish {
+    strings:
+        $r = /w[io]ndow/
+    condition:
+        $r
+}
+"""
+
+
+def _yara_scan(sf_dir: str):
+    """yara operator driver-checked (operators/yara.cpp; mini-matcher
+    stages/yara.py): text + regex rules over documents, non-matching
+    rows dropped, match-set aggregated — DuckDB recomputes the rule
+    semantics with LIKE/regexp_matches."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.stages.yara import yara_match
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    m = yara_match(ds, _YARA_RULES, col="text")
+
+    def tag(t: pa.Table) -> pa.Table:
+        rs = pc.binary_join(t.column("yara_rules").combine_chunks(), ",")
+        return pa.table({"rule_set": rs})
+
+    return ops.summarize(m.map_batches(tag, batch_format="pyarrow"),
+                         "rule_set", combine="auto", n="count")
+
+
+def _bitz_roundtrip(sf_dir: str):
+    """bitz format round-trip driver-checked (read_bitz.mdx analog:
+    length-prefixed Arrow-IPC frames, catenable): lineitem projection →
+    bitz part files on disk → read back → aggregate; any framing or
+    value corruption breaks the hash."""
+    import hashlib
+    import shutil
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.formats import read_bitz, write_bitz
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    spool = os.path.join(
+        "/tmp", "tenzir_ray_bitz_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10])
+    shutil.rmtree(spool, ignore_errors=True)
+    write_bitz(ds, spool)
+    agg = ops.summarize(read_bitz(spool), "l_returnflag", combine="auto",
+                        n="count", qty=("sum", "l_quantity"))
+    return ops.set_(agg, qty=lambda t: pc.round(t["qty"], 2))
+
+
+def _compress_roundtrip(sf_dir: str):
+    """save-side compression round-trip driver-checked
+    (from_to_2.cpp:172-210 extension-inferred codecs): events → kv lines
+    → gzip part files (write_lines codec=) → decompressed read → kv
+    parse-back → aggregate."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.formats import parse_kv_batch
+    from tenzir_ray.sources.printers import write_lines
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            "u=", pc.cast(t["user_id"], pa.string()),
+            " t=", t["event_type"], "")
+        return pa.table({"line": line})
+
+    spool = os.path.join(
+        "/tmp", "tenzir_ray_gzlines_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10])
+    shutil.rmtree(spool, ignore_errors=True)
+    write_lines(ds.map_batches(mk, batch_format="pyarrow"), spool,
+                codec="gzip")
+    back = rd.read_text(spool, file_extensions=["gz"],
+                        arrow_open_stream_args={"compression": "gzip"})
+
+    def parse(t: pa.Table) -> pa.Table:
+        kvs = parse_kv_batch(t, col="text").column("kv").combine_chunks()
+        return pa.table({
+            "event_type": pc.struct_field(kvs, "t"),
+            "u": pc.cast(pc.struct_field(kvs, "u"), pa.int64()),
+        })
+
+    return ops.summarize(back.map_batches(parse, batch_format="pyarrow"),
+                         "event_type", combine="auto",
+                         n="count", usum=("sum", "u"))
+
+
+def _fork_union(sf_dir: str):
+    """fork flow operator driver-checked (operators/fork.cpp): one input
+    materialized once, two branch pipelines (disjoint value ranges),
+    union → aggregate must equal the unforked whole."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.stages.flow import fork
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    hi, lo = fork(
+        ds,
+        lambda d: d.map_batches(
+            lambda t: t.filter(pc.greater(t["value"], 50.0)),
+            batch_format="pyarrow"),
+        lambda d: d.map_batches(
+            lambda t: t.filter(pc.less_equal(t["value"], 50.0)),
+            batch_format="pyarrow"),
+    )
+    agg = ops.summarize(hi.union(lo), "event_type", combine="auto",
+                        n="count", vsum=("sum", "value"))
+    return ops.set_(agg, vsum=lambda t: pc.round(t["vsum"], 2))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _cdc_replay,
@@ -1848,6 +1970,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slice_events": _slice_events,
         "parse_props": _parse_props,
         "pcap_decap": _pcap_decap,
+        "yara_scan": _yara_scan,
+        "bitz_roundtrip": _bitz_roundtrip,
+        "compress_roundtrip": _compress_roundtrip,
+        "fork_union": _fork_union,
     }
 
 
@@ -2336,5 +2462,30 @@ def oracle_sql() -> dict[str, str]:
                    (sum(vlan))::BIGINT  AS vlan_sum,
                    min(src) AS min_src, max(src) AS max_src
             FROM x GROUP BY 1, 2
+        """,
+        "yara_scan": """
+            WITH x AS (
+              SELECT concat_ws(',',
+                CASE WHEN text LIKE '%merge%' THEN 'has_merge' END,
+                CASE WHEN regexp_matches(text, 'w[io]ndow')
+                     THEN 'windowish' END) AS rule_set
+              FROM documents)
+            SELECT rule_set, count(*) AS n FROM x
+            WHERE rule_set <> '' GROUP BY rule_set
+        """,
+        "bitz_roundtrip": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "compress_roundtrip": """
+            SELECT event_type, count(*) AS n,
+                   (sum(user_id))::BIGINT AS usum
+            FROM events GROUP BY event_type
+        """,
+        "fork_union": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS vsum
+            FROM events GROUP BY event_type
         """,
     }
