@@ -305,3 +305,35 @@ def test_load_http_server_push(ray_session):
 
     got = sorted(_json.loads(r["line"])["i"] for r in ds.take_all())
     assert got == list(range(6))
+
+
+def test_to_opensearch_bulk(ray_session):
+    """to_opensearch: rows → _bulk NDJSON action/source pairs POSTed from
+    the workers, verified by draining our own loopback ingest server."""
+    import json as _json
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import load_http_server, to_opensearch
+
+    mk, port = load_http_server(max_events=20, idle_timeout=3.0)
+    ds = rd.from_items([{"doc_id": i, "v": i * i} for i in range(10)])
+
+    sent = {}
+
+    def sink():
+        sent["n"] = to_opensearch(
+            ds, f"http://127.0.0.1:{port}", index="docs", id_col="doc_id")
+
+    th = threading.Thread(target=sink)
+    th.start()
+    drained = mk()
+    th.join()
+    assert sent["n"] == 10
+    lines = [_json.loads(r["line"]) for r in drained.take_all()]
+    actions = [x for x in lines if "index" in x and "_index" in x["index"]]
+    docs = [x for x in lines if "doc_id" in x]
+    assert len(actions) == 10 and len(docs) == 10
+    assert {a["index"]["_id"] for a in actions} == {str(i) for i in range(10)}
+    assert sorted(d["v"] for d in docs) == [i * i for i in range(10)]
