@@ -41,7 +41,7 @@ def _lake_main(args) -> int:
             for r in results:
                 print(json.dumps(r), flush=True)
     elif args.lake_cmd == "read":
-        t = lake.read_table(as_of_epoch=args.as_of)
+        t = lake.read_table(as_of_epoch=args.as_of, columns=args.columns)
         for row in t.slice(0, args.limit or t.num_rows).to_pylist():
             print(json.dumps(row, default=repr))
     elif args.lake_cmd == "lookup":
@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--as-of", type=int, default=None, dest="as_of",
                     help="time-travel: state after epochs <= N "
                          "(bounded by the compaction horizon)")
+    lk.add_argument("--columns", nargs="+", default=None,
+                    help="project the read: only these columns (plus the "
+                         "merge-required key/order/tombstone set) are "
+                         "decoded from parquet")
 
     exe = sub.add_parser("exec", help="run a pipeline (default)")
     exe.add_argument("pipeline")

@@ -467,42 +467,67 @@ def _read_schema(schema: pa.Schema) -> pa.Schema:
 
 def _read_partition(
     root: str, pid: int, schema: pa.Schema, filter=None,
-    as_of: int | None = None,
+    as_of: int | None = None, columns: list[str] | None = None,
 ) -> pa.Table | None:
     files, _ = _live_files(root, pid, as_of=as_of)
     if not files:
         return None
     # Explicit unified schema: older files lack later-added columns →
     # filled with nulls by the pyarrow dataset reader (merge-time evolution).
+    # ``columns`` projects at the scan: only the requested columns leave
+    # storage (parquet column pruning — at 100 TB an `export | select`
+    # must not decode the html payload column it never returns).
     return pads.dataset(
         files, schema=_read_schema(schema), format="parquet"
-    ).to_table(filter=filter)
+    ).to_table(filter=filter, columns=columns)
+
+
+#: columns the LWW merge itself consumes even when the caller projects
+#: them away: key, order pair, and the tombstone marker.
+_MERGE_COLS = ("url", "warc_ts", "lsn", "op")
 
 
 def _merge_partition(
     batch: pa.Table, *, root: str, schema: pa.Schema, with_tombstones: bool,
     keep_engine_cols: bool, as_of: int | None = None,
+    columns: list[str] | None = None,
 ) -> pa.Table:
     """Merge-on-read for the partition ids in ``batch`` (reference analog:
     export's retro partition fan-in, operators/export.cpp:47-67). No global
     shuffle: a url lives in exactly one partition, so per-partition LWW is
     globally correct. ``as_of`` reads the historical state after epochs
-    ``<= as_of`` (bounded by the compaction horizon)."""
+    ``<= as_of`` (bounded by the compaction horizon). ``columns`` prunes
+    the scan to the requested columns plus the merge-required set
+    (key/order/tombstone), and the output carries exactly ``columns``."""
+    scan_cols = None
+    if columns is not None:
+        # explicit projection wins: the output is exactly `columns`
+        # (put lsn/op in `columns` to keep engine fields), the scan
+        # additionally reads only what the LWW merge consumes
+        scan_cols = list(columns) + [
+            c for c in _MERGE_COLS if c not in columns]
     out: list[pa.Table] = []
     for pid in batch.column("pid").to_pylist():
-        t = _read_partition(root, int(pid), schema, as_of=as_of)
+        t = _read_partition(root, int(pid), schema, as_of=as_of,
+                            columns=scan_cols)
         if t is None or t.num_rows == 0:
             continue
         t = lww_reduce(t)
         if not with_tombstones:
             t = t.filter(pc.invert(_is_delete(t)))
-        if not keep_engine_cols:
+        if columns is not None:
+            t = t.select(columns)
+        elif not keep_engine_cols:
             t = t.drop_columns([c for c in ENGINE_COLS if c in t.column_names])
         out.append(t)
     if not out:
-        empty = schema if keep_engine_cols else pa.schema(
-            [f for f in schema if f.name not in ENGINE_COLS]
-        )
+        if columns is not None:
+            empty = pa.schema([_read_schema(schema).field(c)
+                               for c in columns])
+        else:
+            empty = schema if keep_engine_cols else pa.schema(
+                [f for f in schema if f.name not in ENGINE_COLS]
+            )
         return empty.empty_table()
     return pa.concat_tables(out, promote_options="permissive")
 
@@ -829,7 +854,7 @@ class Lake:
     # ------------------------------------------------------------- read
 
     def read(self, with_tombstones: bool = False, keep_engine_cols: bool = False,
-             as_of_epoch: int | None = None):
+             as_of_epoch: int | None = None, columns: list[str] | None = None):
         """Merge-on-read state as a Ray Dataset: one merge task per
         partition, no global shuffle (url → exactly one partition).
 
@@ -839,7 +864,11 @@ class Lake:
         :class:`TimeTravelHorizonError` (reference analog: retro export
         scans whatever partitions the catalog retains,
         operators/export.cpp:47-67; the LSM here retains exactly
-        base-horizon..head)."""
+        base-horizon..head).
+
+        ``columns`` pushes the projection into the per-partition parquet
+        scan (plus the merge-required key/order/tombstone set) — an
+        `export | select url, lang` never decodes the html payload."""
         import ray.data as rd
 
         schema = self.schema(as_of_epoch=as_of_epoch)
@@ -855,6 +884,7 @@ class Lake:
                 with_tombstones=with_tombstones,
                 keep_engine_cols=keep_engine_cols,
                 as_of=as_of_epoch,
+                columns=columns,
             ),
             batch_format="pyarrow",
             batch_size=1,
@@ -872,6 +902,7 @@ class Lake:
             with_tombstones=kw.get("with_tombstones", False),
             keep_engine_cols=kw.get("keep_engine_cols", False),
             as_of=as_of,
+            columns=kw.get("columns"),
         )
 
     # ------------------------------------------------------- compaction

@@ -440,3 +440,46 @@ def test_time_travel_horizon(tmp_path):
     urls = list(want["url"][:5])
     t = lake.lookup(urls, as_of_epoch=2)
     assert sorted(t.column("url").to_pylist()) == sorted(urls)
+
+
+def test_column_pruned_read(tmp_path, ray_session):
+    """Lake.read/read_table(columns=…) return exactly the projection,
+    LWW/tombstone semantics intact, and the scan only decodes the
+    requested + merge-required columns (export|select must not read the
+    html payload)."""
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    lake.apply_wal(wal)
+
+    full = lake.read_table()
+    proj = lake.read_table(columns=["url", "lang"])
+    assert proj.column_names == ["url", "lang"]
+    assert proj.num_rows == full.num_rows
+    want = full.select(["url", "lang"])
+    assert proj.sort_by("url").equals(want.sort_by("url"))
+
+    # distributed read agrees
+    ds = lake.read(columns=["url", "lang"])
+    got = ds.take_all()
+    assert len(got) == full.num_rows
+    assert set(got[0].keys()) == {"url", "lang"}
+
+    # engine fields reachable by asking for them explicitly
+    keep = lake.read_table(columns=["url", "lsn", "op"])
+    assert keep.column_names == ["url", "lsn", "op"]
+
+    # empty projection result keeps the requested schema
+    import shutil
+
+    empty_root = str(tmp_path / "lake_empty")
+    lake2 = Lake(empty_root, partitions=2, salt=1)
+    lake2.apply_wal(wal)
+    shutil.rmtree(f"{empty_root}/p=0000", ignore_errors=True)
+    shutil.rmtree(f"{empty_root}/p=0001", ignore_errors=True)
+    import os
+
+    os.makedirs(f"{empty_root}/p=0000", exist_ok=True)
+    os.makedirs(f"{empty_root}/p=0001", exist_ok=True)
+    t = lake2.read_table(columns=["url", "lang"])
+    assert t.num_rows == 0 and t.column_names == ["url", "lang"]
