@@ -66,14 +66,24 @@ def cap_per_key(
         t = t.append_column("__cpk_nul", pc.is_null(c))
         t = t.append_column(
             "__cpk_key", pc.fill_null(pc.cast(c, pa.string()), ""))
-        return t
+        # strip the pandas metadata blob the pandas→arrow conversion
+        # attaches: unhashable schema metadata defeats Ray's shuffle-side
+        # schema dedup (one "Failed to hash the schemas" per reduce task)
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        out = _top_n_pdf(df, key_col, n, order_by, descending, id_col) \
+            .drop(columns=["__cpk_key", "__cpk_nul"])
+        # hand back a metadata-free ARROW block: pandas output blocks
+        # flip downstream bundles to PandasBlockSchema (schema-divergence
+        # warnings) and re-attach the unhashable metadata
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     pruned = ds.map_batches(partial, batch_format="pandas") \
         .map_batches(add_gkey, batch_format="pyarrow")
     return pruned.groupby(["__cpk_key", "__cpk_nul"]).map_groups(
-        lambda df: _top_n_pdf(df, key_col, n, order_by, descending, id_col)
-        .drop(columns=["__cpk_key", "__cpk_nul"]),
-        batch_format="pandas")
+        finalize, batch_format="pandas")
 
 
 def mixture_hash(ids: np.ndarray) -> np.ndarray:
