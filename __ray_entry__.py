@@ -1892,6 +1892,39 @@ def _fork_union(sf_dir: str):
     return ops.set_(agg, vsum=lambda t: pc.round(t["vsum"], 2))
 
 
+def _context_roundtrip(sf_dir: str):
+    """context create/update/save/reset/load/enrich lifecycle
+    driver-checked (builtins/contexts/lookup_table.cpp + context::save/
+    load): a nation lookup context survives a disk round-trip and then
+    enriches supplier — hash-equal to a DuckDB join."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.state.context import (ContextActor, context_enrich,
+                                          context_load, context_save)
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    name = f"ctx_rt_{h}"
+    actor = ContextActor(name)
+    ray.get(actor.reset.remote())
+    ray.get(actor.update.remote(dict(zip(
+        nation.column("n_nationkey").to_pylist(),
+        nation.column("n_name").to_pylist()))))
+    path = f"/tmp/tenzir_ray_ctx_{h}.parquet"
+    context_save(name, path)
+    ray.get(actor.reset.remote())  # loaded state, not the original, serves
+    context_load(name, path)
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    enr = context_enrich(ds, name, key="s_nationkey", out_field="n_name")
+    return ops.summarize(enr, "n_name", combine="auto",
+                         n="count", max_s=("max", "s_suppkey"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _cdc_replay,
@@ -1974,6 +2007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitz_roundtrip": _bitz_roundtrip,
         "compress_roundtrip": _compress_roundtrip,
         "fork_union": _fork_union,
+        "context_roundtrip": _context_roundtrip,
     }
 
 
@@ -2487,5 +2521,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(sum(value), 2) AS vsum
             FROM events GROUP BY event_type
+        """,
+        "context_roundtrip": """
+            SELECT n.n_name AS n_name, count(*) AS n,
+                   max(s.s_suppkey) AS max_s
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
     }
