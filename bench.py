@@ -147,7 +147,9 @@ def bench_queries() -> dict[str, float]:
         "kmeans_clusters", "hll_distinct_users",
         "gopher_quality", "lm_score_docs", "lm2_score_docs", "pii_redact",
         "cap_per_source", "mixture_sample", "decontam_docs",
-        "repeated_passages", "pcap_decap",
+        "repeated_passages", "yara_scan", "bitz_roundtrip",
+        "compress_roundtrip", "fork_union", "context_roundtrip",
+        "pcap_decap",
     ]
     out: dict[str, float] = {}
     for name in names:
