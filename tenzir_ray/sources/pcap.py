@@ -133,48 +133,61 @@ def _mac(flat, starts, lens, k: int) -> np.ndarray:
 # ----------------------------------------------------------------- write
 
 
+def packets_to_pcap_bytes(
+    t: pa.Table, ts_col: str = "ts", data_col: str = "data",
+    linktype: int = 1, nanos: bool = True,
+) -> bytes:
+    """One batch of (ts, data) rows → one classic-pcap file image.
+    Record headers are filled by 16 column-scatter stores and payload
+    bytes move with one vectorized index-copy; no per-packet Python.
+    Shared by the distributed sink and the property tests (one
+    assembly, no drift)."""
+    magic = MAGIC_NS if nanos else MAGIC_US
+    div = 1 if nanos else 1_000
+    flat, starts, lens = _binary_parts(t.column(data_col))
+    ts = t.column(ts_col).cast(pa.timestamp("ns")) \
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n = len(lens)
+    cumexcl = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=cumexcl[1:])
+    hdr_pos = 24 + 16 * np.arange(n, dtype=np.int64) + cumexcl
+    out = np.empty(24 + 16 * n + int(lens.sum()), np.uint8)
+    out[:24] = np.frombuffer(
+        struct.pack(_GLOBAL_HDR_FMT, magic, 2, 4, 0, 0, 262_144,
+                    linktype), np.uint8)
+    hdr = np.empty((n, 16), np.uint8)
+    hdr[:, 0:4] = (ts // 1_000_000_000).astype("<u4") \
+        .view(np.uint8).reshape(n, 4)
+    hdr[:, 4:8] = ((ts % 1_000_000_000) // div).astype("<u4") \
+        .view(np.uint8).reshape(n, 4)
+    hdr[:, 8:12] = lens.astype("<u4").view(np.uint8).reshape(n, 4)
+    hdr[:, 12:16] = hdr[:, 8:12]
+    for k in range(16):
+        out[hdr_pos + k] = hdr[:, k]
+    total = int(lens.sum())
+    if total:
+        dst = np.repeat(hdr_pos + 16 - cumexcl, lens) \
+            + np.arange(total, dtype=np.int64)
+        src = np.repeat(starts - cumexcl, lens) \
+            + np.arange(total, dtype=np.int64)
+        out[dst] = flat[src]
+    return out.tobytes()
+
+
 def write_pcap(ds, path: str, ts_col: str = "ts", data_col: str = "data",
                linktype: int = 1, nanos: bool = True) -> None:
     """Distributed pcap sink: one classic-pcap file per block under
-    ``path`` (atomic rename publish — resumable). Record headers are
-    filled by 16 column-scatter stores and payload bytes move with one
-    vectorized index-copy; no per-packet Python in the hot path."""
+    ``path`` (atomic rename publish — resumable)."""
     os.makedirs(path, exist_ok=True)
-    magic = MAGIC_NS if nanos else MAGIC_US
-    div = 1 if nanos else 1_000
 
     def _write(t: pa.Table) -> pa.Table:
         if t.num_rows:
-            flat, starts, lens = _binary_parts(t.column(data_col))
-            ts = t.column(ts_col).cast(pa.timestamp("ns")) \
-                .cast(pa.int64()).to_numpy(zero_copy_only=False)
-            n = len(lens)
-            cumexcl = np.zeros(n, np.int64)
-            np.cumsum(lens[:-1], out=cumexcl[1:])
-            hdr_pos = 24 + 16 * np.arange(n, dtype=np.int64) + cumexcl
-            out = np.empty(24 + 16 * n + int(lens.sum()), np.uint8)
-            out[:24] = np.frombuffer(
-                struct.pack(_GLOBAL_HDR_FMT, magic, 2, 4, 0, 0, 262_144,
-                            linktype), np.uint8)
-            hdr = np.empty((n, 16), np.uint8)
-            hdr[:, 0:4] = (ts // 1_000_000_000).astype("<u4") \
-                .view(np.uint8).reshape(n, 4)
-            hdr[:, 4:8] = ((ts % 1_000_000_000) // div).astype("<u4") \
-                .view(np.uint8).reshape(n, 4)
-            hdr[:, 8:12] = lens.astype("<u4").view(np.uint8).reshape(n, 4)
-            hdr[:, 12:16] = hdr[:, 8:12]
-            for k in range(16):
-                out[hdr_pos + k] = hdr[:, k]
-            total = int(lens.sum())
-            if total:
-                dst = np.repeat(hdr_pos + 16 - cumexcl, lens) \
-                    + np.arange(total, dtype=np.int64)
-                src = np.repeat(starts - cumexcl, lens) \
-                    + np.arange(total, dtype=np.int64)
-                out[dst] = flat[src]
+            payload = packets_to_pcap_bytes(
+                t, ts_col=ts_col, data_col=data_col,
+                linktype=linktype, nanos=nanos)
             name = os.path.join(path, f"part-{uuid.uuid4().hex}.pcap")
             with open(name + ".tmp", "wb") as f:
-                f.write(out.tobytes())
+                f.write(payload)
             os.rename(name + ".tmp", name)
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
