@@ -639,12 +639,17 @@ class Pipeline:
             rate = float(rest.strip())
             return lambda ds: _throttle(ds, rate)
         if op == "decapsulate":
-            # decapsulate [col] — Ethernet/802.1Q/IPv4/IPv6/TCP/UDP field
-            # decode over a packet-bytes column (operators/decapsulate.cpp)
+            # decapsulate [col] [payload] — Ethernet/802.1Q/IPv4/IPv6/
+            # TCP/UDP field decode over a packet-bytes column
+            # (operators/decapsulate.cpp); `payload` adds the bytes past
+            # the L4 header as a column for downstream scanners (yara)
             from tenzir_ray.sources.pcap import decapsulate
 
-            col = rest.strip() or "data"
-            return lambda ds: decapsulate(ds, col=col)
+            parts = rest.split()
+            emit = "payload" in parts
+            cols = [p for p in parts if p != "payload"]
+            return lambda ds: decapsulate(ds, col=cols[0] if cols
+                                          else "data", emit_payload=emit)
         if op == "yara":
             # yara <rules-file> [col] — mini-YARA scan (plugins/yara)
             from tenzir_ray.stages.yara import yara_match

@@ -278,11 +278,16 @@ def read_pcap(paths):
 
 
 def decapsulate_batch(t: pa.Table, col: str = "data",
-                      keep: bool = False) -> pa.Table:
+                      keep: bool = False,
+                      emit_payload: bool = False) -> pa.Table:
     """Ethernet/802.1Q → IPv4/IPv6 → TCP/UDP field decode, one numpy
     gather per header byte over the whole batch
     (operators/decapsulate.cpp parity). Unknown layers yield nulls.
-    ``keep=True`` retains the raw packet column."""
+    ``keep=True`` retains the raw packet column; ``emit_payload=True``
+    adds a ``payload`` binary column (the bytes past the L4 header,
+    assembled with one vectorized gather) so payload scanners — e.g.
+    ``decapsulate payload | yara rules.yar payload`` — compose without
+    re-parsing headers."""
     flat, starts, lens = _binary_parts(t.column(col))
     n = len(starts)
 
@@ -358,15 +363,20 @@ def decapsulate_batch(t: pa.Table, col: str = "data",
         "payload_len": pa.array((lens - payload_off).astype(np.int64),
                                 mask=~ip_mask),
     }
+    if emit_payload:
+        cols["payload"] = _binary_from_ranges(
+            flat, starts + payload_off, lens - payload_off)
     base = {name: t.column(name) for name in t.column_names
             if keep or name != col}
     out = pa.table({**base, **{k: v for k, v in cols.items()}})
     return out.replace_schema_metadata(None) if out.schema.metadata else out
 
 
-def decapsulate(ds, col: str = "data", keep: bool = False):
+def decapsulate(ds, col: str = "data", keep: bool = False,
+                emit_payload: bool = False):
     import functools
 
     return ds.map_batches(
-        functools.partial(decapsulate_batch, col=col, keep=keep),
+        functools.partial(decapsulate_batch, col=col, keep=keep,
+                          emit_payload=emit_payload),
         batch_format="pyarrow")

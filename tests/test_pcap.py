@@ -178,3 +178,29 @@ def test_empty_and_garbage():
     # zero-row decapsulate keeps a typed schema
     d = decapsulate_batch(pa.table({"data": pa.array([], pa.binary())}))
     assert d.num_rows == 0 and "ip_src" in d.column_names
+
+
+def test_decapsulate_payload_yara_chain(ray_session, tmp_path):
+    """decapsulate payload | yara over the payload column — the packet-
+    scan composition, end-to-end from pipeline text."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+    from tenzir_ray.sources.pcap import decapsulate_batch
+
+    evil = eth() + ipv4(proto=6, payload_len=28) + tcp() + b"EVIL_IOC"
+    ok = eth() + ipv4(proto=6, payload_len=26) + tcp() + b"benign"
+    t = pa.table({"data": pa.array([evil, ok, evil], pa.binary())})
+    d = decapsulate_batch(t, emit_payload=True)
+    assert d.column("payload").to_pylist() == [b"EVIL_IOC", b"benign",
+                                               b"EVIL_IOC"]
+
+    rules = tmp_path / "r.yar"
+    rules.write_text(
+        'rule ioc {\n    strings:\n        $a = "EVIL_IOC"\n'
+        '    condition:\n        $a\n}\n')
+    src = rd.from_arrow(t)
+    out = Pipeline.parse(
+        f"decapsulate payload | yara {rules} payload | select src_port"
+    ).run(src).take_all()
+    assert len(out) == 2
