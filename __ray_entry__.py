@@ -1925,6 +1925,55 @@ def _context_roundtrip(sf_dir: str):
                          n="count", max_s=("max", "s_suppkey"))
 
 
+def _warc_ingest(sf_dir: str):
+    """WARC container round-trip driver-checked (ISO 28500, the
+    Common-Crawl layout this engine's north star ingests): documents →
+    response records → gzip-per-record .warc.gz part files → read_warc →
+    url/timestamp/payload recovered and aggregated, hash-equal to DuckDB
+    recomputing the same arithmetic from documents."""
+    import hashlib
+    import shutil
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.warc import read_warc, write_warc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    prefix = "https://crawl.example/doc/"
+
+    def mk(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            prefix, pc.cast(t["doc_id"], pa.string()), "")
+        ts = pc.cast(pc.add(t["doc_id"], 1_760_000_000),
+                     pa.timestamp("s")).cast(pa.timestamp("ns"))
+        return pa.table({
+            "url": url, "warc_ts": ts,
+            "payload": pc.cast(t["text"], pa.binary()),
+        })
+
+    spool = os.path.join(
+        "/tmp", "tenzir_ray_warc_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10])
+    shutil.rmtree(spool, ignore_errors=True)
+    write_warc(ds.map_batches(mk, batch_format="pyarrow"), spool)
+    back = read_warc(spool)
+
+    def decode(t: pa.Table) -> pa.Table:
+        did = pc.cast(pc.utf8_slice_codeunits(
+            t["url"], start=len(prefix), stop=10_000), pa.int64())
+        return pa.table({
+            "g": pc.bit_wise_and(did, 7),
+            "plen": pc.binary_length(t["payload"]),
+            "tsec": pc.divide(pc.cast(t["warc_ts"], pa.int64()),
+                              1_000_000_000),
+        })
+
+    out = ops.summarize(back.map_batches(decode, batch_format="pyarrow"),
+                        "g", combine="auto",
+                        n="count", len_sum=("sum", "plen"),
+                        max_ts=("max", "tsec"))
+    return ops.set_(out, len_sum=lambda t: pc.cast(t["len_sum"], pa.int64()))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _cdc_replay,
@@ -2008,6 +2057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_roundtrip": _compress_roundtrip,
         "fork_union": _fork_union,
         "context_roundtrip": _context_roundtrip,
+        "warc_ingest": _warc_ingest,
     }
 
 
@@ -2527,5 +2577,11 @@ def oracle_sql() -> dict[str, str]:
                    max(s.s_suppkey) AS max_s
             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "warc_ingest": """
+            SELECT (doc_id & 7) AS g, count(*) AS n,
+                   (sum(strlen(text)))::BIGINT AS len_sum,
+                   max(1760000000 + doc_id) AS max_ts
+            FROM documents GROUP BY 1
         """,
     }

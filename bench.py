@@ -149,7 +149,7 @@ def bench_queries() -> dict[str, float]:
         "cap_per_source", "mixture_sample", "decontam_docs",
         "repeated_passages", "yara_scan", "bitz_roundtrip",
         "compress_roundtrip", "fork_union", "context_roundtrip",
-        "pcap_decap",
+        "warc_ingest", "pcap_decap",
     ]
     out: dict[str, float] = {}
     for name in names:
