@@ -819,6 +819,60 @@ class Lake:
         Kafka-offset analog)."""
         return self.apply_epochs(list_epochs(wal_dir))
 
+    def ingest_warc(self, warc_dir: str, epoch: int) -> dict:
+        """Ingest a directory of WARC files (a crawl snapshot) as ONE
+        INSERT-only WAL epoch — the north-star loop closed end-to-end:
+        Common-Crawl container → change events keyed by (url, warc_ts) →
+        LWW upsert. Re-crawls land as later epochs; pages whose
+        ``warc_ts`` advanced win LWW, unchanged urls stay.
+
+        Deterministic: ``lsn`` is a pure hash of (url, warc_ts), so the
+        same snapshot replays to the same state from any worker layout.
+        Idempotent: the staging conversion overwrites its own directory
+        and :meth:`apply_epoch` skips epochs whose commit manifests
+        exist. Distributed end-to-end — the WARC decode and the WAL
+        conversion run as one streaming map per file; nothing rows
+        through the driver."""
+        import shutil
+
+        import ray.data as rd  # noqa: F401  (ensures Ray Data is up)
+
+        from tenzir_ray.sources.warc import read_warc
+
+        if self._epoch_done(epoch):
+            return {"epoch": epoch, "skipped": True, "events": 0}
+        # path carries `epoch=N`: the apply stage derives each row's
+        # epoch from its segment path (same contract as WAL segments)
+        stage = os.path.join(self.root, "_ingest", "warc",
+                             f"epoch={epoch:06d}")
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+
+        def to_events(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("warc_type"), "response"))
+            url = t.column("url")
+            ts = t.column("warc_ts")
+            h = _key_hashes(url).astype(np.uint64)
+            tsec = pc.cast(pc.cast(ts, pa.timestamp("s")),
+                           pa.int64()).to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            lsn = ((h ^ (tsec * np.uint64(0x9E3779B97F4A7C15)))
+                   >> np.uint64(1)).astype(np.int64)  # 63-bit, positive
+            return pa.table({
+                "lsn": pa.array(lsn),
+                "op": pa.array(["INSERT"] * t.num_rows, pa.string()),
+                "url": url,
+                "warc_ts": pc.cast(ts, pa.timestamp("ns")),
+                "html": t.column("payload"),
+            })
+
+        read_warc(warc_dir).map_batches(
+            to_events, batch_format="pyarrow").write_parquet(stage)
+        files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+        if not files:
+            return {"epoch": epoch, "skipped": True, "events": 0}
+        return self.apply_epoch(epoch, files)
+
     def follow(self, wal_dir: str, poll_interval: float = 1.0,
                idle_rounds: int | None = None,
                compact_every: int | None = None):

@@ -92,3 +92,49 @@ def test_roundtrip_ray(ray_session, tmp_path):
     assert got == want
     # the emitted shape is the engine's native page table
     assert {"url", "warc_ts", "payload"} <= set(back[0].keys())
+
+
+def test_ingest_warc_crawl_recrawl(ray_session, tmp_path):
+    """Crawl snapshot -> lake epoch 0; re-crawl with later warc_ts for a
+    subset -> epoch 1; merged state serves the latest text per url, and
+    re-ingesting a committed epoch is a no-op (exactly-once)."""
+    import ray.data as rd
+
+    from tenzir_ray.cdc import Lake
+
+    def crawl(dirname, pages, base_ts):
+        rows = pa.table({
+            "url": pa.array([u for u, _ in pages]),
+            "warc_ts": pa.array([base_ts] * len(pages), pa.int64())
+            .cast(pa.timestamp("s")).cast(pa.timestamp("ns")),
+            "payload": pa.array([b for _, b in pages], pa.binary()),
+        })
+        out = str(tmp_path / dirname)
+        write_warc(rd.from_arrow(rows), out)
+        return out
+
+    pages0 = [(f"https://w{i}.example.com/", f"<p>v0 page {i}</p>".encode())
+              for i in range(40)]
+    crawl0 = crawl("c0", pages0, 1_760_000_000)
+    # re-crawl: 10 urls changed, 1 new
+    pages1 = [(u, b.replace(b"v0", b"v1")) for u, b in pages0[:10]]
+    pages1.append(("https://new.example.com/", b"<p>brand new</p>"))
+    crawl1 = crawl("c1", pages1, 1_760_086_400)
+
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    r0 = lake.ingest_warc(crawl0, epoch=0)
+    assert r0["events"] == 40
+    r1 = lake.ingest_warc(crawl1, epoch=1)
+    assert r1["events"] == 11
+
+    state = lake.read_table()
+    assert state.num_rows == 41
+    by_url = {r["url"]: r for r in state.to_pylist()}
+    assert "v1" in by_url["https://w3.example.com/"]["text"]
+    assert "v0" in by_url["https://w20.example.com/"]["text"]
+    assert "brand new" in by_url["https://new.example.com/"]["text"]
+
+    # exactly-once: re-ingest of a committed epoch is skipped
+    again = lake.ingest_warc(crawl1, epoch=1)
+    assert again.get("skipped") is True
+    assert lake.read_table().num_rows == 41
