@@ -33,6 +33,9 @@ def _lake_main(args) -> int:
     if args.lake_cmd == "apply":
         for r in lake.apply_wal(args.wal):
             print(json.dumps(r))
+    elif args.lake_cmd == "ingest-warc":
+        print(json.dumps(lake.ingest_warc(args.warc, epoch=args.epoch),
+                         default=str))
     elif args.lake_cmd == "follow":
         for results in lake.follow(
             args.wal, poll_interval=args.poll, idle_rounds=args.idle_rounds,
@@ -60,9 +63,14 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd")
     lk = sub.add_parser("lake", help="operate a CDC lake")
     lk.add_argument("lake_cmd", choices=[
-        "apply", "follow", "read", "lookup", "compact", "lineage"])
+        "apply", "ingest-warc", "follow", "read", "lookup", "compact",
+        "lineage"])
     lk.add_argument("--lake", required=True)
     lk.add_argument("--wal")
+    lk.add_argument("--warc", help="WARC directory for ingest-warc")
+    lk.add_argument("--epoch", type=int, default=0,
+                    help="epoch number for ingest-warc (a crawl snapshot "
+                         "= one INSERT-only epoch)")
     lk.add_argument("--partitions", type=int, default=8)
     lk.add_argument("--salt", type=int, default=2)
     lk.add_argument("--poll", type=float, default=1.0)
