@@ -849,7 +849,14 @@ class Lake:
         os.makedirs(stage, exist_ok=True)
 
         def to_events(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t.column("warc_type"), "response"))
+            # responses with a parseable url AND date only: a null
+            # warc_ts would sort after every real timestamp in the LWW
+            # reduce (malformed record permanently beating re-crawls)
+            # and its NaN would poison the lsn hash
+            t = t.filter(pc.and_(
+                pc.equal(t.column("warc_type"), "response"),
+                pc.and_(pc.is_valid(t.column("url")),
+                        pc.is_valid(t.column("warc_ts")))))
             url = t.column("url")
             ts = t.column("warc_ts")
             h = _key_hashes(url).astype(np.uint64)

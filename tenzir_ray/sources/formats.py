@@ -74,6 +74,26 @@ def _read_pcap_uri(uri: str):
     return read_pcap(uri)
 
 
+def resolve_binary_paths(paths, suffixes: tuple[str, ...]):
+    """Resolve a binary-format source (file path / directory / explicit
+    list) to (explicit file list, count). Shared by the pcap/bitz/warc
+    readers: an explicit list sidesteps Ray's extension filter (which
+    would admit sidecar files like ``manifest.json.gz`` via a bare
+    ``gz`` suffix), and pinning ``override_num_blocks`` to the count
+    avoids the schema-less empty blocks excess binary-read tasks emit
+    (they bypass downstream ``map_batches`` UDFs entirely)."""
+    import os as _os
+
+    if isinstance(paths, (list, tuple)):
+        return list(paths), len(paths)
+    if _os.path.isdir(paths):
+        files = sorted(
+            _os.path.join(paths, f) for f in _os.listdir(paths)
+            if f.endswith(suffixes))
+        return files, len(files)
+    return [paths], 1
+
+
 def open_uri(uri: str, **kw):
     """Dispatch on extension, transparently handling a trailing compression
     suffix (Arrow decompresses .gz/.zst/.bz2 via arrow_open_stream_args —
@@ -845,14 +865,10 @@ def read_bitz(paths):
             [x.cast(uni) if x.schema != uni else x for x in out],
             promote_options="permissive")
 
-    # task count = file count: Ray's default over-split emits
-    # schema-less empty blocks for taskless readers (they bypass
-    # downstream map_batches UDFs entirely)
-    from tenzir_ray.sources.pcap import _count_files
-
-    n = max(1, _count_files(paths, "bitz"))
-    return rd.read_binary_files(paths, file_extensions=["bitz"],
-                                override_num_blocks=n) \
+    files, n = resolve_binary_paths(paths, (".bitz",))
+    if not files:
+        return rd.from_items([])
+    return rd.read_binary_files(files, override_num_blocks=max(1, n)) \
         .map_batches(split_frames, batch_format="pyarrow")
 
 
@@ -958,10 +974,30 @@ def to_opensearch(ds, url: str, index: str, id_col: str | None = None,
                     endpoint, data=payload, method="POST",
                     headers={"Content-Type": "application/x-ndjson"})
                 with _ur.urlopen(req, timeout=timeout) as resp:
-                    if 200 <= resp.status < 300:
-                        return
-                    raise _ue.HTTPError(endpoint, resp.status,
-                                        "bulk rejected", resp.headers, None)
+                    body = resp.read()
+                # 2xx can still carry per-item failures (the bulk API
+                # returns 200 with "errors": true for mapping conflicts
+                # or per-doc 429s) — surface them, never drop silently
+                if body:
+                    try:
+                        parsed = _json.loads(body)
+                    except ValueError:
+                        parsed = None
+                    if isinstance(parsed, dict) and parsed.get("errors"):
+                        bad = [i for i in parsed.get("items", [])
+                               if next(iter(i.values()), {})
+                               .get("status", 200) >= 300]
+                        raise RuntimeError(
+                            f"_bulk accepted the request but rejected "
+                            f"{len(bad)} item(s); first: "
+                            f"{bad[0] if bad else parsed}")
+                return
+            except _ue.HTTPError as e:
+                # 4xx is not retriable (malformed request stays
+                # malformed); 5xx and connection errors back off
+                if e.code < 500 or attempt == max_retries:
+                    raise
+                _time.sleep(0.2 * 2 ** attempt)
             except (_ue.URLError, OSError):
                 if attempt == max_retries:
                     raise

@@ -64,13 +64,15 @@ def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def _gather_ranges(flat: np.ndarray, starts: np.ndarray,
                    lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Concatenate ``flat[starts[i]:starts[i]+lens[i]]`` for all i with
-    one fancy-index gather. Returns (values, offsets_int32)."""
+    one fancy-index gather. Offsets are int64 — a single capture file
+    can exceed 2 GiB of packet bytes, and an int32 cumsum would wrap
+    silently into negative offsets."""
     total = int(lens.sum())
-    offs = np.zeros(len(lens) + 1, np.int32)
+    offs = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
     if total == 0:
         return np.zeros(0, np.uint8), offs
-    cumexcl = offs[:-1].astype(np.int64)
+    cumexcl = offs[:-1]
     idx = np.repeat(starts - cumexcl, lens) + np.arange(total, dtype=np.int64)
     return flat[idx], offs
 
@@ -78,10 +80,17 @@ def _gather_ranges(flat: np.ndarray, starts: np.ndarray,
 def _binary_from_ranges(flat, starts, lens) -> pa.Array:
     """binary array of ``flat[starts[i] : starts[i]+lens[i]]`` built
     straight from (validity, offsets, data) buffers — one gather, no
-    per-value ``bytes`` objects."""
+    per-value ``bytes`` objects. Emits ``binary`` (int32 offsets) below
+    the 2 GiB offset limit and ``large_binary`` (int64) above it."""
     values, offs = _gather_ranges(flat, starts, lens)
+    if offs[-1] <= np.iinfo(np.int32).max:
+        return pa.Array.from_buffers(
+            pa.binary(), len(lens),
+            [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+             pa.py_buffer(values.tobytes())],
+        )
     return pa.Array.from_buffers(
-        pa.binary(), len(lens),
+        pa.large_binary(), len(lens),
         [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(values.tobytes())],
     )
 
@@ -142,11 +151,19 @@ def packets_to_pcap_bytes(
     bytes move with one vectorized index-copy; no per-packet Python.
     Shared by the distributed sink and the property tests (one
     assembly, no drift)."""
+    import pyarrow.compute as pc
+
     magic = MAGIC_NS if nanos else MAGIC_US
     div = 1 if nanos else 1_000
     flat, starts, lens = _binary_parts(t.column(data_col))
-    ts = t.column(ts_col).cast(pa.timestamp("ns")) \
-        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    data_arr = t.column(data_col)
+    if isinstance(data_arr, pa.ChunkedArray):
+        data_arr = data_arr.combine_chunks()
+    if data_arr.null_count:  # null packets write as zero-length records
+        lens = np.where(
+            pc.is_valid(data_arr).to_numpy(zero_copy_only=False), lens, 0)
+    ts = pc.fill_null(t.column(ts_col).cast(pa.timestamp("ns"))
+                      .cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
     n = len(lens)
     cumexcl = np.zeros(n, np.int64)
     np.cumsum(lens[:-1], out=cumexcl[1:])
@@ -201,6 +218,10 @@ def parse_pcap_bytes(raw: bytes) -> pa.Table:
     """One pcap file → (ts, captured_len, original_len, data). The
     record-header walk is sequential by format design; the data column
     is assembled with one vectorized gather."""
+    if raw[:2] == b"\x1f\x8b":  # gzip-compressed capture (x.pcap.gz)
+        import gzip
+
+        raw = gzip.decompress(raw)
     if len(raw) < 24:
         return _empty_packets()
     (magic_le,) = struct.unpack_from("<I", raw, 0)
@@ -248,29 +269,25 @@ def _empty_packets() -> pa.Table:
     })
 
 
-def _count_files(paths, ext: str) -> int:
-    if isinstance(paths, (list, tuple)):
-        return len(paths)
-    if os.path.isdir(paths):
-        return sum(1 for f in os.listdir(paths) if f.endswith("." + ext))
-    return 1
-
-
 def read_pcap(paths):
-    """Distributed pcap source: one read task per file.
-    ``override_num_blocks`` pins task count to file count — Ray's
-    default over-splitting emits schema-less empty blocks for taskless
-    readers, which bypass downstream ``map_batches`` UDFs."""
+    """Distributed pcap source: one read task per file (explicit file
+    list + pinned block count via
+    :func:`~tenzir_ray.sources.formats.resolve_binary_paths`);
+    ``.pcap.gz`` members decompress via the magic-byte sniff in
+    :func:`parse_pcap_bytes`."""
     import ray.data as rd
+
+    from tenzir_ray.sources.formats import resolve_binary_paths
 
     def split(t: pa.Table) -> pa.Table:
         parts = [parse_pcap_bytes(raw)
                  for raw in t.column("bytes").to_pylist()]
         return pa.concat_tables(parts) if parts else _empty_packets()
 
-    n = max(1, _count_files(paths, "pcap"))
-    return rd.read_binary_files(paths, file_extensions=["pcap"],
-                                override_num_blocks=n) \
+    files, n = resolve_binary_paths(paths, (".pcap", ".pcap.gz"))
+    if not files:
+        return rd.from_arrow(_empty_packets())
+    return rd.read_binary_files(files, override_num_blocks=max(1, n)) \
         .map_batches(split, batch_format="pyarrow")
 
 
@@ -288,8 +305,19 @@ def decapsulate_batch(t: pa.Table, col: str = "data",
     assembled with one vectorized gather) so payload scanners — e.g.
     ``decapsulate payload | yara rules.yar payload`` — compose without
     re-parsing headers."""
-    flat, starts, lens = _binary_parts(t.column(col))
+    col_arr = t.column(col)
+    if isinstance(col_arr, pa.ChunkedArray):
+        col_arr = col_arr.combine_chunks()
+    flat, starts, lens = _binary_parts(col_arr)
     n = len(starts)
+    # null packets must decode to null fields, not to zero-byte frames
+    if col_arr.null_count:
+        import pyarrow.compute as pc
+
+        row_valid = pc.is_valid(col_arr).to_numpy(zero_copy_only=False)
+        lens = np.where(row_valid, lens, 0)
+    else:
+        row_valid = np.ones(n, dtype=bool)
 
     ether_dst = _mac(flat, starts, lens, 0)
     ether_src = _mac(flat, starts, lens, 6)
@@ -346,22 +374,26 @@ def decapsulate_batch(t: pa.Table, col: str = "data",
                     flat[s + 16:s + 32].tobytes()))
 
     cols = {
-        "ether_src": pa.array(ether_src, pa.string()),
-        "ether_dst": pa.array(ether_dst, pa.string()),
-        "ether_type": pa.array(etype.astype(np.int32)),
-        "vlan": pa.array(vlan.astype(np.int32), mask=~is_vlan),
-        "ip_src": pa.array(ip_src, pa.string(), mask=~ip_mask),
-        "ip_dst": pa.array(ip_dst, pa.string(), mask=~ip_mask),
+        "ether_src": pa.array(ether_src, pa.string(), mask=~row_valid),
+        "ether_dst": pa.array(ether_dst, pa.string(), mask=~row_valid),
+        "ether_type": pa.array(etype.astype(np.int32), mask=~row_valid),
+        "vlan": pa.array(vlan.astype(np.int32), mask=~(is_vlan & row_valid)),
+        "ip_src": pa.array(ip_src, pa.string(), mask=~(ip_mask & row_valid)),
+        "ip_dst": pa.array(ip_dst, pa.string(), mask=~(ip_mask & row_valid)),
         "ip_ttl": pa.array(np.where(is_v4, ttl, hop6).astype(np.int32),
-                           mask=~ip_mask),
-        "ip_proto": pa.array(proto.astype(np.int32), mask=~ip_mask),
-        "src_port": pa.array(src_port.astype(np.int32), mask=~is_l4),
-        "dst_port": pa.array(dst_port.astype(np.int32), mask=~is_l4),
-        "tcp_flags": pa.array(tcp_flags.astype(np.int32), mask=~is_tcp),
+                           mask=~(ip_mask & row_valid)),
+        "ip_proto": pa.array(proto.astype(np.int32),
+                             mask=~(ip_mask & row_valid)),
+        "src_port": pa.array(src_port.astype(np.int32),
+                             mask=~(is_l4 & row_valid)),
+        "dst_port": pa.array(dst_port.astype(np.int32),
+                             mask=~(is_l4 & row_valid)),
+        "tcp_flags": pa.array(tcp_flags.astype(np.int32),
+                              mask=~(is_tcp & row_valid)),
         "payload_offset": pa.array(payload_off.astype(np.int64),
-                                   mask=~ip_mask),
+                                   mask=~(ip_mask & row_valid)),
         "payload_len": pa.array((lens - payload_off).astype(np.int64),
-                                mask=~ip_mask),
+                                mask=~(ip_mask & row_valid)),
     }
     if emit_payload:
         cols["payload"] = _binary_from_ranges(

@@ -62,8 +62,10 @@ def parse_warc_bytes(raw: bytes, http_payload: bool = True) -> pa.Table:
         fields: dict[str, str] = {}
         for line in raw[off:hdr_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
-            fields[k.strip().lower().decode("latin-1")] = \
-                v.strip().decode("latin-1")
+            # WARC/1.1 header values are UTF-8 (real crawls carry
+            # non-ASCII target URIs); fall back byte-preserving
+            fields[k.strip().lower().decode("utf-8", "surrogateescape")] \
+                = v.strip().decode("utf-8", "surrogateescape")
         try:
             length = int(fields.get("content-length", "0"))
         except ValueError:
@@ -112,18 +114,13 @@ def read_warc(paths, http_payload: bool = True):
                  for raw in t.column("bytes").to_pylist()]
         return pa.concat_tables(parts) if parts else _empty_records()
 
-    # task count = file count (excess binary-read tasks emit schema-less
-    # empty blocks that bypass downstream map_batches UDFs)
-    if isinstance(paths, (list, tuple)):
-        n = len(paths)
-    elif os.path.isdir(paths):
-        n = sum(1 for f in os.listdir(paths)
-                if f.endswith((".warc", ".warc.gz")))
-    else:
-        n = 1
+    from tenzir_ray.sources.formats import resolve_binary_paths
+
+    files, n = resolve_binary_paths(paths, (".warc", ".warc.gz"))
+    if not files:
+        return rd.from_arrow(_empty_records())
     return rd.read_binary_files(
-        paths, file_extensions=["warc", "gz"],
-        override_num_blocks=max(1, n),
+        files, override_num_blocks=max(1, n),
     ).map_batches(functools.partial(split, http_payload=http_payload),
                   batch_format="pyarrow")
 
@@ -147,7 +144,7 @@ def record_bytes(url: str, ts_iso: str, payload: bytes,
            f"WARC-Date: {ts_iso}\r\n"
            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
            f"Content-Type: {content_type}\r\n"
-           f"Content-Length: {len(body)}\r\n\r\n").encode("latin-1")
+           f"Content-Length: {len(body)}\r\n\r\n").encode("utf-8")
     return hdr + body + _CRLF2
 
 

@@ -204,3 +204,30 @@ def test_decapsulate_payload_yara_chain(ray_session, tmp_path):
         f"decapsulate payload | yara {rules} payload | select src_port"
     ).run(src).take_all()
     assert len(out) == 2
+
+
+def test_null_packets_decode_to_nulls():
+    t = pa.table({"data": pa.array([TCP_PKT, None, UDP_PKT], pa.binary())})
+    d = decapsulate_batch(t)
+    assert d.column("ether_src").to_pylist()[1] is None
+    assert d.column("ip_src").to_pylist() == ["10.0.0.1", None, "10.0.0.1"]
+    assert d.column("src_port").to_pylist() == [4321, None, 5353]
+
+
+def test_pcap_gz_file(tmp_path, ray_session):
+    import gzip
+
+    from tenzir_ray.sources.pcap import packets_to_pcap_bytes
+
+    t = pa.table({
+        "ts": pa.array([0, 1000], pa.int64()).cast(pa.timestamp("ns")),
+        "data": pa.array([TCP_PKT, UDP_PKT], pa.binary()),
+    })
+    gz = tmp_path / "caps.pcap.gz"
+    gz.write_bytes(gzip.compress(packets_to_pcap_bytes(t)))
+    # direct parse sniffs the gzip magic
+    assert parse_pcap_bytes(gz.read_bytes()).num_rows == 2
+    # and the distributed reader + open_uri dispatch handle it
+    from tenzir_ray.sources import open_uri
+
+    assert open_uri(str(gz)).count() == 2

@@ -138,3 +138,32 @@ def test_ingest_warc_crawl_recrawl(ray_session, tmp_path):
     again = lake.ingest_warc(crawl1, epoch=1)
     assert again.get("skipped") is True
     assert lake.read_table().num_rows == 41
+
+
+def test_utf8_target_uri():
+    rec = record_bytes("https://例え.example/パス", "2026-01-01T00:00:00Z",
+                       b"x")
+    t = parse_warc_bytes(rec)
+    assert t.column("url").to_pylist() == ["https://例え.example/パス"]
+
+
+def test_ingest_warc_drops_dateless_records(ray_session, tmp_path):
+    """A record with a malformed WARC-Date must not enter the lake (its
+    null warc_ts would win LWW forever)."""
+    import gzip
+
+    from tenzir_ray.cdc import Lake
+    from tenzir_ray.sources.warc import record_bytes
+
+    good = record_bytes("https://ok.example/", "2026-01-01T00:00:00Z",
+                        b"<p>good</p>")
+    bad = record_bytes("https://bad.example/", "NOT-A-DATE", b"<p>bad</p>")
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "part-0.warc.gz").write_bytes(gzip.compress(good)
+                                       + gzip.compress(bad))
+    lake = Lake(str(tmp_path / "lake"), partitions=2, salt=1)
+    r = lake.ingest_warc(str(d), epoch=0)
+    assert r["events"] == 1
+    urls = lake.read_table().column("url").to_pylist()
+    assert urls == ["https://ok.example/"]
