@@ -753,8 +753,26 @@ class Lake:
         ideal = max(1, int(on_disk * 3 / (64 << 20)) + 1)
         waves = max(1, -(-ideal // cpus))
         blocks = min(waves * cpus, 16 * cpus)
+        # Explicit RAW schema (union of the pending epochs' footers):
+        # every block decodes to identical plain types — without it the
+        # reader emits some blocks with dictionary-encoded string
+        # columns and some plain (schema-divergence churn per bundle),
+        # and Ray re-unifies schemas per block. Skipped when a rename
+        # alias's old and new name would both land in the union (the
+        # align stage must see only the raw names per epoch).
+        raw_union = None
+        try:
+            raw = [pq.read_schema(fs[0]).remove_metadata()
+                   for _e, fs in pending]
+            raw_union = pa.unify_schemas(raw, promote_options="permissive")
+            if any(o in raw_union.names and n in raw_union.names
+                   for o, n in self.aliases.items()):
+                raw_union = None
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OSError):
+            raw_union = None
         ds = rd.read_parquet(
-            all_files, include_paths=True, override_num_blocks=blocks
+            all_files, include_paths=True, override_num_blocks=blocks,
+            **({"schema": raw_union} if raw_union is not None else {}),
         )
         # file-staged exchange: payload → per-bucket stage files; only
         # (bucket, epoch, path, counts) metadata rides the Ray shuffle
