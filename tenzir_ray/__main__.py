@@ -98,7 +98,10 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # shut down only a session WE started (tests drive main() inside a
+    # long-lived fixture session that must survive the call)
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(
             address="local", num_cpus=args.num_cpus,
             include_dashboard=False, logging_level="ERROR",
@@ -109,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "lake":
         rc = _lake_main(args)
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
         return rc
 
     from tenzir_ray.pipelines import Pipeline
@@ -156,6 +160,19 @@ def main(argv: list[str] | None = None) -> int:
         src = rd.from_items([]) if os.path.getsize(tmp.name) == 0 \
             else open_uri(tmp.name)
         ds = Pipeline.parse("\n".join(body)).run(src)
+    elif uri.startswith("lake:"):
+        # export from a CDC lake (`from lake:<dir> | …`): merge-on-read
+        # as the source; a LEADING select pushes its projection into the
+        # column-pruned partition scan (html never decoded unless asked)
+        from tenzir_ray.cdc import Lake
+
+        body = segs[1:]
+        columns = None
+        if body and body[0].startswith("select "):
+            columns = [c.strip() for c in
+                       body.pop(0)[len("select "):].split(",") if c.strip()]
+        src = Lake(uri[len("lake:"):]).read(columns=columns)
+        ds = Pipeline.parse("\n".join(body)).run(src)
     elif uri.endswith(".parquet"):
         # parquet: let the planner keep `from` so leading where/select
         # push into the scan (filter + projection at the read)
@@ -198,7 +215,8 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 for row in ds.iter_rows():
                     print(json.dumps(row, default=str))
-            ray.shutdown()
+            if owns_ray:
+                ray.shutdown()
             return 0
         if fmt == "parquet":
             ds.write_parquet(path)
@@ -237,7 +255,8 @@ def main(argv: list[str] | None = None) -> int:
             if args.limit is not None and i >= args.limit:
                 break
             print(json.dumps(row, default=str))
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 

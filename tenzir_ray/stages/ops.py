@@ -474,7 +474,13 @@ def summarize(
         else:
             fn, col, param = spec
         parsed.append((alias, fn, col, param))
-    native = all(fn in _AGGS and fn != "median" for _a, fn, _c, _p in parsed)
+    # bare `count` (no column) is excluded from the native path: Ray
+    # 2.49's Count(on=None) returns 0 even over non-empty datasets
+    # (verified on rd.range(10), both ignore_nulls settings) — the
+    # partial/kernel paths count rows correctly
+    native = all(fn in _AGGS and fn != "median"
+                 and not (fn == "count" and col is None)
+                 for _a, fn, col, _p in parsed)
     by = [by] if isinstance(by, str) else by
     if combine == "auto" and by is not None and all(
             fn in _PARTIAL_FNS for _a, fn, _c, _p in parsed):
@@ -489,7 +495,13 @@ def summarize(
             else:
                 specs.append(cls(on=col, alias_name=alias))
         if by is None:
-            return ds.aggregate(*specs)  # whole-stream
+            # whole-stream: Ray's Dataset.aggregate returns a plain
+            # dict — wrap it back into a one-row Dataset so the result
+            # composes with downstream operators like any other stage
+            import ray.data as rd
+
+            res = ds.aggregate(*specs)
+            return rd.from_items([res]) if isinstance(res, dict) else res
         return ds.groupby(by).aggregate(*specs)
 
     def per_group(g: pa.Table) -> pa.Table:

@@ -468,3 +468,36 @@ def test_tql_curation_operators(ray_session):
     out = run_pipeline("semdedup threshold=0.99 clusters=2", emb) \
         .to_pandas()
     assert len(out) == 10  # exact-duplicate vectors collapsed
+
+
+def test_cli_lake_source(ray_session, tmp_path, capsys):
+    """`from lake:<dir> | select … | …` — export straight from the lake
+    with the projection pushed into the column-pruned scan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.cdc import Lake
+    from tenzir_ray.sources.warc import write_warc
+    from tenzir_ray.__main__ import main
+
+    crawl = str(tmp_path / "crawl")
+    rows = pa.table({
+        "url": pa.array([f"https://p{i}.example/" for i in range(12)]),
+        "warc_ts": pa.array([1_760_000_000] * 12, pa.int64())
+        .cast(pa.timestamp("s")).cast(pa.timestamp("ns")),
+        "payload": pa.array([f"<p>t{i % 3}</p>".encode()
+                             for i in range(12)], pa.binary()),
+    })
+    write_warc(rd.from_arrow(rows), crawl)
+    lake_dir = str(tmp_path / "lake")
+    Lake(lake_dir, partitions=2, salt=1).ingest_warc(crawl, epoch=0)
+
+    rc = main([f"from lake:{lake_dir} | select url, text | "
+               "summarize n=count() by text | sort text"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    import json as _json
+
+    got = [_json.loads(line) for line in out]
+    assert [g["n"] for g in got] == [4, 4, 4]
+    assert [g["text"] for g in got] == ["t0", "t1", "t2"]
