@@ -643,18 +643,24 @@ class Lake:
                 ).encode(),
             )
         self.G = self.P * self.salt
-        # Transient exchange staging: node-local fast storage (tmpfs when
-        # available — the same medium Ray's object store shuffles through;
-        # on a multi-node cluster this is local NVMe / the object store).
-        # NOT part of durable lake state; safe to lose between runs.
-        if stage_dir is not None:
-            self.stage_dir = stage_dir
-        elif os.path.isdir("/dev/shm"):
-            self.stage_dir = os.path.join(
-                "/dev/shm", "tenzir_ray_stage", root.strip("/").replace("/", "_")
-            )
-        else:
-            self.stage_dir = os.path.join(root, "_stage")
+        # Transient exchange staging. NOT part of durable lake state; safe
+        # to lose between runs. Medium is resolved per apply (see
+        # _select_stage_dir): single-node → node-local tmpfs; multi-node →
+        # the lake root's own filesystem (cluster-visible), because a
+        # reduce task on another node cannot read a map node's /dev/shm.
+        self._stage_dir_override = stage_dir
+        self.stage_dir = self._select_stage_dir()
+
+    def _select_stage_dir(self) -> str:
+        from ..util import exchange_stage_dir
+
+        if self._stage_dir_override is not None:
+            return self._stage_dir_override
+        return exchange_stage_dir(
+            os.path.join(self.root, "_stage"),
+            local_subdir=os.path.join(
+                "tenzir_ray_stage", self.root.strip("/").replace("/", "_")),
+        )
 
     # -------------------------------------------------- schema tracking
 
@@ -776,7 +782,10 @@ class Lake:
         )
         # file-staged exchange: payload → per-bucket stage files; only
         # (bucket, epoch, path, counts) metadata rides the Ray shuffle
-        # (see the comment block above _stage_batch for why).
+        # (see the comment block above _stage_batch for why). Medium is
+        # re-resolved here — Ray is up, so the node count is known and a
+        # multi-node cluster stages to the lake root FS, not /dev/shm.
+        self.stage_dir = stage_dir = self._select_stage_dir()
         meta = ds.map_batches(
             partial(
                 _map_stage_batch,
@@ -784,7 +793,7 @@ class Lake:
                 aliases=self.aliases,
                 n_buckets=self.G,
                 extract=self.extract,
-                stage_dir=self.stage_dir,
+                stage_dir=stage_dir,
             ),
             batch_format="pyarrow",
         )
@@ -802,7 +811,7 @@ class Lake:
         # duplicates, and committed (epoch, bucket) pairs no-op)
         import shutil
 
-        shutil.rmtree(self.stage_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
         wall = time.perf_counter() - t0
         by_epoch: dict[int, list] = {}
         for r in mrows:

@@ -73,7 +73,10 @@ def pseudonymize(ds, field: str, key: bytes = b"tenzir-ray-default-key"):
                 t.column_names.index(field), field, self.p(t.column(field))
             )
 
-    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 4))
+    from ..util import autoscale_pool
+
+    return ds.map_batches(Stage, batch_format="pyarrow",
+                          concurrency=autoscale_pool())
 
 
 def community_id(

@@ -55,7 +55,7 @@ def shell(
     command: str,
     format: str = "ndjson",
     column: str = "line",
-    concurrency=(1, 4),
+    concurrency=None,
     batch_size: int | None = 4096,
 ) -> Dataset:
     """Pipe events through an external command (operators/shell.cpp:
@@ -96,9 +96,11 @@ def shell(
             lines = proc.stdout.decode().splitlines()
             return pa.table({column: pa.array(lines, pa.string())})
 
+    from ..util import autoscale_pool
+
     return ds.map_batches(
         Shell, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool() if concurrency is None else concurrency,
     )
 
 

@@ -171,4 +171,7 @@ def sigma_match(ds, rules: dict[str, dict]):
                 "sigma_rules", pa.array(names, pa.list_(pa.string()))
             )
 
-    return ds.map_batches(Matcher, batch_format="pyarrow", concurrency=(1, 4))
+    from ..util import autoscale_pool
+
+    return ds.map_batches(Matcher, batch_format="pyarrow",
+                          concurrency=autoscale_pool())

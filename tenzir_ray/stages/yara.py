@@ -4,7 +4,15 @@ the core rule surface: ``strings`` with text / regex / hex patterns and
 ``nocase``/``ascii`` modifiers, ``condition`` with and/or/not,
 ``any of them`` / ``all of them`` / ``N of them`` and ``$id``
 references. Enough to run typical IOC-scan rules over binary or text
-payload columns; rules are compiled once per actor).
+payload columns).
+
+Execution model: each string pattern is evaluated VECTORIZED over the
+whole column with an Arrow kernel (``match_substring`` for literals/hex,
+``match_substring_regex`` for regexes — RE2), and the rule condition is
+then one numpy boolean expression over the per-pattern masks. A pattern
+RE2 cannot express falls back to a per-value Python ``re`` scan for that
+pattern only. The stage is a task pool (no actor cap — VERDICT r03 #3);
+compiled rule sets are cached per worker process.
 
 Rule source format (the YARA subset)::
 
@@ -24,6 +32,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _RULE = re.compile(
     r"rule\s+(?P<name>\w+)\s*\{(?P<body>.*?)\n\}", re.DOTALL)
@@ -34,8 +43,56 @@ _STR = re.compile(
 _N_OF = re.compile(r"\b(\d+|any|all)\s+of\s+them\b")
 
 
+class Pattern:
+    """One compiled string pattern: a vectorizable spec (kind + needle)
+    plus the Python ``re`` fallback used for per-value matching."""
+
+    __slots__ = ("kind", "needle", "nocase", "rx")
+
+    def __init__(self, kind: str, needle: bytes, nocase: bool,
+                 rx: "re.Pattern[bytes]"):
+        self.kind = kind        # "text" | "regex" | "hex" | "hexwild"
+        self.needle = needle    # literal bytes ("text"/"hex") or regex src
+        self.nocase = nocase
+        self.rx = rx
+
+    def search(self, data: bytes):
+        return self.rx.search(data)
+
+    def mask(self, arr: pa.Array, values: list | None) -> np.ndarray:
+        """Vectorized hit mask over a string/binary array; nulls → False.
+        ``values`` is the lazily-materialized pylist fallback (shared
+        across patterns so it is built at most once per batch)."""
+        try:
+            if self.kind in ("text", "hex"):
+                m = pc.match_substring(
+                    arr, pattern=self.needle.decode("latin-1"),
+                    ignore_case=self.nocase)
+            elif self.kind == "regex":
+                m = pc.match_substring_regex(
+                    arr, pattern=self.needle.decode("latin-1"),
+                    ignore_case=self.nocase)
+            else:
+                raise pa.ArrowNotImplementedError("hex wildcard")
+            return np.asarray(pc.fill_null(m, False))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                UnicodeDecodeError):
+            # RE2/kernel can't express it (wildcard hex, backreferences,
+            # non-latin-1 needles on a utf8 column) — per-value fallback
+            if values is None:
+                values = arr.to_pylist()
+            out = np.zeros(len(values), dtype=bool)
+            for i, v in enumerate(values):
+                if v is None:
+                    continue
+                data = v.encode("utf-8", "surrogatepass") \
+                    if isinstance(v, str) else v
+                out[i] = self.rx.search(data) is not None
+            return out
+
+
 class CompiledRule:
-    def __init__(self, name: str, patterns: dict[str, "re.Pattern[bytes]"],
+    def __init__(self, name: str, patterns: dict[str, Pattern],
                  condition: str):
         self.name = name
         self.patterns = patterns
@@ -45,42 +102,76 @@ class CompiledRule:
         hits = {sid: bool(p.search(data)) for sid, p in self.patterns.items()}
         return _eval_condition(self.condition, hits)
 
+    def mask(self, arr: pa.Array, values: list | None = None) -> np.ndarray:
+        masks = {sid: p.mask(arr, values)
+                 for sid, p in self.patterns.items()}
+        return _eval_condition_vector(self.condition, masks, len(arr))
 
-def _compile_pattern(val: str, mods: list[str]) -> "re.Pattern[bytes]":
-    flags = re.IGNORECASE if "nocase" in mods else 0
+
+def _compile_pattern(val: str, mods: list[str]) -> Pattern:
+    nocase = "nocase" in mods
+    flags = re.IGNORECASE if nocase else 0
     if val.startswith('"'):
         body = val[1:-1].encode().decode("unicode_escape").encode("latin-1")
-        return re.compile(re.escape(body), flags)
+        return Pattern("text", body, nocase, re.compile(re.escape(body), flags))
     if val.startswith("/"):
-        return re.compile(val[1:-1].encode(), flags)
+        body = val[1:-1].encode()
+        return Pattern("regex", body, nocase, re.compile(body, flags))
     # hex string { DE AD ?? EF } — ?? wildcards one byte
     toks = val[1:-1].split()
+    if "??" not in toks:
+        body = bytes(int(t, 16) for t in toks)
+        return Pattern("hex", body, nocase,
+                       re.compile(re.escape(body), re.DOTALL))
     rx = b"".join(b"." if t == "??" else re.escape(bytes([int(t, 16)]))
                   for t in toks)
-    return re.compile(rx, re.DOTALL)
+    return Pattern("hexwild", rx, nocase, re.compile(rx, re.DOTALL))
 
 
-def _eval_condition(cond: str, hits: dict[str, bool]) -> bool:
+def _cond_source(cond: str, ids, scalar: bool) -> str:
+    """Rewrite a YARA condition into an eval-able expression over either
+    per-row booleans (scalar=True: and/or/not) or numpy masks (&,|,~ —
+    same precedence ordering as and/or/not for atomic operands)."""
     c = cond.strip()
-    n_true = sum(hits.values())
 
     def n_of(m: "re.Match[str]") -> str:
         q = m.group(1)
         if q == "any":
-            return str(n_true >= 1)
+            return "(__n >= 1)"
         if q == "all":
-            return str(n_true == len(hits))
-        return str(n_true >= int(q))
+            return f"(__n == {len(list(ids))})"
+        return f"(__n >= {int(q)})"
 
     c = _N_OF.sub(n_of, c)
-    for sid, v in hits.items():
-        c = re.sub(r"\$" + re.escape(sid) + r"\b", str(v), c)
-    c = re.sub(r"\band\b", " and ", c)
-    c = re.sub(r"\bor\b", " or ", c)
-    c = re.sub(r"\bnot\b", " not ", c)
-    if not re.fullmatch(r"[\sTrueFalseandornot()]+", c):
+    for sid in ids:
+        c = re.sub(r"\$" + re.escape(sid) + r"\b", f'__m["{sid}"]', c)
+    if not scalar:
+        c = re.sub(r"\band\b", "&", c)
+        c = re.sub(r"\bor\b", "|", c)
+        c = re.sub(r"\bnot\b", "~", c)
+    residue = re.sub(r'__m\["\w+"\]|__n|\d+', "", c)
+    allowed = r"[\s()andort<>=]*" if scalar else r"[\s()&|~<>=]*"
+    if not re.fullmatch(allowed, residue):
         raise ValueError(f"unsupported yara condition: {cond!r}")
-    return bool(eval(c, {"__builtins__": {}}, {}))  # noqa: S307 — sanitized
+    return c
+
+
+def _eval_condition(cond: str, hits: dict[str, bool]) -> bool:
+    src = _cond_source(cond, hits.keys(), scalar=True)
+    env = {"__m": hits, "__n": sum(hits.values())}
+    return bool(eval(src, {"__builtins__": {}}, env))  # noqa: S307 — sanitized
+
+
+def _eval_condition_vector(
+    cond: str, masks: dict[str, np.ndarray], n: int
+) -> np.ndarray:
+    src = _cond_source(cond, masks.keys(), scalar=False)
+    n_true = np.zeros(n, dtype=np.int32)
+    for m in masks.values():
+        n_true += m
+    env = {"__m": masks, "__n": n_true}
+    out = eval(src, {"__builtins__": {}}, env)  # noqa: S307 — sanitized
+    return np.broadcast_to(np.asarray(out, dtype=bool), (n,))
 
 
 def compile_rules(source: str) -> list[CompiledRule]:
@@ -102,37 +193,40 @@ def compile_rules(source: str) -> list[CompiledRule]:
     return rules
 
 
+# Per-worker-process compiled-rule cache: a TASK pool (no actor pool, no
+# concurrency cap) scales to every CPU Ray has, and each worker process
+# still compiles a given rule set exactly once.
+_COMPILED: dict[str, list[CompiledRule]] = {}
+
+
 def yara_match(ds, rules_source: str, col: str = "data"):
     """Scan a binary/string column with YARA rules; rows matching no rule
     are dropped, matches land in ``yara_rules`` (operators/yara.cpp
-    emits per-match events; one row per input row here). Rules compile
-    once per actor."""
+    emits per-match events; one row per input row here). Rule source is
+    broadcast once (ray.put); compilation is cached per worker process;
+    every pattern runs as one Arrow kernel over the batch."""
+    import hashlib
+
     import ray
 
     src_ref = ray.put(rules_source)
+    key = hashlib.sha1(rules_source.encode()).hexdigest()
 
-    class Matcher:
-        def __init__(self):
-            self.rules = compile_rules(ray.get(src_ref))
+    def scan(t: pa.Table) -> pa.Table:
+        rules = _COMPILED.get(key)
+        if rules is None:
+            rules = _COMPILED.setdefault(key, compile_rules(ray.get(src_ref)))
+        col_arr = t.column(col).combine_chunks()
+        rule_masks = [r.mask(col_arr, None) for r in rules]
+        any_hit = np.zeros(len(col_arr), dtype=bool)
+        for m in rule_masks:
+            any_hit |= m
+        idx = np.flatnonzero(any_hit)
+        names = [[r.name for r, m in zip(rules, rule_masks) if m[i]]
+                 for i in idx]
+        out = t.filter(pa.array(any_hit)).append_column(
+            "yara_rules", pa.array(names, pa.list_(pa.string())))
+        return out.replace_schema_metadata(None) \
+            if out.schema.metadata else out
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            col_arr = t.column(col).combine_chunks()
-            vals = col_arr.to_pylist()
-            names: list[list[str] | None] = []
-            mask = np.zeros(len(vals), dtype=bool)
-            for i, v in enumerate(vals):
-                if v is None:
-                    names.append(None)
-                    continue
-                data = v.encode() if isinstance(v, str) else v
-                hit = [r.name for r in self.rules if r.match(data)]
-                names.append(hit)
-                mask[i] = bool(hit)
-            out = t.append_column(
-                "yara_rules", pa.array(names, pa.list_(pa.string()))
-            ).filter(pa.array(mask))
-            return out.replace_schema_metadata(None) \
-                if out.schema.metadata else out
-
-    return ds.map_batches(Matcher, batch_format="pyarrow",
-                          concurrency=(1, 4))
+    return ds.map_batches(scan, batch_format="pyarrow")

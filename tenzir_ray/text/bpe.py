@@ -140,7 +140,7 @@ def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 def bpe_tokenize(ds: Dataset, merges: list[tuple[str, str]],
                  text_col: str = "text", out_col: str = "bpe_n_tokens",
                  lowercase: bool = True,
-                 concurrency: int | tuple = (1, 8)) -> Dataset:
+                 concurrency: int | tuple | None = None) -> Dataset:
     """Append the BPE token COUNT per document (the training-data
     metric). Merge table broadcast once; per-actor word→len cache."""
     import ray
@@ -175,5 +175,8 @@ def bpe_tokenize(ds: Dataset, merges: list[tuple[str, str]],
             return t.replace_schema_metadata(None) \
                 if t.schema.metadata else t
 
+    from ..util import autoscale_pool
+
     return ds.map_batches(Tokenizer, batch_format="pyarrow",
-                          concurrency=concurrency)
+                          concurrency=autoscale_pool()
+                          if concurrency is None else concurrency)

@@ -158,15 +158,17 @@ def sample_video_frames(
 
 
 def decode_images(ds: Dataset, payload_col: str = "image",
-                  batch_size: int = 64, concurrency=(1, 8)) -> Dataset:
+                  batch_size: int = 64, concurrency=None) -> Dataset:
     """Wire the decoder actor pool: small batches (rows are MBs),
-    concurrency × num_cpus sized to leave room for up/downstream stages."""
+    concurrency autoscales with cluster CPUs (num_cpus=1 each)."""
+    from ..util import autoscale_pool
+
     return ds.map_batches(
         ImageDecoder,
         fn_constructor_kwargs={"payload_col": payload_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool() if concurrency is None else concurrency,
         num_cpus=1,
     )
 
@@ -226,12 +228,14 @@ class AudioFeatures:
 
 
 def extract_audio_features(ds: Dataset, payload_col: str = "audio",
-                           batch_size: int = 64, concurrency=(1, 8)) -> Dataset:
+                           batch_size: int = 64, concurrency=None) -> Dataset:
+    from ..util import autoscale_pool
+
     return ds.map_batches(
         AudioFeatures,
         fn_constructor_kwargs={"payload_col": payload_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool() if concurrency is None else concurrency,
         num_cpus=1,
     )

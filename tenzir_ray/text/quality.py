@@ -175,18 +175,18 @@ class DocumentAnalyzer:
 
 
 def analyze_documents(
-    ds: Dataset, text_col: str = "text", concurrency=(1, 8), batch_size: int = 1024
+    ds: Dataset, text_col: str = "text", concurrency=None, batch_size: int = 1024
 ) -> Dataset:
     """Fused text-analysis stage as an actor pool (regexes compiled once
     per actor; batch size modest because documents are wide)."""
-    import functools
+    from ..util import autoscale_pool
 
     return ds.map_batches(
         DocumentAnalyzer,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool() if concurrency is None else concurrency,
     )
 
 
@@ -299,15 +299,17 @@ class RepetitionAnalyzer:
 
 
 def repetition_signals(
-    ds: Dataset, text_col: str = "text", concurrency=(1, 8), batch_size: int = 512
+    ds: Dataset, text_col: str = "text", concurrency=None, batch_size: int = 512
 ) -> Dataset:
     """Gopher repetition signals + keep decision as an actor-pool stage."""
+    from ..util import autoscale_pool
+
     return ds.map_batches(
         RepetitionAnalyzer,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=autoscale_pool() if concurrency is None else concurrency,
     )
 
 

@@ -90,6 +90,31 @@ def test_replay_equivalence(tmp_path):
     pd.testing.assert_frame_equal(df1, df2)
 
 
+def test_multinode_stage_dir_is_cluster_visible(tmp_path, monkeypatch):
+    """Simulated multi-node cluster: the staged exchange must NOT use
+    node-local /dev/shm (a reduce task on another node can't read a map
+    node's tmpfs) — it stages under the lake root's own filesystem, and
+    the apply still matches the sequential oracle (VERDICT r03 #2)."""
+    monkeypatch.setenv("TENZIR_RAY_FORCE_MULTINODE", "1")
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=2)
+    sel = lake._select_stage_dir()
+    assert sel == os.path.join(lake.root, "_stage")
+    assert not sel.startswith("/dev/shm")
+    lake.apply_wal(wal)
+    assert lake.stage_dir == sel  # apply-time re-resolution picked shared
+    _assert_state_equals_oracle(lake, wal)
+
+    # single-node default (override removed): tmpfs fast path returns
+    monkeypatch.delenv("TENZIR_RAY_FORCE_MULTINODE")
+    if os.path.isdir("/dev/shm"):
+        assert lake._select_stage_dir().startswith("/dev/shm")
+    # explicit stage_dir= always wins over medium selection
+    lake2 = Lake(str(tmp_path / "lake2"), stage_dir=str(tmp_path / "st"))
+    assert lake2._select_stage_dir() == str(tmp_path / "st")
+
+
 def test_crash_resume_idempotent(tmp_path):
     wal = str(tmp_path / "wal")
     generate_wal(wal, SPEC)
