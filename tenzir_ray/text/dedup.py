@@ -552,6 +552,7 @@ def minhash_lsh_dedup(
     verify_threshold: float | None = None,
     max_broadcast_bytes: int | None = None,
     seeds: tuple[int, ...] = (1337,),
+    verify_max_task_bytes: int = 256 << 20,
 ) -> Dataset:
     """Full near-dup dedup: LSH candidates → union into duplicate sets via
     min-label (each doc keeps the min candidate-group id it ever sees) →
@@ -570,7 +571,9 @@ def minhash_lsh_dedup(
     Above ``max_broadcast_bytes`` (default 256 MiB) the finalizer
     auto-switches to :func:`anti_filter_ids`'s Bloom-prefiltered
     bucketed exact filter — no single broadcast object above the cap.
-    Returns the surviving rows."""
+    With ``verify_threshold``, candidate pairs are verified in tasks
+    bucketed by hash(rep) so no single task's text working set exceeds
+    ``verify_max_task_bytes``. Returns the surviving rows."""
     import functools
 
     import ray
@@ -672,16 +675,41 @@ def minhash_lsh_dedup(
         return out.replace_schema_metadata(None) \
             if out.schema.metadata else out
 
-    text_refs = [r for b in ds.map_batches(cand_texts,
-                                           batch_format="pyarrow")
-                 .iter_internal_ref_bundles() for r in b.block_refs]
+    text_bundles = list(ds.map_batches(cand_texts, batch_format="pyarrow")
+                        .iter_internal_ref_bundles())
+    text_refs = [r for b in text_bundles for r in b.block_refs]
+    # Bucketed exact verification (VERDICT r03 #4): a single verify task
+    # holding EVERY candidate's text caps out one worker's heap at scale.
+    # Pairs are bucketed by hash(rep) — a drop appears in exactly one
+    # pair (per-doc Min), so each bucket's text working set is disjoint
+    # up to reps — and each bucket task materializes only ITS ids' texts
+    # (blocks are plasma-shared; the is_in filter runs before pylist).
+    # Bucket count auto-scales so per-task text volume stays under
+    # verify_max_task_bytes.
+    try:
+        cand_bytes = sum(int(b.size_bytes()) for b in text_bundles)
+    except Exception:
+        cand_bytes = 0
+    n_vbuckets = max(1, -(-cand_bytes // max(1, verify_max_task_bytes)))
 
     @ray.remote
-    def _verify(pairs: pa.Table, *text_blocks) -> pa.Array:
+    def _verify_bucket(pairs: pa.Table, b: int, nb: int,
+                       *text_blocks) -> pa.Array:
+        if nb > 1:
+            rep = pairs.column("__rep").to_numpy().astype(np.uint64)
+            h = rep * np.uint64(0x9E3779B97F4A7C15)  # wrapping fibhash
+            pairs = pairs.filter(pa.array((h % np.uint64(nb)).astype(
+                np.int64) == b))
+        if pairs.num_rows == 0:
+            return pa.array([], pa.int64())
+        need = pc.unique(pa.chunked_array([
+            pairs.column("__drop_id"), pairs.column("__rep")]))
         texts: dict = {}
-        for b in text_blocks:
-            for i, s in zip(b.column(id_col).to_pylist(),
-                            b.column(text_col).to_pylist()):
+        for blk in text_blocks:
+            ids = pc.cast(blk.column(id_col).combine_chunks(), pa.int64())
+            sub = blk.filter(pc.is_in(ids, value_set=need))
+            for i, s in zip(sub.column(id_col).to_pylist(),
+                            sub.column(text_col).to_pylist()):
                 texts[i] = s
         keep = [
             d for d, r in zip(pairs.column("__drop_id").to_pylist(),
@@ -691,10 +719,14 @@ def minhash_lsh_dedup(
         ]
         return pa.array(sorted(set(keep)), pa.int64())
 
-    drop_ref = _verify.remote(pairs_ref, *text_refs)
+    drop_refs_v = [
+        _verify_bucket.remote(pairs_ref, b, n_vbuckets, *text_refs)
+        for b in range(n_vbuckets)
+    ]
 
     def survivors(t: pa.Table) -> pa.Table:
-        vs = ray.get(drop_ref)
+        parts = [p for p in ray.get(drop_refs_v) if len(p)]
+        vs = pa.concat_arrays(parts) if parts else pa.array([], pa.int64())
         if len(vs) == 0:
             return t
         probe = t.column(id_col).combine_chunks()

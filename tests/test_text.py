@@ -197,6 +197,14 @@ def test_minhash_verify_threshold(ray_session):
         ds, "doc_id", "text", verify_threshold=0.5).take_all())
     assert verified == plain
 
+    # forcing >1 verify bucket (tiny per-task byte cap) must not change
+    # the verified result — the bucketed path is the 100 TB memory bound
+    # (VERDICT r03 #4)
+    bucketed = sorted(r["doc_id"] for r in minhash_lsh_dedup(
+        ds, "doc_id", "text", verify_threshold=0.5,
+        verify_max_task_bytes=64).take_all())
+    assert bucketed == plain
+
 
 def test_semi_join_ds_simple(ray_session):
     import pyarrow as pa
