@@ -846,6 +846,35 @@ def _tql_pipeline(sf_dir: str):
     return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
 
 
+def _tql_let_if(sf_dir: str):
+    """TQL2 language constructs in pipeline TEXT (tql2/parser.cpp let
+    statements; operators/if.cpp branch subpipelines; planner.py
+    split_ops/_take_block): a `let` constant substitutes into both
+    branches' predicates, `if/else` routes rows through different
+    set-projections, the merged stream aggregates."""
+    import pyarrow.compute as pc2
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = Pipeline.parse(
+        """
+        let $cut = 30
+        if l_quantity > $cut {
+          set bucket = 1 | set gain = l_extendedprice * 2
+        } else {
+          set bucket = 0 | set gain = l_extendedprice
+        }
+        summarize n=count(*), qty=sum(l_quantity), gain=sum(gain) by bucket, l_returnflag
+        """
+    ).run(ds)
+    return ops.set_(out,
+                    qty=lambda t: pc2.round(t["qty"], 2),
+                    gain=lambda t: pc2.round(t["gain"], 2))
+
+
 def _routed_json(sf_dir: str):
     """Selector-routed JSON: heterogeneous NDJSON split by event_type,
     each route parsed to its OWN schema (per-type key: v_<type>), then
@@ -2016,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slice_events": _slice_events,
         "parse_props": _parse_props,
         # -- new this round (slot before the r03 rotation) ------------------
+        "tql_let_if": _tql_let_if,
         # -- r03-green rotation: code touched this round first --------------
         "cdc_replay": _cdc_replay,
         "cdc_asof": _cdc_asof,
@@ -2537,6 +2567,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.08
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tql_let_if": """
+            SELECT CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS bucket,
+                   l_returnflag,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty,
+                   round(sum(CASE WHEN l_quantity > 30
+                             THEN l_extendedprice * 2
+                             ELSE l_extendedprice END), 2) AS gain
+            FROM lineitem GROUP BY 1, 2
         """,
         "pcap_decap": """
             WITH x AS (

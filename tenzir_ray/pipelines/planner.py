@@ -27,6 +27,8 @@ Supported operators (reference file cited in OPS below)::
     semdedup [threshold= clusters= id= vec=]
     scrub_passages [ngram= min_docs= id= text=]
     cap <n> by <key> order_by <col> [desc|asc]
+    let $name = <const>              // substitutes into later operators
+    if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
 
 Expressions are Python syntax evaluated over pyarrow.dataset field
 expressions (``l_quantity > 45 and l_discount < 0.1`` →
@@ -401,8 +403,28 @@ class Pipeline:
     @classmethod
     def parse(cls, text: str) -> "Pipeline":
         raw = []
+        bindings: dict[str, str] = {}
         for seg in cls.split_ops(text):
+            if bindings:
+                seg = re.sub(
+                    r"\$(\w+)",
+                    lambda m: bindings.get(m.group(1), m.group(0)), seg)
             op, _, rest = seg.partition(" ")
+            if op == "let":
+                # `let $name = <const-expr>` (tql2/parser.cpp let_stmt):
+                # constants substitute into every later operator's text —
+                # so a `where x > $min` still pushes into the scan. A
+                # non-literal RHS substitutes verbatim (column aliases).
+                name, eq, rhs = rest.partition("=")
+                name, rhs = name.strip(), rhs.strip()
+                if not eq or not name.startswith("$") or not rhs:
+                    raise ValueError(
+                        f"let: expected `let $name = <expr>`, got {seg!r}")
+                try:
+                    bindings[name[1:]] = repr(ast.literal_eval(rhs))
+                except (ValueError, SyntaxError):
+                    bindings[name[1:]] = rhs
+                continue
             raw.append((op, rest.strip()))
         source = filt = cols = None
         filt_cols: set[str] = set()
@@ -462,15 +484,68 @@ class Pipeline:
     @staticmethod
     def split_ops(text: str) -> list[str]:
         """Operator segments: newline- and ``|``-separated (TQL writes
-        one-liners as ``op | op | op``); ``//`` comments stripped."""
-        out = []
-        for raw in text.strip().splitlines():
-            line = raw.split("//")[0].strip()
-            for seg in line.split("|"):
-                seg = seg.strip()
+        one-liners as ``op | op | op``); ``//`` comments stripped. Brace
+        blocks (``if … { … } else { … }``, ``fork { … }``) and quoted
+        strings are kept whole — splitting only happens at depth 0
+        outside quotes (tql2/parser.cpp tokenizes the same way)."""
+        out: list[str] = []
+        buf: list[str] = []
+        depth = 0
+        in_str: str | None = None
+        s = text
+        i = 0
+        while i < len(s):
+            ch = s[i]
+            if in_str:
+                buf.append(ch)
+                if ch == in_str and s[i - 1] != "\\":
+                    in_str = None
+                i += 1
+                continue
+            if ch in "\"'":
+                in_str = ch
+                buf.append(ch)
+                i += 1
+                continue
+            if ch == "/" and i + 1 < len(s) and s[i + 1] == "/":
+                while i < len(s) and s[i] != "\n":
+                    i += 1
+                continue
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth < 0:
+                    raise ValueError("unbalanced '}' in pipeline text")
+            if ch in "\n|" and depth == 0:
+                seg = "".join(buf).strip()
                 if seg:
                     out.append(seg)
+                buf = []
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+        if depth != 0:
+            raise ValueError("unbalanced '{' in pipeline text")
+        seg = "".join(buf).strip()
+        if seg:
+            out.append(seg)
         return out
+
+    @staticmethod
+    def _take_block(s: str, start: int) -> tuple[str, int]:
+        """``s[start]`` must be ``{``; returns (inner text, index after
+        the matching ``}``)."""
+        depth = 0
+        for j in range(start, len(s)):
+            if s[j] == "{":
+                depth += 1
+            elif s[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    return s[start + 1:j], j + 1
+        raise ValueError("unbalanced braces in pipeline block")
 
     @staticmethod
     def _compile_step(op: str, rest: str):
@@ -486,6 +561,56 @@ class Pipeline:
                         f"{what}: expected key=value options, got {p!r}")
                 out[k.strip()] = v.strip()
             return out
+        if op == "if":
+            # `if <expr> { <pipe> } [else { <pipe> }]` (operators/if.cpp:
+            # 109-618) — rows matching the predicate flow through the
+            # then-branch, the rest through the else-branch (or pass
+            # unchanged), outputs merged. Branches are full subpipelines.
+            b = rest.find("{")
+            if b < 0:
+                raise ValueError(f"if: expected '{{' in {rest!r}")
+            pred_src = rest[:b].strip()
+            then_text, j = Pipeline._take_block(rest, b)
+            tail = rest[j:].strip()
+            else_text = None
+            if tail:
+                if not tail.startswith("else"):
+                    raise ValueError(f"if: unexpected trailing {tail!r}")
+                t2 = tail[len("else"):].strip()
+                if not t2.startswith("{"):
+                    raise ValueError("if: expected '{' after else")
+                else_text, j2 = Pipeline._take_block(t2, 0)
+                if t2[j2:].strip():
+                    raise ValueError(
+                        f"if: unexpected trailing {t2[j2:].strip()!r}")
+            pred = compile_array_expr(pred_src)
+            then_p = Pipeline.parse(then_text)
+            else_p = Pipeline.parse(else_text) \
+                if else_text is not None else None
+            from tenzir_ray.stages.flow import if_
+
+            return lambda ds: if_(
+                ds, pred, then_p.run, else_p.run if else_p else None)
+        if op == "fork":
+            # `fork { <pipe> }` (operators/fork.cpp:15): the stream is
+            # copied into the subpipeline; with no sink inside the block
+            # the fork's output merges back into the main stream.
+            b = rest.find("{")
+            if b < 0 or rest[:b].strip():
+                raise ValueError(f"fork: expected `fork {{ … }}`, "
+                                 f"got {rest!r}")
+            inner, j = Pipeline._take_block(rest, b)
+            if rest[j:].strip():
+                raise ValueError(
+                    f"fork: unexpected trailing {rest[j:].strip()!r}")
+            sub = Pipeline.parse(inner)
+            from tenzir_ray.stages.flow import fork as _fork
+
+            def _step(ds, sub=sub):
+                main, branch = _fork(ds, lambda d: d, sub.run)
+                return main.union(branch)
+
+            return _step
         if op == "where":
             if expr_has_calls(rest):
                 fn = compile_array_expr(rest)

@@ -365,6 +365,7 @@ def semdedup(
     vec_col: str = "embedding",
     iters: int = 5,
     seed: int = 11,
+    max_exact_rows: int = 4096,
 ) -> Dataset:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): spherical k-means over the embedding corpus, then
@@ -381,6 +382,17 @@ def semdedup(
     shuffle is ``groupby(sem_cluster)``, and at corpus scale
     ``n_clusters`` is sized so clusters stay bounded (the paper uses
     ~0.1% of corpus size). Output = surviving rows + ``sem_cluster``.
+
+    Pathological-cluster guard (VERDICT r03 #8): a degenerate cluster
+    (skewed k-means, near-constant corpus) would make the exact pass
+    O(cluster²) in RAM. Above ``max_exact_rows`` the prune switches to a
+    similarity-sorted sliding window: each row is compared against the
+    previous ``max_exact_rows`` rows in (centroid-sim, id) order — the
+    order near-duplicates cluster in — so memory is
+    O(max_exact_rows²) regardless of cluster size. Deterministic; pairs
+    farther than the window apart in centroid-sim order are a documented
+    approximation (they are ipso facto not near-equal to the centroid
+    simultaneously).
     """
     import functools
 
@@ -406,8 +418,23 @@ def semdedup(
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, csim))  # centroid-sim asc, id asc
         ms = m[order]
-        sims = ms @ ms.T
-        drop = np.triu(sims >= threshold, k=1).any(axis=0)
+        c = len(order)
+        if c <= max_exact_rows:
+            sims = ms @ ms.T
+            drop = np.triu(sims >= threshold, k=1).any(axis=0)
+        else:
+            # sliding-window prune: block B vs (previous block + itself)
+            # — every pair within max_exact_rows positions is exact
+            drop = np.zeros(c, dtype=bool)
+            W = max_exact_rows
+            for s in range(0, c, W):
+                blk = ms[s:s + W]
+                self_sims = blk @ blk.T
+                d = np.triu(self_sims >= threshold, k=1).any(axis=0)
+                if s:
+                    prev = ms[s - W:s]
+                    d |= (prev @ blk.T >= threshold).any(axis=0)
+                drop[s:s + W] = d
         out = (
             g.take(pa.array(order[~drop]))
             .rename_columns(

@@ -501,3 +501,56 @@ def test_cli_lake_source(ray_session, tmp_path, capsys):
     got = [_json.loads(line) for line in out]
     assert [g["n"] for g in got] == [4, 4, 4]
     assert [g["text"] for g in got] == ["t0", "t1", "t2"]
+
+
+def test_tql_let_if_fork_blocks(ray_session):
+    """TQL2 language constructs in pipeline TEXT (tql2/parser.cpp,
+    operators/if.cpp, operators/fork.cpp): `let` constants substitute
+    into later operators (including scan pushdown), `if/else` routes
+    rows through branch subpipelines and merges, `fork` copies the
+    stream through a block and unions it back."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import Pipeline, run_pipeline
+
+    t = pa.table({"x": list(range(20)),
+                  "y": [float(i % 4) for i in range(20)]})
+    ds = rd.from_arrow(t)
+
+    # let + if/else: rows split on a bound constant, branches transform
+    out = run_pipeline(
+        """
+        let $cut = 10
+        if x >= $cut {
+          set side = 1 | select x, side
+        } else {
+          set side = 0 | select x, side
+        }
+        sort x
+        """, ds).to_pandas()
+    assert list(out["side"]) == [0] * 10 + [1] * 10
+
+    # if without else: non-matching rows pass through unchanged
+    out2 = run_pipeline("if x < 3 { set y = 99.0 }\nsort x", ds).to_pandas()
+    assert list(out2["y"][:3]) == [99.0] * 3
+    assert list(out2["y"][3:]) == [float(i % 4) for i in range(3, 20)]
+
+    # fork: main ∪ branch (20 + 5 matching rows)
+    n = run_pipeline("fork { where x < 5 }", ds).count()
+    assert n == 25
+
+    # let pushes into the scan filter (pushdown survives substitution)
+    p2 = Pipeline.parse("""
+        let $m = 7
+        from /tmp/whatever.parquet
+        where x > $m
+    """)
+    # `let` precedes `from`: where folded into the scan filter
+    src, filt, cols = p2.source_plan()
+    assert src == "/tmp/whatever.parquet" and filt is not None
+
+    # nested blocks tokenize as one segment
+    segs = Pipeline.split_ops(
+        "if a { if b { head 1 } else { head 2 } } | sort x")
+    assert len(segs) == 2 and segs[1] == "sort x"

@@ -802,6 +802,39 @@ def test_semdedup_drops_planted_duplicates(ray_session):
     assert list(got["sem_cluster"]) == list(want["sem_cluster"])
 
 
+def test_semdedup_oversize_cluster_guard(ray_session):
+    """A degenerate skewed cluster (one near-constant direction holding
+    most rows) must not trigger an O(cluster²) allocation: with a tiny
+    max_exact_rows the windowed prune still collapses every planted
+    duplicate family to one survivor and matches the exact result —
+    near-dups are adjacent in centroid-sim order (VERDICT r03 #8)."""
+    from tenzir_ray.text.ann import semdedup
+
+    rng = np.random.default_rng(9)
+    axis = rng.normal(size=16).astype(np.float32)
+    # 120 rows piled on one direction (the skewed cluster): 30 families
+    # of 4 near-identical vectors each + 20 scattered distinct rows
+    fams = []
+    for f in range(30):
+        v = axis + rng.normal(scale=0.05, size=16).astype(np.float32)
+        for _ in range(4):
+            fams.append(v + rng.normal(scale=1e-4, size=16)
+                        .astype(np.float32))
+    distinct = rng.normal(size=(20, 16)).astype(np.float32)
+    vecs = np.concatenate([np.array(fams), distinct])
+    ids = list(range(len(vecs)))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    exact = semdedup(ds, n_clusters=2, threshold=0.95).to_pandas()
+    guarded = semdedup(ds, n_clusters=2, threshold=0.95,
+                       max_exact_rows=16).to_pandas()
+    assert sorted(guarded["vec_id"]) == sorted(exact["vec_id"])
+    assert len(guarded) < 140  # families collapsed
+
+
 def test_scrub_passages_removes_shared_spans(ray_session):
     """A passage shared verbatim by >=2 docs is physically cut from the
     text; unique surroundings survive verbatim; result equals the
