@@ -1152,39 +1152,57 @@ def _first3_per_type(sf_dir: str):
 
 
 def _grok_parse(sf_dir: str):
-    """grok parser driver-checked: access-log-style lines synthesized
-    from events, grok-captured, aggregated."""
+    """grok parser driver-checked with STOCK library patterns
+    (grok-patterns set, sources/grok_patterns.py; reference
+    formats/grok.cpp:837): apache-combined-style access lines
+    synthesized from events, captured via %{IPORHOST} %{HTTPDUSER}
+    %{WORD} %{URIPATH} %{NONNEGINT} %{QS}, aggregated."""
     import functools
 
     import tenzir_ray.stages as ops
     from tenzir_ray.sources.formats import parse_grok_batch
 
-    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "user_id"])
 
     def mk(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.string())
         line = pc.binary_join_element_wise(
-            "GET /", t["event_type"], "/",
-            pc.cast(t["event_id"], pa.string()), " 200", "")
+            "10.0.0.", pc.cast(pc.bit_wise_and(t["user_id"], 255),
+                               pa.string()),
+            " - u", uid,
+            " \"GET /", t["event_type"], "/",
+            pc.cast(t["event_id"], pa.string()),
+            " HTTP/1.1\" 200 \"agent-", uid, "\"", "")
         return pa.table({"text": line})
 
     lines = ds.map_batches(mk, batch_format="pyarrow")
     parsed = lines.map_batches(
         functools.partial(
             parse_grok_batch,
-            pattern=r"%{WORD:verb} /%{WORD:etype}/%{INT:eid} %{INT:code}"),
+            pattern=r"%{IPORHOST:clientip} - %{HTTPDUSER:auth} "
+                    r"\"%{WORD:verb} %{URIPATH:path} "
+                    r"HTTP/%{NUMBER:httpver}\" %{NONNEGINT:code} "
+                    r"%{QS:agent}"),
         batch_format="pyarrow",
     )
 
     def norm(t: pa.Table) -> pa.Table:
+        # path = /<etype>/<eid>: recompute group keys from the captures
+        parts = pc.split_pattern(t.column("path"), "/")
         return pa.table({
-            "etype": t.column("etype"),
-            "eid": pc.cast(t.column("eid"), pa.int64()),
+            "etype": pc.list_element(parts, 1),
+            "eid": pc.cast(pc.list_element(parts, 2), pa.int64()),
+            "clientip": t.column("clientip"),
+            "agent": t.column("agent"),
         })
 
-    return ops.summarize(
+    out = ops.summarize(
         parsed.map_batches(norm, batch_format="pyarrow"),
         "etype", combine="auto", n="count", mx=("max", "eid"),
+        ip_mx=("max", "clientip"), ag_mx=("max", "agent"),
     )
+    return out
 
 
 def _sigma_match(sf_dir: str):
@@ -2456,7 +2474,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grok_parse": """
             SELECT event_type AS etype, count(*) AS n,
-                   max(event_id) AS mx
+                   max(event_id) AS mx,
+                   max('10.0.0.' || (user_id & 255)) AS ip_mx,
+                   max('"agent-' || user_id || '"') AS ag_mx
             FROM events GROUP BY event_type
         """,
         "scalar_funcs": """

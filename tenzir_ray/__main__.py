@@ -189,7 +189,7 @@ def main(argv: list[str] | None = None) -> int:
             # `write <fmt> | save stdout`): stream printer lines
             # batch-by-batch, never materializing the result
             if fmt in ("syslog", "cef", "leef", "kv", "ndjson", "csv",
-                       "lines"):
+                       "lines", "json"):
                 import functools
 
                 from tenzir_ray.sources import printers as pr
@@ -199,6 +199,7 @@ def main(argv: list[str] | None = None) -> int:
                     "cef": pr.print_cef_batch,
                     "leef": pr.print_leef_batch, "kv": pr.print_kv_batch,
                     "ndjson": pr.print_ndjson_batch,
+                    "json": pr.print_ndjson_batch,
                     "csv": functools.partial(pr.print_csv_batch,
                                              include_header=False),
                     "lines": pr.print_lines_batch,
@@ -213,8 +214,11 @@ def main(argv: list[str] | None = None) -> int:
                         sys.stdout.write(
                             "\n".join(b.column("line").to_pylist()) + "\n")
             else:
-                for row in ds.iter_rows():
-                    print(json.dumps(row, default=str))
+                print(f"error: sink format {fmt!r} needs a path",
+                      file=sys.stderr)
+                if owns_ray:
+                    ray.shutdown()
+                return 2
             if owns_ray:
                 ray.shutdown()
             return 0
@@ -250,11 +254,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: unknown sink format {fmt!r}", file=sys.stderr)
             return 2
     else:
-        it = ds.iter_rows()
-        for i, row in enumerate(it):
-            if args.limit is not None and i >= args.limit:
-                break
-            print(json.dumps(row, default=str))
+        # default stdout sink: NDJSON, streamed per printed BATCH (the
+        # distributed printer renders lines worker-side; the driver only
+        # concatenates) — bounded driver memory on any input size
+        from tenzir_ray.sources import printers as pr
+
+        if args.limit is not None:
+            ds = ds.limit(args.limit)
+        lines_ds = ds.map_batches(pr.print_ndjson_batch,
+                                  batch_format="pyarrow")
+        for b in lines_ds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                sys.stdout.write(
+                    "\n".join(b.column("line").to_pylist()) + "\n")
     if owns_ray:
         ray.shutdown()
     return 0

@@ -176,29 +176,33 @@ def parse_syslog_batch(t: pa.Table, col: str = "text") -> pa.Table:
     return t
 
 
-_GROK_DEFAULT = {
-    "WORD": r"\w+", "NOTSPACE": r"\S+", "DATA": r".*?", "GREEDYDATA": r".*",
-    "INT": r"[+-]?\d+", "NUMBER": r"[+-]?\d+(?:\.\d+)?",
-    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
-    "IPORHOST": r"\S+", "HOSTNAME": r"[\w.-]+", "USER": r"[\w.-]+",
-    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?",
-    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
-    "LOGLEVEL": r"[A-Za-z]+",
-}
+# Back-compat alias: the minimal built-in set from rounds 1-3 is now the
+# full standard library (grok_patterns.py); `extra` still overrides.
+from tenzir_ray.sources.grok_patterns import GROK_PATTERNS as _GROK_DEFAULT
 
 
 def compile_grok(pattern: str, extra: dict[str, str] | None = None):
     """Grok pattern → compiled regex with named groups (reference:
-    formats/grok.cpp + grok-patterns library; a minimal built-in pattern
-    set here, extensible via ``extra``)."""
+    formats/grok.cpp loads the stock grok-patterns library at :837; the
+    same standard set ships in :mod:`tenzir_ray.sources.grok_patterns`,
+    extensible via ``extra``). ``%{NAME}`` references inside library
+    patterns resolve recursively (depth-guarded)."""
     lib = {**_GROK_DEFAULT, **(extra or {})}
+    ref = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
     def sub(m):
         name, field = m.group(1), m.group(2)
         body = lib[name]
         return f"(?P<{field}>{body})" if field else f"(?:{body})"
 
-    rx = re.sub(r"%\{(\w+)(?::(\w+))?\}", sub, pattern)
+    rx = pattern
+    for _ in range(12):  # nested library references resolve iteratively
+        new = ref.sub(sub, rx)
+        if new == rx:
+            break
+        rx = new
+    else:
+        raise ValueError(f"grok pattern nests too deep: {pattern!r}")
     return re.compile(rx)
 
 

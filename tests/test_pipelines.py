@@ -554,3 +554,45 @@ def test_tql_let_if_fork_blocks(ray_session):
     segs = Pipeline.split_ops(
         "if a { if b { head 1 } else { head 2 } } | sort x")
     assert len(segs) == 2 and segs[1] == "sort x"
+
+
+def test_cli_stdout_streams_large_input(tmp_path):
+    """Path-less sinks stream per printed BATCH through the driver (no
+    iter_rows row-at-a-time, no full materialization): a >100K-row input
+    round-trips byte-exactly through the default NDJSON stdout sink and
+    through `write ndjson`, with --limit honored dataset-side."""
+    import json as _json
+    import subprocess, sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 120_000
+    src = str(tmp_path / "big.parquet")
+    pq.write_table(pa.table({
+        "i": pa.array(range(n), pa.int64()),
+        "s": pa.array([f"v{i % 97}" for i in range(n)]),
+    }), src)
+    base = [sys.executable, "-m", "tenzir_ray"]
+
+    r = subprocess.run(base + [f"from {src} | write ndjson",
+                               "--num-cpus", "4"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = r.stdout.strip().splitlines()
+    assert len(lines) == n
+    rows = sorted((_json.loads(l)["i"] for l in lines))
+    assert rows[0] == 0 and rows[-1] == n - 1
+
+    # default sink (no write op) + --limit
+    r = subprocess.run(base + [f"from {src} | sort i", "--limit", "5",
+                               "--num-cpus", "4"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    got = [_json.loads(l) for l in r.stdout.strip().splitlines()]
+    assert [g["i"] for g in got] == [0, 1, 2, 3, 4]
+
+    # a path-needing format without a path fails loudly
+    r = subprocess.run(base + [f"from {src} | head 1 | write parquet"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 2 and "needs a path" in r.stderr

@@ -337,3 +337,47 @@ def test_to_opensearch_bulk(ray_session):
     assert len(actions) == 10 and len(docs) == 10
     assert {a["index"]["_id"] for a in actions} == {str(i) for i in range(10)}
     assert sorted(d["v"] for d in docs) == [i * i for i in range(10)]
+
+
+def test_grok_stock_pattern_library():
+    """The standard grok-patterns set ships built-in (reference bundles
+    grok-patterns with formats/grok.cpp): stock composite patterns parse
+    real-world Apache/syslog/URI lines, nested %{NAME} references
+    resolve recursively."""
+    from tenzir_ray.sources.formats import compile_grok, parse_grok_batch
+    import pyarrow as pa
+
+    apache = ('192.168.1.9 - alice [10/Oct/2000:13:55:36 -0700] '
+              '"POST /submit?x=1 HTTP/1.1" 404 512 "-" "curl/8.0"')
+    m = compile_grok("%{COMBINEDAPACHELOG}").search(apache)
+    assert m and m.group("clientip") == "192.168.1.9"
+    assert m.group("verb") == "POST" and m.group("response") == "404"
+    assert m.group("agent") == '"curl/8.0"'
+
+    m = compile_grok("%{SYSLOGBASE} %{GREEDYDATA:msg}").search(
+        "Oct 11 22:14:15 host-7 sshd[991]: Accepted publickey for bob")
+    assert m and m.group("program") == "sshd" and m.group("pid") == "991"
+    assert m.group("logsource") == "host-7"
+
+    m = compile_grok("%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} "
+                     "%{URI:uri}").search(
+        "2024-06-01 08:30:00,123+02:00 WARN http://api.example.com/v1/x")
+    assert m and m.group("lvl") == "WARN"
+    assert m.group("uri") == "http://api.example.com/v1/x"
+
+    # IPv6 + MAC + UUID
+    m = compile_grok("%{IP:ip} %{MAC:mac} %{UUID:u}").search(
+        "2001:db8::8a2e:370:7334 00-1B-44-11-3A-B7 "
+        "123e4567-e89b-12d3-a456-426614174000")
+    assert m and m.group("ip") == "2001:db8::8a2e:370:7334"
+
+    # batch path: named captures become columns
+    t = pa.table({"text": [apache, "garbage line"]})
+    out = parse_grok_batch(t, pattern="%{HTTPD_COMMONLOG}")
+    assert out.column("clientip").to_pylist() == ["192.168.1.9", None]
+    assert out.column("response").to_pylist() == ["404", None]
+
+    # nesting depth guard fires on a self-referential pattern
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        compile_grok("%{LOOP}", extra={"LOOP": "%{LOOP}x"})
