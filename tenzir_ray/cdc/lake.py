@@ -734,7 +734,10 @@ class Lake:
         chain: list[pa.Schema] = [prev] if prev is not None else []
         per_epoch_schema: dict[int, pa.Schema] = {}
         for e, files in pending:
-            chain.append(pq.read_schema(files[0]))
+            # every segment footer, not files[0] only: a column appearing
+            # mid-epoch must land in the epoch's unified schema
+            for f in files:
+                chain.append(pq.read_schema(f))
             s = unify_schemas(chain, self.aliases)
             if self.extract and "html" in s.names and "text" not in s.names:
                 # the parse stage PRODUCES text: declare it even when the
@@ -768,8 +771,16 @@ class Lake:
         # align stage must see only the raw names per epoch).
         raw_union = None
         try:
-            raw = [pq.read_schema(fs[0]).remove_metadata()
-                   for _e, fs in pending]
+            # Unify over EVERY pending segment file, not one sample per
+            # epoch: a column appearing mid-epoch would otherwise be
+            # absent from the explicit read schema and its data silently
+            # dropped. Footer reads are metadata-only; above a file-count
+            # cap fall back to per-file inference (slower, never lossy).
+            if len(all_files) <= 256:
+                raw = [pq.read_schema(f).remove_metadata()
+                       for f in all_files]
+            else:
+                raise OSError("too many segment footers to sample")
             raw_union = pa.unify_schemas(raw, promote_options="permissive")
             if any(o in raw_union.names and n in raw_union.names
                    for o, n in self.aliases.items()):

@@ -46,13 +46,15 @@ _GLOBAL_HDR_FMT = "<IHHiIII"
 
 def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(flat uint8 view, per-value starts, per-value lens) of a binary
-    array — zero-copy off the Arrow buffers (slice offset honored)."""
+    array — zero-copy off the Arrow buffers (slice offset honored).
+    large_binary offsets are read as int64 DIRECTLY: casting a >2 GiB
+    large_binary down to binary overflows its int32 offsets."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
-        arr = arr.cast(pa.binary())
+    large = pa.types.is_large_binary(arr.type) \
+        or pa.types.is_large_string(arr.type)
     bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int32,
+    off = np.frombuffer(bufs[1], dtype=np.int64 if large else np.int32,
                         count=len(arr) + 1 + arr.offset)[arr.offset:]
     flat = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
         else np.zeros(0, np.uint8)
@@ -282,7 +284,10 @@ def read_pcap(paths):
     def split(t: pa.Table) -> pa.Table:
         parts = [parse_pcap_bytes(raw)
                  for raw in t.column("bytes").to_pylist()]
-        return pa.concat_tables(parts) if parts else _empty_packets()
+        # permissive: a >2 GiB member emits large_binary data while
+        # smaller siblings emit binary — unify instead of raising
+        return pa.concat_tables(parts, promote_options="permissive") \
+            if parts else _empty_packets()
 
     files, n = resolve_binary_paths(paths, (".pcap", ".pcap.gz"))
     if not files:
@@ -354,8 +359,14 @@ def decapsulate_batch(t: pa.Table, col: str = "data",
     tcp_doff = ((_byte_at(flat, starts, lens, l4 + 12) >> 4)
                 .astype(np.int64) * 4)
     tcp_flags = _byte_at(flat, starts, lens, l4 + 13)
-    payload_off = np.where(is_tcp, l4 + tcp_doff,
-                           np.where(is_l4, l4 + 8, l4))
+    # payload only where the FULL L4 header was captured (a frame
+    # truncated before l4+12 reads doff=0 and would otherwise emit TCP
+    # header bytes as payload; non-IP frames have no payload at all)
+    tcp_ok = is_tcp & (tcp_doff >= 20) & (lens >= l4 + tcp_doff)
+    udp_ok = is_l4 & (proto == 17) & (lens >= l4 + 8)
+    pay_ok = tcp_ok | udp_ok
+    payload_off = np.where(tcp_ok, l4 + tcp_doff,
+                           np.where(udp_ok, l4 + 8, lens))
     payload_off = np.minimum(payload_off, lens)
 
     ip_mask = is_v4 | is_v6
@@ -391,9 +402,9 @@ def decapsulate_batch(t: pa.Table, col: str = "data",
         "tcp_flags": pa.array(tcp_flags.astype(np.int32),
                               mask=~(is_tcp & row_valid)),
         "payload_offset": pa.array(payload_off.astype(np.int64),
-                                   mask=~(ip_mask & row_valid)),
+                                   mask=~(pay_ok & row_valid)),
         "payload_len": pa.array((lens - payload_off).astype(np.int64),
-                                mask=~(ip_mask & row_valid)),
+                                mask=~(pay_ok & row_valid)),
     }
     if emit_payload:
         cols["payload"] = _binary_from_ranges(

@@ -57,8 +57,15 @@ def parse_warc_bytes(raw: bytes, http_payload: bool = True) -> pa.Table:
         if off >= n or not raw.startswith(b"WARC/", off):
             break
         hdr_end = raw.find(_CRLF2, off)
-        if hdr_end < 0:
-            break
+        nxt_marker = raw.find(b"\r\nWARC/", off + 5)
+        if hdr_end < 0 or (0 <= nxt_marker < hdr_end):
+            # malformed record (no header terminator before the next
+            # record starts): skip to the next WARC/ marker instead of
+            # silently discarding the rest of the file
+            if nxt_marker < 0:
+                break
+            off = nxt_marker + 2
+            continue
         fields: dict[str, str] = {}
         for line in raw[off:hdr_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
@@ -69,7 +76,13 @@ def parse_warc_bytes(raw: bytes, http_payload: bool = True) -> pa.Table:
         try:
             length = int(fields.get("content-length", "0"))
         except ValueError:
-            break
+            # bad Content-Length: this record's block is unmappable —
+            # resynchronize at the next record marker, keep the rest
+            nxt = raw.find(b"\r\nWARC/", hdr_end)
+            if nxt < 0:
+                break
+            off = nxt + 2
+            continue
         block_start = hdr_end + 4
         block = raw[block_start:block_start + length]
         off = block_start + length
@@ -89,10 +102,27 @@ def parse_warc_bytes(raw: bytes, http_payload: bool = True) -> pa.Table:
         return _empty_records()
     import pyarrow.compute as pc
 
+    # WARC/1.1 allows fractional seconds (2017-01-01T00:00:00.123Z):
+    # parse the 19-char second-precision prefix, then add the fraction
+    # as nanoseconds — pyarrow strptime has no %f, and nulling such
+    # records would silently drop spec-conformant crawls.
+    arr = pa.array(tss, pa.string())
     ts = pc.cast(
-        pc.strptime(pa.array(tss, pa.string()), format="%Y-%m-%dT%H:%M:%SZ",
+        pc.strptime(pc.utf8_slice_codeunits(arr, 0, 19),
+                    format="%Y-%m-%dT%H:%M:%S",
                     unit="s", error_is_null=True),
         pa.timestamp("ns"))
+    frac = pc.struct_field(
+        pc.extract_regex(arr, pattern=r"\.(?P<f>\d{1,9})Z$"), "f")
+    if pc.any(pc.is_valid(frac)).as_py():
+        digits = pc.utf8_length(frac)
+        scale = pc.cast(pc.power(
+            pa.scalar(10, pa.int64()),
+            pc.cast(pc.subtract(pa.scalar(9), digits), pa.int64())),
+            pa.int64())
+        ns = pc.fill_null(
+            pc.multiply(pc.cast(frac, pa.int64()), scale), 0)
+        ts = pc.add(ts, pc.cast(ns, pa.duration("ns")))
     return pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": ts,

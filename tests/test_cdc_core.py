@@ -508,3 +508,32 @@ def test_column_pruned_read(tmp_path, ray_session):
     os.makedirs(f"{empty_root}/p=0001", exist_ok=True)
     t = lake2.read_table(columns=["url", "lang"])
     assert t.num_rows == 0 and t.column_names == ["url", "lang"]
+
+
+def test_mid_epoch_schema_divergence(tmp_path):
+    """A column appearing in a LATER segment file of the same epoch must
+    survive the apply (ADVICE r03: sampling only the first footer per
+    epoch silently dropped such columns)."""
+    import pyarrow.parquet as pq2
+
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, SPEC)
+    eps = list_epochs(wal)
+    # split epoch 2's single segment into two files; only the SECOND
+    # carries a new `mid_col` column
+    e, files = eps[2]
+    t = pq2.read_table(files[0])
+    half = t.num_rows // 2
+    a, b = t.slice(0, half), t.slice(half)
+    b = b.append_column("mid_col", pa.array(
+        [f"m{i}" for i in range(b.num_rows)], pa.string()))
+    pq2.write_table(a, files[0])
+    pq2.write_table(b, files[0].replace("part-", "part-z"))
+
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    lake.apply_wal(wal)
+    got = _final_df(lake)
+    assert "mid_col" in got.columns
+    # rows written by the second file carry their values (urls whose
+    # last write came from file b keep a non-null mid_col)
+    assert got["mid_col"].notna().sum() > 0

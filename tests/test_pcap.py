@@ -231,3 +231,23 @@ def test_pcap_gz_file(tmp_path, ray_session):
     from tenzir_ray.sources import open_uri
 
     assert open_uri(str(gz)).count() == 2
+
+
+def test_decapsulate_truncated_l4_no_header_leak():
+    """A TCP frame truncated before the data-offset byte must NOT emit
+    TCP header bytes as payload, and a non-IP frame gets no payload at
+    all (ADVICE r03: clamp payload to fully-captured L4 headers)."""
+    trunc_tcp = TCP_PKT[:14 + 20 + 10]      # cut inside the TCP header
+    t = pa.table({"data": pa.array(
+        [TCP_PKT, trunc_tcp, ARP_PKT], pa.binary())})
+    d = decapsulate_batch(t, emit_payload=True)
+    # full frame unchanged
+    assert d.column("payload").to_pylist()[0] == b"PAYLOAD!"
+    assert d.column("payload_offset").to_pylist()[0] == 54
+    # truncated: offset/len null, payload empty — not header bytes
+    assert d.column("payload_offset").to_pylist()[1] is None
+    assert d.column("payload_len").to_pylist()[1] is None
+    assert d.column("payload").to_pylist()[1] == b""
+    # non-IP (ARP): no payload, no offset
+    assert d.column("payload_offset").to_pylist()[2] is None
+    assert d.column("payload").to_pylist()[2] == b""

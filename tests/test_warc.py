@@ -167,3 +167,31 @@ def test_ingest_warc_drops_dateless_records(ray_session, tmp_path):
     assert r["events"] == 1
     urls = lake.read_table().column("url").to_pylist()
     assert urls == ["https://ok.example/"]
+
+
+def test_warc_fractional_seconds_and_resync():
+    """ADVICE r03: WARC/1.1 fractional-second dates must parse (not null
+    out and get filtered), and a record with a bad Content-Length or a
+    missing header terminator skips to the next record instead of
+    silently truncating the rest of the file."""
+    from tenzir_ray.sources.warc import parse_warc_bytes, record_bytes
+
+    good1 = record_bytes("https://a.example/", "2017-01-01T00:00:00.123Z",
+                         b"<p>a</p>")
+    good2 = record_bytes("https://b.example/", "2017-01-01T00:00:01Z",
+                         b"<p>b</p>")
+    t = parse_warc_bytes(good1 + good2)
+    assert t.num_rows == 2
+    tss = t.column("warc_ts").to_pylist()
+    assert tss[0] is not None and tss[0].microsecond == 123000
+    assert tss[1] is not None and tss[1].microsecond == 0
+
+    # bad Content-Length in the middle: later records still parse
+    bad = good1.replace(b"Content-Length: ", b"Content-Length: oops", 1)
+    t = parse_warc_bytes(bad + good2)
+    assert t.column("url").to_pylist() == ["https://b.example/"]
+
+    # header missing its CRLFCRLF terminator before the next record
+    broken = good1.split(b"\r\n\r\n")[0]  # header only, no terminator
+    t = parse_warc_bytes(broken + b"\r\n" + good2)
+    assert t.column("url").to_pylist() == ["https://b.example/"]
