@@ -39,26 +39,44 @@ def _ip_bytes(s: str) -> bytes | None:
 
 def ip_parse(arr) -> pa.Array:
     """string column → fixed_size_binary(16) ip column (null on parse
-    failure). Vectorized fast path for pure-v4 batches: one pandas
-    str.extract + numpy byte assembly; mixed/v6 batches fall back to a
-    per-value loop (cold path)."""
+    failure). The v4 SUBSET of every batch is vectorized (one pandas
+    str.extract + numpy byte assembly); only the v6/invalid minority
+    goes through the per-value ``ipaddress`` path — one v6 address no
+    longer degrades the whole batch."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     import pandas as pd
 
     s = pd.Series(arr.to_pandas())
+    n = len(s)
+    if n == 0:
+        return pa.array([], pa.binary(16))
     parts = s.str.extract(_V4, expand=True)
-    if not parts.isna().any(axis=None) and len(s):
-        o = parts.astype(np.int64).to_numpy()
-        if (o >= 0).all() and (o <= 255).all():
-            buf = np.zeros((len(s), 16), dtype=np.uint8)
-            buf[:, 10:12] = 0xFF
-            buf[:, 12:16] = o.astype(np.uint8)
-            return pa.FixedSizeBinaryArray.from_buffers(
-                pa.binary(16), len(s), [None, pa.py_buffer(buf.tobytes())]
-            )
-    vals = [None if v is None else _ip_bytes(v) for v in arr.to_pylist()]
-    return pa.array(vals, pa.binary(16))
+    is4 = parts.notna().all(axis=1).to_numpy()
+    buf = np.zeros((n, 16), dtype=np.uint8)
+    ok = np.zeros(n, dtype=bool)
+    if is4.any():
+        o = parts.to_numpy()[is4].astype(np.int64)
+        octs_ok = (o <= 255).all(axis=1)  # regex guarantees >= 0
+        rows = np.flatnonzero(is4)[octs_ok]
+        buf[rows, 10:12] = 0xFF
+        buf[rows, 12:16] = o[octs_ok].astype(np.uint8)
+        ok[rows] = True
+    rest = np.flatnonzero(~ok)
+    if len(rest):
+        vals = s.to_numpy()
+        for i in rest:
+            v = vals[i]
+            b = _ip_bytes(v) if isinstance(v, str) else None
+            if b is not None:
+                buf[i] = np.frombuffer(b, np.uint8)
+                ok[i] = True
+    validity = None if ok.all() else \
+        pa.py_buffer(np.packbits(ok, bitorder="little").tobytes())
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(16), n, [validity, pa.py_buffer(buf.tobytes())],
+        null_count=int((~ok).sum()),
+    )
 
 
 def ip_print(arr) -> pa.Array:
@@ -71,24 +89,21 @@ def ip_print(arr) -> pa.Array:
     if not len(m):
         return pa.array([], pa.string())
     v4 = (m[:, :12] == np.frombuffer(_V4_PREFIX, np.uint8)).all(axis=1)
+    octs = m[:, 12:16].astype("U3")
+    s = octs[:, 0]
+    for j in (1, 2, 3):
+        s = np.char.add(np.char.add(s, "."), octs[:, j])
     if bool((v4 | ~valid).all()):
-        octs = m[:, 12:16].astype("U3")
-        s = octs[:, 0]
-        for j in (1, 2, 3):
-            s = np.char.add(np.char.add(s, "."), octs[:, j])
         res = pa.array(s, pa.string())
         if not valid.all():
             res = pc.if_else(pa.array(valid), res, pa.scalar(None, pa.string()))
         return res
-    out = []
-    for v in arr.to_pylist():
-        if v is None:
-            out.append(None)
-        elif v[:12] == _V4_PREFIX:
-            out.append(str(ipaddress.IPv4Address(v[12:])))
-        else:
-            out.append(str(ipaddress.IPv6Address(v)))
-    return pa.array(out, pa.string())
+    # mixed batch: the dotted-quad vector covers v4 rows; only genuine
+    # v6 rows take the per-value path
+    out = s.astype(object)
+    for i in np.flatnonzero(~v4 & valid):
+        out[i] = str(ipaddress.IPv6Address(m[i].tobytes()))
+    return pa.array(out, pa.string(), mask=~valid)
 
 
 def _byte_matrix(arr: pa.Array, with_mask: bool = False):

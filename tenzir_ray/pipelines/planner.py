@@ -829,14 +829,19 @@ class Pipeline:
             return lambda ds: summarize_window(
                 ds, time_col, every, by=by, **aggs)
         if op == "sigma":
-            # sigma <rules.yml> — YAML file with one rule document or a
-            # stream of documents (operators/sigma.cpp; rules compile
-            # once per actor inside sigma_match)
+            # sigma <rules.yml | rules-dir/> — a YAML file (one document
+            # or a stream; rules compile once per actor) or a rule
+            # DIRECTORY, which hot-reloads on mtime change per batch
+            # (plugins/sigma rule-dir watch)
+            import os as _os
+
             import yaml
 
-            from tenzir_ray.stages.sigma import sigma_match
+            from tenzir_ray.stages.sigma import sigma_match, sigma_match_dir
 
             path = rest.strip().strip('"')
+            if _os.path.isdir(path):
+                return lambda ds: sigma_match_dir(ds, path)
             with open(path) as fh:
                 docs = [d for d in yaml.safe_load_all(fh) if d]
             rules = {

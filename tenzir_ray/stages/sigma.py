@@ -144,6 +144,22 @@ def compile_rule(rule: dict) -> Predicate:
     return pred
 
 
+def _match_table(t: pa.Table, preds: dict[str, Predicate]) -> pa.Table:
+    """Shared match body: filter to rows hitting ≥1 rule, tag with the
+    matching rule names in ``sigma_rules``."""
+    hits = {name: np.asarray(p(t)) for name, p in preds.items()}
+    any_hit = np.zeros(t.num_rows, dtype=bool)
+    for m in hits.values():
+        any_hit |= m
+    names = [
+        [n for n, m in hits.items() if m[i]] for i in np.flatnonzero(any_hit)
+    ]
+    out = t.filter(pa.array(any_hit))
+    return out.append_column(
+        "sigma_rules", pa.array(names, pa.list_(pa.string()))
+    )
+
+
 def sigma_match(ds, rules: dict[str, dict]):
     """Tag each row with the list of matching rule names; rows matching no
     rule are dropped (the reference emits sigma matches as a new event
@@ -159,19 +175,83 @@ def sigma_match(ds, rules: dict[str, dict]):
             }
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            hits = {name: np.asarray(p(t)) for name, p in self.preds.items()}
-            any_hit = np.zeros(t.num_rows, dtype=bool)
-            for m in hits.values():
-                any_hit |= m
-            names = [
-                [n for n, m in hits.items() if m[i]] for i in np.flatnonzero(any_hit)
-            ]
-            out = t.filter(pa.array(any_hit))
-            return out.append_column(
-                "sigma_rules", pa.array(names, pa.list_(pa.string()))
-            )
+            return _match_table(t, self.preds)
 
     from ..util import autoscale_pool
 
     return ds.map_batches(Matcher, batch_format="pyarrow",
                           concurrency=autoscale_pool())
+
+
+def load_rules_dir(rules_dir: str) -> dict[str, dict]:
+    """Parse every ``*.yml``/``*.yaml`` under ``rules_dir`` (sorted, so
+    rule naming is deterministic) into a name → rule-dict mapping."""
+    import glob
+    import os
+
+    import yaml
+
+    rules: dict[str, dict] = {}
+    paths = sorted(
+        glob.glob(os.path.join(rules_dir, "**", "*.yml"), recursive=True)
+        + glob.glob(os.path.join(rules_dir, "**", "*.yaml"), recursive=True))
+    for p in paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        with open(p) as fh:
+            docs = [d for d in yaml.safe_load_all(fh) if d]
+        for i, d in enumerate(docs):
+            rules[d.get("title", f"{stem}:{i}")] = d
+    return rules
+
+
+class SigmaDirMatcher:
+    """Rule-DIRECTORY matcher with hot-reload (plugins/sigma's rule-dir
+    watch): every batch, a cheap mtime scan of the directory detects
+    added/changed/removed rule files and recompiles only then — a live
+    tail (``Lake.follow`` → ``sigma``) picks up rule edits without
+    re-creating the stage. Per-actor state; each actor converges on the
+    same rule set on its next batch."""
+
+    def __init__(self, rules_dir: str):
+        self.rules_dir = rules_dir
+        self._snap: tuple | None = None
+        self.preds: dict[str, Predicate] = {}
+        self._maybe_reload()
+
+    def _scan(self) -> tuple:
+        import glob
+        import os
+
+        ents = []
+        for pat in ("*.yml", "*.yaml"):
+            for p in glob.glob(os.path.join(self.rules_dir, "**", pat),
+                               recursive=True):
+                try:
+                    ents.append((p, os.stat(p).st_mtime_ns))
+                except OSError:
+                    continue  # racing delete
+        return tuple(sorted(ents))
+
+    def _maybe_reload(self) -> None:
+        snap = self._scan()
+        if snap != self._snap:
+            self._snap = snap
+            self.preds = {
+                name: compile_rule(r)
+                for name, r in load_rules_dir(self.rules_dir).items()
+            }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        self._maybe_reload()
+        return _match_table(t, self.preds)
+
+
+def sigma_match_dir(ds, rules_dir: str):
+    """Like :func:`sigma_match`, but rules live in a directory and hot
+    reload on mtime change (reference rule-dir watch)."""
+    from ..util import autoscale_pool
+
+    return ds.map_batches(
+        SigmaDirMatcher,
+        fn_constructor_kwargs={"rules_dir": rules_dir},
+        batch_format="pyarrow", concurrency=autoscale_pool())

@@ -86,3 +86,52 @@ def test_sigma_match_dataset():
     assert ("admin_writes", "purchases") in tagged or ("purchases",) in tagged
     row2 = out[out["method"] == "PUT"].iloc[0]
     assert sorted(row2["sigma_rules"]) == ["admin_writes", "purchases"]
+
+
+def test_sigma_dir_hot_reload(tmp_path, ray_session):
+    """Rule-directory matcher (plugins/sigma rule-dir watch): rules load
+    from every yml in the dir, and an edited/added rule file is picked
+    up on the next batch without re-creating the stage."""
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.stages.sigma import SigmaDirMatcher, sigma_match_dir
+
+    d = tmp_path / "rules"
+    d.mkdir()
+    (d / "a.yml").write_text(
+        "title: errs\ndetection:\n  sel:\n    event_type: error\n"
+        "  condition: sel\n")
+    t = pa.table({"event_type": ["error", "click", "purchase"],
+                  "v": [1, 2, 3]})
+
+    m = SigmaDirMatcher(str(d))
+    out = m(t)
+    assert out.column("event_type").to_pylist() == ["error"]
+    assert out.column("sigma_rules").to_pylist() == [["errs"]]
+
+    # add a second rule file; mtime scan picks it up on the next call
+    time.sleep(0.01)
+    (d / "b.yaml").write_text(
+        "title: clicks\ndetection:\n  sel:\n    event_type: click\n"
+        "  condition: sel\n")
+    out = m(t)
+    assert sorted(out.column("event_type").to_pylist()) == ["click", "error"]
+
+    # edit the first rule in place (same path, new mtime/content)
+    time.sleep(0.01)
+    (d / "a.yml").write_text(
+        "title: errs\ndetection:\n  sel:\n    event_type: purchase\n"
+        "  condition: sel\n")
+    out = m(t)
+    assert sorted(out.column("event_type").to_pylist()) == \
+        ["click", "purchase"]
+
+    # dataset stage + planner `sigma <dir>` dispatch
+    ds = rd.from_arrow(t)
+    assert sigma_match_dir(ds, str(d)).count() == 2
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    assert run_pipeline(f"sigma {d}", ds).count() == 2
