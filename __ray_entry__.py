@@ -846,6 +846,45 @@ def _tql_pipeline(sf_dir: str):
     return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
 
 
+def _ocsf_map(sf_dir: str):
+    """OCSF normalization driver-checked (ocsf.cpp + mapping packages;
+    functions/ocsf.py): synthetic zeek-conn-shaped records from events,
+    mapped via the built-in zeek.conn package to network_activity, uids
+    and names stamped per the public schema, aggregated."""
+    import functools
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.functions.ocsf import map_to_ocsf
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id.orig_h": pc.binary_join_element_wise(
+                "10.0.0.", pc.cast(pc.bit_wise_and(t["user_id"], 255),
+                                   pa.string()), ""),
+            "id.orig_p": pc.add(pc.subtract(
+                t["event_id"],
+                pc.multiply(pc.divide(t["event_id"], 60000), 60000)), 1024),
+            "orig_bytes": pc.cast(pc.round(
+                pc.multiply(t["value"], 100.0)), pa.int64()),
+            "uid": pc.cast(t["event_id"], pa.string()),
+        })
+
+    mapped = ds.map_batches(mk, batch_format="pyarrow").map_batches(
+        functools.partial(map_to_ocsf, source="zeek.conn", activity_id=6),
+        batch_format="pyarrow")
+    return ops.summarize(
+        mapped, "class_uid", combine="auto",
+        n="count",
+        b_out=("sum", "traffic.bytes_out"),
+        mx_port=("max", "src_endpoint.port"),
+        type_uid=("max", "type_uid"),
+        activity_name=("max", "activity_name"),
+        category_name=("max", "category_name"),
+    )
+
+
 def _tql_let_if(sf_dir: str):
     """TQL2 language constructs in pipeline TEXT (tql2/parser.cpp let
     statements; operators/if.cpp branch subpipelines; planner.py
@@ -2064,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_props": _parse_props,
         # -- new this round (slot before the r03 rotation) ------------------
         "tql_let_if": _tql_let_if,
+        "ocsf_map": _ocsf_map,
         # -- r03-green rotation: code touched this round first --------------
         "cdc_replay": _cdc_replay,
         "cdc_asof": _cdc_asof,
@@ -2587,6 +2627,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.08
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "ocsf_map": """
+            SELECT 4001 AS class_uid,
+                   count(*) AS n,
+                   sum(round(value * 100)::BIGINT) AS b_out,
+                   max(1024 + (event_id % 60000)) AS mx_port,
+                   400106 AS type_uid,
+                   'Traffic' AS activity_name,
+                   'Network Activity' AS category_name
+            FROM events
         """,
         "tql_let_if": """
             SELECT CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS bucket,

@@ -145,3 +145,49 @@ def test_ocsf_mapping(ray_session):
     nested = ops.unflatten(rd.from_arrow(out), sep=".").take_all()
     assert nested[0]["src_endpoint"]["ip"] == "10.0.0.1"
     assert nested[0]["dst_endpoint"]["port"] == 53
+
+
+def test_ocsf_builtin_mapping_packages():
+    """Per-source OCSF mapping packages + activity/category name tables
+    (the reference ships these on top of ocsf.cpp): zeek conn.log and
+    suricata EVE records normalize to their classes with stamped names."""
+    import pyarrow as pa
+    import pytest as _pt
+
+    from tenzir_ray.functions.ocsf import (
+        activity_name, category_name, class_name_from_uid, map_to_ocsf,
+    )
+
+    zeek = pa.table({
+        "ts": [1.0], "uid": ["Cx1"], "id.orig_h": ["10.0.0.1"],
+        "id.orig_p": [51000], "id.resp_h": ["1.1.1.1"],
+        "id.resp_p": [443], "proto": ["tcp"],
+        "orig_bytes": [100], "resp_bytes": [2000],
+        "orig_pkts": [3], "resp_pkts": [4], "history": ["ShADad"],
+    })
+    out = map_to_ocsf(zeek, "zeek.conn", activity_id=6, time_col="ts")
+    assert out.column("class_uid")[0].as_py() == 4001
+    assert out.column("activity_name")[0].as_py() == "Traffic"
+    assert out.column("category_name")[0].as_py() == "Network Activity"
+    assert out.column("traffic.bytes_in")[0].as_py() == 2000
+    assert out.column("src_endpoint.port")[0].as_py() == 51000
+    assert out.column("unmapped.history")[0].as_py() == "ShADad"
+    assert out.column("time")[0].as_py() == 1.0
+
+    sur = pa.table({
+        "flow_id": [7], "src_ip": ["10.1.1.1"], "dest_ip": ["8.8.8.8"],
+        "dns.rrname": ["example.com"], "dns.rrtype": ["A"],
+        "dns.rcode": ["NOERROR"],
+    })
+    out = map_to_ocsf(sur, "suricata.dns", activity_id=1)
+    assert out.column("class_uid")[0].as_py() == 4003
+    assert out.column("query.hostname")[0].as_py() == "example.com"
+    assert out.column("activity_name")[0].as_py() == "Query"
+
+    assert activity_name("authentication", 1) == "Logon"
+    assert activity_name("http_activity", 6) == "Post"
+    assert activity_name("http_activity", 99) == "Other"
+    assert category_name(3) == "Identity & Access Management"
+    assert class_name_from_uid(3002) == "authentication"
+    with _pt.raises(KeyError):
+        map_to_ocsf(zeek, "nonexistent.source")
