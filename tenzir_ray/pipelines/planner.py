@@ -29,6 +29,7 @@ Supported operators (reference file cited in OPS below)::
     cap <n> by <key> order_by <col> [desc|asc]
     let $name = <const>              // substitutes into later operators
     if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
+    every <N[smhd]> [rounds=K] { <pipe> }
 
 Expressions are Python syntax evaluated over pyarrow.dataset field
 expressions (``l_quantity > 45 and l_discount < 0.1`` →
@@ -738,6 +739,43 @@ class Pipeline:
         if op == "assert":
             fn = compile_array_expr(rest.strip())
             return lambda ds: ops.assert_(ds, fn)
+        if op == "every":
+            # `every <N[smhd]> [rounds=K] { <pipe> }`
+            # (operators/every_cron.cpp:49 — run the block on a
+            # schedule). The block re-runs each round — a `from` inside
+            # it re-opens the source, picking up newly-arrived data —
+            # and rounds' outputs union. `rounds=` bounds the schedule
+            # (the reference runs until cancelled; a batch engine needs
+            # a horizon — Lake.follow is the unbounded analog).
+            import time as _time
+
+            m = re.match(r"(?P<dur>\d+(?:\.\d+)?)(?P<u>[smhd])"
+                         r"(?:\s+rounds=(?P<r>\d+))?\s*\{", rest)
+            if not m:
+                raise ValueError(
+                    f"every: expected `every <N[smhd]> [rounds=K] "
+                    f"{{ … }}`, got {rest!r}")
+            secs = float(m.group("dur")) * {"s": 1, "m": 60, "h": 3600,
+                                            "d": 86400}[m.group("u")]
+            rounds = int(m.group("r") or 1)
+            inner, j = Pipeline._take_block(rest, m.end() - 1)
+            if rest[j:].strip():
+                raise ValueError(
+                    f"every: unexpected trailing {rest[j:].strip()!r}")
+            sub = Pipeline.parse(inner)
+
+            def _step(ds, sub=sub, secs=secs, rounds=rounds):
+                outs = []
+                for r in range(rounds):
+                    if r:
+                        _time.sleep(secs)
+                    outs.append(sub.run(None if sub.source else ds))
+                out = outs[0]
+                for o in outs[1:]:
+                    out = out.union(o)
+                return out
+
+            return _step
         if op == "timeshift":
             # timeshift <field> <[-]N[smhd]> (operators/timeshift.cpp)
             import datetime

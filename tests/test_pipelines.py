@@ -596,3 +596,27 @@ def test_cli_stdout_streams_large_input(tmp_path):
     r = subprocess.run(base + [f"from {src} | head 1 | write parquet"],
                        capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 2 and "needs a path" in r.stderr
+
+
+def test_tql_every_block(ray_session, tmp_path):
+    """`every <dur> rounds=K { pipe }` (operators/every_cron.cpp): the
+    block re-runs each round — a `from` inside re-opens the source and
+    sees newly-arrived files — and round outputs union."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    t = pa.table({"x": [1, 2, 3]})
+    ds = rd.from_arrow(t)
+    # over the piped input: 3 rounds x 3 rows
+    out = run_pipeline("every 0s rounds=3 { where x > 0 }", ds)
+    assert out.count() == 9
+
+    # with an inner source: each round re-opens the file
+    p = str(tmp_path / "src.parquet")
+    pq.write_table(t, p)
+    out = run_pipeline(
+        f"every 0s rounds=2 {{ from {p} | where x >= 2 }}", ds)
+    assert out.count() == 4
