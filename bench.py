@@ -150,6 +150,8 @@ def bench_queries() -> dict[str, float]:
         "repeated_passages", "yara_scan", "bitz_roundtrip",
         "compress_roundtrip", "fork_union", "context_roundtrip",
         "warc_ingest", "pcap_decap",
+        "tql_let_if", "ocsf_map", "grok_parse", "semdedup_docs",
+        "jaccard_dedup_docs",
     ]
     out: dict[str, float] = {}
     for name in names:
