@@ -5,13 +5,14 @@ columns; every decode / resize / feature-extract / frame-sample step is an
 **actor-pool** ``map_batches`` stage (decoder state built once per actor in
 ``__init__``), with small ``batch_size`` because rows are megabytes.
 
-The real image/audio libraries (Pillow, ffmpeg, torchaudio) are not in
-this container, so the byte-level codecs are STUBS — a deterministic fake
-container format (``FAKE:`` header + raw payload) and clearly-marked
-``NotImplementedError`` raises for real formats. The Ray-side plumbing —
-schemas, actor signatures, batch sizing, output layout — is real and
-tested, and swapping the stub for Pillow/ffmpeg changes only the marked
-``_decode_payload`` bodies.
+UNCOMPRESSED containers decode for REAL in pure numpy (no codec libs):
+BMP (BI_RGB 8/24/32-bit), binary PPM/PGM, RIFF/WAVE PCM (8/16-bit, any
+channel count) — plus a deterministic FAKE container for fixtures.
+COMPRESSED codecs (JPEG/PNG/MP3/AAC/video) need Pillow/ffmpeg, which
+this container lacks, so those raise a clearly-marked
+``NotImplementedError``; swapping the ``_decode_payload`` /
+``_decode_audio`` dispatchers' fallthrough for Pillow/ffmpeg changes
+nothing else in the pipeline.
 """
 
 from __future__ import annotations
@@ -34,17 +35,81 @@ def encode_fake_image(width: int, height: int, channels: int = 3,
     return _MAGIC + struct.pack("<HHB", width, height, channels) + pixels.tobytes()
 
 
-def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
-    """STUB decoder. Real formats raise; replace this body with
-    Pillow/libjpeg for production."""
-    if buf[:4] != _MAGIC:
-        raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "only the deterministic FAKE container is decodable"
-        )
-    w, h, c = struct.unpack("<HHB", buf[4:9])
-    px = np.frombuffer(buf[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+def _decode_bmp(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Real decoder for uncompressed BMP (BITMAPINFOHEADER, 8/24/32-bit
+    BI_RGB) — pure numpy, rows are 4-byte padded, bottom-up unless the
+    height is negative; BGR(A) reordered to RGB(A)."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP unsupported")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if comp != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(f"compressed/{bpp}-bit BMP unsupported")
+    top_down = h < 0
+    h = abs(h)
+    c = bpp // 8
+    stride = (w * c + 3) & ~3
+    px = np.frombuffer(buf, np.uint8, count=stride * h,
+                       offset=data_off).reshape(h, stride)[:, :w * c]
+    px = px.reshape(h, w, c)
+    if not top_down:
+        px = px[::-1]
+    if c >= 3:  # BGR(A) → RGB(A)
+        px = px[:, :, [2, 1, 0] + ([3] if c == 4 else [])]
+    return np.ascontiguousarray(px), w, h, c
+
+
+def _decode_pnm(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Real decoder for binary PPM (P6, RGB) / PGM (P5, gray): netpbm
+    header (whitespace- and comment-tolerant) + raw 8-bit samples."""
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM")
+    c = 3 if buf[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(buf) and not buf[end:end + 1].isspace():
+            end += 1
+        fields.append(int(buf[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM unsupported")
+    px = np.frombuffer(buf, np.uint8, count=w * h * c,
+                       offset=pos).reshape(h, w, c)
     return px, w, h, c
+
+
+def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Dispatch by magic: REAL pure-numpy decoders for the uncompressed
+    formats (BMP, binary PPM/PGM) and the deterministic FAKE container;
+    compressed formats (JPEG/PNG/GIF/WebP) raise — their libs are not
+    in this environment, and swapping this dispatcher's fallthrough for
+    Pillow changes nothing else in the pipeline."""
+    if buf[:4] == _MAGIC:
+        w, h, c = struct.unpack("<HHB", buf[4:9])
+        px = np.frombuffer(buf[9: 9 + w * h * c],
+                           dtype=np.uint8).reshape(h, w, c)
+        return px, w, h, c
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
+    if buf[:2] in (b"P5", b"P6"):
+        return _decode_pnm(buf)
+    raise NotImplementedError(
+        "compressed image codecs (JPEG/PNG/…) are not available in this "
+        "environment; BMP, binary PPM/PGM and the FAKE container decode"
+    )
 
 
 class ImageDecoder:
@@ -187,12 +252,59 @@ def encode_fake_audio(n_samples: int, sample_rate: int = 16_000,
     return _AMAGIC + struct.pack("<II", sample_rate, n_samples) + pcm.tobytes()
 
 
+def _decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """Real decoder for RIFF/WAVE PCM (8/16-bit, any channel count —
+    channels averaged to mono): pure struct+numpy chunk walk."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, bits, nch = 12, None, None, 1
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, nch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1:
+                raise NotImplementedError(
+                    f"non-PCM WAV (format {fmt}) unsupported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        x = np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV unsupported")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return rate, x
+
+
+def _decode_audio(buf: bytes) -> tuple[int, np.ndarray]:
+    """Dispatch by magic: REAL RIFF/WAVE PCM decode + the deterministic
+    FAKE container; compressed codecs (MP3/AAC/OGG) raise."""
+    if buf[:4] == _AMAGIC:
+        rate, n = struct.unpack("<II", buf[4:12])
+        pcm = np.frombuffer(buf[12:12 + 2 * n], dtype=np.int16)
+        return rate, pcm.astype(np.float32) / 32768.0
+    if buf[:4] == b"RIFF":
+        return _decode_wav(buf)
+    raise NotImplementedError(
+        "compressed audio codecs (MP3/AAC/…) are not available in this "
+        "environment; WAV PCM and the FAKE container decode")
+
+
 class AudioFeatures:
     """Actor-pool stage: audio binary → (sample_rate, duration_s, rms,
     zero_crossing_rate) features. A real pipeline loads torchaudio /
     an ASR/embedding model in ``__init__`` and runs batched inference
-    here; the byte-level codec is the same STUB policy as images
-    (FAKE container decodable, real formats raise)."""
+    here; byte-level decode handles WAV PCM + the FAKE container for
+    real, compressed codecs raise (same policy as images)."""
 
     def __init__(self, payload_col: str = "audio"):
         self.col = payload_col
@@ -200,17 +312,12 @@ class AudioFeatures:
     def __call__(self, t: pa.Table) -> pa.Table:
         sr, dur, rms, zcr, ok = [], [], [], [], []
         for buf in t.column(self.col).to_pylist():
-            if buf is None or buf[:4] != _AMAGIC:
-                if buf is not None and len(buf) >= 4 and buf[:4] != _AMAGIC:
-                    raise NotImplementedError(
-                        "real audio codecs are not available in this "
-                        "environment; only the FAKE container is decodable")
+            if buf is None:
                 sr.append(None); dur.append(None)
                 rms.append(None); zcr.append(None); ok.append(False)
                 continue
-            rate, n = struct.unpack("<II", buf[4:12])
-            pcm = np.frombuffer(buf[12:12 + 2 * n], dtype=np.int16)
-            x = pcm.astype(np.float32) / 32768.0
+            rate, x = _decode_audio(buf)
+            n = len(x)
             sr.append(rate)
             dur.append(n / rate if rate else None)
             rms.append(float(np.sqrt(np.mean(x * x))) if n else 0.0)

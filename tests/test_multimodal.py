@@ -99,12 +99,73 @@ def test_audio_features(ray_session):
     assert 0.1 < got[0]["audio_rms"] < 0.5
 
 
-def test_audio_real_codec_clearly_stubbed():
+def test_audio_compressed_codec_clearly_stubbed():
     import pyarrow as pa
     import pytest as _pt
 
     from tenzir_ray.text.multimodal import AudioFeatures
 
-    t = pa.table({"audio": pa.array([b"RIFF....WAVE"], pa.binary())})
+    # MP3 (compressed) stays a loud stub
+    t = pa.table({"audio": pa.array([b"ID3\x04...mp3 frames"], pa.binary())})
     with _pt.raises(NotImplementedError):
         AudioFeatures()(t)
+
+
+def test_real_wav_and_bmp_ppm_decode():
+    """Uncompressed containers decode for REAL (pure numpy — no codec
+    libs needed): RIFF/WAVE PCM, BMP (BI_RGB), binary PPM/PGM."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from tenzir_ray.text.multimodal import (
+        AudioFeatures, ImageDecoder, _decode_payload,
+    )
+
+    # --- WAV: 16-bit stereo PCM, 0.5 s @ 8 kHz sine
+    rate, n = 8000, 4000
+    tgrid = np.arange(n) / rate
+    mono = (np.sin(2 * np.pi * 440 * tgrid) * 12000).astype(np.int16)
+    stereo = np.repeat(mono, 2).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(stereo)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(stereo)) + stereo)
+    out = AudioFeatures()(pa.table({"audio": pa.array([wav], pa.binary())}))
+    assert out.column("audio_ok").to_pylist() == [True]
+    assert out.column("sample_rate").to_pylist() == [rate]
+    assert abs(out.column("duration_s")[0].as_py() - 0.5) < 1e-6
+    assert abs(out.column("audio_rms")[0].as_py()
+               - 12000 / 32768 / np.sqrt(2)) < 0.01
+
+    # --- BMP: 3x2 24-bit bottom-up with row padding
+    w, h = 3, 2
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up, BGR
+        row = rgb[y][:, ::-1].tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                         2835, 2835, 0, 0) + rows)
+    px, dw, dh, dc = _decode_payload(bmp)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert np.array_equal(px, rgb)
+
+    # --- PPM with a comment line
+    ppm = b"P6\n# a comment\n3 2\n255\n" + rgb.tobytes()
+    px2, dw2, dh2, dc2 = _decode_payload(ppm)
+    assert (dw2, dh2, dc2) == (w, h, 3) and np.array_equal(px2, rgb)
+    # PGM gray
+    pgm = b"P5 2 2 255\n" + bytes([0, 64, 128, 255])
+    px3, dw3, dh3, dc3 = _decode_payload(pgm)
+    assert (dw3, dh3, dc3) == (2, 2, 1) and px3[1, 1, 0] == 255
+
+    # ImageDecoder stage consumes them alongside FAKE/null rows
+    t = pa.table({"image": pa.array([bmp, ppm, None, b"\x89PNG..."],
+                                    pa.binary())})
+    d = ImageDecoder()(t)
+    assert d.column("img_ok").to_pylist() == [True, True, False, False]
+    assert d.column("img_width").to_pylist() == [3, 3, None, None]
