@@ -846,6 +846,44 @@ def _tql_pipeline(sf_dir: str):
     return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
 
 
+def _minhash_cc_docs(sf_dir: str):
+    """Transitive-closure near-dup clustering (the union-find step of
+    the RefinedWeb/SlimPajama MinHash pipelines): LSH candidate pairs →
+    hash-to-min connected components (text/graph.py, Rastogi 2013) →
+    (node, component) labels. Oracle = sequential union-find over
+    buckets derived with the shared _minhash_batch leaf kernel but an
+    independent dict-grouping + path-halving fold."""
+    from tenzir_ray.text import minhash_components
+    from tenzir_ray.text.dedup import _minhash_batch
+    from tenzir_ray.text.graph import cc_seq
+
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
+        band_rows = _minhash_batch(
+            docs, id_col="doc_id", text_col="text", num_perm=64,
+            bands=16, ngram=3, seed=1337, band_offset=0)
+        buckets: dict[tuple, list] = {}
+        for d, b, k in zip(band_rows.column("doc").to_pylist(),
+                           band_rows.column("band").to_pylist(),
+                           band_rows.column("band_key").to_pylist()):
+            buckets.setdefault((b, k), []).append(d)
+        edges = []
+        for mem in buckets.values():
+            m = min(mem)
+            edges.extend((d, m) for d in mem)
+        lab = cc_seq(edges)
+        nodes = sorted(lab)
+        _write_oracle("minhash_cc_docs", pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array([lab[n] for n in nodes], pa.int64()),
+        }))
+    else:
+        _skip_oracle("minhash_cc_docs")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_components(ds)
+
+
 def _ocsf_map(sf_dir: str):
     """OCSF normalization driver-checked (ocsf.cpp + mapping packages;
     functions/ocsf.py): synthetic zeek-conn-shaped records from events,
@@ -2104,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new this round (slot before the r03 rotation) ------------------
         "tql_let_if": _tql_let_if,
         "ocsf_map": _ocsf_map,
+        "minhash_cc_docs": _minhash_cc_docs,
         # -- r03-green rotation: code touched this round first --------------
         "cdc_replay": _cdc_replay,
         "cdc_asof": _cdc_asof,
@@ -2627,6 +2666,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.08
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "minhash_cc_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/minhash_cc_docs.parquet'
         """,
         "ocsf_map": """
             SELECT 4001 AS class_uid,

@@ -10,6 +10,8 @@ from tenzir_ray.text.dedup import (
     exact_dedup,
     exact_dedup_wide,
     line_dedup,
+    minhash_cc_dedup,
+    minhash_components,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     simhash_dedup,
@@ -24,6 +26,8 @@ __all__ = [
     "line_dedup",
     "exact_dedup",
     "exact_dedup_wide",
+    "minhash_cc_dedup",
+    "minhash_components",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "simhash_dedup",

@@ -546,38 +546,17 @@ def jaccard(a: str, b: str, ngram: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def minhash_lsh_dedup(
+def lsh_candidate_pairs(
     ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 64, bands: int = 16, ngram: int = 3,
-    verify_threshold: float | None = None,
-    max_broadcast_bytes: int | None = None,
     seeds: tuple[int, ...] = (1337,),
-    verify_max_task_bytes: int = 256 << 20,
 ) -> Dataset:
-    """Full near-dup dedup: LSH candidates → union into duplicate sets via
-    min-label (each doc keeps the min candidate-group id it ever sees) →
-    drop non-minimal members via a distributed anti-join. Optional exact
-    n-gram Jaccard verification of candidate pairs (verify_threshold)
-    before dropping.
-
-    Min-label resolution is JOIN-FREE and fully vectorized: band rows
-    are salted by ``band_key`` (so one group is ~1/256th of a band — no
-    whole-corpus groups at scale) and reduced with one numpy
-    lexsort + ``minimum.reduceat`` per group (bucket_min broadcast back
-    to members in the same kernel); per-doc min is a native Ray hash
-    aggregate. The final filter broadcasts the drop-id set — assembled
-    in a REMOTE task, never on the driver — and applies one vectorized
-    ``pc.is_in`` per batch: the corpus itself never rides any shuffle.
-    Above ``max_broadcast_bytes`` (default 256 MiB) the finalizer
-    auto-switches to :func:`anti_filter_ids`'s Bloom-prefiltered
-    bucketed exact filter — no single broadcast object above the cap.
-    With ``verify_threshold``, candidate pairs are verified in tasks
-    bucketed by hash(rep) so no single task's text working set exceeds
-    ``verify_max_task_bytes``. Returns the surviving rows."""
+    """(doc, rep) candidate pairs from banded MinHash-LSH: one row per
+    (doc, bucket) with ``rep`` = the smallest doc id in that bucket
+    (singleton buckets yield (doc, doc), so every doc appears). The
+    shared front half of :func:`minhash_lsh_dedup` (one-hop min-label)
+    and :func:`minhash_components` (true transitive closure)."""
     import functools
-
-    import ray
-    from ray.data.aggregate import Min
 
     # multi-probe: independent permutation families union their band
     # rows; per-seed band indices are offset so buckets never collide
@@ -619,11 +598,95 @@ def minhash_lsh_dedup(
         return pa.table({"doc": pa.array(d, pa.int64()),
                          "rep": pa.array(rep, pa.int64())})
 
-    pairs = (
+    return (
         banded.map_batches(add_salt, batch_format="pyarrow")
         .groupby(["band", "bk_salt"])
         .map_groups(band_reduce, batch_format="pyarrow")
     )
+
+
+def minhash_components(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 64, bands: int = 16, ngram: int = 3,
+    seeds: tuple[int, ...] = (1337,), max_iters: int = 30,
+) -> Dataset:
+    """(node, component) duplicate-CLUSTER labels with true
+    transitive-closure semantics: a ~ b and b ~ c put a, b, c in one
+    component even when a and c never share a bucket — the union-find
+    step of the RefinedWeb/SlimPajama MinHash pipelines, run as
+    hash-to-min label propagation (:mod:`tenzir_ray.text.graph`) over
+    the LSH candidate pairs. One-hop :func:`minhash_lsh_dedup` keeps a
+    chain's middle links; this collapses whole chains."""
+    from tenzir_ray.text.graph import connected_components
+
+    pairs = lsh_candidate_pairs(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, ngram=ngram, seeds=seeds)
+    return connected_components(pairs, a="doc", b="rep",
+                                max_iters=max_iters)
+
+
+def minhash_cc_dedup(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 64, bands: int = 16, ngram: int = 3,
+    seeds: tuple[int, ...] = (1337,),
+    max_broadcast_bytes: int | None = None,
+) -> Dataset:
+    """Near-dup dedup keeping ONE survivor (the min id) per transitive
+    duplicate component — the strict union-find dual of
+    :func:`minhash_lsh_dedup`."""
+    comp = minhash_components(ds, id_col=id_col, text_col=text_col,
+                              num_perm=num_perm, bands=bands, ngram=ngram,
+                              seeds=seeds)
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return pa.table({"__drop_id": pa.array([], pa.int64()),
+                             "__rep": pa.array([], pa.int64())})
+        t = t.filter(pc.invert(pc.equal(t.column("node"),
+                                        t.column("component"))))
+        return pa.table({"__drop_id": pc.cast(t.column("node"), pa.int64()),
+                         "__rep": pc.cast(t.column("component"), pa.int64())})
+
+    drops = comp.map_batches(to_drops, batch_format="pyarrow")
+    return anti_filter_ids(ds, drops, id_col, "__drop_id",
+                           max_broadcast_bytes=max_broadcast_bytes)
+
+
+def minhash_lsh_dedup(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 64, bands: int = 16, ngram: int = 3,
+    verify_threshold: float | None = None,
+    max_broadcast_bytes: int | None = None,
+    seeds: tuple[int, ...] = (1337,),
+    verify_max_task_bytes: int = 256 << 20,
+) -> Dataset:
+    """Full near-dup dedup: LSH candidates → union into duplicate sets via
+    min-label (each doc keeps the min candidate-group id it ever sees) →
+    drop non-minimal members via a distributed anti-join. Optional exact
+    n-gram Jaccard verification of candidate pairs (verify_threshold)
+    before dropping.
+
+    Min-label resolution is JOIN-FREE and fully vectorized: band rows
+    are salted by ``band_key`` (so one group is ~1/256th of a band — no
+    whole-corpus groups at scale) and reduced with one numpy
+    lexsort + ``minimum.reduceat`` per group (bucket_min broadcast back
+    to members in the same kernel); per-doc min is a native Ray hash
+    aggregate. The final filter broadcasts the drop-id set — assembled
+    in a REMOTE task, never on the driver — and applies one vectorized
+    ``pc.is_in`` per batch: the corpus itself never rides any shuffle.
+    Above ``max_broadcast_bytes`` (default 256 MiB) the finalizer
+    auto-switches to :func:`anti_filter_ids`'s Bloom-prefiltered
+    bucketed exact filter — no single broadcast object above the cap.
+    With ``verify_threshold``, candidate pairs are verified in tasks
+    bucketed by hash(rep) so no single task's text working set exceeds
+    ``verify_max_task_bytes``. Returns the surviving rows."""
+    import ray
+    from ray.data.aggregate import Min
+
+    pairs = lsh_candidate_pairs(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, ngram=ngram, seeds=seeds)
     reps = pairs.groupby("doc").aggregate(Min(on="rep", alias_name="rep"))
 
     def to_drops(t: pa.Table) -> pa.Table:

@@ -954,3 +954,51 @@ def test_pack_sequences_property_token_conservation():
             assert [s[1] for s in ker] == list(map(list, sub["doc_ids"]))
 
     run()
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Hash-to-min CC (text/graph.py) equals sequential union-find on
+    paths, cliques and zigzags — including a 50-hop chain (log-round
+    convergence, not one-hop)."""
+    from tenzir_ray.text.graph import cc_seq, connected_components
+
+    edges = [(i, i + 1) for i in range(50)]
+    edges += [(100 + i, 100 + j) for i in range(5) for j in range(i)]
+    edges += [(200, 201), (203, 202), (201, 203), (300, 300)]
+    t = pa.table({"a": [e[0] for e in edges], "b": [e[1] for e in edges]})
+    out = connected_components(rd.from_arrow(t).repartition(7)).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == cc_seq(edges)
+    assert got[50] == 0 and got[104] == 100 and got[202] == 200
+
+
+def test_minhash_cc_collapses_transitive_chains(ray_session):
+    """minhash_cc_dedup keeps ONE survivor per transitive duplicate
+    component; one-hop minhash_lsh_dedup can keep chain middles, CC
+    cannot. Verified against union-find over the same LSH pairs."""
+    from tenzir_ray.text import minhash_cc_dedup, minhash_components
+    from tenzir_ray.text.dedup import lsh_candidate_pairs
+    from tenzir_ray.text.graph import cc_seq
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep green forest tonight under a pale moon")
+    rows = []
+    for i in range(40):
+        if i % 4 == 0 and i:
+            rows.append({"doc_id": i, "text": base + f" tail{i % 3}"})
+        else:
+            rows.append({"doc_id": i,
+                         "text": " ".join(f"w{i}x{j}" for j in range(30))})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    pairs = lsh_candidate_pairs(ds).to_pandas()
+    want = cc_seq(list(zip(pairs["doc"], pairs["rep"])))
+    comp = minhash_components(ds).to_pandas()
+    got = dict(zip(comp["node"], comp["component"]))
+    assert got == want
+
+    survivors = sorted(r["doc_id"] for r in minhash_cc_dedup(
+        ds, "doc_id", "text").take_all())
+    roots = sorted(set(want.values()))
+    assert survivors == roots  # exactly one survivor (min id) per comp
+    assert len(survivors) < 40  # the near-dup family collapsed
