@@ -23,7 +23,7 @@ Supported operators (reference file cited in OPS below)::
     timeshift field [-]N[smhd]   delay field [speed]  throttle rate
     yara rules.yar [col]         python [num_cpus=c] [concurrency=n] "code"
     quality [text_col]           dedup_exact [text_col]
-    dedup_minhash [id= text= ngram= num_perm= bands=]
+    dedup_minhash [id= text= ngram= num_perm= bands= cc=]
     semdedup [threshold= clusters= id= vec=]
     scrub_passages [ngram= min_docs= id= text=]
     cap <n> by <key> order_by <col> [desc|asc]
@@ -909,11 +909,20 @@ class Pipeline:
             return lambda ds: exact_dedup(ds, text_col=col)
         if op == "dedup_minhash":
             # dedup_minhash [id=doc_id] [text=text] [ngram=3]
-            #   [num_perm=64] [bands=16] — MinHash-LSH near-dup removal
+            #   [num_perm=64] [bands=16] [cc=true] — MinHash-LSH
+            # near-dup removal; cc=true keeps ONE survivor per
+            # TRANSITIVE duplicate component (union-find semantics via
+            # distributed connected components) instead of the one-hop
+            # min-label rule
             kv = _kv(rest, "dedup_minhash")
-            from tenzir_ray.text.dedup import minhash_lsh_dedup
+            from tenzir_ray.text.dedup import (
+                minhash_cc_dedup, minhash_lsh_dedup,
+            )
 
-            return lambda ds: minhash_lsh_dedup(
+            fn = minhash_cc_dedup \
+                if kv.get("cc", "").lower() in ("1", "true", "yes") \
+                else minhash_lsh_dedup
+            return lambda ds: fn(
                 ds, id_col=kv.get("id", "doc_id").strip(),
                 text_col=kv.get("text", "text").strip(),
                 ngram=int(kv.get("ngram", 3)),

@@ -620,3 +620,26 @@ def test_tql_every_block(ray_session, tmp_path):
     out = run_pipeline(
         f"every 0s rounds=2 {{ from {p} | where x >= 2 }}", ds)
     assert out.count() == 4
+
+
+def test_tql_dedup_minhash_cc(ray_session):
+    """`dedup_minhash cc=true` in pipeline text = transitive-closure
+    survivors (one per duplicate component)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+    from tenzir_ray.text import minhash_cc_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep green forest tonight under a pale moon")
+    rows = [{"doc_id": i,
+             "text": base + f" t{i % 2}" if i % 4 == 0 and i
+             else " ".join(f"w{i}x{j}" for j in range(25))}
+            for i in range(30)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    got = sorted(r["doc_id"] for r in run_pipeline(
+        "dedup_minhash cc=true", ds).take_all())
+    want = sorted(r["doc_id"] for r in
+                  minhash_cc_dedup(ds, "doc_id", "text").take_all())
+    assert got == want and len(got) < 30
