@@ -66,6 +66,20 @@ def connected_components(
         x = np.full(len(ys), int(g.column("x")[0].as_py()), np.int64)
         return _pairs_table(x, ys)
 
+    def block_sig(t: pa.Table) -> pa.Table:
+        # after dedup_pairs, every node's rows live in ONE block and are
+        # contiguous — per-block (node count, Σ per-node min) sums to
+        # the global signature without another shuffle
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "s": pa.array([0], pa.int64())})
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
+        mins = np.minimum(np.minimum.reduceat(y, starts), x[starts])
+        return pa.table({"n": pa.array([len(starts)], pa.int64()),
+                         "s": pa.array([int(mins.sum())], pa.int64())})
+
     pairs = edges.map_batches(symm, batch_format="pyarrow")
     prev_sig: tuple | None = None
     for _ in range(max_iters):
@@ -74,13 +88,12 @@ def connected_components(
         pairs = pairs.groupby("x").map_groups(
             dedup_pairs, batch_format="pyarrow").materialize()
         # convergence signature: per-node minima are monotone
-        # non-increasing under hash-to-min, so (count, sum(min)) stable
-        # across one round == fixpoint. Tiny aggregate, no driver rows.
-        from ray.data.aggregate import Min, Sum
-
-        mins = pairs.groupby("x").aggregate(Min(on="y", alias_name="m"))
-        agg = mins.aggregate(Sum(on="m", alias_name="s"))
-        sig = (mins.count(), int(agg["s"]))
+        # non-increasing under hash-to-min, so (node count, Σ min)
+        # stable across one round == fixpoint. One map pass over the
+        # materialized pairs + a tiny 2-column sum — no extra shuffle.
+        sig_t = pairs.map_batches(block_sig, batch_format="pyarrow") \
+            .sum(["n", "s"])
+        sig = (int(sig_t["sum(n)"]), int(sig_t["sum(s)"]))
         if sig == prev_sig:
             break
         prev_sig = sig
