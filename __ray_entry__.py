@@ -846,6 +846,37 @@ def _tql_pipeline(sf_dir: str):
     return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
 
 
+def _yield_nested(sf_dir: str):
+    """yield operator driver-checked (operators/yield.cpp; ops.yield_):
+    nested list<struct> built from events, `yield answers[]` makes each
+    element an event, aggregated — DuckDB recomputes the explosion from
+    the base columns."""
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = 1 + (eid % 2)  # 1 element for even ids, 2 for odd
+        parent = np.repeat(np.arange(len(uid)), k)
+        slot = np.concatenate([np.arange(c) for c in k]) if len(k) \
+            else np.zeros(0, np.int64)
+        inner = pa.StructArray.from_arrays(
+            [pa.array(slot, pa.int64()),
+             pa.array(uid[parent] + slot, pa.int64())],
+            names=["slot", "val"])
+        offsets = np.zeros(len(k) + 1, np.int32)
+        np.cumsum(k, out=offsets[1:])
+        answers = pa.ListArray.from_arrays(pa.array(offsets), inner)
+        return pa.table({"answers": answers})
+
+    nested = ds.map_batches(mk, batch_format="pyarrow")
+    rows = ops.yield_(nested, "answers[]")
+    return ops.summarize(rows, "slot", combine="auto",
+                         n="count", sval=("sum", "val"))
+
+
 def _minhash_cc_docs(sf_dir: str):
     """Transitive-closure near-dup clustering (the union-find step of
     the RefinedWeb/SlimPajama MinHash pipelines): LSH candidate pairs →
@@ -2143,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tql_let_if": _tql_let_if,
         "ocsf_map": _ocsf_map,
         "minhash_cc_docs": _minhash_cc_docs,
+        "yield_nested": _yield_nested,
         # -- r03-green rotation: code touched this round first --------------
         "cdc_replay": _cdc_replay,
         "cdc_asof": _cdc_asof,
@@ -2669,6 +2701,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_cc_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/minhash_cc_docs.parquet'
+        """,
+        "yield_nested": """
+            SELECT slot, count(*) AS n, sum(user_id + slot) AS sval
+            FROM (
+                SELECT 0 AS slot, user_id FROM events
+                UNION ALL
+                SELECT 1 AS slot, user_id FROM events WHERE event_id % 2 = 1
+            ) GROUP BY slot
         """,
         "ocsf_map": """
             SELECT 4001 AS class_uid,

@@ -30,6 +30,7 @@ Supported operators (reference file cited in OPS below)::
     let $name = <const>              // substitutes into later operators
     if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
     every <N[smhd]> [rounds=K] { <pipe> }
+    yield <path[.sub][[]]>       fields
 
 Expressions are Python syntax evaluated over pyarrow.dataset field
 expressions (``l_quantity > 45 and l_discount < 0.1`` →
@@ -776,6 +777,14 @@ class Pipeline:
                 return out
 
             return _step
+        if op == "yield":
+            # yield <path[.sub][[]]> (operators/yield.cpp): the record(s)
+            # at path become the new events
+            path = rest.strip()
+            return lambda ds: ops.yield_(ds, path)
+        if op == "fields":
+            # fields (operators/fields.cpp): one event per input field
+            return lambda ds: ops.fields_(ds)
         if op == "timeshift":
             # timeshift <field> <[-]N[smhd]> (operators/timeshift.cpp)
             import datetime

@@ -26,6 +26,7 @@ from tenzir_ray.stages.ops import (
     drop,
     enrich,
     enumerate_,
+    fields_,
     flatten,
     head,
     measure,
@@ -50,6 +51,7 @@ from tenzir_ray.stages.ops import (
     unflatten,
     unroll,
     where,
+    yield_,
 )
 
 __all__ = [
@@ -59,7 +61,7 @@ __all__ = [
     "unroll", "flatten", "unflatten", "enrich", "taste", "timeshift",
     "sample", "reverse", "semi_join", "semi_join_ds", "repeat", "measure",
     "batch",
-    "assert_", "move", "distinct", "cache",
+    "assert_", "move", "distinct", "cache", "yield_", "fields_",
     "shell", "fork", "if_", "delay", "throttle", "assert_throughput",
     "sample_adaptive", "yara_match", "yara_compile_rules", "serve",
     "publish", "subscribe", "chart_line", "chart_area", "chart_bar",

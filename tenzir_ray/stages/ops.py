@@ -749,3 +749,54 @@ def batch(ds: Dataset, n: int) -> Dataset:
     knob is map_batches(batch_size=…) on the consuming stage; this
     materializes the boundary explicitly."""
     return ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=n)
+
+
+def yield_(ds: Dataset, path: str) -> Dataset:
+    """Replace each event with the record(s) at ``path``
+    (operators/yield.cpp: `yield dns.answers[]` makes every list
+    element its own event). Dotted segments descend structs; a trailing
+    ``[]`` flattens a list — list<struct> elements become the new
+    event's columns, scalar lists become a single column named after
+    the last segment. Rows where the path is null vanish (the
+    reference yields nothing for them)."""
+    unroll_tail = path.endswith("[]")
+    parts = path[:-2].split(".") if unroll_tail else path.split(".")
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(parts[0])
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for p in parts[1:]:
+            col = pc.struct_field(col, p)
+        if unroll_tail:
+            col = pc.list_flatten(col)  # drops null/empty parents
+        else:
+            col = col.filter(pc.is_valid(col))
+        if pa.types.is_struct(col.type):
+            out = pa.table({
+                f.name: pc.struct_field(col, f.name)
+                for f in col.type
+            })
+        else:
+            out = pa.table({parts[-1]: col})
+        return nometa(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fields_(ds: Dataset) -> Dataset:
+    """Replace the stream with one event per FIELD of the input schema
+    (operators/fields.cpp introspection): (field, type, nullable)."""
+    import ray.data as rd
+
+    schema = ds.schema()
+    names = list(schema.names)
+    types = [str(t) for t in schema.types]
+    base = schema.base_schema if hasattr(schema, "base_schema") else None
+    nullable = [bool(base.field(n).nullable) if base is not None else True
+                for n in names]
+    return rd.from_arrow(pa.table({
+        "field": pa.array(names, pa.string()),
+        "type": pa.array(types, pa.string()),
+        "nullable": pa.array(nullable, pa.bool_()),
+    }))

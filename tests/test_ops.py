@@ -255,3 +255,50 @@ def test_hll_count_distinct(ray_session):
     b = hll_registers(vals[30_000:], 12)
     merged = np.maximum(a, b)
     assert int(round(hll_estimate(merged))) == est
+
+
+def test_yield_and_fields(ray_session):
+    """yield (operators/yield.cpp): the record(s) at a path become the
+    new events, with [] flattening lists; fields (operators/fields.cpp):
+    one event per input field."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    t = pa.table({
+        "id": [1, 2, 3],
+        "dns": pa.array(
+            [{"query": "a.com",
+              "answers": [{"ip": "1.1.1.1", "ttl": 60},
+                          {"ip": "2.2.2.2", "ttl": 30}]},
+             {"query": "b.com", "answers": []},
+             None],
+            pa.struct([
+                ("query", pa.string()),
+                ("answers", pa.list_(pa.struct([("ip", pa.string()),
+                                                ("ttl", pa.int64())]))),
+            ])),
+    })
+    ds = rd.from_arrow(t)
+
+    # yield a struct path: its fields become the event columns
+    out = ops.yield_(ds, "dns").to_pandas()
+    assert list(out["query"]) == ["a.com", "b.com"]  # null row vanished
+
+    # yield a list path with []: one event per element
+    out = ops.yield_(ds, "dns.answers[]").to_pandas()
+    assert list(out["ip"]) == ["1.1.1.1", "2.2.2.2"]
+    assert list(out["ttl"]) == [60, 30]
+
+    # scalar leaf keeps the last segment as the column name
+    out = ops.yield_(ds, "dns.query").to_pandas()
+    assert list(out["query"]) == ["a.com", "b.com"]
+
+    # pipeline text + fields introspection
+    out = run_pipeline("yield dns.answers[] | sort ttl", ds).to_pandas()
+    assert list(out["ttl"]) == [30, 60]
+    f = run_pipeline("fields", ds).to_pandas()
+    assert set(f["field"]) == {"id", "dns"}
+    assert "struct" in f.set_index("field")["type"]["dns"]
