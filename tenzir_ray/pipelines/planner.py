@@ -777,6 +777,12 @@ class Pipeline:
                 return out
 
             return _step
+        if op in ("set-attributes", "set_attributes"):
+            # set-attributes key=value, … (operators/set_attributes.cpp)
+            kv = _kv(rest, "set-attributes")
+            return lambda ds: ops.set_attributes(ds, **kv)
+        if op in ("get-attributes", "get_attributes"):
+            return lambda ds: ops.get_attributes(ds)
         if op == "yield":
             # yield <path[.sub][[]]> (operators/yield.cpp): the record(s)
             # at path become the new events

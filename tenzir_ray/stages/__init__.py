@@ -27,6 +27,7 @@ from tenzir_ray.stages.ops import (
     enrich,
     enumerate_,
     fields_,
+    get_attributes,
     flatten,
     head,
     measure,
@@ -40,6 +41,7 @@ from tenzir_ray.stages.ops import (
     semi_join,
     semi_join_ds,
     set_,
+    set_attributes,
     slice_,
     sort,
     summarize,
@@ -62,6 +64,7 @@ __all__ = [
     "sample", "reverse", "semi_join", "semi_join_ds", "repeat", "measure",
     "batch",
     "assert_", "move", "distinct", "cache", "yield_", "fields_",
+    "set_attributes", "get_attributes",
     "shell", "fork", "if_", "delay", "throttle", "assert_throughput",
     "sample_adaptive", "yara_match", "yara_compile_rules", "serve",
     "publish", "subscribe", "chart_line", "chart_area", "chart_bar",

@@ -800,3 +800,43 @@ def fields_(ds: Dataset) -> Dataset:
         "type": pa.array(types, pa.string()),
         "nullable": pa.array(nullable, pa.bool_()),
     }))
+
+
+def set_attributes(ds: Dataset, **attrs: str) -> Dataset:
+    """Attach key=value attributes to the stream's SCHEMA metadata
+    (operators/set_attributes.cpp — the reference stamps type
+    attributes like `#index=hash` on the slice schema; here they ride
+    ``pa.Schema.metadata``, surviving map stages that preserve metadata
+    and parquet round-trips)."""
+    kv = {k.encode(): str(v).encode() for k, v in attrs.items()}
+
+    def fn(t: pa.Table) -> pa.Table:
+        meta = dict(t.schema.metadata or {})
+        meta.update(kv)
+        return t.replace_schema_metadata(meta)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def get_attributes(ds: Dataset) -> Dataset:
+    """Replace the stream with one event per schema-metadata attribute
+    (operators/get_attributes.cpp)."""
+    import ray.data as rd
+
+    def fn(t: pa.Table) -> pa.Table:
+        meta = t.schema.metadata or {}
+        ks = sorted(meta)
+        return pa.table({
+            "key": pa.array([k.decode("utf-8", "replace") for k in ks],
+                            pa.string()),
+            "value": pa.array([meta[k].decode("utf-8", "replace")
+                               for k in ks], pa.string()),
+        })
+
+    # one block is enough: attributes are schema-level, identical on
+    # every block — take the first non-empty answer
+    for blk in ds.limit(1).map_batches(fn, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        return rd.from_arrow(blk)
+    return rd.from_arrow(pa.table({"key": pa.array([], pa.string()),
+                                   "value": pa.array([], pa.string())}))

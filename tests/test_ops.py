@@ -302,3 +302,29 @@ def test_yield_and_fields(ray_session):
     f = run_pipeline("fields", ds).to_pandas()
     assert set(f["field"]) == {"id", "dns"}
     assert "struct" in f.set_index("field")["type"]["dns"]
+
+
+def test_set_get_attributes(ray_session):
+    """Schema-metadata attributes (set_attributes/get_attributes.cpp):
+    stamped on every block's schema, readable back as events, and they
+    survive a parquet round-trip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    ds = rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+    tagged = ops.set_attributes(ds, index="hash", tier="hot")
+    got = ops.get_attributes(tagged).to_pandas()
+    assert dict(zip(got["key"], got["value"])) == \
+        {"index": "hash", "tier": "hot"}
+
+    # pipeline text spelling (reference dashes)
+    out = run_pipeline("set-attributes index=hash | get-attributes",
+                       ds).to_pandas()
+    assert list(out["key"]) == ["index"]
+
+    # untagged stream → empty attribute set
+    assert ops.get_attributes(ds).count() == 0
