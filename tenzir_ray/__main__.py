@@ -55,6 +55,12 @@ def _lake_main(args) -> int:
     elif args.lake_cmd == "lineage":
         for row in lake.lineage().to_pylist():
             print(json.dumps(row, default=str))
+    elif args.lake_cmd == "partitions":
+        for row in lake.partitions().to_pylist():
+            print(json.dumps(row, default=str))
+    elif args.lake_cmd == "schemas":
+        for row in lake.schemas().to_pylist():
+            print(json.dumps(row, default=str))
     return 0
 
 
@@ -64,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     lk = sub.add_parser("lake", help="operate a CDC lake")
     lk.add_argument("lake_cmd", choices=[
         "apply", "ingest-warc", "follow", "read", "lookup", "compact",
-        "lineage"])
+        "lineage", "partitions", "schemas"])
     lk.add_argument("--lake", required=True)
     lk.add_argument("--wal")
     lk.add_argument("--warc", help="WARC directory for ingest-warc")

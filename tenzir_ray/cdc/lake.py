@@ -1122,3 +1122,61 @@ class Lake:
                 }
             ).slice(0, 0)
         return pa.concat_tables([_manifest_table(r) for r in rows])
+
+    def partitions(self) -> pa.Table:
+        """Catalog-style partition inventory (operators/partitions.cpp —
+        the reference lists every partition with schema, event count and
+        size): one row per lake data file with its partition, kind
+        (base/delta), epoch coverage, bucket, rows and on-disk bytes.
+        Metadata-only: parquet footers + stat(), no data reads."""
+        rows = {k: [] for k in ("partition_id", "kind", "epoch", "bucket",
+                                "path", "num_rows", "bytes")}
+        for p in sorted(glob.glob(os.path.join(self.root, "p=*", "*.parquet"))):
+            name = os.path.basename(p)
+            pid = int(os.path.basename(os.path.dirname(p)).split("=")[1])
+            if name.startswith("base-e"):
+                kind, epoch, bucket = "base", int(
+                    name[len("base-e"):].split(".")[0].split("-")[0]), -1
+            elif name.startswith("delta-e"):
+                kind = "delta"
+                bits = name[len("delta-e"):].split(".")[0].split("-b")
+                epoch, bucket = int(bits[0]), int(bits[1])
+            else:
+                continue
+            rows["partition_id"].append(pid)
+            rows["kind"].append(kind)
+            rows["epoch"].append(epoch)
+            rows["bucket"].append(bucket)
+            rows["path"].append(p)
+            rows["num_rows"].append(pq.read_metadata(p).num_rows)
+            rows["bytes"].append(os.path.getsize(p))
+        return pa.table({
+            "partition_id": pa.array(rows["partition_id"], pa.int32()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "epoch": pa.array(rows["epoch"], pa.int64()),
+            "bucket": pa.array(rows["bucket"], pa.int32()),
+            "path": pa.array(rows["path"], pa.string()),
+            "num_rows": pa.array(rows["num_rows"], pa.int64()),
+            "bytes": pa.array(rows["bytes"], pa.int64()),
+        })
+
+    def schemas(self) -> pa.Table:
+        """Schema-evolution history (operators/schemas.cpp analog): one
+        row per (schema-commit epoch, field) with the field's type — the
+        unified schema as committed after each epoch."""
+        rows = {k: [] for k in ("epoch", "field", "type")}
+        for p in sorted(glob.glob(
+                os.path.join(self.root, "_manifest", "schema-e*.json"))):
+            e = int(os.path.basename(p)[len("schema-e"):-len(".json")])
+            with open(p) as f:
+                s = pa.ipc.read_schema(
+                    pa.py_buffer(b64decode(json.load(f)["schema"])))
+            for fld in s:
+                rows["epoch"].append(e)
+                rows["field"].append(fld.name)
+                rows["type"].append(str(fld.type))
+        return pa.table({
+            "epoch": pa.array(rows["epoch"], pa.int64()),
+            "field": pa.array(rows["field"], pa.string()),
+            "type": pa.array(rows["type"], pa.string()),
+        })

@@ -537,3 +537,36 @@ def test_mid_epoch_schema_divergence(tmp_path):
     # rows written by the second file carry their values (urls whose
     # last write came from file b keep a non-null mid_col)
     assert got["mid_col"].notna().sum() > 0
+
+
+def test_partitions_and_schemas_introspection(tmp_path):
+    """Catalog introspection (partitions.cpp / schemas.cpp analogs):
+    per-file partition inventory from footers + stat only, and the
+    committed schema-evolution history."""
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, EVOLVED)
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    lake.apply_wal(wal)
+
+    inv = lake.partitions().to_pandas()
+    assert (inv["kind"] == "delta").all()
+    assert inv["num_rows"].sum() > 0 and (inv["bytes"] > 0).all()
+    assert set(inv["partition_id"]) <= set(range(4))
+    n_delta_rows = inv["num_rows"].sum()
+
+    lake.compact()
+    inv2 = lake.partitions().to_pandas()
+    assert set(inv2["kind"]) == {"base"}
+    assert inv2["num_rows"].sum() <= n_delta_rows  # LWW collapsed versions
+
+    sch = lake.schemas().to_pandas()
+    assert set(sch["epoch"]) == set(range(6))
+    # title appears from its add-epoch onward; lang widens dict→string
+    by_epoch = {e: set(g["field"]) for e, g in sch.groupby("epoch")}
+    assert "title" not in by_epoch[1] and "title" in by_epoch[2]
+    # committed history records the UNIFIED schema: lang is the widened
+    # string type throughout, and the rename alias keeps `text` (never
+    # `body`) in every epoch's committed schema
+    lang_t = sch[(sch["field"] == "lang")].set_index("epoch")["type"]
+    assert (lang_t == "string").all()
+    assert all("text" in fs and "body" not in fs for fs in by_epoch.values())
