@@ -538,15 +538,25 @@ class Pipeline:
     @staticmethod
     def _take_block(s: str, start: int) -> tuple[str, int]:
         """``s[start]`` must be ``{``; returns (inner text, index after
-        the matching ``}``)."""
+        the matching ``}``). Quote-aware like :meth:`split_ops` — a
+        brace inside a string literal must not change the depth."""
         depth = 0
-        for j in range(start, len(s)):
-            if s[j] == "{":
+        in_str: str | None = None
+        j = start
+        while j < len(s):
+            ch = s[j]
+            if in_str:
+                if ch == in_str and s[j - 1] != "\\":
+                    in_str = None
+            elif ch in "\"'":
+                in_str = ch
+            elif ch == "{":
                 depth += 1
-            elif s[j] == "}":
+            elif ch == "}":
                 depth -= 1
                 if depth == 0:
                     return s[start + 1:j], j + 1
+            j += 1
         raise ValueError("unbalanced braces in pipeline block")
 
     @staticmethod

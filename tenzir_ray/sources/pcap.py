@@ -359,14 +359,18 @@ def decapsulate_batch(t: pa.Table, col: str = "data",
     tcp_doff = ((_byte_at(flat, starts, lens, l4 + 12) >> 4)
                 .astype(np.int64) * 4)
     tcp_flags = _byte_at(flat, starts, lens, l4 + 13)
-    # payload only where the FULL L4 header was captured (a frame
+    # payload only where the FULL relevant header was captured (a frame
     # truncated before l4+12 reads doff=0 and would otherwise emit TCP
-    # header bytes as payload; non-IP frames have no payload at all)
+    # header bytes as payload; non-IP frames have no payload at all).
+    # Non-TCP/UDP IP protocols (ICMP, GRE, …) expose the bytes past the
+    # IP header — the classic tunnel/exfil scan surface.
     tcp_ok = is_tcp & (tcp_doff >= 20) & (lens >= l4 + tcp_doff)
     udp_ok = is_l4 & (proto == 17) & (lens >= l4 + 8)
-    pay_ok = tcp_ok | udp_ok
+    other_ip = (is_v4 | is_v6) & ~np.isin(proto, (6, 17)) & (lens >= l4)
+    pay_ok = tcp_ok | udp_ok | other_ip
     payload_off = np.where(tcp_ok, l4 + tcp_doff,
-                           np.where(udp_ok, l4 + 8, lens))
+                           np.where(udp_ok, l4 + 8,
+                                    np.where(other_ip, l4, lens)))
     payload_off = np.minimum(payload_off, lens)
 
     ip_mask = is_v4 | is_v6

@@ -105,13 +105,20 @@ def parse_warc_bytes(raw: bytes, http_payload: bool = True) -> pa.Table:
     # WARC/1.1 allows fractional seconds (2017-01-01T00:00:00.123Z):
     # parse the 19-char second-precision prefix, then add the fraction
     # as nanoseconds — pyarrow strptime has no %f, and nulling such
-    # records would silently drop spec-conformant crawls.
+    # records would silently drop spec-conformant crawls. The prefix
+    # parse is gated on the WHOLE string matching the spec shape
+    # (…Z / ….fffZ): a numeric UTC offset (+05:00) must null like the
+    # old strict format did, not silently mis-parse as UTC.
     arr = pa.array(tss, pa.string())
+    spec_ok = pc.fill_null(pc.match_substring_regex(
+        arr, pattern=r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+                     r"(\.\d{1,9})?Z$"), False)
     ts = pc.cast(
         pc.strptime(pc.utf8_slice_codeunits(arr, 0, 19),
                     format="%Y-%m-%dT%H:%M:%S",
                     unit="s", error_is_null=True),
         pa.timestamp("ns"))
+    ts = pc.if_else(spec_ok, ts, pa.scalar(None, pa.timestamp("ns")))
     frac = pc.struct_field(
         pc.extract_regex(arr, pattern=r"\.(?P<f>\d{1,9})Z$"), "f")
     if pc.any(pc.is_valid(frac)).as_py():

@@ -200,7 +200,12 @@ def load_rules_dir(rules_dir: str) -> dict[str, dict]:
         with open(p) as fh:
             docs = [d for d in yaml.safe_load_all(fh) if d]
         for i, d in enumerate(docs):
-            rules[d.get("title", f"{stem}:{i}")] = d
+            name = d.get("title", f"{stem}:{i}")
+            if name in rules:
+                # two files sharing a title must BOTH compile — a silent
+                # dict collision drops detection coverage invisibly
+                name = f"{name} ({stem}:{i})"
+            rules[name] = d
     return rules
 
 

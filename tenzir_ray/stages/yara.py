@@ -59,30 +59,37 @@ class Pattern:
     def search(self, data: bytes):
         return self.rx.search(data)
 
-    def mask(self, arr: pa.Array, values: list | None) -> np.ndarray:
+    def mask(self, arr: pa.Array, values: list) -> np.ndarray:
         """Vectorized hit mask over a string/binary array; nulls → False.
-        ``values`` is the lazily-materialized pylist fallback (shared
-        across patterns so it is built at most once per batch)."""
+        ``values`` is the lazily-materialized pylist fallback: a one-
+        element mutable cell shared across patterns so ``to_pylist`` runs
+        at most once per batch. The Arrow kernel path is taken only for
+        pure-ASCII needles — pyarrow re-encodes str needles as UTF-8, so
+        a byte ≥ 0x80 decoded latin-1 would search the WRONG byte
+        sequence on a binary column (silent false negatives)."""
         try:
+            ascii_ok = all(b < 0x80 for b in self.needle)
+            if not ascii_ok:
+                raise pa.ArrowNotImplementedError("non-ascii needle")
             if self.kind in ("text", "hex"):
                 m = pc.match_substring(
-                    arr, pattern=self.needle.decode("latin-1"),
+                    arr, pattern=self.needle.decode("ascii"),
                     ignore_case=self.nocase)
             elif self.kind == "regex":
                 m = pc.match_substring_regex(
-                    arr, pattern=self.needle.decode("latin-1"),
+                    arr, pattern=self.needle.decode("ascii"),
                     ignore_case=self.nocase)
             else:
                 raise pa.ArrowNotImplementedError("hex wildcard")
             return np.asarray(pc.fill_null(m, False))
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
                 UnicodeDecodeError):
-            # RE2/kernel can't express it (wildcard hex, backreferences,
-            # non-latin-1 needles on a utf8 column) — per-value fallback
-            if values is None:
-                values = arr.to_pylist()
-            out = np.zeros(len(values), dtype=bool)
-            for i, v in enumerate(values):
+            # kernel can't express it (wildcard hex, non-ASCII bytes,
+            # RE2-incompatible regex) — per-value fallback
+            if values[0] is None:
+                values[0] = arr.to_pylist()
+            out = np.zeros(len(values[0]), dtype=bool)
+            for i, v in enumerate(values[0]):
                 if v is None:
                     continue
                 data = v.encode("utf-8", "surrogatepass") \
@@ -103,6 +110,8 @@ class CompiledRule:
         return _eval_condition(self.condition, hits)
 
     def mask(self, arr: pa.Array, values: list | None = None) -> np.ndarray:
+        if values is None:
+            values = [None]  # shared pylist cell across patterns
         masks = {sid: p.mask(arr, values)
                  for sid, p in self.patterns.items()}
         return _eval_condition_vector(self.condition, masks, len(arr))
@@ -217,7 +226,8 @@ def yara_match(ds, rules_source: str, col: str = "data"):
         if rules is None:
             rules = _COMPILED.setdefault(key, compile_rules(ray.get(src_ref)))
         col_arr = t.column(col).combine_chunks()
-        rule_masks = [r.mask(col_arr, None) for r in rules]
+        shared_values: list = [None]  # pylist built at most once per batch
+        rule_masks = [r.mask(col_arr, shared_values) for r in rules]
         any_hit = np.zeros(len(col_arr), dtype=bool)
         for m in rule_masks:
             any_hit |= m

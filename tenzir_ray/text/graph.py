@@ -93,6 +93,13 @@ def connected_components(
         # materialized pairs + a tiny 2-column sum — no extra shuffle.
         sig_t = pairs.map_batches(block_sig, batch_format="pyarrow") \
             .sum(["n", "s"])
+        if not sig_t or sig_t.get("sum(n)") is None:
+            # empty edge set: no nodes, nothing to iterate or label
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "component": pa.array([], pa.int64())}))
         sig = (int(sig_t["sum(n)"]), int(sig_t["sum(s)"]))
         if sig == prev_sig:
             break

@@ -59,6 +59,17 @@ def _decode_bmp(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     px = px.reshape(h, w, c)
     if not top_down:
         px = px[::-1]
+    if bpp == 8:
+        # paletted: indices map through the BGRA color table that sits
+        # between the DIB header and the pixel data — raw indices are
+        # NOT intensities unless the palette is the identity gray ramp
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack_from("<I", buf, 46)[0] or 256
+        pal = np.frombuffer(buf, np.uint8, count=n_colors * 4,
+                            offset=pal_off).reshape(n_colors, 4)
+        rgb = pal[:, [2, 1, 0]]  # BGRA → RGB
+        px = rgb[px[:, :, 0]]
+        return np.ascontiguousarray(px), w, h, 3
     if c >= 3:  # BGR(A) → RGB(A)
         px = px[:, :, [2, 1, 0] + ([3] if c == 4 else [])]
     return np.ascontiguousarray(px), w, h, c
@@ -133,7 +144,11 @@ class ImageDecoder:
                 continue
             try:
                 px, w, h, c = _decode_payload(buf)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError, struct.error,
+                    IndexError):
+                # unsupported codec OR corrupt container (truncated
+                # pixel data, bogus header): a bad row must not kill
+                # the whole decode stage at corpus scale
                 widths.append(None); heights.append(None)
                 chans.append(None); pixels.append(None); ok.append(False)
                 continue
@@ -312,11 +327,19 @@ class AudioFeatures:
     def __call__(self, t: pa.Table) -> pa.Table:
         sr, dur, rms, zcr, ok = [], [], [], [], []
         for buf in t.column(self.col).to_pylist():
-            if buf is None:
+            if buf is None or len(buf) < 4:
                 sr.append(None); dur.append(None)
                 rms.append(None); zcr.append(None); ok.append(False)
                 continue
-            rate, x = _decode_audio(buf)
+            try:
+                rate, x = _decode_audio(buf)
+            except (ValueError, struct.error, IndexError):
+                # corrupt/truncated container: null row, keep streaming
+                # (unsupported compressed codecs still raise loudly via
+                # NotImplementedError — the documented stub policy)
+                sr.append(None); dur.append(None)
+                rms.append(None); zcr.append(None); ok.append(False)
+                continue
             n = len(x)
             sr.append(rate)
             dur.append(n / rate if rate else None)

@@ -169,3 +169,54 @@ def test_real_wav_and_bmp_ppm_decode():
     d = ImageDecoder()(t)
     assert d.column("img_ok").to_pylist() == [True, True, False, False]
     assert d.column("img_width").to_pylist() == [3, 3, None, None]
+
+
+def test_corrupt_containers_null_not_crash():
+    """Review regression: corrupt/truncated containers must null the
+    row (ok=False), not kill the stage; compressed codecs still raise
+    loudly; 8-bit BMPs map through their palette."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pt
+
+    from tenzir_ray.text.multimodal import (
+        AudioFeatures, ImageDecoder, _decode_payload,
+    )
+
+    # corrupt images: junk after magic, truncated pixel data
+    trunc_bmp = (b"BM" + struct.pack("<IHHI", 200, 0, 0, 54)
+                 + struct.pack("<IiiHHIIiiII", 40, 100, 100, 1, 24, 0,
+                               0, 0, 0, 0, 0) + b"\x01\x02")
+    t = pa.table({"image": pa.array(
+        [b"BM" + b"\x00" * 10, trunc_bmp, b"P6 bogus"], pa.binary())})
+    d = ImageDecoder()(t)
+    assert d.column("img_ok").to_pylist() == [False, False, False]
+
+    # corrupt audio: empty, short, malformed RIFF → null rows
+    t = pa.table({"audio": pa.array([b"", b"RI", b"RIFF....JUNK"],
+                                    pa.binary())})
+    out = AudioFeatures()(t)
+    assert out.column("audio_ok").to_pylist() == [False, False, False]
+    # compressed codec still a loud stub
+    with _pt.raises(NotImplementedError):
+        AudioFeatures()(pa.table({"audio": pa.array([b"ID3\x04tag"],
+                                                    pa.binary())}))
+
+    # paletted 8-bit BMP: indices map through the (inverted) palette
+    w = h = 2
+    pal = b"".join(bytes([255 - i, 255 - i, 255 - i, 0])
+                   for i in range(256))
+    stride = (w + 3) & ~3
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        rows += bytes([y * 2, y * 2 + 1]) + b"\x00" * (stride - w)
+    data_off = 14 + 40 + len(pal)
+    bmp8 = (b"BM" + struct.pack("<IHHI", data_off + len(rows), 0, 0,
+                                data_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows),
+                          0, 0, 256, 0) + pal + rows)
+    px, dw, dh, dc = _decode_payload(bmp8)
+    assert (dw, dh, dc) == (2, 2, 3)
+    assert px[0, 0, 0] == 255 and px[1, 1, 0] == 252  # inverted ramp

@@ -251,3 +251,14 @@ def test_decapsulate_truncated_l4_no_header_leak():
     # non-IP (ARP): no payload, no offset
     assert d.column("payload_offset").to_pylist()[2] is None
     assert d.column("payload").to_pylist()[2] == b""
+
+
+def test_decapsulate_icmp_payload_exposed():
+    """Review regression: non-TCP/UDP IP protocols (ICMP) expose the
+    bytes past the IP header as payload — the tunnel-scan surface."""
+    icmp = eth() + ipv4(proto=1, payload_len=12) + b"\x08\x00PINGDATA"
+    t = pa.table({"data": pa.array([icmp], pa.binary())})
+    d = decapsulate_batch(t, emit_payload=True)
+    assert d.column("ip_proto").to_pylist() == [1]
+    assert d.column("payload_offset").to_pylist() == [34]  # eth14+ip20
+    assert d.column("payload").to_pylist()[0] == b"\x08\x00PINGDATA"

@@ -643,3 +643,18 @@ def test_tql_dedup_minhash_cc(ray_session):
     want = sorted(r["doc_id"] for r in
                   minhash_cc_dedup(ds, "doc_id", "text").take_all())
     assert got == want and len(got) < 30
+
+
+def test_tql_brace_inside_string_block(ray_session):
+    """Review regression: a brace inside a string literal within an
+    if/else block must not mis-scope the block."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    ds = rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+    out = run_pipeline(
+        'if x > 1 { set note = "}" } else { set note = "ok" }\nsort x',
+        ds).to_pandas()
+    assert list(out["note"]) == ["ok", "}", "}"]

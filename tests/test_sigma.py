@@ -135,3 +135,24 @@ def test_sigma_dir_hot_reload(tmp_path, ray_session):
     from tenzir_ray.pipelines.planner import run_pipeline
 
     assert run_pipeline(f"sigma {d}", ds).count() == 2
+
+
+def test_sigma_dir_duplicate_titles_both_compile(tmp_path):
+    """Review regression: two rule files sharing a title must BOTH
+    match (no silent dict collision)."""
+    import pyarrow as pa
+
+    from tenzir_ray.stages.sigma import SigmaDirMatcher
+
+    d = tmp_path / "rules"
+    d.mkdir()
+    (d / "a.yml").write_text(
+        "title: Suspicious\ndetection:\n  sel:\n    event_type: error\n"
+        "  condition: sel\n")
+    (d / "b.yml").write_text(
+        "title: Suspicious\ndetection:\n  sel:\n    event_type: click\n"
+        "  condition: sel\n")
+    t = pa.table({"event_type": ["error", "click", "view"]})
+    out = SigmaDirMatcher(str(d))(t)
+    assert sorted(out.column("event_type").to_pylist()) == \
+        ["click", "error"]

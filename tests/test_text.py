@@ -1002,3 +1002,15 @@ def test_minhash_cc_collapses_transitive_chains(ray_session):
     roots = sorted(set(want.values()))
     assert survivors == roots  # exactly one survivor (min id) per comp
     assert len(survivors) < 40  # the near-dup family collapsed
+
+
+def test_connected_components_empty_edges(ray_session):
+    """Review regression: an empty edge set returns an empty labels
+    dataset instead of TypeError on None aggregate sums."""
+    from tenzir_ray.text.graph import connected_components
+
+    t = pa.table({"a": pa.array([], pa.int64()),
+                  "b": pa.array([], pa.int64())})
+    out = connected_components(rd.from_arrow(t))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "component"}

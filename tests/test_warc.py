@@ -195,3 +195,14 @@ def test_warc_fractional_seconds_and_resync():
     broken = good1.split(b"\r\n\r\n")[0]  # header only, no terminator
     t = parse_warc_bytes(broken + b"\r\n" + good2)
     assert t.column("url").to_pylist() == ["https://b.example/"]
+
+
+def test_warc_numeric_offset_nulls_not_misparses():
+    """Review regression: a WARC-Date with a numeric UTC offset must be
+    NULL (like the old strict parser), not silently treated as UTC."""
+    from tenzir_ray.sources.warc import parse_warc_bytes, record_bytes
+
+    r = record_bytes("https://o.example/", "2017-01-01T12:00:00+05:00",
+                     b"<p>x</p>")
+    t = parse_warc_bytes(r)
+    assert t.num_rows == 1 and t.column("warc_ts").to_pylist() == [None]

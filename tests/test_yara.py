@@ -76,3 +76,32 @@ rule Evil {
         __import__
 }
 """)[0].match(b"x")
+
+
+def test_yara_nonascii_and_hex_on_binary(ray_session):
+    """Review regression: patterns with bytes >= 0x80 must match on
+    binary columns (the Arrow kernel path UTF-8-re-encodes str needles,
+    so such patterns take the per-value path)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.stages.yara import compile_rules, yara_match
+
+    src = """
+rule HighBytes {
+    strings:
+        $h = { DE AD BE EF }
+        $t = "café"
+    condition:
+        $h or $t
+}
+"""
+    rules = compile_rules(src)
+    payloads = [b"xx\xde\xad\xbe\xefyy", "café au lait".encode(),
+                b"nothing here"]
+    # scalar and vectorized paths agree
+    scalar = [any(r.match(p) for r in rules) for p in payloads]
+    assert scalar == [True, True, False]
+    t = pa.table({"data": pa.array(payloads, pa.binary())})
+    out = yara_match(rd.from_arrow(t), src, col="data").take_all()
+    assert len(out) == 2
