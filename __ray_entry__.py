@@ -846,6 +846,21 @@ def _tql_pipeline(sf_dir: str):
     return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
 
 
+def _sliding_window(sf_dir: str):
+    """Hopping event-time windows driver-checked (stages/window.py
+    summarize_window slide=; beyond the reference's tumbling
+    summarize): 1h windows hopping every 30m over events — DuckDB
+    reproduces the two-replica explosion with time_bucket UNION ALL."""
+    from tenzir_ray.stages.window import summarize_window
+
+    import tenzir_ray.stages as ops
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    out = summarize_window(ds, "ts", "1h", slide="30m",
+                           n="count", sv=("sum", "value"))
+    return ops.set_(out, sv=lambda t: pc.round(t["sv"], 2))
+
+
 def _yield_nested(sf_dir: str):
     """yield operator driver-checked (operators/yield.cpp; ops.yield_):
     nested list<struct> built from events, `yield answers[]` makes each
@@ -2175,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocsf_map": _ocsf_map,
         "minhash_cc_docs": _minhash_cc_docs,
         "yield_nested": _yield_nested,
+        "sliding_window": _sliding_window,
         # -- r03-green rotation: code touched this round first --------------
         "cdc_replay": _cdc_replay,
         "cdc_asof": _cdc_asof,
@@ -2701,6 +2717,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_cc_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/minhash_cc_docs.parquet'
+        """,
+        "sliding_window": """
+            SELECT w AS window, count(*) AS n,
+                   round(sum(value), 2) AS sv
+            FROM (
+                SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS w, value
+                FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL 30 MINUTES, ts)
+                       - INTERVAL 30 MINUTES, value
+                FROM events
+            ) GROUP BY w
         """,
         "yield_nested": """
             SELECT slot, count(*) AS n, sum(user_id + slot) AS sval

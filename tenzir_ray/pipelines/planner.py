@@ -875,12 +875,18 @@ class Pipeline:
             return lambda ds: ds.map_batches(
                 lambda t: batch_fn(t, col=col), batch_format="pyarrow")
         if op == "window":
-            # window <every> <time_col> <alias>=<agg>(col)[, ...]
-            #        [by k1, k2] — tumbling event-time windowed summarize
+            # window <every> [slide=<dur>] <time_col> <alias>=<agg>(col)
+            #        [, ...] [by k1, k2] — event-time windowed summarize,
+            # tumbling by default, hopping with slide=
             # (operators/summarize.cpp:100-142 batch form)
             from tenzir_ray.stages.window import summarize_window
 
             every, _, spec = rest.strip().partition(" ")
+            spec = spec.strip()
+            slide = None
+            if spec.startswith("slide="):
+                sl, _, spec = spec.partition(" ")
+                slide = sl[len("slide="):]
             time_col, _, spec = spec.strip().partition(" ")
             m = _SUMMARIZE.match(spec.strip())
             aggs: dict = {}
@@ -890,7 +896,7 @@ class Pipeline:
                     col in ("", "*") else (fn, col)
             by = csv(m.group("by")) if m.group("by") else None
             return lambda ds: summarize_window(
-                ds, time_col, every, by=by, **aggs)
+                ds, time_col, every, by=by, slide=slide, **aggs)
         if op == "sigma":
             # sigma <rules.yml | rules-dir/> — a YAML file (one document
             # or a stream; rules compile once per actor) or a rule

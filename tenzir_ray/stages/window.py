@@ -37,24 +37,55 @@ def window_start(arr, every: str):
     return pc.floor_temporal(arr, multiple=n, unit=unit_name)
 
 
+def _dur_seconds(spec: str) -> int:
+    return int(spec[:-1]) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[spec[-1]]
+
+
 def summarize_window(
     ds: Dataset, time_col: str, every: str,
     by: list[str] | str | None = None,
     window_col: str = "window",
     combine: str = "auto",
+    slide: str | None = None,
     **aggs,
 ) -> Dataset:
-    """Tumbling event-time windowed aggregation: one vectorized
-    ``floor_temporal`` per batch adds the window-start column, which
-    joins the group key of a single distributed summarize."""
+    """Event-time windowed aggregation. Tumbling by default: one
+    vectorized ``floor_temporal`` per batch adds the window-start
+    column, which joins the group key of a single distributed
+    summarize. With ``slide`` (a duration dividing ``every``) windows
+    HOP: each event contributes to ``every/slide`` overlapping windows —
+    implemented by replicating the batch K times with shifted window
+    starts (one vectorized subtract per replica, no per-row work), so
+    the shuffle carries K× the rows but the aggregation stays a single
+    distributed summarize."""
+    import datetime
+
     from tenzir_ray.stages.ops import summarize
 
     by = [by] if isinstance(by, str) else list(by or [])
+    if slide is None:
+        def tag(t: pa.Table) -> pa.Table:
+            w = window_start(t.column(time_col), every)
+            t = t.append_column(window_col, w)
+            return t.replace_schema_metadata(None) if t.schema.metadata else t
+    else:
+        ev_s, sl_s = _dur_seconds(every), _dur_seconds(slide)
+        if sl_s <= 0 or ev_s % sl_s:
+            raise ValueError(
+                f"slide {slide!r} must evenly divide every {every!r}")
+        k = ev_s // sl_s
 
-    def tag(t: pa.Table) -> pa.Table:
-        w = window_start(t.column(time_col), every)
-        t = t.append_column(window_col, w)
-        return t.replace_schema_metadata(None) if t.schema.metadata else t
+        def tag(t: pa.Table) -> pa.Table:
+            base = window_start(t.column(time_col), slide)
+            parts = []
+            for j in range(k):
+                w = pc.subtract(
+                    base, pa.scalar(datetime.timedelta(seconds=j * sl_s)))
+                parts.append(t.append_column(
+                    window_col, pc.cast(w, base.type)))
+            out = pa.concat_tables(parts)
+            return out.replace_schema_metadata(None) \
+                if out.schema.metadata else out
 
     return summarize(ds.map_batches(tag, batch_format="pyarrow"),
                      [window_col] + by, combine=combine, **aggs)

@@ -74,3 +74,54 @@ def test_window_operator_in_tql(ray_session):
     assert {r["k"] for r in out} == {"a", "b"}
     assert all(r["window"].minute == 0 and r["window"].hour % 2 == 0
                for r in out)
+
+
+def test_sliding_window(ray_session):
+    """Hopping windows (slide= dividing every=): each event lands in
+    every/slide overlapping windows; totals match a per-window filter
+    oracle, and the pipeline-text spelling agrees."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+    from tenzir_ray.stages.window import summarize_window
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [{"ts": base + datetime.timedelta(minutes=m), "v": float(m)}
+            for m in range(0, 120, 7)]  # 18 events over 2 h
+    t = pa.table({
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("ns")),
+        "v": pa.array([r["v"] for r in rows]),
+    })
+    ds = rd.from_arrow(t)
+    out = summarize_window(ds, "ts", "1h", slide="30m",
+                           n="count", sv=("sum", "v")).to_pandas()
+    out = out.sort_values("window").reset_index(drop=True)
+    # oracle: every 30m start covering ≥1 event, sum over [w, w+1h)
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    want = {}
+    for k in range(-1, 5):
+        w = base + datetime.timedelta(minutes=30 * k)
+        sel = df[(df["ts"] >= w) &
+                 (df["ts"] < w + datetime.timedelta(hours=1))]
+        if len(sel):
+            want[w] = (len(sel), sel["v"].sum())
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        w = r["window"].to_pydatetime()
+        assert (r["n"], r["sv"]) == want[w]
+    # each event counted every/slide = 2 times in total
+    assert out["n"].sum() == 2 * len(rows)
+
+    # pipeline text spelling
+    out2 = run_pipeline("window 1h slide=30m ts n=count(), sv=sum(v)",
+                        ds).to_pandas()
+    assert sorted(out2["n"]) == sorted(out["n"])
+
+    # slide must divide every
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        summarize_window(ds, "ts", "1h", slide="25m", n="count")
