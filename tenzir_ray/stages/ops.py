@@ -754,23 +754,28 @@ def batch(ds: Dataset, n: int) -> Dataset:
 def yield_(ds: Dataset, path: str) -> Dataset:
     """Replace each event with the record(s) at ``path``
     (operators/yield.cpp: `yield dns.answers[]` makes every list
-    element its own event). Dotted segments descend structs; a trailing
-    ``[]`` flattens a list — list<struct> elements become the new
-    event's columns, scalar lists become a single column named after
-    the last segment. Rows where the path is null vanish (the
-    reference yields nothing for them)."""
-    unroll_tail = path.endswith("[]")
-    parts = path[:-2].split(".") if unroll_tail else path.split(".")
+    element its own event). Dotted segments descend structs; ``[]``
+    after ANY segment flattens that list there (``conns[].flows[]``
+    composes) — list<struct> elements become the new event's columns,
+    scalar leaves become a single column named after the last segment.
+    Rows where the path is null vanish (the reference yields nothing
+    for them)."""
+    segs = []
+    for raw in path.split("."):
+        flat = raw.endswith("[]")
+        segs.append((raw[:-2] if flat else raw, flat))
 
     def fn(t: pa.Table) -> pa.Table:
-        col = t.column(parts[0])
+        col = t.column(segs[0][0])
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        for p in parts[1:]:
-            col = pc.struct_field(col, p)
-        if unroll_tail:
-            col = pc.list_flatten(col)  # drops null/empty parents
-        else:
+        if segs[0][1]:
+            col = pc.list_flatten(col)
+        for name, flat in segs[1:]:
+            col = pc.struct_field(col, name)
+            if flat:
+                col = pc.list_flatten(col)  # drops null/empty parents
+        if not segs[-1][1]:
             col = col.filter(pc.is_valid(col))
         if pa.types.is_struct(col.type):
             out = pa.table({
@@ -778,7 +783,7 @@ def yield_(ds: Dataset, path: str) -> Dataset:
                 for f in col.type
             })
         else:
-            out = pa.table({parts[-1]: col})
+            out = pa.table({segs[-1][0]: col})
         return nometa(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")

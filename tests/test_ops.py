@@ -328,3 +328,27 @@ def test_set_get_attributes(ray_session):
 
     # untagged stream → empty attribute set
     assert ops.get_attributes(ds).count() == 0
+
+
+def test_yield_mid_path_list(ray_session):
+    """`[]` mid-path composes: conns[].flows[] explodes both levels."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import tenzir_ray.stages as ops
+
+    flow = pa.struct([("bytes", pa.int64())])
+    conn = pa.struct([("cid", pa.int64()), ("flows", pa.list_(flow))])
+    t = pa.table({
+        "host": ["h1", "h2"],
+        "conns": pa.array(
+            [[{"cid": 1, "flows": [{"bytes": 10}, {"bytes": 20}]},
+              {"cid": 2, "flows": [{"bytes": 30}]}],
+             []],
+            pa.list_(conn)),
+    })
+    out = ops.yield_(rd.from_arrow(t), "conns[].flows[]").to_pandas()
+    assert sorted(out["bytes"]) == [10, 20, 30]
+    # mid-path flatten then struct descend without trailing []
+    out2 = ops.yield_(rd.from_arrow(t), "conns[].cid").to_pandas()
+    assert sorted(out2["cid"]) == [1, 2]
