@@ -151,7 +151,8 @@ def bench_queries() -> dict[str, float]:
         "compress_roundtrip", "fork_union", "context_roundtrip",
         "warc_ingest", "pcap_decap",
         "tql_let_if", "ocsf_map", "grok_parse", "semdedup_docs",
-        "jaccard_dedup_docs", "minhash_cc_docs",
+        "jaccard_dedup_docs", "minhash_cc_docs", "yield_nested",
+        "sliding_window",
     ]
     out: dict[str, float] = {}
     for name in names:
