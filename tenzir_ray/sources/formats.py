@@ -437,6 +437,13 @@ def routed_json(ds, col: str = "line", selector: str = "event_type",
     import ray.data as rd
 
     if stage_dir is None:
+        from tenzir_ray.util import cluster_is_multinode
+
+        if cluster_is_multinode():
+            raise ValueError(
+                "routed_json: default /tmp staging is node-local; on a "
+                "multi-node cluster pass stage_dir= on a cluster-visible "
+                "filesystem")
         stage = tempfile.mkdtemp(prefix="tenzir_ray_routed_")
         _ROUTED_STAGES.append(stage)  # removed at interpreter exit
     else:

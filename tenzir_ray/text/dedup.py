@@ -153,7 +153,17 @@ def anti_filter_ids(
 
     from tenzir_ray.state.context import BloomFilter
 
-    stage = stage_dir or tempfile.mkdtemp(prefix="tenzir_ray_drops_")
+    if stage_dir is None:
+        from tenzir_ray.util import cluster_is_multinode
+
+        if cluster_is_multinode():
+            raise ValueError(
+                "anti_filter_ids: default /tmp staging is node-local; on "
+                "a multi-node cluster pass stage_dir= on a "
+                "cluster-visible filesystem")
+        stage = tempfile.mkdtemp(prefix="tenzir_ray_drops_")
+    else:
+        stage = stage_dir
     proto = BloomFilter(capacity=max(64, est_rows), max_bytes=cap)
     m_bits, k_hash = proto.m, proto.k
 

@@ -1014,3 +1014,31 @@ def test_connected_components_empty_edges(ray_session):
     out = connected_components(rd.from_arrow(t))
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "component"}
+
+
+def test_staging_guards_multinode(ray_session, monkeypatch, tmp_path):
+    """Default /tmp staging is node-local: on a (simulated) multi-node
+    cluster the bucketed anti-filter and routed_json must demand an
+    explicit cluster-visible stage_dir instead of silently staging
+    where other nodes can't read."""
+    import pyarrow as pa
+
+    from tenzir_ray.sources.formats import routed_json
+    from tenzir_ray.text.dedup import anti_filter_ids
+
+    monkeypatch.setenv("TENZIR_RAY_FORCE_MULTINODE", "1")
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                 "text": ["a", "b", "c"]}))
+    drops = rd.from_arrow(pa.table({"__drop_id": pa.array([2], pa.int64())}))
+    with pytest.raises(ValueError, match="cluster-visible"):
+        anti_filter_ids(ds, drops, "doc_id", "__drop_id",
+                        max_broadcast_bytes=1)  # force the staged path
+    lines = rd.from_arrow(pa.table({
+        "line": ['{"event_type":"a","x":1}']}))
+    with pytest.raises(ValueError, match="cluster-visible"):
+        routed_json(lines)
+    # explicit stage_dir works under the same condition
+    out = anti_filter_ids(ds, drops, "doc_id", "__drop_id",
+                          max_broadcast_bytes=1,
+                          stage_dir=str(tmp_path / "st"))
+    assert sorted(r["doc_id"] for r in out.take_all()) == [1, 3]
