@@ -625,7 +625,9 @@ def _parse_ndjson_staged(ds, col: str = "line"):
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    stage = tempfile.mkdtemp(prefix="tenzir_ray_ndjson_")
+    from tenzir_ray.util import local_stage_dir
+
+    stage = local_stage_dir("tenzir_ray_ndjson_", "staged_ndjson")
     _ROUTED_STAGES.append(stage)
 
     def parse_stage(t: pa.Table) -> pa.Table:
@@ -695,7 +697,9 @@ def load_http(url: str, *, params: dict | None = None,
 
     import ray.data as rd
 
-    spool = tempfile.mkdtemp(prefix="tenzir_ray_http_")
+    from tenzir_ray.util import local_stage_dir
+
+    spool = local_stage_dir("tenzir_ray_http_", "load_http")
     _ROUTED_STAGES.append(spool)  # removed at interpreter exit
     paths: list[str] = []
     offset: str | None = None
@@ -779,7 +783,9 @@ def load_http_server(host: str = "127.0.0.1", port: int = 0,
         import queue as _q
         import tempfile
 
-        spool = tempfile.mkdtemp(prefix="tenzir_ray_httpsrv_")
+        from tenzir_ray.util import local_stage_dir
+
+        spool = local_stage_dir("tenzir_ray_httpsrv_", "load_http_server")
         _ROUTED_STAGES.append(spool)  # removed at interpreter exit
         paths: list[str] = []
         buf: list[str] = []

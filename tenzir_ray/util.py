@@ -46,6 +46,20 @@ def autoscale_pool(hi_min: int = 4) -> tuple[int, int]:
     return (1, max(hi_min, cpus))
 
 
+def local_stage_dir(prefix: str, what: str) -> str:
+    """``tempfile.mkdtemp`` guarded for single-node use: staged files
+    under /tmp are node-local, so any path where one process writes and
+    Ray tasks elsewhere read must refuse loudly on a multi-node cluster
+    instead of failing with unreadable paths mid-pipeline."""
+    import tempfile
+
+    if cluster_is_multinode():
+        raise ValueError(
+            f"{what}: default /tmp staging is node-local; on a "
+            f"multi-node cluster stage to a cluster-visible filesystem")
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def exchange_stage_dir(shared_dir: str, *, local_subdir: str) -> str:
     """Pick the staging medium for a file-staged exchange.
 
