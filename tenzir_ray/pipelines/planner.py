@@ -16,7 +16,8 @@ Supported operators (reference file cited in OPS below)::
     distinct c1[, c2]            reverse              enumerate [name]
     slice a:b                    sample f|p%          batch n
     repeat n                     measure              shell "cmd"
-    window 6h ts n=count() by k  sigma rules.yml      parse_kv col
+    window 6h [slide=30m] ts n=count() by k
+    sigma rules.yml|rules-dir/   parse_kv col
     parse_syslog|cef|leef col    parse_grok col "pat"
     enrich key=c, table=f.parquet, field=v, out=name[, table_key=c2]
     move new=old, ...            unflatten [sep]      assert <expr>
