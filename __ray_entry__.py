@@ -846,6 +846,30 @@ def _tql_pipeline(sf_dir: str):
     return ops.set_(out, revenue=lambda t: pc2.round(t["revenue"], 2))
 
 
+def _token_budget_sample(sf_dir: str):
+    """Per-source TOKEN-budget sampling driver-checked
+    (curation.py sample_to_token_budget — the "≤ N tokens of domain X"
+    mixture knob): whitespace token counts, one keyed totals aggregate,
+    keep-rate = min(1, budget/total), deterministic mixture_hash keep
+    decision — DuckDB recomputes totals as a window sum and applies the
+    identical hash inequality."""
+    import functools
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.text.curation import sample_to_token_budget
+    from tenzir_ray.text.quality import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    withtok = ds.map_batches(functools.partial(token_count_batch),
+                             batch_format="pyarrow")
+    budgets = {"src0": 700, "src1": 100_000}  # cut src0, keep src1 whole
+    out = sample_to_token_budget(withtok, budgets,
+                                 token_col="n_tokens_ws",
+                                 key_col="source", default_budget=400)
+    return ops.summarize(out, "source", combine="auto",
+                         n="count", tok=("sum", "n_tokens_ws"))
+
+
 def _sliding_window(sf_dir: str):
     """Hopping event-time windows driver-checked (stages/window.py
     summarize_window slide=; beyond the reference's tumbling
@@ -2191,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_cc_docs": _minhash_cc_docs,
         "yield_nested": _yield_nested,
         "sliding_window": _sliding_window,
+        "token_budget_sample": _token_budget_sample,
         # -- r03-green rotation: code touched this round first --------------
         "cdc_replay": _cdc_replay,
         "cdc_asof": _cdc_asof,
@@ -2717,6 +2742,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_cc_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/minhash_cc_docs.parquet'
+        """,
+        "token_budget_sample": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                       END::BIGINT AS nt
+                FROM documents
+            ), tot AS (
+                SELECT *, sum(nt) OVER (PARTITION BY source) AS total
+                FROM tok
+            ), rated AS (
+                SELECT *,
+                       least(1.0, (CASE source
+                                   WHEN 'src0' THEN 700
+                                   WHEN 'src1' THEN 100000
+                                   ELSE 400 END)::DOUBLE
+                             / nullif(total, 0)) AS rate
+                FROM tot
+            )
+            SELECT source, count(*) AS n, sum(nt) AS tok
+            FROM rated
+            WHERE ((xor(doc_id::UBIGINT, doc_id::UBIGINT >> 17)
+                    * 2654435761) % 4294967296)
+                  < rate * 4294967296
+            GROUP BY source
         """,
         "sliding_window": """
             SELECT w AS window, count(*) AS n,

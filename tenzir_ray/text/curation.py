@@ -226,3 +226,33 @@ def decontaminate_seq(
         "n_contaminated_ngrams": pa.array([r[1] for r in rows], pa.int64()),
         "contaminated": pa.array([r[2] for r in rows], pa.bool_()),
     })
+
+
+def sample_to_token_budget(
+    ds: Dataset, budgets: dict[str, int], token_col: str,
+    key_col: str = "source", id_col: str = "doc_id",
+    default_budget: int = 0,
+) -> Dataset:
+    """Sample each source down to a TOKEN budget (the mixture knob real
+    training-data recipes use — "≤ N tokens of domain X"): one tiny
+    keyed aggregate computes per-source token totals, keep-rates follow
+    as ``min(1, budget / total)``, and the row decision is the same
+    deterministic :func:`mixture_hash` filter as :func:`sample_mixture`
+    — reproducible at any parallelism, corpus never shuffles (the only
+    exchange is the scalar-per-source totals aggregate). Expected kept
+    tokens per source ≈ the budget (hash sampling is unbiased);
+    sources without a budget entry get ``default_budget``."""
+    from ray.data.aggregate import Sum
+
+    totals_t = ds.groupby(key_col).aggregate(
+        Sum(on=token_col, alias_name="__tok_total"))
+    totals: dict[str, int] = {}
+    for row in totals_t.take_all():  # rows = number of sources (tiny)
+        if row.get(key_col) is not None:
+            totals[str(row[key_col])] = int(row["__tok_total"] or 0)
+    rates = {}
+    for k, total in totals.items():
+        b = budgets.get(k, default_budget)
+        rates[k] = 1.0 if total <= b else (b / total if total else 0.0)
+    return sample_mixture(ds, rates, key_col=key_col, id_col=id_col,
+                          default_rate=0.0)

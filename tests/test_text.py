@@ -1042,3 +1042,33 @@ def test_staging_guards_multinode(ray_session, monkeypatch, tmp_path):
                           max_broadcast_bytes=1,
                           stage_dir=str(tmp_path / "st"))
     assert sorted(r["doc_id"] for r in out.take_all()) == [1, 3]
+
+
+def test_sample_to_token_budget(ray_session):
+    """Token-budget mixture: per-source totals -> keep-rates -> the
+    deterministic hash filter; kept token mass lands near the budget,
+    under-budget sources stay whole, and the result is reproducible."""
+    from tenzir_ray.text.curation import sample_to_token_budget
+
+    rows = []
+    for i in range(400):
+        src = "big" if i % 2 else "small"
+        rows.append({"doc_id": i, "source": src, "n_tok": 100})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = sample_to_token_budget(
+        ds, {"big": 5_000, "small": 1_000_000}, token_col="n_tok"
+    ).to_pandas()
+    kept = out.groupby("source")["n_tok"].sum().to_dict()
+    assert kept.get("small") == 20_000          # under budget: untouched
+    assert 2_000 <= kept.get("big", 0) <= 9_000  # ~5k expected, unbiased
+    # deterministic: identical on re-run
+    out2 = sample_to_token_budget(
+        ds, {"big": 5_000, "small": 1_000_000}, token_col="n_tok"
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+    # default budget 0: unknown source vanishes
+    rows.append({"doc_id": 9999, "source": "other", "n_tok": 1})
+    ds2 = rd.from_arrow(pa.Table.from_pylist(rows))
+    out3 = sample_to_token_budget(ds2, {"big": 10**9, "small": 10**9},
+                                  token_col="n_tok").to_pandas()
+    assert "other" not in set(out3["source"])
