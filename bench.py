@@ -152,7 +152,7 @@ def bench_queries() -> dict[str, float]:
         "warc_ingest", "pcap_decap",
         "tql_let_if", "ocsf_map", "grok_parse", "semdedup_docs",
         "jaccard_dedup_docs", "minhash_cc_docs", "yield_nested",
-        "sliding_window",
+        "sliding_window", "token_budget_sample",
     ]
     out: dict[str, float] = {}
     for name in names:
