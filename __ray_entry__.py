@@ -853,15 +853,12 @@ def _token_budget_sample(sf_dir: str):
     keep-rate = min(1, budget/total), deterministic mixture_hash keep
     decision — DuckDB recomputes totals as a window sum and applies the
     identical hash inequality."""
-    import functools
-
     import tenzir_ray.stages as ops
     from tenzir_ray.text.curation import sample_to_token_budget
     from tenzir_ray.text.quality import token_count_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
-    withtok = ds.map_batches(functools.partial(token_count_batch),
-                             batch_format="pyarrow")
+    withtok = ds.map_batches(token_count_batch, batch_format="pyarrow")
     budgets = {"src0": 700, "src1": 100_000}  # cut src0, keep src1 whole
     out = sample_to_token_budget(withtok, budgets,
                                  token_col="n_tokens_ws",
@@ -2755,13 +2752,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, sum(nt) OVER (PARTITION BY source) AS total
                 FROM tok
             ), rated AS (
+                -- rate mirrors curation.py rate_for(): total <= budget
+                -- keeps everything (incl. total = 0), else budget/total
                 SELECT *,
-                       least(1.0, (CASE source
-                                   WHEN 'src0' THEN 700
-                                   WHEN 'src1' THEN 100000
-                                   ELSE 400 END)::DOUBLE
-                             / nullif(total, 0)) AS rate
-                FROM tot
+                       CASE WHEN total <= budget THEN 1.0
+                            ELSE budget::DOUBLE / total END AS rate
+                FROM (
+                    SELECT *, (CASE source
+                               WHEN 'src0' THEN 700
+                               WHEN 'src1' THEN 100000
+                               ELSE 400 END)::BIGINT AS budget
+                    FROM tot
+                )
             )
             SELECT source, count(*) AS n, sum(nt) AS tok
             FROM rated

@@ -437,14 +437,9 @@ def routed_json(ds, col: str = "line", selector: str = "event_type",
     import ray.data as rd
 
     if stage_dir is None:
-        from tenzir_ray.util import cluster_is_multinode
+        from tenzir_ray.util import local_stage_dir
 
-        if cluster_is_multinode():
-            raise ValueError(
-                "routed_json: default /tmp staging is node-local; on a "
-                "multi-node cluster pass stage_dir= on a cluster-visible "
-                "filesystem")
-        stage = tempfile.mkdtemp(prefix="tenzir_ray_routed_")
+        stage = local_stage_dir("tenzir_ray_routed_", "routed_json")
         _ROUTED_STAGES.append(stage)  # removed at interpreter exit
     else:
         stage = stage_dir
@@ -610,7 +605,8 @@ def load_udp(host: str = "127.0.0.1", port: int = 0,
     return (lambda: rd.from_items([{"line": l} for l in drain()])), bound
 
 
-def _parse_ndjson_staged(ds, col: str = "line"):
+def _parse_ndjson_staged(ds, col: str = "line",
+                         stage_dir: str | None = None):
     """Distributed tolerant NDJSON parse with key-union typing — the
     single-route core of :func:`routed_json`: each batch json-parses its
     lines once (non-JSON lines fall back to ``{col: line}``), stages a
@@ -625,10 +621,13 @@ def _parse_ndjson_staged(ds, col: str = "line"):
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from tenzir_ray.util import local_stage_dir
+    if stage_dir is None:
+        from tenzir_ray.util import local_stage_dir
 
-    stage = local_stage_dir("tenzir_ray_ndjson_", "staged_ndjson")
-    _ROUTED_STAGES.append(stage)
+        stage = local_stage_dir("tenzir_ray_ndjson_", "staged_ndjson")
+        _ROUTED_STAGES.append(stage)
+    else:
+        stage = stage_dir
 
     def parse_stage(t: pa.Table) -> pa.Table:
         rows = []
@@ -676,7 +675,8 @@ def load_http(url: str, *, params: dict | None = None,
               offset_param: str = "offset", limit: int | None = None,
               max_pages: int = 100_000, parse: str = "ndjson",
               headers: dict | None = None, timeout: float = 30.0,
-              allow_truncated: bool = False):
+              allow_truncated: bool = False,
+              stage_dir: str | None = None):
     """HTTP client source (reference operators/http.cpp:423 load_http /
     from_http): GET ``url``, following continuation paging via the
     ``X-Next-Offset`` response header (the protocol :func:`~tenzir_ray.
@@ -697,10 +697,13 @@ def load_http(url: str, *, params: dict | None = None,
 
     import ray.data as rd
 
-    from tenzir_ray.util import local_stage_dir
+    if stage_dir is None:
+        from tenzir_ray.util import local_stage_dir
 
-    spool = local_stage_dir("tenzir_ray_http_", "load_http")
-    _ROUTED_STAGES.append(spool)  # removed at interpreter exit
+        spool = local_stage_dir("tenzir_ray_http_", "load_http")
+        _ROUTED_STAGES.append(spool)  # removed at interpreter exit
+    else:
+        spool = stage_dir
     paths: list[str] = []
     offset: str | None = None
     for page in range(max_pages):
@@ -737,12 +740,14 @@ def load_http(url: str, *, params: dict | None = None,
         batch_format="pyarrow")
     if parse == "lines":
         return lines
-    return _parse_ndjson_staged(lines, col="line")
+    return _parse_ndjson_staged(lines, col="line",
+                                stage_dir=stage_dir)
 
 
 def load_http_server(host: str = "127.0.0.1", port: int = 0,
                      max_events: int | None = None,
-                     idle_timeout: float = 5.0):
+                     idle_timeout: float = 5.0,
+                     stage_dir: str | None = None):
     """HTTP *server* source (reference ``from_http`` server mode,
     operators/http.cpp: listen and ingest pushed events): accept POSTed
     NDJSON bodies on loopback until ``max_events`` or idle timeout —
@@ -783,10 +788,14 @@ def load_http_server(host: str = "127.0.0.1", port: int = 0,
         import queue as _q
         import tempfile
 
-        from tenzir_ray.util import local_stage_dir
+        if stage_dir is None:
+            from tenzir_ray.util import local_stage_dir
 
-        spool = local_stage_dir("tenzir_ray_httpsrv_", "load_http_server")
-        _ROUTED_STAGES.append(spool)  # removed at interpreter exit
+            spool = local_stage_dir(
+                "tenzir_ray_httpsrv_", "load_http_server")
+            _ROUTED_STAGES.append(spool)  # removed at interpreter exit
+        else:
+            spool = stage_dir
         paths: list[str] = []
         buf: list[str] = []
         total = 0

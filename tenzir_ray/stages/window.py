@@ -76,13 +76,24 @@ def summarize_window(
         k = ev_s // sl_s
 
         def tag(t: pa.Table) -> pa.Table:
-            base = window_start(t.column(time_col), slide)
+            # null event times belong to the null-window group ONCE
+            # (tumbling parity) — replicating them K times would inflate
+            # the null group's aggregates K×
+            ts = t.column(time_col)
+            nul_mask = pc.is_null(ts)
+            has_null = pc.any(nul_mask).as_py()
+            live = t.filter(pc.invert(nul_mask)) if has_null else t
+            base = window_start(live.column(time_col), slide)
             parts = []
             for j in range(k):
                 w = pc.subtract(
                     base, pa.scalar(datetime.timedelta(seconds=j * sl_s)))
-                parts.append(t.append_column(
+                parts.append(live.append_column(
                     window_col, pc.cast(w, base.type)))
+            if has_null:
+                nul = t.filter(nul_mask)
+                parts.append(nul.append_column(
+                    window_col, pa.nulls(nul.num_rows, base.type)))
             out = pa.concat_tables(parts)
             return out.replace_schema_metadata(None) \
                 if out.schema.metadata else out

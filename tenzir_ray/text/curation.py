@@ -232,6 +232,7 @@ def sample_to_token_budget(
     ds: Dataset, budgets: dict[str, int], token_col: str,
     key_col: str = "source", id_col: str = "doc_id",
     default_budget: int = 0,
+    totals: dict[str, int] | None = None,
 ) -> Dataset:
     """Sample each source down to a TOKEN budget (the mixture knob real
     training-data recipes use — "≤ N tokens of domain X"): one tiny
@@ -240,19 +241,36 @@ def sample_to_token_budget(
     deterministic :func:`mixture_hash` filter as :func:`sample_mixture`
     — reproducible at any parallelism, corpus never shuffles (the only
     exchange is the scalar-per-source totals aggregate). Expected kept
-    tokens per source ≈ the budget (hash sampling is unbiased);
-    sources without a budget entry get ``default_budget``."""
+    tokens per source ≈ the budget (hash sampling is unbiased); sources
+    without a budget entry get ``default_budget``; a null ``key_col``
+    forms its own group priced at ``default_budget``. ``key_col`` must
+    be a string column (the filter's ``index_in`` probe is string-typed).
+
+    The input is consumed TWICE (totals, then the filter): it is
+    materialized here so upstream compute (read + tokenize) runs once —
+    the object store holds (and spills) the corpus between the passes.
+    Callers who already know per-source totals pass ``totals=`` and
+    skip both the materialize and the aggregate."""
     from ray.data.aggregate import Sum
 
-    totals_t = ds.groupby(key_col).aggregate(
-        Sum(on=token_col, alias_name="__tok_total"))
-    totals: dict[str, int] = {}
-    for row in totals_t.take_all():  # rows = number of sources (tiny)
-        if row.get(key_col) is not None:
-            totals[str(row[key_col])] = int(row["__tok_total"] or 0)
-    rates = {}
-    for k, total in totals.items():
-        b = budgets.get(k, default_budget)
-        rates[k] = 1.0 if total <= b else (b / total if total else 0.0)
+    null_total = 0
+    if totals is None:
+        ds = ds.materialize()  # both passes read plasma, compute once
+        totals_t = ds.groupby(key_col).aggregate(
+            Sum(on=token_col, alias_name="__tok_total"))
+        totals = {}
+        for row in totals_t.take_all():  # rows = #sources (tiny)
+            if row.get(key_col) is None:
+                null_total = int(row["__tok_total"] or 0)
+            else:
+                totals[str(row[key_col])] = int(row["__tok_total"] or 0)
+
+    def rate_for(total: int, b: int) -> float:
+        return 1.0 if total <= b else b / total
+
+    rates = {k: rate_for(t, budgets.get(k, default_budget))
+             for k, t in totals.items()}
+    # null keys fall through sample_mixture's index_in to default_rate
+    default_rate = rate_for(null_total, default_budget)
     return sample_mixture(ds, rates, key_col=key_col, id_col=id_col,
-                          default_rate=0.0)
+                          default_rate=default_rate)

@@ -154,14 +154,9 @@ def anti_filter_ids(
     from tenzir_ray.state.context import BloomFilter
 
     if stage_dir is None:
-        from tenzir_ray.util import cluster_is_multinode
+        from tenzir_ray.util import local_stage_dir
 
-        if cluster_is_multinode():
-            raise ValueError(
-                "anti_filter_ids: default /tmp staging is node-local; on "
-                "a multi-node cluster pass stage_dir= on a "
-                "cluster-visible filesystem")
-        stage = tempfile.mkdtemp(prefix="tenzir_ray_drops_")
+        stage = local_stage_dir("tenzir_ray_drops_", "anti_filter_ids")
     else:
         stage = stage_dir
     proto = BloomFilter(capacity=max(64, est_rows), max_bytes=cap)

@@ -46,7 +46,9 @@ def autoscale_pool(hi_min: int = 4) -> tuple[int, int]:
     return (1, max(hi_min, cpus))
 
 
-def local_stage_dir(prefix: str, what: str) -> str:
+def local_stage_dir(prefix: str, what: str,
+                    hint: str = "pass stage_dir= on a cluster-visible "
+                                "filesystem") -> str:
     """``tempfile.mkdtemp`` guarded for single-node use: staged files
     under /tmp are node-local, so any path where one process writes and
     Ray tasks elsewhere read must refuse loudly on a multi-node cluster
@@ -56,7 +58,7 @@ def local_stage_dir(prefix: str, what: str) -> str:
     if cluster_is_multinode():
         raise ValueError(
             f"{what}: default /tmp staging is node-local; on a "
-            f"multi-node cluster stage to a cluster-visible filesystem")
+            f"multi-node cluster {hint}")
     return tempfile.mkdtemp(prefix=prefix)
 
 

@@ -125,3 +125,28 @@ def test_sliding_window(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         summarize_window(ds, "ts", "1h", slide="25m", n="count")
+
+
+def test_sliding_window_null_ts_counted_once(ray_session):
+    """Review regression: null event times land in the null-window group
+    ONCE under slide=, matching tumbling (not K replicas)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.stages.window import summarize_window
+
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table({
+        "ts": pa.array([base, base, None, None], pa.timestamp("ns")),
+        "v": [1.0, 2.0, 10.0, 20.0],
+    })
+    ds = rd.from_arrow(t)
+    out = summarize_window(ds, "ts", "1h", slide="30m",
+                           n="count", sv=("sum", "v")).to_pandas()
+    nul = out[out["window"].isna()]
+    assert len(nul) == 1
+    assert int(nul["n"].iloc[0]) == 2 and float(nul["sv"].iloc[0]) == 30.0
+    live = out[out["window"].notna()]
+    assert int(live["n"].sum()) == 4  # 2 events x K=2 windows
