@@ -966,6 +966,38 @@ def read_gelf(paths):
     return rd.read_text(paths).map_batches(split, batch_format="pyarrow")
 
 
+
+
+def _http_post_retry(endpoint: str, payload: bytes, *, headers: dict,
+                     timeout: float, max_retries: int,
+                     validate=None) -> None:
+    """POST with exponential backoff: 5xx and connection errors retry,
+    4xx does not (a malformed request stays malformed). ``validate``
+    inspects a 2xx body for protocol-level per-item failures. Shared by
+    every HTTP sink (opensearch/_bulk, splunk HEC, clickhouse)."""
+    import time as _time
+    import urllib.error as _ue
+    import urllib.request as _ur
+
+    for attempt in range(max_retries + 1):
+        try:
+            req = _ur.Request(endpoint, data=payload, method="POST",
+                              headers=headers)
+            with _ur.urlopen(req, timeout=timeout) as resp:
+                body = resp.read()
+            if validate is not None:
+                validate(body)
+            return
+        except _ue.HTTPError as e:
+            if e.code < 500 or attempt == max_retries:
+                raise
+            _time.sleep(0.2 * 2 ** attempt)
+        except (_ue.URLError, OSError):
+            if attempt == max_retries:
+                raise
+            _time.sleep(0.2 * 2 ** attempt)
+
+
 # ------------------------------------------------- opensearch bulk sink
 
 
@@ -987,47 +1019,34 @@ def to_opensearch(ds, url: str, index: str, id_col: str | None = None,
 
     Returns total docs sent."""
     import json as _json
-    import time as _time
-    import urllib.error as _ue
-    import urllib.request as _ur
 
     endpoint = url.rstrip("/") + "/_bulk"
 
+    def _validate(body: bytes) -> None:
+        # 2xx can still carry per-item failures (the bulk API returns
+        # 200 with "errors": true for mapping conflicts or per-doc
+        # 429s) — surface them, never drop silently
+        if not body:
+            return
+        try:
+            parsed = _json.loads(body)
+        except ValueError:
+            return
+        if isinstance(parsed, dict) and parsed.get("errors"):
+            bad = [i for i in parsed.get("items", [])
+                   if next(iter(i.values()), {})
+                   .get("status", 200) >= 300]
+            raise RuntimeError(
+                f"_bulk accepted the request but rejected "
+                f"{len(bad)} item(s); first: "
+                f"{bad[0] if bad else parsed}")
+
     def _post(payload: bytes) -> None:
-        for attempt in range(max_retries + 1):
-            try:
-                req = _ur.Request(
-                    endpoint, data=payload, method="POST",
-                    headers={"Content-Type": "application/x-ndjson"})
-                with _ur.urlopen(req, timeout=timeout) as resp:
-                    body = resp.read()
-                # 2xx can still carry per-item failures (the bulk API
-                # returns 200 with "errors": true for mapping conflicts
-                # or per-doc 429s) — surface them, never drop silently
-                if body:
-                    try:
-                        parsed = _json.loads(body)
-                    except ValueError:
-                        parsed = None
-                    if isinstance(parsed, dict) and parsed.get("errors"):
-                        bad = [i for i in parsed.get("items", [])
-                               if next(iter(i.values()), {})
-                               .get("status", 200) >= 300]
-                        raise RuntimeError(
-                            f"_bulk accepted the request but rejected "
-                            f"{len(bad)} item(s); first: "
-                            f"{bad[0] if bad else parsed}")
-                return
-            except _ue.HTTPError as e:
-                # 4xx is not retriable (malformed request stays
-                # malformed); 5xx and connection errors back off
-                if e.code < 500 or attempt == max_retries:
-                    raise
-                _time.sleep(0.2 * 2 ** attempt)
-            except (_ue.URLError, OSError):
-                if attempt == max_retries:
-                    raise
-                _time.sleep(0.2 * 2 ** attempt)
+        _http_post_retry(
+            endpoint, payload,
+            headers={"Content-Type": "application/x-ndjson"},
+            timeout=timeout, max_retries=max_retries,
+            validate=_validate)
 
     def _send(t: pa.Table) -> pa.Table:
         if t.num_rows:
@@ -1053,3 +1072,106 @@ def to_opensearch(ds, url: str, index: str, id_col: str | None = None,
     for b in acks.iter_batches(batch_format="pyarrow"):
         total += int(_pc.sum(b.column("docs")).as_py() or 0)
     return total
+
+
+# ------------------------------------------- splunk / clickhouse sinks
+
+
+def to_splunk_hec(ds, url: str, token: str, index: str | None = None,
+                  sourcetype: str = "_json", time_col: str | None = None,
+                  events_per_request: int = 5_000,
+                  max_retries: int = 3, timeout: float = 30.0) -> int:
+    """Splunk HTTP Event Collector sink (reference ``to_splunk``
+    connector — re-expressed over the public HEC protocol: batched
+    ``{"event": …}`` JSON objects POSTed to
+    ``/services/collector/event`` with ``Authorization: Splunk <tok>``).
+
+    Distributed like :func:`to_opensearch`: each block serializes and
+    POSTs from the worker holding it, chunked and retried; only ack
+    counts reach the driver. ``time_col`` (epoch seconds or a
+    timestamp column) maps to HEC's ``time`` field so Splunk indexes
+    event time, not ingest time. A 2xx body with ``code != 0`` is a
+    protocol-level rejection and raises. Offline-testable against
+    :func:`load_http_server`. Returns total events sent."""
+    import json as _json
+
+    endpoint = url.rstrip("/") + "/services/collector/event"
+    headers = {"Authorization": f"Splunk {token}",
+               "Content-Type": "application/json"}
+
+    def _validate(body: bytes) -> None:
+        if not body:
+            return
+        try:
+            parsed = _json.loads(body)
+        except ValueError:
+            return
+        if isinstance(parsed, dict) and parsed.get("code", 0) != 0:
+            raise RuntimeError(f"HEC rejected the batch: {parsed}")
+
+    def _send(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            rows = t.to_pylist()
+            lines = []
+            for r in rows:
+                ev: dict = {"event": r, "sourcetype": sourcetype}
+                if index is not None:
+                    ev["index"] = index
+                if time_col is not None and r.get(time_col) is not None:
+                    tv = r[time_col]
+                    ev["time"] = tv.timestamp() \
+                        if hasattr(tv, "timestamp") else float(tv)
+                lines.append(_json.dumps(ev, separators=(",", ":"),
+                                         default=str))
+            for i in range(0, len(lines), events_per_request):
+                chunk = lines[i:i + events_per_request]
+                _http_post_retry(
+                    endpoint, ("\n".join(chunk) + "\n").encode(),
+                    headers=headers, timeout=timeout,
+                    max_retries=max_retries, validate=_validate)
+        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+
+    import pyarrow.compute as _pc
+
+    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
+    return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
+               for b in acks.iter_batches(batch_format="pyarrow"))
+
+
+def to_clickhouse(ds, url: str, table: str,
+                  rows_per_request: int = 50_000,
+                  max_retries: int = 3, timeout: float = 30.0) -> int:
+    """ClickHouse sink over its public HTTP interface (reference
+    ``to_clickhouse`` connector): NDJSON bodies POSTed to
+    ``?query=INSERT INTO <table> FORMAT JSONEachRow``. Distributed
+    per block, chunked, retried; returns total rows sent. ClickHouse
+    INSERTs are atomic per request, so ``rows_per_request`` is also the
+    re-delivery granularity. Offline-testable against
+    :func:`load_http_server`."""
+    import json as _json
+    import urllib.parse as _up
+
+    if not table.replace(".", "").replace("_", "").isalnum():
+        raise ValueError(f"suspicious table name {table!r}")
+    q = _up.urlencode({"query": f"INSERT INTO {table} FORMAT JSONEachRow"})
+    endpoint = url.rstrip("/") + "/?" + q
+    headers = {"Content-Type": "application/x-ndjson"}
+
+    def _send(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            rows = t.to_pylist()
+            lines = [_json.dumps(r, separators=(",", ":"), default=str)
+                     for r in rows]
+            for i in range(0, len(lines), rows_per_request):
+                chunk = lines[i:i + rows_per_request]
+                _http_post_retry(
+                    endpoint, ("\n".join(chunk) + "\n").encode(),
+                    headers=headers, timeout=timeout,
+                    max_retries=max_retries)
+        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+
+    import pyarrow.compute as _pc
+
+    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
+    return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
+               for b in acks.iter_batches(batch_format="pyarrow"))

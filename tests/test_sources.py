@@ -381,3 +381,65 @@ def test_grok_stock_pattern_library():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         compile_grok("%{LOOP}", extra={"LOOP": "%{LOOP}x"})
+
+
+def test_to_splunk_hec_and_clickhouse(ray_session):
+    """Splunk HEC and ClickHouse HTTP sinks: per-block POSTs verified by
+    draining our own loopback ingest server (same offline protocol test
+    as the _bulk sink)."""
+    import datetime
+    import json as _json
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import (
+        load_http_server, to_clickhouse, to_splunk_hec,
+    )
+
+    ts0 = datetime.datetime(2024, 5, 1, tzinfo=datetime.timezone.utc)
+    rows = [{"doc_id": i, "v": i * 2,
+             "ts": ts0 + datetime.timedelta(seconds=i)} for i in range(8)]
+
+    # --- HEC
+    mk, port = load_http_server(max_events=8, idle_timeout=3.0)
+    ds = rd.from_items(rows)
+    sent = {}
+
+    def hec():
+        sent["n"] = to_splunk_hec(
+            ds, f"http://127.0.0.1:{port}", token="tok123",
+            index="main", time_col="ts")
+
+    th = threading.Thread(target=hec)
+    th.start()
+    drained = mk()
+    th.join()
+    assert sent["n"] == 8
+    evs = [_json.loads(r["line"]) for r in drained.take_all()]
+    assert len(evs) == 8
+    assert all(e["index"] == "main" and e["sourcetype"] == "_json"
+               for e in evs)
+    assert sorted(e["event"]["v"] for e in evs) == [i * 2 for i in range(8)]
+    assert abs(min(e["time"] for e in evs) - ts0.timestamp()) < 1
+
+    # --- ClickHouse JSONEachRow
+    mk2, port2 = load_http_server(max_events=8, idle_timeout=3.0)
+
+    def ch():
+        sent["ch"] = to_clickhouse(
+            rd.from_items(rows), f"http://127.0.0.1:{port2}",
+            table="events_local")
+
+    th = threading.Thread(target=ch)
+    th.start()
+    drained2 = mk2()
+    th.join()
+    assert sent["ch"] == 8
+    got = [_json.loads(r["line"]) for r in drained2.take_all()]
+    assert sorted(g["doc_id"] for g in got) == list(range(8))
+
+    # table-name sanity guard
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        to_clickhouse(rd.from_items(rows), "http://x", table="t; DROP")
