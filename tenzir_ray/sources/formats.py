@@ -1175,3 +1175,35 @@ def to_clickhouse(ds, url: str, table: str,
     acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
     return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
                for b in acks.iter_batches(batch_format="pyarrow"))
+
+
+def to_fluentbit(ds, url: str, tag: str = "tenzir",
+                 rows_per_request: int = 10_000,
+                 max_retries: int = 3, timeout: float = 30.0) -> int:
+    """fluent-bit sink over its HTTP input plugin (reference
+    ``to_fluent_bit`` connector): NDJSON bodies POSTed to
+    ``<url>/<tag>`` (the tag routes inside fluent-bit). Same
+    distributed per-block POST + retry shape as the other HTTP sinks;
+    returns total rows sent."""
+    import json as _json
+
+    endpoint = url.rstrip("/") + "/" + tag.strip("/")
+    headers = {"Content-Type": "application/x-ndjson"}
+
+    def _send(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            lines = [_json.dumps(r, separators=(",", ":"), default=str)
+                     for r in t.to_pylist()]
+            for i in range(0, len(lines), rows_per_request):
+                chunk = lines[i:i + rows_per_request]
+                _http_post_retry(
+                    endpoint, ("\n".join(chunk) + "\n").encode(),
+                    headers=headers, timeout=timeout,
+                    max_retries=max_retries)
+        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+
+    import pyarrow.compute as _pc
+
+    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
+    return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
+               for b in acks.iter_batches(batch_format="pyarrow"))

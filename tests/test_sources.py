@@ -443,3 +443,28 @@ def test_to_splunk_hec_and_clickhouse(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         to_clickhouse(rd.from_items(rows), "http://x", table="t; DROP")
+
+
+def test_to_fluentbit(ray_session):
+    import json as _json
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import load_http_server, to_fluentbit
+
+    mk, port = load_http_server(max_events=5, idle_timeout=3.0)
+    sent = {}
+
+    def run():
+        sent["n"] = to_fluentbit(
+            rd.from_items([{"i": i} for i in range(5)]),
+            f"http://127.0.0.1:{port}", tag="app.logs")
+
+    th = threading.Thread(target=run)
+    th.start()
+    drained = mk()
+    th.join()
+    assert sent["n"] == 5
+    got = [_json.loads(r["line"]) for r in drained.take_all()]
+    assert sorted(g["i"] for g in got) == list(range(5))
