@@ -1207,3 +1207,63 @@ def to_fluentbit(ds, url: str, tag: str = "tenzir",
     acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
     return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
                for b in acks.iter_batches(batch_format="pyarrow"))
+
+
+def from_opensearch(url: str, index: str, *, query: dict | None = None,
+                    sort_field: str = "_id", page_size: int = 1_000,
+                    max_pages: int = 100_000, timeout: float = 30.0,
+                    stage_dir: str | None = None):
+    """OpenSearch/Elasticsearch SOURCE over the public ``_search`` +
+    ``search_after`` deep-paging protocol (reference ``from_opensearch``
+    connector): POST ``<url>/<index>/_search`` with a sort and a
+    ``search_after`` cursor, page until a short page. The driver only
+    spools each page's ``_source`` docs as NDJSON (one page in memory
+    at a time — the bounded-ingest contract load_http follows); parsing
+    and typing are distributed via the staged key-union pass. Returns
+    a Dataset."""
+    import json as _json
+    import urllib.request as _ur
+
+    import ray.data as rd
+
+    if stage_dir is None:
+        from tenzir_ray.util import local_stage_dir
+
+        spool = local_stage_dir("tenzir_ray_oss_", "from_opensearch")
+        _ROUTED_STAGES.append(spool)
+    else:
+        spool = stage_dir
+    import os as _os
+
+    endpoint = url.rstrip("/") + f"/{index}/_search"
+    cursor = None
+    paths: list[str] = []
+    for page in range(max_pages):
+        body: dict = {"size": page_size,
+                      "sort": [{sort_field: "asc"}],
+                      "query": query or {"match_all": {}}}
+        if cursor is not None:
+            body["search_after"] = cursor
+        req = _ur.Request(
+            endpoint, data=_json.dumps(body).encode(), method="POST",
+            headers={"Content-Type": "application/json"})
+        with _ur.urlopen(req, timeout=timeout) as resp:
+            parsed = _json.loads(resp.read())
+        hits = parsed.get("hits", {}).get("hits", [])
+        if not hits:
+            break
+        p = _os.path.join(spool, f"page-{page:06d}.ndjson")
+        with open(p, "w") as fh:
+            for h in hits:
+                fh.write(_json.dumps(h.get("_source", {}),
+                                     separators=(",", ":")) + "\n")
+        paths.append(p)
+        cursor = hits[-1].get("sort")
+        if len(hits) < page_size or cursor is None:
+            break
+    if not paths:
+        return rd.from_items([])
+    lines = rd.read_text(paths).map_batches(
+        lambda t: pa.table({"line": t.column("text")}),
+        batch_format="pyarrow")
+    return _parse_ndjson_staged(lines, col="line", stage_dir=stage_dir)

@@ -468,3 +468,46 @@ def test_to_fluentbit(ray_session):
     assert sent["n"] == 5
     got = [_json.loads(r["line"]) for r in drained.take_all()]
     assert sorted(g["i"] for g in got) == list(range(5))
+
+
+def test_from_opensearch_search_after(ray_session):
+    """from_opensearch: search_after deep paging against a loopback stub
+    serving deterministic pages; the result is the full corpus, typed."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from tenzir_ray.sources.formats import from_opensearch
+
+    docs = [{"doc_id": i, "v": i * 3} for i in range(23)]
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            assert body["sort"] == [{"doc_id": "asc"}]
+            size = body["size"]
+            after = body.get("search_after", [-1])[0]
+            page = [d for d in docs if d["doc_id"] > after][:size]
+            hits = [{"_source": d, "sort": [d["doc_id"]]} for d in page]
+            out = _json.dumps({"hits": {"hits": hits}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Stub)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        ds = from_opensearch(f"http://127.0.0.1:{port}", "docs",
+                             sort_field="doc_id", page_size=10)
+        got = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+        assert [g["doc_id"] for g in got] == list(range(23))
+        assert got[7]["v"] == 21
+    finally:
+        srv.shutdown()
