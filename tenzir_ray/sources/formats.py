@@ -970,11 +970,13 @@ def read_gelf(paths):
 
 def _http_post_retry(endpoint: str, payload: bytes, *, headers: dict,
                      timeout: float, max_retries: int,
-                     validate=None) -> None:
-    """POST with exponential backoff: 5xx and connection errors retry,
-    4xx does not (a malformed request stays malformed). ``validate``
-    inspects a 2xx body for protocol-level per-item failures. Shared by
-    every HTTP sink (opensearch/_bulk, splunk HEC, clickhouse)."""
+                     validate=None) -> bytes:
+    """POST with exponential backoff: 5xx, 429/408 (throttling — the
+    responses HEC/OpenSearch/ClickHouse emit under load) and connection
+    errors retry; other 4xx does not (a malformed request stays
+    malformed). ``validate`` inspects a 2xx body for protocol-level
+    per-item failures. Returns the response body. Shared by every HTTP
+    sink and by ``from_opensearch``'s paging."""
     import time as _time
     import urllib.error as _ue
     import urllib.request as _ur
@@ -987,15 +989,43 @@ def _http_post_retry(endpoint: str, payload: bytes, *, headers: dict,
                 body = resp.read()
             if validate is not None:
                 validate(body)
-            return
+            return body
         except _ue.HTTPError as e:
-            if e.code < 500 or attempt == max_retries:
+            retriable = e.code >= 500 or e.code in (408, 429)
+            if not retriable or attempt == max_retries:
                 raise
             _time.sleep(0.2 * 2 ** attempt)
         except (_ue.URLError, OSError):
             if attempt == max_retries:
                 raise
             _time.sleep(0.2 * 2 ** attempt)
+    raise AssertionError("unreachable")
+
+
+def _ndjson_http_sink(ds, endpoint: str, *, headers: dict,
+                      lines_fn, per_request: int,
+                      timeout: float, max_retries: int,
+                      validate=None) -> int:
+    """Shared distributed HTTP-sink shape: each BLOCK's rows serialize
+    worker-side via ``lines_fn(rows) -> list[str]``, POST in
+    ``per_request``-line chunks with retry/backoff, and only per-block
+    ack counts reach the driver. Returns total rows sent."""
+    import pyarrow.compute as _pc
+
+    def _send(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            lines = lines_fn(t.to_pylist())
+            for i in range(0, len(lines), per_request):
+                chunk = lines[i:i + per_request]
+                _http_post_retry(
+                    endpoint, ("\n".join(chunk) + "\n").encode("utf-8"),
+                    headers=headers, timeout=timeout,
+                    max_retries=max_retries, validate=validate)
+        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+
+    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
+    return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
+               for b in acks.iter_batches(batch_format="pyarrow"))
 
 
 # ------------------------------------------------- opensearch bulk sink
@@ -1041,37 +1071,23 @@ def to_opensearch(ds, url: str, index: str, id_col: str | None = None,
                 f"{len(bad)} item(s); first: "
                 f"{bad[0] if bad else parsed}")
 
-    def _post(payload: bytes) -> None:
-        _http_post_retry(
-            endpoint, payload,
-            headers={"Content-Type": "application/x-ndjson"},
-            timeout=timeout, max_retries=max_retries,
-            validate=_validate)
+    def lines_fn(rows: list[dict]) -> list[str]:
+        lines: list[str] = []
+        for r in rows:
+            meta = {"_index": index}
+            if id_col is not None:
+                meta["_id"] = str(r[id_col])
+            lines.append(_json.dumps({action: meta},
+                                     separators=(",", ":")))
+            lines.append(_json.dumps(r, separators=(",", ":"),
+                                     default=str))
+        return lines
 
-    def _send(t: pa.Table) -> pa.Table:
-        if t.num_rows:
-            rows = t.to_pylist()
-            lines: list[str] = []
-            for r in rows:
-                meta = {"_index": index}
-                if id_col is not None:
-                    meta["_id"] = str(r[id_col])
-                lines.append(_json.dumps({action: meta},
-                                         separators=(",", ":")))
-                lines.append(_json.dumps(r, separators=(",", ":"),
-                                         default=str))
-            for i in range(0, len(lines), 2 * lines_per_request):
-                chunk = lines[i:i + 2 * lines_per_request]
-                _post(("\n".join(chunk) + "\n").encode("utf-8"))
-        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
-
-    import pyarrow.compute as _pc
-
-    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
-    total = 0
-    for b in acks.iter_batches(batch_format="pyarrow"):
-        total += int(_pc.sum(b.column("docs")).as_py() or 0)
-    return total
+    return _ndjson_http_sink(
+        ds, endpoint,
+        headers={"Content-Type": "application/x-ndjson"},
+        lines_fn=lines_fn, per_request=2 * lines_per_request,
+        timeout=timeout, max_retries=max_retries, validate=_validate)
 
 
 # ------------------------------------------- splunk / clickhouse sinks
@@ -1109,33 +1125,33 @@ def to_splunk_hec(ds, url: str, token: str, index: str | None = None,
         if isinstance(parsed, dict) and parsed.get("code", 0) != 0:
             raise RuntimeError(f"HEC rejected the batch: {parsed}")
 
-    def _send(t: pa.Table) -> pa.Table:
-        if t.num_rows:
-            rows = t.to_pylist()
-            lines = []
-            for r in rows:
-                ev: dict = {"event": r, "sourcetype": sourcetype}
-                if index is not None:
-                    ev["index"] = index
-                if time_col is not None and r.get(time_col) is not None:
-                    tv = r[time_col]
-                    ev["time"] = tv.timestamp() \
-                        if hasattr(tv, "timestamp") else float(tv)
-                lines.append(_json.dumps(ev, separators=(",", ":"),
-                                         default=str))
-            for i in range(0, len(lines), events_per_request):
-                chunk = lines[i:i + events_per_request]
-                _http_post_retry(
-                    endpoint, ("\n".join(chunk) + "\n").encode(),
-                    headers=headers, timeout=timeout,
-                    max_retries=max_retries, validate=_validate)
-        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+    def lines_fn(rows: list[dict]) -> list[str]:
+        import datetime as _dt
 
-    import pyarrow.compute as _pc
+        lines = []
+        for r in rows:
+            ev: dict = {"event": r, "sourcetype": sourcetype}
+            if index is not None:
+                ev["index"] = index
+            if time_col is not None and r.get(time_col) is not None:
+                tv = r[time_col]
+                if hasattr(tv, "timestamp"):
+                    # tz-naive values (the norm for parquet timestamps)
+                    # are UTC — .timestamp() on a naive datetime would
+                    # apply the WORKER's local timezone
+                    if getattr(tv, "tzinfo", None) is None:
+                        tv = tv.replace(tzinfo=_dt.timezone.utc)
+                    ev["time"] = tv.timestamp()
+                else:
+                    ev["time"] = float(tv)
+            lines.append(_json.dumps(ev, separators=(",", ":"),
+                                     default=str))
+        return lines
 
-    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
-    return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
-               for b in acks.iter_batches(batch_format="pyarrow"))
+    return _ndjson_http_sink(
+        ds, endpoint, headers=headers, lines_fn=lines_fn,
+        per_request=events_per_request, timeout=timeout,
+        max_retries=max_retries, validate=_validate)
 
 
 def to_clickhouse(ds, url: str, table: str,
@@ -1157,24 +1173,14 @@ def to_clickhouse(ds, url: str, table: str,
     endpoint = url.rstrip("/") + "/?" + q
     headers = {"Content-Type": "application/x-ndjson"}
 
-    def _send(t: pa.Table) -> pa.Table:
-        if t.num_rows:
-            rows = t.to_pylist()
-            lines = [_json.dumps(r, separators=(",", ":"), default=str)
-                     for r in rows]
-            for i in range(0, len(lines), rows_per_request):
-                chunk = lines[i:i + rows_per_request]
-                _http_post_retry(
-                    endpoint, ("\n".join(chunk) + "\n").encode(),
-                    headers=headers, timeout=timeout,
-                    max_retries=max_retries)
-        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+    def lines_fn(rows: list[dict]) -> list[str]:
+        return [_json.dumps(r, separators=(",", ":"), default=str)
+                for r in rows]
 
-    import pyarrow.compute as _pc
-
-    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
-    return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
-               for b in acks.iter_batches(batch_format="pyarrow"))
+    return _ndjson_http_sink(
+        ds, endpoint, headers=headers, lines_fn=lines_fn,
+        per_request=rows_per_request, timeout=timeout,
+        max_retries=max_retries)
 
 
 def to_fluentbit(ds, url: str, tag: str = "tenzir",
@@ -1182,36 +1188,29 @@ def to_fluentbit(ds, url: str, tag: str = "tenzir",
                  max_retries: int = 3, timeout: float = 30.0) -> int:
     """fluent-bit sink over its HTTP input plugin (reference
     ``to_fluent_bit`` connector): NDJSON bodies POSTed to
-    ``<url>/<tag>`` (the tag routes inside fluent-bit). Same
-    distributed per-block POST + retry shape as the other HTTP sinks;
-    returns total rows sent."""
+    ``<url>/<tag>`` (the tag routes inside fluent-bit; URL-encoded so
+    any tag is a valid request target). Same distributed per-block POST
+    + retry shape as the other HTTP sinks; returns total rows sent."""
     import json as _json
+    import urllib.parse as _up
 
-    endpoint = url.rstrip("/") + "/" + tag.strip("/")
+    endpoint = url.rstrip("/") + "/" + _up.quote(tag.strip("/"), safe="/.")
     headers = {"Content-Type": "application/x-ndjson"}
 
-    def _send(t: pa.Table) -> pa.Table:
-        if t.num_rows:
-            lines = [_json.dumps(r, separators=(",", ":"), default=str)
-                     for r in t.to_pylist()]
-            for i in range(0, len(lines), rows_per_request):
-                chunk = lines[i:i + rows_per_request]
-                _http_post_retry(
-                    endpoint, ("\n".join(chunk) + "\n").encode(),
-                    headers=headers, timeout=timeout,
-                    max_retries=max_retries)
-        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+    def lines_fn(rows: list[dict]) -> list[str]:
+        return [_json.dumps(r, separators=(",", ":"), default=str)
+                for r in rows]
 
-    import pyarrow.compute as _pc
-
-    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
-    return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
-               for b in acks.iter_batches(batch_format="pyarrow"))
+    return _ndjson_http_sink(
+        ds, endpoint, headers=headers, lines_fn=lines_fn,
+        per_request=rows_per_request, timeout=timeout,
+        max_retries=max_retries)
 
 
 def from_opensearch(url: str, index: str, *, query: dict | None = None,
-                    sort_field: str = "_id", page_size: int = 1_000,
-                    max_pages: int = 100_000, timeout: float = 30.0,
+                    sort_field: str = "_doc", page_size: int = 1_000,
+                    max_pages: int = 100_000, max_retries: int = 3,
+                    timeout: float = 30.0,
                     stage_dir: str | None = None):
     """OpenSearch/Elasticsearch SOURCE over the public ``_search`` +
     ``search_after`` deep-paging protocol (reference ``from_opensearch``
@@ -1219,10 +1218,18 @@ def from_opensearch(url: str, index: str, *, query: dict | None = None,
     ``search_after`` cursor, page until a short page. The driver only
     spools each page's ``_source`` docs as NDJSON (one page in memory
     at a time — the bounded-ingest contract load_http follows); parsing
-    and typing are distributed via the staged key-union pass. Returns
-    a Dataset."""
+    and typing are distributed via the staged key-union pass.
+
+    ``sort_field`` defaults to ``_doc`` (the protocol's cheap unique
+    order; ``_id`` sorting is rejected by modern ES). A non-``_doc``
+    field gets a ``_doc`` tiebreaker appended — search_after over a
+    non-unique sort value would otherwise skip or repeat documents
+    across page boundaries. Page requests go through the shared
+    retry/backoff helper (a reset on page 9,999 must not restart a
+    10,000-page export); exhausting ``max_pages`` with a live cursor
+    raises instead of returning a silently-truncated corpus. Returns a
+    Dataset."""
     import json as _json
-    import urllib.request as _ur
 
     import ray.data as rd
 
@@ -1236,21 +1243,25 @@ def from_opensearch(url: str, index: str, *, query: dict | None = None,
     import os as _os
 
     endpoint = url.rstrip("/") + f"/{index}/_search"
+    sort: list = [{sort_field: "asc"}]
+    if sort_field != "_doc":
+        sort.append({"_doc": "asc"})  # unique tiebreaker
     cursor = None
+    done = False
     paths: list[str] = []
     for page in range(max_pages):
-        body: dict = {"size": page_size,
-                      "sort": [{sort_field: "asc"}],
+        body: dict = {"size": page_size, "sort": sort,
                       "query": query or {"match_all": {}}}
         if cursor is not None:
             body["search_after"] = cursor
-        req = _ur.Request(
-            endpoint, data=_json.dumps(body).encode(), method="POST",
-            headers={"Content-Type": "application/json"})
-        with _ur.urlopen(req, timeout=timeout) as resp:
-            parsed = _json.loads(resp.read())
+        resp = _http_post_retry(
+            endpoint, _json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            timeout=timeout, max_retries=max_retries)
+        parsed = _json.loads(resp)
         hits = parsed.get("hits", {}).get("hits", [])
         if not hits:
+            done = True
             break
         p = _os.path.join(spool, f"page-{page:06d}.ndjson")
         with open(p, "w") as fh:
@@ -1260,9 +1271,15 @@ def from_opensearch(url: str, index: str, *, query: dict | None = None,
         paths.append(p)
         cursor = hits[-1].get("sort")
         if len(hits) < page_size or cursor is None:
+            done = True
             break
+    if not done:
+        raise RuntimeError(
+            f"from_opensearch: max_pages={max_pages} exhausted with a "
+            f"live cursor — the result would be silently truncated; "
+            f"raise max_pages or narrow the query")
     if not paths:
-        return rd.from_items([])
+        return rd.from_items([]).limit(0)
     lines = rd.read_text(paths).map_batches(
         lambda t: pa.table({"line": t.column("text")}),
         batch_format="pyarrow")

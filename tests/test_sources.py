@@ -485,7 +485,8 @@ def test_from_opensearch_search_after(ray_session):
         def do_POST(self):
             body = _json.loads(
                 self.rfile.read(int(self.headers["Content-Length"])))
-            assert body["sort"] == [{"doc_id": "asc"}]
+            assert body["sort"][0] == {"doc_id": "asc"}
+            assert body["sort"][-1] == {"_doc": "asc"}  # tiebreaker
             size = body["size"]
             after = body.get("search_after", [-1])[0]
             page = [d for d in docs if d["doc_id"] > after][:size]
@@ -509,5 +510,41 @@ def test_from_opensearch_search_after(ray_session):
         got = sorted(ds.take_all(), key=lambda r: r["doc_id"])
         assert [g["doc_id"] for g in got] == list(range(23))
         assert got[7]["v"] == 21
+        # exhausting max_pages with a live cursor raises (no silent
+        # truncation)
+        import pytest as _pt
+        with _pt.raises(RuntimeError, match="truncated"):
+            from_opensearch(f"http://127.0.0.1:{port}", "docs",
+                            sort_field="doc_id", page_size=10,
+                            max_pages=1)
     finally:
         srv.shutdown()
+
+
+def test_hec_naive_timestamps_are_utc(ray_session):
+    """Review regression: tz-naive timestamps (the parquet norm) map to
+    HEC time as UTC, not the worker's local timezone."""
+    import datetime
+    import json as _json
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import load_http_server, to_splunk_hec
+
+    naive = datetime.datetime(2024, 5, 1, 12, 0, 0)  # no tzinfo
+    want = naive.replace(tzinfo=datetime.timezone.utc).timestamp()
+    mk, port = load_http_server(max_events=1, idle_timeout=3.0)
+    sent = {}
+
+    def run():
+        sent["n"] = to_splunk_hec(
+            rd.from_items([{"i": 1, "ts": naive}]),
+            f"http://127.0.0.1:{port}", token="t", time_col="ts")
+
+    th = threading.Thread(target=run)
+    th.start()
+    drained = mk()
+    th.join()
+    evs = [_json.loads(r["line"]) for r in drained.take_all()]
+    assert sent["n"] == 1 and evs[0]["time"] == want
