@@ -971,8 +971,13 @@ def _ocsf_map(sf_dir: str):
             "id.orig_p": pc.add(pc.subtract(
                 t["event_id"],
                 pc.multiply(pc.divide(t["event_id"], 60000), 60000)), 1024),
+            # half_towards_infinity = round-half-away-from-zero, matching
+            # DuckDB round(); Arrow's default half_to_even would diverge
+            # on exact .5 ties.
             "orig_bytes": pc.cast(pc.round(
-                pc.multiply(t["value"], 100.0)), pa.int64()),
+                pc.multiply(t["value"], 100.0),
+                options=pc.RoundOptions(round_mode="half_towards_infinity")),
+                pa.int64()),
             "uid": pc.cast(t["event_id"], pa.string()),
         })
 
@@ -2765,7 +2770,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM tot
                 )
             )
-            SELECT source, count(*) AS n, sum(nt) AS tok
+            SELECT source, count(*) AS n, (sum(nt))::BIGINT AS tok
             FROM rated
             WHERE ((xor(doc_id::UBIGINT, doc_id::UBIGINT >> 17)
                     * 2654435761) % 4294967296)
@@ -2785,7 +2790,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY w
         """,
         "yield_nested": """
-            SELECT slot, count(*) AS n, sum(user_id + slot) AS sval
+            SELECT slot, count(*) AS n, (sum(user_id + slot))::BIGINT AS sval
             FROM (
                 SELECT 0 AS slot, user_id FROM events
                 UNION ALL
@@ -2795,7 +2800,7 @@ def oracle_sql() -> dict[str, str]:
         "ocsf_map": """
             SELECT 4001 AS class_uid,
                    count(*) AS n,
-                   sum(round(value * 100)::BIGINT) AS b_out,
+                   (sum(round(value * 100)::BIGINT))::BIGINT AS b_out,
                    max(1024 + (event_id % 60000)) AS mx_port,
                    400106 AS type_uid,
                    'Traffic' AS activity_name,
