@@ -270,18 +270,28 @@ def exact_dedup(ds: Dataset, text_col: str = "text", keep_by: str | None = None)
         col = t.column(text_col).combine_chunks()
         h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
         t = t.append_column("__h", pa.array(h.astype(np.uint64)))
+        # coarse salt groups (the band_reduce pattern): one map_groups
+        # call handles ~1/1024 of all hashes in one vectorized pass —
+        # never one Python call per distinct document
+        t = t.append_column("__hs", pa.array(
+            (h.astype(np.uint64) & np.uint64(1023)).astype(np.int64)))
         return t.replace_schema_metadata(None) if t.schema.metadata else t
 
-    def first(g: pa.Table) -> pa.Table:
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["__h", "__hs"])
+        keys = [("__h", "ascending")]
         if keep_by:
-            g = g.take(pc.sort_indices(g, sort_keys=[(keep_by, "ascending")]))
-        return g.slice(0, 1)
+            keys.append((keep_by, "ascending"))
+        g = g.take(pc.sort_indices(g, sort_keys=keys))
+        h = g.column("__h").to_numpy(zero_copy_only=False)
+        firsts = np.r_[True, h[1:] != h[:-1]]
+        return g.filter(pa.array(firsts)).drop_columns(["__h", "__hs"])
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(first, batch_format="pyarrow")
-        .drop_columns(["__h"])
+        .groupby("__hs")
+        .map_groups(first_per_hash, batch_format="pyarrow")
     )
 
 
@@ -300,16 +310,25 @@ def exact_dedup_wide(
         h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
         return pa.table({
             "__h": pa.array(h.astype(np.uint64)),
+            "__hs": pa.array(
+                (h.astype(np.uint64) & np.uint64(1023)).astype(np.int64)),
             id_col: t.column(id_col).combine_chunks(),
         })
 
     def losers(g: pa.Table) -> pa.Table:
-        g = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
-        return g.select([id_col]).slice(1)  # all but the winner
+        # one group = one salt slice of hashes; all but the min id per
+        # hash-segment, in one vectorized pass (band_reduce pattern)
+        if g.num_rows == 0:
+            return g.select([id_col])
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            ("__h", "ascending"), (id_col, "ascending")]))
+        h = g.column("__h").to_numpy(zero_copy_only=False)
+        firsts = np.r_[True, h[1:] != h[:-1]]
+        return g.filter(pa.array(~firsts)).select([id_col])
 
     drops = (
         ds.map_batches(project, batch_format="pyarrow")
-        .groupby("__h")
+        .groupby("__hs")
         .map_groups(losers, batch_format="pyarrow")
     )
     return anti_filter_ids(ds, drops, id_col, id_col,
@@ -457,8 +476,12 @@ def minhash_lsh_candidates(
 ) -> Dataset:
     """Near-dup candidate groups via MinHash-LSH: per-batch signatures in
     an actor pool (permutations compiled once), explode to band rows,
-    ``groupby(band, band_hash)`` — docs sharing any band bucket are
-    candidates. Returns (band, band_key, docs:list) groups with >1 doc."""
+    coarse ``groupby(band, salt(band_key))`` — docs sharing any band
+    bucket are candidates. Returns (band, band_key, docs:list) groups
+    with >1 doc. One map_groups call per (band, salt) slice, all bucket
+    segments inside it built in one vectorized numpy pass (the
+    ``lsh_candidate_pairs.band_reduce`` pattern — never one Python call
+    per bucket)."""
     import functools
 
     banded = ds.map_batches(
@@ -470,20 +493,46 @@ def minhash_lsh_candidates(
         batch_size=1024,  # bounds the (num_perm × shingles) work matrix
     )
 
+    def add_salt(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bk_salt", pc.bit_wise_and(t.column("band_key"), 255))
+
     def collect(g: pa.Table) -> pa.Table:
-        docs = sorted(g.column("doc").to_pylist())
-        if len(docs) < 2:
-            return pa.table({"band": pa.array([], pa.int64()),
-                             "band_key": pa.array([], pa.int64()),
-                             "docs": pa.array([], pa.list_(pa.int64()))})
+        empty = pa.table({"band": pa.array([], pa.int64()),
+                          "band_key": pa.array([], pa.int64()),
+                          "docs": pa.array([], pa.list_(pa.int64()))})
+        if g.num_rows == 0:
+            return empty
+        keys = g.column("band_key").to_numpy(zero_copy_only=False)
+        docs = g.column("doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, keys))
+        k, d = keys[order], docs[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        counts = np.diff(np.r_[starts, len(k)])
+        sel = counts >= 2
+        if not sel.any():
+            return empty
+        sel_starts, sel_counts = starts[sel], counts[sel]
+        total = int(sel_counts.sum())
+        # gather each kept segment's doc ids contiguously
+        seg_base = np.repeat(sel_starts, sel_counts)
+        seg_off = np.arange(total) - np.repeat(
+            np.cumsum(sel_counts) - sel_counts, sel_counts)
+        values = d[seg_base + seg_off]
+        offsets = np.r_[0, np.cumsum(sel_counts)]
+        docs_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.int64()))
+        band = int(g.column("band")[0].as_py())
         return pa.table({
-            "band": g.column("band").slice(0, 1),
-            "band_key": g.column("band_key").slice(0, 1),
-            "docs": pa.array([docs], pa.list_(pa.int64())),
+            "band": pa.array(np.full(int(sel.sum()), band, np.int64)),
+            "band_key": pa.array(k[sel_starts], pa.int64()),
+            "docs": docs_arr,
         })
 
-    return banded.groupby(["band", "band_key"]).map_groups(
-        collect, batch_format="pyarrow"
+    return (
+        banded.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["band", "bk_salt"])
+        .map_groups(collect, batch_format="pyarrow")
     )
 
 

@@ -11,6 +11,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -314,9 +315,9 @@ def repetition_signals(
 
 
 def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
-    """Cheap whitespace+regex token count (vectorized pandas str kernel) —
+    """Cheap whitespace+regex token count (zero-copy Arrow kernel) —
     the stateless fast path when only counts are needed."""
-    s = t.column(text_col).to_pandas()
-    counts = s.str.count(r"\S+").fillna(0).astype(np.int64)
-    t = t.append_column("n_tokens_ws", pa.array(counts.to_numpy()))
+    counts = pc.count_substring_regex(t.column(text_col), r"\S+")
+    counts = pc.cast(pc.fill_null(counts, 0), pa.int64())
+    t = t.append_column("n_tokens_ws", counts)
     return t.replace_schema_metadata(None) if t.schema.metadata else t
