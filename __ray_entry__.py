@@ -1300,6 +1300,23 @@ def _first3_per_type(sf_dir: str):
                            order_by=["ts", "event_id"])
 
 
+def _group_over(sf_dir: str):
+    """`group <key> { <pipe> }` in pipeline TEXT (operators/group.cpp:
+    23-118; pipelines/planner.py _compile_table_steps): top-3 events
+    per type by (value, event_id) with a computed column — one hash
+    shuffle, the block runs as a vectorized Arrow-table program per
+    group."""
+    from tenzir_ray.pipelines.planner import Pipeline
+
+    p = Pipeline.parse(
+        f"from {sf_dir}/events.parquet\n"
+        "select event_id, event_type, value\n"
+        "group event_type { sort value, event_id | head 3 "
+        "| set v2 = value * 2 }"
+    )
+    return p.run()
+
+
 def _grok_parse(sf_dir: str):
     """grok parser driver-checked with STOCK library patterns
     (grok-patterns set, sources/grok_patterns.py; reference
@@ -2171,71 +2188,18 @@ def _warc_ingest(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Ordered for the driver's 50-query correctness window (insertion order,
-    # first 50 checked).  Rotation policy (VERDICT r03 #1): never-driver-green
-    # queries lead, then queries last green in r02, then new-this-round, then
-    # a rotation of the r03-green set; the remainder (all r03-green) follow
-    # after position 50 and rotate into the window next round.
+    # Ordered for the driver's 50-query correctness window (insertion
+    # order, first 50 checked).  r5 rotation (VERDICT r04 #4): the 38
+    # queries whose latest driver-green row predates r04 lead, then the
+    # three repaired-oracle queries, then new-this-round, then r04-green
+    # queries whose code changed this round; the remaining r04-green set
+    # follows after position 50 and rotates in next round.
     return {
-        # -- never driver-verified (r01-r03) — must land in this window -----
-        "http_roundtrip": _http_roundtrip,
-        "tql_functions": _tql_functions,
-        "path_funcs": _path_funcs,
-        "url_funcs": _url_funcs,
-        "python_udf": _python_udf,
-        "duration_funcs": _duration_funcs,
-        "list_lambda": _list_lambda,
-        "windowed_agg": _windowed_agg,
-        "kmeans_clusters": _kmeans_clusters,
-        "semdedup_docs": _semdedup_docs,
-        "hll_distinct_users": _hll_distinct_users,
-        "pcap_decap": _pcap_decap,
-        "yara_scan": _yara_scan,
-        "bitz_roundtrip": _bitz_roundtrip,
-        "compress_roundtrip": _compress_roundtrip,
-        "fork_union": _fork_union,
-        "context_roundtrip": _context_roundtrip,
-        "warc_ingest": _warc_ingest,
-        # -- last driver-green in r02; code changed since ------------------
-        "list_funcs": _list_funcs,
-        "first3_per_type": _first3_per_type,
-        "grok_parse": _grok_parse,
-        "sigma_match": _sigma_match,
-        "network_funcs": _network_funcs,
-        "cidr_enrich": _cidr_enrich,
-        "routed_json": _routed_json,
-        "embedding_dedup": _embedding_dedup,
-        "ivf_ann": _ivf_ann,
-        "multimodal_decode": _multimodal_decode,
-        "semi_join_orders": _semi_join_orders,
-        "anti_join_orders": _anti_join_orders,
-        "slice_events": _slice_events,
-        "parse_props": _parse_props,
-        # -- new this round (slot before the r03 rotation) ------------------
-        "tql_let_if": _tql_let_if,
-        "ocsf_map": _ocsf_map,
-        "minhash_cc_docs": _minhash_cc_docs,
-        "yield_nested": _yield_nested,
-        "sliding_window": _sliding_window,
-        "token_budget_sample": _token_budget_sample,
-        # -- r03-green rotation: code touched this round first --------------
-        "cdc_replay": _cdc_replay,
-        "cdc_asof": _cdc_asof,
-        "cap_per_source": _cap_per_source,
-        "jaccard_dedup_docs": _jaccard_dedup_docs,
-        "minhash_dedup_docs": _minhash_dedup_docs,
-        "upsert_events": _upsert_events,
-        "q1_summarize": _q1_summarize,
-        "where_select": _where_select,
-        "set_revenue": _set_revenue,
-        "sort_head": _sort_head,
-        "top_events": _top_events,
-        "rare_events": _rare_events,
+        # -- latest driver-green row r02/r03 — re-verify on current code ----
         "dedup_users": _dedup_users,
         "enrich_orders": _enrich_orders,
         "hourly_events": _hourly_events,
         "unroll_embeddings": _unroll_embeddings,
-        # ---- position 50 boundary (driver window ends here) ---------------
         "exact_dedup_docs": _exact_dedup_docs,
         "line_dedup_docs": _line_dedup_docs,
         "token_counts": _token_counts,
@@ -2270,6 +2234,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_collect": _distinct_collect,
         "scalar_funcs": _scalar_funcs,
         "reverse_head": _reverse_head,
+        # -- oracle SQL repaired this round (::BIGINT casts) -----------------
+        "ocsf_map": _ocsf_map,
+        "yield_nested": _yield_nested,
+        "token_budget_sample": _token_budget_sample,
+        # -- new this round ---------------------------------------------------
+        "group_over": _group_over,
+        # -- r04-green, code changed this round (graph/dedup/quality/cdc) ----
+        "minhash_cc_docs": _minhash_cc_docs,
+        "jaccard_dedup_docs": _jaccard_dedup_docs,
+        "minhash_dedup_docs": _minhash_dedup_docs,
+        "cdc_replay": _cdc_replay,
+        "cdc_asof": _cdc_asof,
+        "upsert_events": _upsert_events,
+        "q1_summarize": _q1_summarize,
+        "warc_ingest": _warc_ingest,
+        # ---- position 50 boundary (driver window ends here) ---------------
+        "http_roundtrip": _http_roundtrip,
+        "tql_functions": _tql_functions,
+        "path_funcs": _path_funcs,
+        "url_funcs": _url_funcs,
+        "python_udf": _python_udf,
+        "duration_funcs": _duration_funcs,
+        "list_lambda": _list_lambda,
+        "windowed_agg": _windowed_agg,
+        "kmeans_clusters": _kmeans_clusters,
+        "semdedup_docs": _semdedup_docs,
+        "hll_distinct_users": _hll_distinct_users,
+        "pcap_decap": _pcap_decap,
+        "yara_scan": _yara_scan,
+        "bitz_roundtrip": _bitz_roundtrip,
+        "compress_roundtrip": _compress_roundtrip,
+        "fork_union": _fork_union,
+        "context_roundtrip": _context_roundtrip,
+        "list_funcs": _list_funcs,
+        "first3_per_type": _first3_per_type,
+        "grok_parse": _grok_parse,
+        "sigma_match": _sigma_match,
+        "network_funcs": _network_funcs,
+        "cidr_enrich": _cidr_enrich,
+        "routed_json": _routed_json,
+        "embedding_dedup": _embedding_dedup,
+        "ivf_ann": _ivf_ann,
+        "multimodal_decode": _multimodal_decode,
+        "semi_join_orders": _semi_join_orders,
+        "anti_join_orders": _anti_join_orders,
+        "slice_events": _slice_events,
+        "parse_props": _parse_props,
+        "tql_let_if": _tql_let_if,
+        "sliding_window": _sliding_window,
+        "cap_per_source": _cap_per_source,
+        "where_select": _where_select,
+        "set_revenue": _set_revenue,
+        "sort_head": _sort_head,
+        "top_events": _top_events,
+        "rare_events": _rare_events,
     }
 
 
@@ -2806,6 +2825,12 @@ def oracle_sql() -> dict[str, str]:
                    'Traffic' AS activity_name,
                    'Network Activity' AS category_name
             FROM events
+        """,
+        "group_over": """
+            SELECT event_id, event_type, value, value * 2 AS v2
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY value, event_id) <= 3
         """,
         "tql_let_if": """
             SELECT CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS bucket,

@@ -31,6 +31,7 @@ Supported operators (reference file cited in OPS below)::
     let $name = <const>              // substitutes into later operators
     if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
     every <N[smhd]> [rounds=K] { <pipe> }
+    group <key>[, <key>…] { <pipe> }  // per-group Arrow-table program
     yield <path[.sub][[]]>       fields
 
 Expressions are Python syntax evaluated over pyarrow.dataset field
@@ -49,6 +50,7 @@ from __future__ import annotations
 import ast
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -403,15 +405,55 @@ class Pipeline:
         self.source_filter = source_filter
         self.source_columns = source_columns
 
+    @staticmethod
+    def _quote_escaped(s: str, i: int) -> bool:
+        """True when the quote at ``s[i]`` is escaped — an ODD number of
+        consecutive backslashes precedes it (``"a\\\\"`` ends the string:
+        the two backslashes escape each other, not the quote)."""
+        n = 0
+        j = i - 1
+        while j >= 0 and s[j] == "\\":
+            n += 1
+            j -= 1
+        return n % 2 == 1
+
+    @staticmethod
+    def _subst_lets(seg: str, bindings: dict[str, str]) -> str:
+        """Substitute ``$name`` let-bindings OUTSIDE string literals only
+        — ``set s = "$cut USD"`` keeps its literal dollar text."""
+        out: list[str] = []
+        in_str: str | None = None
+        i = 0
+        while i < len(seg):
+            ch = seg[i]
+            if in_str:
+                out.append(ch)
+                if ch == in_str and not Pipeline._quote_escaped(seg, i):
+                    in_str = None
+                i += 1
+                continue
+            if ch in "\"'":
+                in_str = ch
+                out.append(ch)
+                i += 1
+                continue
+            if ch == "$":
+                m = re.match(r"\$(\w+)", seg[i:])
+                if m and m.group(1) in bindings:
+                    out.append(bindings[m.group(1)])
+                    i += m.end()
+                    continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
     @classmethod
     def parse(cls, text: str) -> "Pipeline":
         raw = []
         bindings: dict[str, str] = {}
         for seg in cls.split_ops(text):
             if bindings:
-                seg = re.sub(
-                    r"\$(\w+)",
-                    lambda m: bindings.get(m.group(1), m.group(0)), seg)
+                seg = cls._subst_lets(seg, bindings)
             op, _, rest = seg.partition(" ")
             if op == "let":
                 # `let $name = <const-expr>` (tql2/parser.cpp let_stmt):
@@ -501,7 +543,7 @@ class Pipeline:
             ch = s[i]
             if in_str:
                 buf.append(ch)
-                if ch == in_str and s[i - 1] != "\\":
+                if ch == in_str and not Pipeline._quote_escaped(s, i):
                     in_str = None
                 i += 1
                 continue
@@ -547,7 +589,7 @@ class Pipeline:
         while j < len(s):
             ch = s[j]
             if in_str:
-                if ch == in_str and s[j - 1] != "\\":
+                if ch == in_str and not Pipeline._quote_escaped(s, j):
                     in_str = None
             elif ch in "\"'":
                 in_str = ch
@@ -559,6 +601,106 @@ class Pipeline:
                     return s[start + 1:j], j + 1
             j += 1
         raise ValueError("unbalanced braces in pipeline block")
+
+    @classmethod
+    def _compile_table_steps(cls, text: str) -> list:
+        """Compile a ``group { … }`` block into Arrow Table→Table steps —
+        the vectorized per-group program run inside ONE ``map_groups``
+        call (never a nested Dataset inside a Ray task). Supports the
+        per-group-meaningful operator subset; anything else raises."""
+        steps = []
+        for seg in cls.split_ops(text):
+            op, _, rest = seg.partition(" ")
+            rest = rest.strip()
+            steps.append(cls._compile_table_step(op, rest))
+        return steps
+
+    @staticmethod
+    def _compile_table_step(op: str, rest: str):
+        csv = lambda s: [c.strip() for c in s.split(",") if c.strip()]
+        if op == "where":
+            fn = compile_array_expr(rest)
+            return lambda t: t.filter(fn(t))
+        if op == "select":
+            cols = csv(rest)
+            return lambda t: t.select(cols)
+        if op == "drop":
+            cols = csv(rest)
+            return lambda t: t.drop_columns(cols)
+        if op == "rename":
+            pairs = dict(p.split("=", 1) for p in csv(rest))
+            mapping = {old.strip(): new.strip() for new, old in pairs.items()}
+            return lambda t: t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names])
+        if op in ("set", "extend"):
+            name, _, expr_src = rest.partition("=")
+            name = name.strip()
+            fn = compile_array_expr(expr_src.strip())
+
+            def _set(t: pa.Table, name=name, fn=fn) -> pa.Table:
+                arr = fn(t)
+                if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                    arr = pa.array([arr] * t.num_rows)
+                if name in t.column_names:
+                    return t.set_column(
+                        t.column_names.index(name), name, arr)
+                return t.append_column(name, arr)
+
+            return _set
+        if op == "sort":
+            keys = [(k.lstrip("-"),
+                     "descending" if k.startswith("-") else "ascending")
+                    for k in csv(rest)]
+            return lambda t: t.take(pc.sort_indices(t, sort_keys=keys))
+        if op in ("head", "limit"):
+            n = int(rest or 10)
+            return lambda t: t.slice(0, n)
+        if op == "tail":
+            n = int(rest or 10)
+            return lambda t: t.slice(max(0, t.num_rows - n))
+        if op == "slice":
+            a, _, b = rest.partition(":")
+            lo, hi = int(a), int(b)
+            return lambda t: t.slice(lo, max(0, hi - lo))
+        if op == "reverse":
+            return lambda t: t.take(
+                pa.array(np.arange(t.num_rows - 1, -1, -1)))
+        if op == "enumerate":
+            name = rest.strip() or "index"
+            return lambda t: t.append_column(
+                name, pa.array(np.arange(t.num_rows, dtype=np.int64)))
+        if op == "distinct":
+            cols = csv(rest)
+            return lambda t: t.group_by(cols).aggregate([])
+        if op == "pass":
+            return lambda t: t
+        if op == "summarize":
+            m = _SUMMARIZE.match(rest)
+            aggs = []  # (alias, arrow result name, (target, fn))
+            for alias, fn, col in _AGG.findall(m.group("aggs")):
+                col = col.strip()
+                if fn == "count" and col in ("", "*"):
+                    aggs.append((alias, "count_all", ([], "count_all")))
+                else:
+                    aggs.append((alias, f"{col}_{fn}", (col, fn)))
+            by = csv(m.group("by")) if m.group("by") else []
+
+            def _summ(t: pa.Table, aggs=aggs, by=by) -> pa.Table:
+                if not by:
+                    # constant key → one output row, Arrow types kept
+                    t = t.append_column(
+                        "__g", pa.array(np.zeros(t.num_rows, np.int8)))
+                    g = t.group_by("__g").aggregate([a[2] for a in aggs])
+                    keep: list = []
+                else:
+                    g = t.group_by(by).aggregate([a[2] for a in aggs])
+                    keep = list(by)
+                g = g.select(keep + [a[1] for a in aggs])
+                return g.rename_columns(keep + [a[0] for a in aggs])
+
+            return _summ
+        raise ValueError(
+            f"operator {op!r} is not supported inside a group block")
 
     @staticmethod
     def _compile_step(op: str, rest: str):
@@ -624,6 +766,34 @@ class Pipeline:
                 return main.union(branch)
 
             return _step
+        if op == "group":
+            # `group <key>[, <key>…] { <pipe> }` (operators/group.cpp:
+            # 23-118 — partition the stream by key and run the block
+            # once per group; group outputs union). Ray-Data-first this
+            # is ONE hash shuffle (`groupby(keys)`) and a vectorized
+            # Arrow-table program per group — the block compiles to
+            # Table→Table steps (no nested datasets inside tasks), so
+            # only block-expressible operators are allowed inside.
+            b = rest.find("{")
+            if b < 0:
+                raise ValueError(f"group: expected '{{' in {rest!r}")
+            keys = csv(rest[:b])
+            if not keys:
+                raise ValueError("group: expected at least one key field")
+            inner, j = Pipeline._take_block(rest, b)
+            if rest[j:].strip():
+                raise ValueError(
+                    f"group: unexpected trailing {rest[j:].strip()!r}")
+            tsteps = Pipeline._compile_table_steps(inner)
+
+            def _kernel(g: pa.Table, tsteps=tsteps) -> pa.Table:
+                for st in tsteps:
+                    g = st(g)
+                return g.replace_schema_metadata(None) \
+                    if g.schema.metadata else g
+
+            return lambda ds: ds.groupby(keys).map_groups(
+                _kernel, batch_format="pyarrow")
         if op == "where":
             if expr_has_calls(rest):
                 fn = compile_array_expr(rest)

@@ -658,3 +658,70 @@ def test_tql_brace_inside_string_block(ray_session):
         'if x > 1 { set note = "}" } else { set note = "ok" }\nsort x',
         ds).to_pandas()
     assert list(out["note"]) == ["ok", "}", "}"]
+
+
+def test_group_block_head_per_key(ray_session):
+    """`group key { sort | head | set }` (operators/group.cpp:23-118):
+    top-2 per key with a computed column, vs a window-function oracle."""
+    got = Pipeline.parse(
+        f"from {SF}/events.parquet\n"
+        "select event_id, event_type, value\n"
+        "group event_type { sort value, event_id | head 2 "
+        "| set v2 = value * 2 }"
+    ).run().to_pandas().sort_values(["event_type", "value"]).reset_index(drop=True)
+    want = sql("""
+        SELECT event_id, event_type, value, value * 2 AS v2 FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY value, event_id) <= 2
+        ORDER BY event_type, value
+    """)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_group_block_summarize_by(ray_session):
+    """summarize inside a group block keeps the key via `by` and matches
+    a plain GROUP BY."""
+    got = Pipeline.parse(
+        f"from {SF}/events.parquet\n"
+        "group event_type { summarize n=count(), sv=sum(value) "
+        "by event_type }"
+    ).run().to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = sql("""
+        SELECT event_type, count(*) AS n, sum(value) AS sv
+        FROM events GROUP BY event_type ORDER BY event_type
+    """)
+    got["sv"] = got["sv"].round(6); want["sv"] = want["sv"].round(6)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_group_block_rejects_unsupported_op():
+    with pytest.raises(ValueError, match="not supported inside a group"):
+        Pipeline.parse("group k { shell cat }")
+
+
+def test_let_not_substituted_inside_string_literal(ray_session):
+    """ADVICE r04: `$name` inside a quoted literal must stay literal."""
+    import pyarrow as pa
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    ds = rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+    out = run_pipeline(
+        'let $cut = 2\nset s = "$cut USD"\nwhere x >= $cut\nsort x',
+        ds).to_pandas()
+    assert list(out["x"]) == [2, 3]
+    assert set(out["s"]) == {"$cut USD"}
+
+
+def test_string_ending_in_escaped_backslash_tokenizes(ray_session):
+    """ADVICE r04: a literal ending in an escaped backslash ("a\\\\")
+    must close the string — the following ops still parse."""
+    import pyarrow as pa
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    ds = rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+    out = run_pipeline('set s = "a\\\\"\nwhere x > 1\nsort x',
+                       ds).to_pandas()
+    assert list(out["x"]) == [2, 3]
+    assert set(out["s"]) == {"a\\"}
