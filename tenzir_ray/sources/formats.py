@@ -1207,6 +1207,279 @@ def to_fluentbit(ds, url: str, tag: str = "tenzir",
         max_retries=max_retries)
 
 
+# ------------------------------- azure / secops / asl / email sinks
+
+
+_OAUTH_TOKENS: dict = {}  # (token_url, client_id) -> (token, expiry) per worker
+
+
+def _oauth2_client_credentials(token_url: str, client_id: str,
+                               client_secret: str, scope: str,
+                               timeout: float, max_retries: int) -> str:
+    """OAuth2 client-credentials token, cached per worker process until
+    60 s before expiry — one token round-trip per worker, not per
+    block."""
+    import json as _json
+    import time as _time
+    import urllib.parse as _up
+
+    key = (token_url, client_id)
+    tok = _OAUTH_TOKENS.get(key)
+    if tok and tok[1] > _time.time() + 60:
+        return tok[0]
+    body = _up.urlencode({
+        "grant_type": "client_credentials", "client_id": client_id,
+        "client_secret": client_secret, "scope": scope,
+    }).encode("ascii")
+    resp = _http_post_retry(
+        token_url, body,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+        timeout=timeout, max_retries=max_retries)
+    d = _json.loads(resp)
+    token = d["access_token"]
+    _OAUTH_TOKENS[key] = (token, _time.time() + float(
+        d.get("expires_in", 3600)))
+    return token
+
+
+def to_azure_log_analytics(ds, *, dce: str, dcr: str, table: str,
+                           tenant_id: str = "", client_id: str = "",
+                           client_secret: str = "",
+                           access_token: str | None = None,
+                           token_url: str | None = None,
+                           rows_per_request: int = 500,
+                           max_retries: int = 3,
+                           timeout: float = 30.0) -> int:
+    """Azure Log Analytics sink over the public Logs Ingestion API
+    (reference ``to_azure_log_analytics`` operator,
+    web/docs/tql2/operators/to_azure_log_analytics.md): JSON-array
+    bodies POSTed to ``<dce>/dataCollectionRules/<dcr>/streams/
+    <Custom-table>?api-version=2023-01-01`` with a Bearer token from
+    the AAD client-credentials flow (scope
+    ``https://monitor.azure.com/.default``), refreshed automatically
+    and cached per worker. ``access_token`` bypasses the flow;
+    ``token_url`` overrides the login endpoint (both keep the sink
+    offline-testable). Distributed per block like the other HTTP
+    sinks; returns total rows sent."""
+    import json as _json
+    import urllib.parse as _up
+
+    stream = table if table.startswith("Custom-") else f"Custom-{table}"
+    endpoint = (f"{dce.rstrip('/')}/dataCollectionRules/{_up.quote(dcr)}"
+                f"/streams/{_up.quote(stream)}?api-version=2023-01-01")
+    tok_url = token_url or (f"https://login.microsoftonline.com/"
+                            f"{_up.quote(tenant_id)}/oauth2/v2.0/token")
+    if access_token is None and not (tenant_id and client_id
+                                     and client_secret):
+        raise ValueError("to_azure_log_analytics: need either "
+                         "access_token or tenant_id+client_id+"
+                         "client_secret")
+
+    def _send(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            token = access_token or _oauth2_client_credentials(
+                tok_url, client_id, client_secret,
+                "https://monitor.azure.com/.default", timeout,
+                max_retries)
+            headers = {"Authorization": f"Bearer {token}",
+                       "Content-Type": "application/json"}
+            rows = t.to_pylist()
+            for i in range(0, len(rows), rows_per_request):
+                payload = _json.dumps(rows[i:i + rows_per_request],
+                                      separators=(",", ":"),
+                                      default=str).encode("utf-8")
+                _http_post_retry(endpoint, payload, headers=headers,
+                                 timeout=timeout,
+                                 max_retries=max_retries)
+        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+
+    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
+    return sum(int(pc.sum(b.column("docs")).as_py() or 0)
+               for b in acks.iter_batches(batch_format="pyarrow"))
+
+
+def to_google_secops(ds, *, customer_id: str, log_type: str,
+                     log_text_col: str, access_token: str,
+                     url: str | None = None, region: str | None = None,
+                     timestamp_col: str | None = None,
+                     labels: dict | None = None,
+                     namespace: str = "tenzir",
+                     max_request_size: int = 1_000_000,
+                     max_retries: int = 3, timeout: float = 30.0) -> int:
+    """Google SecOps (Chronicle) sink over the public unstructured-logs
+    ingestion API (reference ``to_google_secops`` operator,
+    web/docs/tql2/operators/to_google_secops.md): batched
+    ``unstructuredlogentries:batchCreate`` JSON bodies, each kept under
+    ``max_request_size`` bytes. ``region`` prefixes the public
+    endpoint; ``url`` overrides it (offline-testable). Auth is a
+    ready Bearer ``access_token`` — the service-account JWT signing
+    flow needs an RSA library this container does not ship, so token
+    minting stays outside (the documented loud-stub policy).
+    Distributed per block; returns total log entries sent."""
+    import json as _json
+
+    if url is None:
+        host = "malachiteingestion-pa.googleapis.com"
+        if region:
+            host = f"{region}-{host}"
+        url = f"https://{host}"
+    endpoint = url.rstrip("/") + "/v2/unstructuredlogentries:batchCreate"
+    headers = {"Authorization": f"Bearer {access_token}",
+               "Content-Type": "application/json"}
+    base: dict = {"customer_id": customer_id, "log_type": log_type,
+                  "namespace": namespace}
+    if labels:
+        base["labels"] = [{"key": str(k), "value": str(v)}
+                          for k, v in sorted(labels.items())]
+    overhead = len(_json.dumps({**base, "entries": []})) + 64
+
+    def _send(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            rows = t.to_pylist()
+            entries: list[dict] = []
+            size = overhead
+
+            def flush():
+                nonlocal entries, size
+                if entries:
+                    payload = _json.dumps(
+                        {**base, "entries": entries},
+                        separators=(",", ":")).encode("utf-8")
+                    _http_post_retry(endpoint, payload, headers=headers,
+                                     timeout=timeout,
+                                     max_retries=max_retries)
+                entries, size = [], overhead
+
+            for r in rows:
+                e: dict = {"log_text": str(r[log_text_col])}
+                if timestamp_col is not None \
+                        and r.get(timestamp_col) is not None:
+                    tv = r[timestamp_col]
+                    e["ts_rfc3339"] = (
+                        tv.isoformat() + ("" if getattr(
+                            tv, "tzinfo", None) else "Z")
+                        if hasattr(tv, "isoformat") else str(tv))
+                sz = len(_json.dumps(e, separators=(",", ":"))) + 1
+                if entries and size + sz > max_request_size:
+                    flush()
+                entries.append(e)
+                size += sz
+            flush()
+        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+
+    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
+    return sum(int(pc.sum(b.column("docs")).as_py() or 0)
+               for b in acks.iter_batches(batch_format="pyarrow"))
+
+
+def to_amazon_security_lake(ds, path: str, *, region: str,
+                            account_id: str,
+                            time_col: str | None = None) -> None:
+    """Amazon Security Lake sink (reference ``to_asl`` operator,
+    web/docs/tql2/operators/to_asl.md): OCSF events written as parquet
+    under ASL's custom-source partition layout
+    ``region=<region>/accountId=<id>/eventDay=<YYYYMMDD>/`` — the
+    layout Security Lake crawls for custom sources. ``path`` may be a
+    local directory or an ``s3://`` URI (Arrow filesystems). The write
+    is Ray's distributed partitioned parquet write; ``eventDay``
+    derives from ``time_col`` per batch (UTC), or a single literal
+    partition when absent."""
+    def stamp(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if time_col is not None:
+            day = pc.strftime(t.column(time_col), format="%Y%m%d")
+        else:
+            day = pa.array(["19700101"] * n, pa.string())
+        t = t.append_column("region", pa.array([region] * n, pa.string()))
+        t = t.append_column("accountId",
+                            pa.array([account_id] * n, pa.string()))
+        t = t.append_column("eventDay", day)
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    ds.map_batches(stamp, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["region", "accountId", "eventDay"])
+
+
+def save_email(ds, recipient: str, *, endpoint: str = "smtp://localhost:25",
+               from_addr: str = "", subject: str = "",
+               body_format: str = "ndjson", username: str | None = None,
+               password: str | None = None, tls: bool = False,
+               mime: bool = False, max_bytes: int = 25_000_000) -> str:
+    """Email sink (reference ``save_email`` operator,
+    web/docs/tql2/operators/save_email.mdx): render the stream with a
+    printer (``ndjson``/``csv``/``lines``) into ONE RFC 5322 message
+    and deliver it. ``smtp://host:port`` endpoints send via SMTP
+    (optional STARTTLS + auth); any other endpoint (``file://…`` or a
+    plain path) saves the ``.eml`` file — the offline path. An email
+    is a single bounded document, so this sink intentionally
+    materializes the rendered body driver-side, capped at
+    ``max_bytes`` (exceeding it raises — send a filtered stream, not
+    a corpus). Returns the message id."""
+    from email.message import EmailMessage
+    from email.utils import make_msgid
+
+    from tenzir_ray.sources.printers import (
+        print_csv_batch, print_lines_batch, print_ndjson_batch,
+    )
+
+    printers = {"ndjson": print_ndjson_batch, "csv": print_csv_batch,
+                "lines": print_lines_batch}
+    if body_format not in printers:
+        raise ValueError(f"save_email: unknown body_format "
+                         f"{body_format!r} (one of {sorted(printers)})")
+    rendered = ds.map_batches(printers[body_format],
+                              batch_format="pyarrow")
+    parts: list[str] = []
+    total = 0
+    for b in rendered.iter_batches(batch_format="pyarrow"):
+        for line in b.column("line").to_pylist():
+            total += len(line) + 1
+            if total > max_bytes:
+                raise ValueError(
+                    f"save_email: rendered body exceeds max_bytes="
+                    f"{max_bytes}; filter the stream first")
+            parts.append(line)
+    body = "\n".join(parts) + ("\n" if parts else "")
+
+    msg = EmailMessage()
+    msg["To"] = recipient
+    msg["From"] = from_addr
+    msg["Subject"] = subject
+    msg["Message-ID"] = make_msgid()
+    if mime:
+        subtype = {"ndjson": "json", "csv": "csv",
+                   "lines": "plain"}[body_format]
+        msg.add_attachment(body.encode("utf-8"),
+                           maintype="application" if subtype == "json"
+                           else "text",
+                           subtype=subtype)
+    else:
+        msg.set_content(body)
+
+    if endpoint.startswith("smtp://") or endpoint.startswith("smtps://"):
+        import smtplib
+        import urllib.parse as _up
+
+        u = _up.urlparse(endpoint)
+        with smtplib.SMTP(u.hostname, u.port or 25, timeout=30) as s:
+            if tls or endpoint.startswith("smtps://"):
+                s.starttls()
+            if username is not None:
+                s.login(username, password or "")
+            s.send_message(msg, from_addr=from_addr or None,
+                           to_addrs=[recipient])
+    else:
+        import os
+
+        p = endpoint[len("file://"):] if endpoint.startswith("file://") \
+            else endpoint
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bytes(msg))
+        os.replace(tmp, p)
+    return msg["Message-ID"]
+
+
 def from_opensearch(url: str, index: str, *, query: dict | None = None,
                     sort_field: str = "_doc", page_size: int = 1_000,
                     max_pages: int = 100_000, max_retries: int = 3,

@@ -548,3 +548,223 @@ def test_hec_naive_timestamps_are_utc(ray_session):
     th.join()
     evs = [_json.loads(r["line"]) for r in drained.take_all()]
     assert sent["n"] == 1 and evs[0]["time"] == want
+
+
+def test_to_azure_log_analytics_oauth_loopback(ray_session):
+    """Logs-Ingestion protocol test: the sink mints a client-credentials
+    token from the (overridden) login endpoint, then POSTs JSON arrays
+    to /dataCollectionRules/<dcr>/streams/Custom-<table> with the
+    Bearer token — all against a loopback server."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import to_azure_log_analytics
+
+    got = {"uploads": [], "token_posts": 0}
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            if self.path == "/token":
+                with lock:
+                    got["token_posts"] += 1
+                out = _json.dumps({"access_token": "tok-abc",
+                                   "expires_in": 3600}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+                return
+            with lock:
+                got["uploads"].append(
+                    (self.path, self.headers.get("Authorization"),
+                     _json.loads(body)))
+            self.send_response(204)
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        rows = [{"doc_id": i, "v": i * 3} for i in range(7)]
+        n = to_azure_log_analytics(
+            rd.from_items(rows),
+            dce=f"http://127.0.0.1:{port}", dcr="dcr-xyz",
+            table="MyData", tenant_id="t", client_id="c",
+            client_secret="s",
+            token_url=f"http://127.0.0.1:{port}/token",
+            rows_per_request=3)
+        assert n == 7
+        assert got["token_posts"] >= 1
+        sent = [r for _, _, chunk in got["uploads"] for r in chunk]
+        assert sorted(r["v"] for r in sent) == [i * 3 for i in range(7)]
+        for path, auth, chunk in got["uploads"]:
+            assert path.startswith("/dataCollectionRules/dcr-xyz"
+                                   "/streams/Custom-MyData")
+            assert "api-version=2023-01-01" in path
+            assert auth == "Bearer tok-abc"
+            assert len(chunk) <= 3
+    finally:
+        srv.shutdown()
+
+
+def test_to_google_secops_loopback(ray_session):
+    """Chronicle unstructured-logs protocol test: batchCreate JSON
+    bodies chunked under max_request_size, labels/namespace/timestamps
+    stamped."""
+    import datetime
+    import json as _json
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import load_http_server, to_google_secops
+
+    ts0 = datetime.datetime(2024, 5, 1, tzinfo=datetime.timezone.utc)
+    rows = [{"i": i, "log": f"evt {i}", "ts": ts0} for i in range(6)]
+    # one POST per (block, chunk): up to 6 bodies — drain by idle timeout
+    mk, port = load_http_server(max_events=20, idle_timeout=3.0)
+    sent = {}
+
+    def run():
+        sent["n"] = to_google_secops(
+            rd.from_items(rows), customer_id="cust-1",
+            log_type="BIND_DNS", log_text_col="log",
+            access_token="tok", url=f"http://127.0.0.1:{port}",
+            timestamp_col="ts", labels={"node": "test"},
+            max_request_size=300)
+
+    th = threading.Thread(target=run)
+    th.start()
+    drained = mk()
+    th.join()
+    assert sent["n"] == 6
+    bodies = [_json.loads(r["line"]) for r in drained.take_all()]
+    assert len(bodies) >= 2  # max_request_size forced chunking
+    entries = [e for b in bodies for e in b["entries"]]
+    assert sorted(e["log_text"] for e in entries) \
+        == sorted(f"evt {i}" for i in range(6))
+    for b in bodies:
+        assert b["customer_id"] == "cust-1"
+        assert b["log_type"] == "BIND_DNS"
+        assert b["namespace"] == "tenzir"
+        assert b["labels"] == [{"key": "node", "value": "test"}]
+    assert all("2024-05-01" in e["ts_rfc3339"] for e in entries)
+
+
+def test_save_email_file_and_smtp(ray_session, tmp_path):
+    """save_email: RFC 5322 file saver plus a loopback SMTP delivery."""
+    import email
+    import socketserver
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import save_email
+
+    rows = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    ds = rd.from_items(rows)
+
+    # --- file path (.eml)
+    out = tmp_path / "msg.eml"
+    mid = save_email(ds, "user@example.org", endpoint=str(out),
+                     from_addr="eng@example.org", subject="report")
+    msg = email.message_from_bytes(out.read_bytes())
+    assert msg["To"] == "user@example.org"
+    assert msg["Subject"] == "report"
+    assert msg["Message-ID"] == mid
+    body = msg.get_payload()
+    assert '"a": 1' in body.replace('": ', '": ') or '"a":1' in body \
+        or '"a": 1' in body
+
+    # --- loopback SMTP
+    captured = {}
+
+    class SMTPHandler(socketserver.StreamRequestHandler):
+        def respond(self, s):
+            self.wfile.write((s + "\r\n").encode())
+
+        def handle(self):
+            self.respond("220 loopback ESMTP")
+            data_mode = False
+            lines = []
+            while True:
+                raw = self.rfile.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8", "replace").rstrip("\r\n")
+                if data_mode:
+                    if line == ".":
+                        captured["data"] = "\n".join(lines)
+                        data_mode = False
+                        self.respond("250 ok")
+                    else:
+                        lines.append(line)
+                    continue
+                verb = line.split(" ", 1)[0].upper()
+                if verb in ("EHLO", "HELO"):
+                    self.respond("250-loopback")
+                    self.respond("250 ok")
+                elif verb in ("MAIL", "RCPT"):
+                    captured.setdefault("envelope", []).append(line)
+                    self.respond("250 ok")
+                elif verb == "DATA":
+                    data_mode = True
+                    self.respond("354 go")
+                elif verb == "QUIT":
+                    self.respond("221 bye")
+                    break
+                else:
+                    self.respond("250 ok")
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), SMTPHandler)
+    srv.allow_reuse_address = True
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        save_email(ds, "user@example.org",
+                   endpoint=f"smtp://127.0.0.1:{port}",
+                   from_addr="eng@example.org", subject="smtp report")
+        assert any("user@example.org" in e
+                   for e in captured["envelope"])
+        assert "smtp report" in captured["data"]
+        assert '"a"' in captured["data"]
+    finally:
+        srv.shutdown()
+
+
+def test_to_amazon_security_lake_layout(ray_session, tmp_path):
+    """ASL sink: parquet lands under the Security-Lake custom-source
+    partition layout region=/accountId=/eventDay=."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import to_amazon_security_lake
+
+    ts0 = datetime.datetime(2024, 5, 1, tzinfo=datetime.timezone.utc)
+    rows = [{"i": i, "ts": ts0 + datetime.timedelta(days=i % 2)}
+            for i in range(10)]
+    base = str(tmp_path / "asl")
+    to_amazon_security_lake(rd.from_items(rows), base,
+                            region="eu-west-1", account_id="123",
+                            time_col="ts")
+    t = pq.read_table(base, partitioning="hive")
+    assert t.num_rows == 10
+    days = set(str(d) for d in t.column("eventDay").to_pylist())
+    assert days == {"20240501", "20240502"}
+    import glob
+    dirs = glob.glob(base + "/region=eu-west-1/accountId=123/eventDay=*")
+    assert len(dirs) == 2
