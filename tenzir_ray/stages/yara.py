@@ -66,19 +66,35 @@ class Pattern:
         at most once per batch. The Arrow kernel path is taken only for
         pure-ASCII needles — pyarrow re-encodes str needles as UTF-8, so
         a byte ≥ 0x80 decoded latin-1 would search the WRONG byte
-        sequence on a binary column (silent false negatives)."""
+        sequence on a binary column (silent false negatives).
+
+        YARA ``nocase`` is ASCII-only, but Arrow's ``ignore_case``
+        applies Unicode case folding on string columns (U+212A KELVIN
+        SIGN would match ``k``) — so nocase literals compile to an
+        explicit ``[kK]`` char-class regex (byte-exact ASCII folding on
+        the kernel path too) and nocase REGEX patterns take the
+        per-value ASCII ``re.IGNORECASE`` fallback."""
         try:
             ascii_ok = all(b < 0x80 for b in self.needle)
             if not ascii_ok:
                 raise pa.ArrowNotImplementedError("non-ascii needle")
             if self.kind in ("text", "hex"):
-                m = pc.match_substring(
-                    arr, pattern=self.needle.decode("ascii"),
-                    ignore_case=self.nocase)
+                if self.nocase:
+                    pat = "".join(
+                        f"[{chr(b).lower()}{chr(b).upper()}]"
+                        if chr(b).isalpha() else re.escape(chr(b))
+                        for b in self.needle)
+                    m = pc.match_substring_regex(arr, pattern=pat)
+                else:
+                    m = pc.match_substring(
+                        arr, pattern=self.needle.decode("ascii"))
             elif self.kind == "regex":
+                if self.nocase:
+                    raise pa.ArrowNotImplementedError(
+                        "nocase regex: RE2 (?i) folds Unicode, YARA "
+                        "nocase is ASCII-only")
                 m = pc.match_substring_regex(
-                    arr, pattern=self.needle.decode("ascii"),
-                    ignore_case=self.nocase)
+                    arr, pattern=self.needle.decode("ascii"))
             else:
                 raise pa.ArrowNotImplementedError("hex wildcard")
             return np.asarray(pc.fill_null(m, False))

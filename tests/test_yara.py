@@ -105,3 +105,48 @@ rule HighBytes {
     t = pa.table({"data": pa.array(payloads, pa.binary())})
     out = yara_match(rd.from_arrow(t), src, col="data").take_all()
     assert len(out) == 2
+
+
+def test_nocase_is_ascii_only_on_string_columns(ray_session):
+    """ADVICE r04: YARA nocase folds ASCII only — U+212A KELVIN SIGN
+    must NOT match a nocase 'k' on the vectorized string path, while
+    ASCII K/k must; literal and regex patterns agree with the scalar
+    fallback."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.stages.yara import compile_rules, yara_match
+
+    src = """
+rule kelvin {
+    strings:
+        $a = "kelvin" nocase
+    condition:
+        any of them
+}
+"""
+    vals = ["say KELVIN now", "say kElViN now", "say Kelvin now",
+            "nothing"]
+    t = pa.table({"data": pa.array(vals, pa.string())})
+    out = yara_match(rd.from_arrow(t), src, col="data").take_all()
+    got = sorted(r["data"] for r in out)
+    assert got == ["say KELVIN now", "say kElViN now"]
+
+    # scalar path agrees (bytes + re.IGNORECASE is ASCII-only too)
+    rules = compile_rules(src)
+    scalar = [any(r.match(v.encode("utf-8")) for r in rules)
+              for v in vals]
+    assert scalar == [True, True, False, False]
+
+    # nocase REGEX routes to the ASCII fallback and stays ASCII-only
+    src2 = """
+rule kelvin_rx {
+    strings:
+        $a = /kel+vin/ nocase
+    condition:
+        any of them
+}
+"""
+    out2 = yara_match(rd.from_arrow(t), src2, col="data").take_all()
+    assert sorted(r["data"] for r in out2) \
+        == ["say KELVIN now", "say kElViN now"]
