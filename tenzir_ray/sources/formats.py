@@ -528,14 +528,20 @@ def read_suricata(paths, selector: str = "event_type"):
 
 
 def load_tcp(host: str = "127.0.0.1", port: int = 0,
-             max_events: int | None = None, idle_timeout: float = 5.0):
+             max_events: int | None = None, idle_timeout: float = 5.0,
+             tls: bool = False, certfile: str | None = None,
+             keyfile: str | None = None):
     """TCP line source (operators/load_tcp.cpp): listen, accept one
     connection, read newline-delimited records until EOF / idle timeout,
     return a Dataset of ``line`` rows. Batch-engine semantics: the
     connector drains a finite stream (the reference runs it as an
     endless pipeline; here a WAL-style tail loop would wrap this).
     Returns (dataset, bound_port) when ``port=0`` picks an ephemeral
-    port — callers start the listener first, then the sender."""
+    port — callers start the listener first, then the sender.
+
+    ``tls=True`` wraps the accepted connection in server-side TLS
+    (reference load_tcp.cpp:1049 TLS mode); ``certfile``/``keyfile``
+    are the PEM server credentials."""
     import socket
 
     import ray.data as rd
@@ -545,10 +551,20 @@ def load_tcp(host: str = "127.0.0.1", port: int = 0,
     srv.bind((host, port))
     srv.listen(1)
     bound = srv.getsockname()[1]
+    ssl_ctx = None
+    if tls:
+        import ssl
+
+        if not certfile:
+            raise ValueError("load_tcp: tls=True requires certfile")
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(certfile, keyfile)
 
     def drain() -> list[str]:
         srv.settimeout(idle_timeout)
         conn, _ = srv.accept()
+        if ssl_ctx is not None:
+            conn = ssl_ctx.wrap_socket(conn, server_side=True)
         conn.settimeout(idle_timeout)
         buf = b""
         lines: list[str] = []

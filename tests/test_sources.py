@@ -768,3 +768,40 @@ def test_to_amazon_security_lake_layout(ray_session, tmp_path):
     import glob
     dirs = glob.glob(base + "/region=eu-west-1/accountId=123/eventDay=*")
     assert len(dirs) == 2
+
+
+def test_load_tcp_tls(ray_session, tmp_path):
+    """TLS listen mode (load_tcp.cpp:1049): self-signed server cert,
+    ssl client sends NDJSON lines, drain matches."""
+    import socket
+    import ssl
+    import subprocess
+    import threading
+
+    from tenzir_ray.sources.formats import load_tcp
+
+    cert = tmp_path / "srv.pem"
+    key = tmp_path / "srv.key"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=127.0.0.1"],
+        check=True, capture_output=True)
+
+    mk, port = load_tcp(max_events=3, idle_timeout=5.0, tls=True,
+                        certfile=str(cert), keyfile=str(key))
+
+    def send():
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        with socket.create_connection(("127.0.0.1", port)) as raw:
+            with ctx.wrap_socket(raw) as s:
+                s.sendall(b'{"a":1}\n{"a":2}\n{"a":3}\n')
+
+    th = threading.Thread(target=send)
+    th.start()
+    ds = mk()
+    th.join()
+    lines = sorted(r["line"] for r in ds.take_all())
+    assert lines == ['{"a":1}', '{"a":2}', '{"a":3}']
