@@ -338,17 +338,18 @@ def exact_dedup_wide(
 # ------------------------------------------------------ line-level dedup
 
 
-def _flat_lines(texts: list, delim: str) -> tuple[np.ndarray, np.ndarray]:
-    """Flatten every doc's lines into one object array + per-doc counts.
-    ``"".split`` yields ``[""]`` so every doc contributes >=1 line and
-    reassembly preserves row count."""
-    per_doc = [(t or "").split(delim) for t in texts]
-    counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
-                         count=len(per_doc))
-    total = int(counts.sum())
-    flat = np.fromiter((ln for p in per_doc for ln in p), dtype=object,
-                       count=total)
-    return flat, counts
+def _split_lines_arrow(col, delim: str) -> tuple[pa.Array, np.ndarray]:
+    """Flatten every doc's lines: one Arrow ``split_pattern`` over the
+    whole column → (flat line StringArray, per-doc counts). Nulls
+    become ``""`` (→ one empty line, same as ``(t or "").split``), so
+    every doc contributes >=1 line and reassembly preserves row
+    count."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    la = pc.split_pattern(arr, pattern=delim)
+    counts = pc.list_value_length(la).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return pc.list_flatten(la), counts
 
 
 def chunk_lines(ds: Dataset, text_col: str = "text", width: int = 5,
@@ -358,14 +359,26 @@ def chunk_lines(ds: Dataset, text_col: str = "text", width: int = 5,
     no newlines (the common shape after HTML extraction collapses
     whitespace). Pure per-batch transform, no shuffle."""
     def rewrap(t: pa.Table) -> pa.Table:
-        out = []
-        for txt in t.column(text_col).to_pylist():
-            words = (txt or "").split(word_delim)
-            out.append(line_delim.join(
-                word_delim.join(words[i:i + width])
-                for i in range(0, len(words), width)))
+        # vectorized: split all docs' words in one Arrow kernel, pick
+        # the separator AFTER each word (line_delim every `width`-th,
+        # "" after a doc's last word), concat and rejoin per doc —
+        # no per-doc Python
+        if t.num_rows == 0:
+            return t
+        flat, counts = _split_lines_arrow(t.column(text_col), word_delim)
+        total = len(flat)
+        starts = np.r_[0, np.cumsum(counts[:-1])]
+        pos = np.arange(total) - np.repeat(starts, counts)
+        sep = np.where((pos + 1) % width == 0, line_delim,
+                       word_delim).astype(object)
+        sep[np.cumsum(counts) - 1] = ""  # counts >= 1 per doc
+        glued = pc.binary_join_element_wise(
+            flat, pa.array(sep, pa.string()), "")
+        offsets = pa.array(np.r_[0, np.cumsum(counts)], pa.int32())
+        out = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, glued), "")
         idx = t.schema.get_field_index(text_col)
-        t = t.set_column(idx, text_col, pa.array(out, pa.string()))
+        t = t.set_column(idx, text_col, out)
         return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     return ds.map_batches(rewrap, batch_format="pyarrow")
@@ -399,7 +412,8 @@ def line_dedup(
     import ray
 
     def partial_df(t: pa.Table) -> pa.Table:
-        flat, counts = _flat_lines(t.column(text_col).to_pylist(), delim)
+        flat_arr, counts = _split_lines_arrow(t.column(text_col), delim)
+        flat = flat_arr.to_numpy(zero_copy_only=False)
         if flat.size == 0:
             return pa.table({"h": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
@@ -408,8 +422,8 @@ def line_dedup(
         h = pd.util.hash_array(flat).view(np.int64)
         doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         if min_chars:
-            lens = np.fromiter(map(len, flat), dtype=np.int64,
-                               count=flat.size)
+            lens = pc.utf8_length(flat_arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
             mask = lens >= min_chars
             h, doc_idx = h[mask], doc_idx[mask]
         if h.size == 0:
@@ -443,24 +457,27 @@ def line_dedup(
 
     def scrub(t: pa.Table) -> pa.Table:
         vs = ray.get(common_ref)
-        if vs.size == 0:
+        if vs.size == 0 or t.num_rows == 0:
             return t
-        texts = t.column(text_col).to_pylist()
-        flat, counts = _flat_lines(texts, delim)
+        flat_arr, counts = _split_lines_arrow(t.column(text_col), delim)
+        flat = flat_arr.to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(flat).view(np.int64)
         keep = ~np.isin(h, vs)
         if min_chars:
-            lens = np.fromiter(map(len, flat), dtype=np.int64,
-                               count=flat.size)
+            lens = pc.utf8_length(flat_arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
             keep |= lens < min_chars
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        out = []
-        for s, c in zip(starts, counts):
-            seg = flat[s:s + c][keep[s:s + c]]
-            out.append(delim.join(seg.tolist()))
+        # vectorized reassembly: filter the kept lines, rebuild per-doc
+        # list offsets from segment sums, one binary_join — no per-doc
+        # Python loop
+        starts = np.r_[0, np.cumsum(counts[:-1])]
+        kept_counts = np.add.reduceat(keep.astype(np.int64), starts)
+        offsets = pa.array(np.r_[0, np.cumsum(kept_counts)], pa.int32())
+        kept_lines = flat_arr.filter(pa.array(keep))
+        out = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, kept_lines), delim)
         idx = t.schema.get_field_index(text_col)
-        t = t.set_column(idx, text_col, pa.array(out, pa.string()))
+        t = t.set_column(idx, text_col, out)
         return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     return ds.map_batches(scrub, batch_format="pyarrow")
