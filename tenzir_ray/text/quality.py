@@ -228,10 +228,16 @@ class RepetitionAnalyzer:
     * ``gopher_keep`` — all signals within ``GOPHER_THRESHOLDS``.
 
     All fractions are ratios of exact integer counts, so the float64
-    results are bit-deterministic across workers. The per-document loop
-    is inherent (n-gram counting per text); the batch assembly is
-    columnar. No shuffle, no driver state — embarrassingly parallel at
-    any scale."""
+    results are bit-deterministic across workers. The whole batch is
+    processed in one vectorized pass: words/lines are identified
+    EXACTLY via ``dictionary_encode`` (no hash collisions), n-gram
+    identity via a chained int64 pairing over the code sequence, and
+    per-document aggregation via segment ops (``bincount`` /
+    ``reduceat``) — no per-document Python. Word/line splitting uses
+    Arrow's Unicode-whitespace kernels, which agree with Python
+    ``str.split()`` / ``str.strip()`` everywhere except the exotic
+    U+001C..1F separators (Python-only whitespace). No shuffle, no
+    driver state — embarrassingly parallel at any scale."""
 
     TOP_NS = (2, 3, 4)
     DUP_NS = (5, 6, 7, 8, 9, 10)
@@ -240,61 +246,144 @@ class RepetitionAnalyzer:
         self.text_col = text_col
 
     @staticmethod
-    def _doc_signals(text: str) -> dict[str, float]:
-        from collections import Counter
-
-        sig = {k: 0.0 for k in GOPHER_THRESHOLDS}
-        if text:
-            lines = [ln.strip() for ln in text.split("\n")]
-            lines = [ln for ln in lines if ln]
-            if lines:
-                lc = Counter(lines)
-                dups = {ln: c for ln, c in lc.items() if c > 1}
-                sig["dup_line_frac"] = sum(c - 1 for c in dups.values()) / len(lines)
-                tot_lc = sum(len(ln) for ln in lines)
-                if tot_lc:
-                    sig["dup_line_char_frac"] = sum(
-                        (c - 1) * len(ln) for ln, c in dups.items()) / tot_lc
-            words = text.split()
-            wlen = np.array([len(w) for w in words], np.int64)
-            total = int(wlen.sum())
-            if total:
-                for n in RepetitionAnalyzer.TOP_NS:
-                    if len(words) < n:
-                        break
-                    grams = list(zip(*(words[i:] for i in range(n))))
-                    cnt = Counter(grams)
-                    c, g = max(((c, g) for g, c in cnt.items()))
-                    if c >= 2:
-                        sig[f"top_{n}gram_char_frac"] = min(
-                            1.0, c * sum(len(w) for w in g) / total)
-                for n in RepetitionAnalyzer.DUP_NS:
-                    if len(words) < n:
-                        break
-                    grams = list(zip(*(words[i:] for i in range(n))))
-                    cnt = Counter(grams)
-                    mask = np.zeros(len(words), bool)
-                    for i, g in enumerate(grams):
-                        if cnt[g] >= 2:
-                            mask[i:i + n] = True
-                    sig[f"dup_{n}gram_char_frac"] = int(wlen[mask].sum()) / total
-        return sig
+    def _line_signals(col: pa.Array, n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+        """(dup_line_frac, dup_line_char_frac) per doc: split on literal
+        newline, strip, drop empties, exact-count repeats per doc."""
+        la = pc.split_pattern(col, pattern="\n")
+        per_doc = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+        flat = pc.utf8_trim_whitespace(pc.list_flatten(la))
+        ldoc = np.repeat(np.arange(n_docs, dtype=np.int64),
+                         per_doc.astype(np.int64))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, ldoc = flat.filter(pa.array(keep)), ldoc[keep]
+        dup_frac = np.zeros(n_docs)
+        dup_char = np.zeros(n_docs)
+        if len(flat) == 0:
+            return dup_frac, dup_char
+        llen = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        enc = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        code = pc.dictionary_encode(enc).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        key = (ldoc << 32) | code  # codes < 2^32 by construction
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        counts = np.diff(np.r_[starts, len(sk)])
+        gdoc = ldoc[order][starts]
+        glen = llen[order][starts]
+        extra = np.maximum(counts - 1, 0).astype(np.float64)
+        n_lines = np.bincount(ldoc, minlength=n_docs).astype(np.float64)
+        tot_lc = np.bincount(ldoc, weights=llen, minlength=n_docs)
+        num = np.bincount(gdoc, weights=extra, minlength=n_docs)
+        cnum = np.bincount(gdoc, weights=extra * glen, minlength=n_docs)
+        nz = n_lines > 0
+        dup_frac[nz] = num[nz] / n_lines[nz]
+        cz = tot_lc > 0
+        dup_char[cz] = cnum[cz] / tot_lc[cz]
+        return dup_frac, dup_char
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column(self.text_col).to_pylist()
-        cols: dict[str, list[float]] = {k: [] for k in GOPHER_THRESHOLDS}
-        keep: list[bool] = []
-        for txt in texts:
-            sig = self._doc_signals(txt or "")
-            ok = True
-            for k, v in sig.items():
-                cols[k].append(v)
-                if v > GOPHER_THRESHOLDS[k]:
-                    ok = False
-            keep.append(ok)
+        n_docs = t.num_rows
+        sig: dict[str, np.ndarray] = {}
+        col = t.column(self.text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = pc.fill_null(col, "")
+        sig["dup_line_frac"], sig["dup_line_char_frac"] = (
+            self._line_signals(col, n_docs) if n_docs else
+            (np.zeros(0), np.zeros(0)))
+
+        # ---- word stream: exact codes + lexicographic ranks -----------
+        wa = pc.utf8_split_whitespace(col)
+        per_doc = pc.list_value_length(wa).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(wa)
+        wdoc = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))  # edge empties, like .split()
+        wdoc = wdoc[nonempty]
+        W = len(flat)
+        wcount = np.bincount(wdoc, minlength=n_docs).astype(np.int64)
+        wlen = (pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                .astype(np.int64) if W else np.zeros(0, np.int64))
+        total = np.bincount(wdoc, weights=wlen, minlength=n_docs)
+        for n in (*self.TOP_NS, *self.DUP_NS):
+            sig_name = (f"top_{n}gram_char_frac" if n in self.TOP_NS
+                        else f"dup_{n}gram_char_frac")
+            sig[sig_name] = np.zeros(n_docs)
+        if W:
+            enc = pc.dictionary_encode(
+                flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+                else flat)
+            code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = len(enc.dictionary)
+            # rank[c] = position of word c in byte-wise (== code-point)
+            # sorted vocab order — exact tuple-lexicographic tie-breaks
+            sidx = pc.sort_indices(enc.dictionary).to_numpy(
+                zero_copy_only=False)
+            rank = np.empty(vocab, np.int64)
+            rank[sidx] = np.arange(vocab)
+            cw = np.r_[0, np.cumsum(wlen)]  # char-prefix; windows never
+            doc_start = np.r_[0, np.cumsum(wcount)]  # cross doc bounds
+            pos = np.arange(W) - np.repeat(doc_start[:-1], wcount)
+            room = wcount[wdoc] - pos  # words available from here on
+            gram = code.copy()  # n=1 gram id per position
+            for n in range(2, self.DUP_NS[-1] + 1):
+                # chained exact pairing: id covers words [i, i+n)
+                upto = W - n + 1
+                if upto <= 0:
+                    break
+                packed = gram[:upto] * vocab + code[n - 1:]
+                _, gram = np.unique(packed, return_inverse=True)
+                valid = np.flatnonzero(room[:upto] >= n)
+                if valid.size == 0:
+                    continue
+                key = wdoc[valid] * np.int64(upto + 1) + gram[valid]
+                order = np.argsort(key, kind="stable")
+                sk = key[order]
+                starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+                counts = np.diff(np.r_[starts, valid.size])
+                cnt = np.empty(valid.size, np.int64)
+                cnt[order] = np.repeat(counts, counts)
+                vdoc = wdoc[valid]
+                seg = np.flatnonzero(np.r_[True, vdoc[1:] != vdoc[:-1]])
+                if n in self.TOP_NS:
+                    maxc = np.maximum.reduceat(cnt, seg)
+                    maxc_pos = np.repeat(maxc, np.diff(np.r_[seg, valid.size]))
+                    cand = np.flatnonzero((cnt == maxc_pos) & (maxc_pos >= 2))
+                    if cand.size:
+                        p = valid[cand]
+                        # lexicographically largest tied gram per doc:
+                        # np.lexsort, primary key last
+                        keys = tuple(rank[code[p + k]]
+                                     for k in range(n - 1, -1, -1))
+                        o2 = np.lexsort((*keys, vdoc[cand]))
+                        sdoc = vdoc[cand][o2]
+                        last = np.flatnonzero(
+                            np.r_[sdoc[1:] != sdoc[:-1], True])
+                        win = p[o2][last]
+                        d = sdoc[last]
+                        charlen = cw[win + n] - cw[win]
+                        sig[f"top_{n}gram_char_frac"][d] = np.minimum(
+                            1.0, cnt[cand][o2][last] * charlen / total[d])
+                else:
+                    dup = valid[cnt >= 2]
+                    if dup.size:
+                        delta = np.zeros(W + 1, np.int64)
+                        np.add.at(delta, dup, 1)
+                        np.add.at(delta, dup + n, -1)
+                        cov = np.cumsum(delta)[:W] > 0
+                        covered = np.bincount(
+                            wdoc, weights=wlen * cov, minlength=n_docs)
+                        nz = total > 0
+                        sig[f"dup_{n}gram_char_frac"][nz] = (
+                            covered[nz] / total[nz])
+
+        keep = np.ones(n_docs, bool)
         out = t
-        for k, vals in cols.items():
-            out = out.append_column(k, pa.array(vals, pa.float64()))
+        for k in GOPHER_THRESHOLDS:
+            keep &= sig[k] <= GOPHER_THRESHOLDS[k]
+            out = out.append_column(k, pa.array(sig[k], pa.float64()))
         out = out.append_column("gopher_keep", pa.array(keep, pa.bool_()))
         return out.replace_schema_metadata(None) if out.schema.metadata else out
 
