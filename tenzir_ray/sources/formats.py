@@ -1223,6 +1223,97 @@ def to_fluentbit(ds, url: str, tag: str = "tenzir",
         max_retries=max_retries)
 
 
+def to_snowflake(ds, *, account_url: str, table: str, token: str,
+                 token_type: str = "OAUTH", database: str | None = None,
+                 schema: str | None = None, warehouse: str | None = None,
+                 rows_per_request: int = 10_000,
+                 max_retries: int = 3, timeout: float = 60.0) -> int:
+    """Snowflake sink over the public SQL REST API v2 (reference
+    ``to_snowflake``, web/docs/tql2/operators/to_snowflake.md — the
+    plugin bulk-ingests via ADBC; the offline-implementable analog is
+    ``POST /api/v2/statements``). Each chunk ships as ONE statement
+    with ONE text binding — the NDJSON block — unpacked server-side:
+
+        INSERT INTO <table> (c1, c2, ...)
+        SELECT v:"c1", v:"c2", ...
+        FROM (SELECT PARSE_JSON(t.value) v
+              FROM TABLE(SPLIT_TO_TABLE(?, '\\n')) t)
+
+    so column mapping follows the reference's semantics (event fields
+    select into same-named table columns; nested values arrive as
+    semi-structured VARIANT) and the statement text stays O(columns),
+    never O(rows). Distributed per block, chunked, retried; returns
+    total rows sent. Offline-testable against
+    :func:`load_http_server`."""
+    import json as _json
+
+    import pyarrow.compute as _pc
+
+    if not table.replace(".", "").replace("_", "").isalnum():
+        raise ValueError(f"suspicious table name {table!r}")
+    cols = [f for f in ds.schema().names]
+    for c in cols:
+        if not c.replace("_", "").isalnum():
+            raise ValueError(f"suspicious column name {c!r}")
+    col_list = ", ".join(f'"{c.upper()}"' for c in cols)
+    sel_list = ", ".join(f'v:"{c}"' for c in cols)
+    statement = (
+        f"INSERT INTO {table} ({col_list}) SELECT {sel_list} "
+        f"FROM (SELECT PARSE_JSON(t.value) v "
+        f"FROM TABLE(SPLIT_TO_TABLE(?, '\\n')) t)")
+    endpoint = account_url.rstrip("/") + "/api/v2/statements"
+    headers = {
+        "Content-Type": "application/json",
+        "Accept": "application/json",
+        "Authorization": f"Bearer {token}",
+        "X-Snowflake-Authorization-Token-Type": token_type,
+    }
+    ctx = {k: v for k, v in (("database", database), ("schema", schema),
+                             ("warehouse", warehouse)) if v is not None}
+
+    def _validate(body: bytes) -> None:
+        # 2xx with empty body (loopback 204) is fine; a JSON body is
+        # checked for the API's error/in-progress markers
+        if not body:
+            return
+        try:
+            d = _json.loads(body)
+        except ValueError:
+            return
+        if not isinstance(d, dict):
+            return
+        state = d.get("sqlState")
+        if state and state != "00000":
+            raise RuntimeError(
+                f"snowflake error {d.get('code')}: {d.get('message')}")
+        if d.get("code") == "333334":  # QueryStatus in-progress (async)
+            raise RuntimeError(
+                "snowflake statement still executing after the request "
+                "timeout; raise `timeout` (async polling not supported)")
+
+    def _send(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            lines = [_json.dumps(r, separators=(",", ":"), default=str)
+                     for r in t.to_pylist()]
+            for i in range(0, len(lines), rows_per_request):
+                chunk = "\n".join(lines[i:i + rows_per_request])
+                body = _json.dumps({
+                    "statement": statement,
+                    "timeout": int(timeout),
+                    **ctx,
+                    "bindings": {"1": {"type": "TEXT", "value": chunk}},
+                }).encode("utf-8")
+                _http_post_retry(endpoint, body, headers=headers,
+                                 timeout=timeout,
+                                 max_retries=max_retries,
+                                 validate=_validate)
+        return pa.table({"docs": pa.array([t.num_rows], pa.int64())})
+
+    acks = ds.map_batches(_send, batch_format="pyarrow").materialize()
+    return sum(int(_pc.sum(b.column("docs")).as_py() or 0)
+               for b in acks.iter_batches(batch_format="pyarrow"))
+
+
 # ------------------------------- azure / secops / asl / email sinks
 
 

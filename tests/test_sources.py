@@ -470,6 +470,53 @@ def test_to_fluentbit(ray_session):
     assert sorted(g["i"] for g in got) == list(range(5))
 
 
+def test_to_snowflake(ray_session):
+    """Snowflake SQL-API sink: one statement per chunk, the NDJSON block
+    as the single text binding; protocol verified against the loopback
+    ingest server (the request body is one JSON line)."""
+    import json as _json
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import load_http_server, to_snowflake
+
+    mk, port = load_http_server(max_events=1, idle_timeout=3.0)
+    sent = {}
+
+    def run():
+        sent["n"] = to_snowflake(
+            rd.from_items([{"doc_id": i, "v": i * 2} for i in range(6)])
+            .repartition(1),  # one block -> exactly one statement POST
+            account_url=f"http://127.0.0.1:{port}",
+            table="DB.S.EVENTS", token="tok", database="DB",
+            schema="S", warehouse="WH")
+
+    th = threading.Thread(target=run)
+    th.start()
+    drained = mk()
+    th.join()
+    assert sent["n"] == 6
+    reqs = [_json.loads(r["line"]) for r in drained.take_all()]
+    assert len(reqs) == 1
+    req = reqs[0]
+    # statement text is O(columns) and names both columns
+    assert req["statement"].startswith('INSERT INTO DB.S.EVENTS ("DOC_ID", "V")')
+    assert "SPLIT_TO_TABLE" in req["statement"]
+    assert req["database"] == "DB" and req["warehouse"] == "WH"
+    # the rows ride in the ONE text binding as NDJSON
+    rows = [_json.loads(ln) for ln in
+            req["bindings"]["1"]["value"].split("\n")]
+    assert sorted(r["doc_id"] for r in rows) == list(range(6))
+    assert all(r["v"] == r["doc_id"] * 2 for r in rows)
+
+    # identifier sanity guards
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        to_snowflake(rd.from_items([{"i": 1}]), account_url="http://x",
+                     table="t; DROP", token="tok")
+
+
 def test_from_opensearch_search_after(ray_session):
     """from_opensearch: search_after deep paging against a loopback stub
     serving deterministic pages; the result is the full corpus, typed."""
