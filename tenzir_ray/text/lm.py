@@ -44,6 +44,39 @@ def _token_hashes(text: str | None) -> np.ndarray:
     return pd.util.hash_array(np.asarray(toks, dtype=object))
 
 
+def _token_hashes_batch(col) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-column tokenize+hash: (flat uint64 hashes in doc order,
+    per-doc token counts) — value-identical to per-doc
+    :func:`_token_hashes` (ONE ``hash_array`` call instead of one per
+    doc). ASCII fast path: Arrow ``utf8_lower`` + RE2
+    ``split_pattern_regex`` ("[^a-z0-9_]+" == Python ``\\w+`` on
+    lowered ASCII); any batch with non-ASCII text falls back to the
+    per-doc Unicode regex (RE2 char classes are ASCII-only)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    ascii_only = pc.all(pc.equal(
+        pc.utf8_length(arr), pc.binary_length(arr))).as_py()
+    if not ascii_only:
+        parts = [_token_hashes(x) for x in arr.to_pylist()]
+        counts = np.fromiter((p.size for p in parts), np.int64, count=n)
+        flat = (np.concatenate(parts) if parts
+                else np.zeros(0, np.uint64))
+        return flat, counts
+    la = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z0-9_]+")
+    per_doc = pc.list_value_length(la).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(la)
+    doc = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, doc = flat.filter(pa.array(keep)), doc[keep]
+    counts = np.bincount(doc, minlength=n).astype(np.int64)
+    if len(flat) == 0:
+        return np.zeros(0, np.uint64), counts
+    toks = flat.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(toks), counts
+
+
 def lm_train(ds: Dataset, text_col: str = "text",
              vocab_size: int = 65536):
     """Train the unigram LM; returns an ObjectRef to the plasma-held
@@ -52,8 +85,7 @@ def lm_train(ds: Dataset, text_col: str = "text",
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
-        parts = [_token_hashes(x) for x in t.column(text_col).to_pylist()]
-        flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+        flat, _ = _token_hashes_batch(t.column(text_col))
         if flat.size == 0:
             return pa.table({"h": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
@@ -102,9 +134,21 @@ def lm_score(ds: Dataset, model_ref, text_col: str = "text",
 
     def score(t: pa.Table) -> pa.Table:
         vocab_h, logp, total = ray.get(model_ref)
-        vals = [None if (th := _token_hashes(x).view(np.int64)).size == 0
-                else _lm1_doc_bits(th, vocab_h, logp, total)
-                for x in t.column(text_col).to_pylist()]
+        flat, counts = _token_hashes_batch(t.column(text_col))
+        th = flat.view(np.int64)
+        # elementwise bits for ALL tokens at once (identical values to
+        # _lm1_doc_bits, which is elementwise up to the final mean)
+        oov_logp = -np.log2(total) if total > 0 else 0.0
+        if vocab_h.size and th.size:
+            idx = np.searchsorted(vocab_h, th)
+            idx[idx == vocab_h.size] = 0
+            hit = vocab_h[idx] == th
+            bits = np.where(hit, -logp[idx], -oov_logp)
+        else:
+            bits = np.full(th.size, -oov_logp)
+        starts = np.r_[0, np.cumsum(counts[:-1])] if counts.size else counts
+        vals = [None if c == 0 else float(np.mean(bits[s:s + c]))
+                for s, c in zip(starts, counts)]
         out = t.select([id_col])
         return out.append_column(out_col, pa.array(vals, pa.float64()))
 
@@ -181,20 +225,24 @@ def lm2_train(ds: Dataset, text_col: str = "text",
     bigram_vocab = bigram_vocab or vocab_size * 4
 
     def partial(t: pa.Table) -> pa.Table:
-        uni_parts, bi_parts = [], []
-        for x in t.column(text_col).to_pylist():
-            th = _token_hashes(x)
-            if th.size:
-                uni_parts.append(th)
-                bi_parts.append(_bigram_keys(th))
-        def counted(parts):
-            flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
-            if flat.size == 0:
+        flat, counts = _token_hashes_batch(t.column(text_col))
+        # within-doc bigrams only: global pairwise combine, then drop
+        # the positions whose pair crosses a doc boundary
+        if flat.size >= 2:
+            bk_all = (flat[:-1] * _BI_MULT) ^ flat[1:]
+            ends = np.cumsum(counts)
+            last_of_doc = np.zeros(flat.size, bool)
+            last_of_doc[ends[counts > 0] - 1] = True
+            bk = bk_all[~last_of_doc[:-1]]
+        else:
+            bk = np.zeros(0, np.uint64)
+        def counted(flat_arr):
+            if flat_arr.size == 0:
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
-            u, c = np.unique(flat, return_counts=True)
+            u, c = np.unique(flat_arr, return_counts=True)
             return u.view(np.int64), c.astype(np.int64)
-        uh, un = counted(uni_parts)
-        bh, bn = counted(bi_parts)
+        uh, un = counted(flat)
+        bh, bn = counted(bk)
         return pa.table({
             "kind": pa.array([1] * uh.size + [2] * bh.size, pa.int8()),
             "h": pa.array(np.concatenate([uh, bh]), pa.int64()),
@@ -286,11 +334,51 @@ def lm2_score(ds: Dataset, model_ref, text_col: str = "text",
 
     def score(t: pa.Table) -> pa.Table:
         uni_h, uni_cnt, bi_h, bi_cnt, total = ray.get(model_ref)
-        vals = []
-        for x in t.column(text_col).to_pylist():
-            th = _token_hashes(x)
-            vals.append(None if th.size == 0 else _lm2_doc_bits(
-                th, uni_h, uni_cnt, bi_h, bi_cnt, total))
+        flat, counts = _token_hashes_batch(t.column(text_col))
+        th = flat.view(np.int64)
+        # elementwise replication of _lm2_doc_bits over the flat token
+        # stream (identical values; only the final mean is per-doc)
+        oov_bits = np.log2(total) if total > 0 else 0.0
+        if uni_h.size and th.size:
+            idx = np.searchsorted(uni_h, th)
+            idx[idx == uni_h.size] = 0
+            u_hit = uni_h[idx] == th
+            u_cnt = np.where(
+                u_hit, uni_cnt[np.minimum(idx, uni_h.size - 1)], 1)
+            u_bits = np.where(
+                u_hit, np.log2(total) - np.log2(u_cnt.astype(np.float64)),
+                oov_bits)
+        else:
+            u_hit = np.zeros(th.size, bool)
+            u_cnt = np.ones(th.size, np.int64)
+            u_bits = np.full(th.size, oov_bits)
+        bits = u_bits.copy()
+        if th.size:
+            first = np.zeros(flat.size, bool)
+            nz = counts > 0
+            starts_all = np.r_[0, np.cumsum(counts)[:-1]]
+            first[starts_all[nz]] = True
+            rest = np.flatnonzero(~first)  # doc-local position >= 1
+            if rest.size:
+                prev = rest - 1  # same doc by construction
+                if bi_h.size:
+                    bk = ((flat[prev] * _BI_MULT) ^ flat[rest]) \
+                        .view(np.int64)
+                    bidx = np.searchsorted(bi_h, bk)
+                    bidx[bidx == bi_h.size] = 0
+                    b_hit = bi_h[bidx] == bk
+                    use = b_hit & u_hit[prev]
+                    b_cnt = bi_cnt[np.minimum(bidx, bi_h.size - 1)] \
+                        .astype(np.float64)
+                    cond = np.log2(u_cnt[prev].astype(np.float64)) \
+                        - np.log2(b_cnt)
+                    backoff = -np.log2(0.4) + u_bits[rest]
+                    bits[rest] = np.where(use, cond, backoff)
+                else:
+                    bits[rest] = -np.log2(0.4) + u_bits[rest]
+        starts = np.r_[0, np.cumsum(counts[:-1])] if counts.size else counts
+        vals = [None if c == 0 else float(np.mean(bits[s:s + c]))
+                for s, c in zip(starts, counts)]
         out = t.select([id_col])
         return out.append_column(out_col, pa.array(vals, pa.float64()))
 
