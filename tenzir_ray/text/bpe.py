@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 _WORD = re.compile(r"\w+|[^\w\s]", re.UNICODE)
@@ -33,23 +35,50 @@ _WORD = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 _EOW = "\u0001"  # unprintable sentinel: never occurs in words
 
 
+def _tokenize_batch(col, lowercase: bool) -> tuple[pa.Array, "np.ndarray"]:
+    """Whole-column BPE pre-tokenize: (flat word/punct tokens in doc
+    order, per-doc token counts) — value-identical to per-doc
+    ``_WORD.findall`` (``\\w+|[^\\w\\s]``). ASCII fast path: pad every
+    punct char with spaces via one RE2 replace, then
+    ``utf8_split_whitespace``; non-ASCII batches fall back to the
+    per-doc Unicode regex (RE2 ``\\w`` is ASCII-only)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    ascii_only = pc.all(pc.equal(
+        pc.utf8_length(arr), pc.binary_length(arr))).as_py()
+    if not ascii_only:
+        per_doc = [_WORD.findall(x.lower() if lowercase else x)
+                   for x in arr.to_pylist()]
+        counts = np.fromiter((len(p) for p in per_doc), np.int64, count=n)
+        flat = pa.array([w for p in per_doc for w in p], pa.string())
+        return flat, counts
+    if lowercase:
+        arr = pc.utf8_lower(arr)
+    padded = pc.replace_substring_regex(
+        arr, pattern=r"([^\w\s])", replacement=r" \1 ")
+    la = pc.utf8_split_whitespace(padded)
+    per = pc.list_value_length(la).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(la)
+    doc = np.repeat(np.arange(n, dtype=np.int64), per)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return (flat.filter(pa.array(keep)),
+            np.bincount(doc[keep], minlength=n).astype(np.int64))
+
+
 def _word_counts_distributed(ds: Dataset, text_col: str,
                              lowercase: bool) -> dict[str, int]:
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for txt in t.column(text_col).to_pylist():
-            if not txt:
-                continue
-            if lowercase:
-                txt = txt.lower()
-            for w in _WORD.findall(txt):
-                counts[w] = counts.get(w, 0) + 1
-        return pa.table({
-            "word": pa.array(list(counts), pa.string()),
-            "n": pa.array(list(counts.values()), pa.int64()),
-        })
+        flat, _ = _tokenize_batch(t.column(text_col), lowercase)
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pc.value_counts(flat)
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
     refs = [r for b in partials.iter_internal_ref_bundles()
@@ -162,15 +191,23 @@ def bpe_tokenize(ds: Dataset, merges: list[tuple[str, str]],
             return n
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            out = []
-            for txt in t.column(text_col).to_pylist():
-                if not txt:
-                    out.append(0)
-                    continue
-                if lowercase:
-                    txt = txt.lower()
-                out.append(sum(self._count_word(w)
-                               for w in _WORD.findall(txt)))
+            # vectorized: tokenize the whole batch at once, encode each
+            # DISTINCT word once (per-actor cache), then the per-doc
+            # count is one bincount over the code stream
+            flat, counts = _tokenize_batch(t.column(text_col), lowercase)
+            if len(flat):
+                enc = pc.dictionary_encode(flat)
+                vocab = enc.dictionary.to_pylist()
+                wlen = np.fromiter((self._count_word(w) for w in vocab),
+                                   np.int64, count=len(vocab))
+                codes = enc.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                doc = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                                counts)
+                out = np.bincount(doc, weights=wlen[codes],
+                                  minlength=t.num_rows).astype(np.int64)
+            else:
+                out = np.zeros(t.num_rows, np.int64)
             t = t.append_column(out_col, pa.array(out, pa.int64()))
             return t.replace_schema_metadata(None) \
                 if t.schema.metadata else t
