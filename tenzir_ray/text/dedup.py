@@ -564,36 +564,54 @@ def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands,
     ``batch_size`` ≲ 1k docs."""
     a, b = _perm_params(num_perm, seed)
     r = num_perm // bands
-    ids = t.column(id_col).to_pylist()
-    texts = t.column(text_col).to_pylist()
-    tok_lists: list[list] = []
-    doc_ids = []
-    for i, txt in zip(ids, texts):
-        if txt is None:
-            continue
-        tok_lists.append(_WORD.findall(txt.lower()))
-        doc_ids.append(i)
-    if not doc_ids:
+    from tenzir_ray.text.lm import _token_hashes_batch
+
+    tt = t.filter(pc.is_valid(t.column(text_col)))
+    if tt.num_rows == 0:
         return pa.table({"doc": pa.array([], pa.int64()),
                          "band": pa.array([], pa.int64()),
                          "band_key": pa.array([], pa.int64())})
-    # ONE object-hash call for every token in the batch (4× the per-doc
-    # hash_array throughput), then per-doc window combines on views
-    flat_toks = np.array([w for tk in tok_lists for w in tk], dtype=object)
-    th_all = pd.util.hash_array(flat_toks) if flat_toks.size \
-        else np.array([], dtype=np.uint64)
-    per_doc: list[np.ndarray] = []
-    starts = []
-    total = pos = 0
-    for tk in tok_lists:
-        sh_doc = _combine_windows(th_all[pos:pos + len(tk)], ngram)
-        pos += len(tk)
-        starts.append(total)
-        total += sh_doc.size
-        per_doc.append(sh_doc)
-    sh = np.concatenate(per_doc)  # (S,)
+    doc_ids = tt.column(id_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # whole-batch tokenize+hash, then ALL docs' sliding windows in one
+    # vectorized pass (value-identical to per-doc _combine_windows:
+    # full n-wide windows, one all-token window for shorter docs, one
+    # zero hash for token-less docs, per-doc sorted-unique)
+    th_all, counts = _token_hashes_batch(tt.column(text_col))
+    D = len(doc_ids)
+    W = th_all.size
+    doc_of_tok = np.repeat(np.arange(D, dtype=np.int64), counts)
+    tok_starts = np.r_[0, np.cumsum(counts[:-1])]
+    pos = np.arange(W, dtype=np.int64) - np.repeat(tok_starts, counts)
+    parts_doc: list[np.ndarray] = []
+    parts_val: list[np.ndarray] = []
+    L = W - ngram + 1
+    if L > 0:
+        acc = np.zeros(L, np.uint64)
+        for j in range(ngram):
+            acc ^= th_all[j:j + L] * _POS_MULT[j]
+        ok = counts[doc_of_tok[:L]] - pos[:L] >= ngram
+        parts_doc.append(doc_of_tok[:L][ok])
+        parts_val.append(acc[ok])
+    short = (counts > 0) & (counts < ngram)
+    if short.any():
+        m = short[doc_of_tok]
+        vals = th_all[m] * _POS_MULT[pos[m]]
+        sstarts = np.r_[0, np.cumsum(counts[short][:-1])]
+        parts_doc.append(np.flatnonzero(short).astype(np.int64))
+        parts_val.append(np.bitwise_xor.reduceat(vals, sstarts))
+    if (counts == 0).any():
+        parts_doc.append(np.flatnonzero(counts == 0).astype(np.int64))
+        parts_val.append(np.zeros(int((counts == 0).sum()), np.uint64))
+    sdoc = np.concatenate(parts_doc)
+    sval = np.concatenate(parts_val)
+    order = np.lexsort((sval, sdoc))
+    sdoc, sval = sdoc[order], sval[order]
+    keep = np.r_[True, (sdoc[1:] != sdoc[:-1]) | (sval[1:] != sval[:-1])]
+    sdoc, sh = sdoc[keep], sval[keep]  # (S,) per-doc sorted-unique
+    starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
     v = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE  # (P, S)
-    sigs = np.minimum.reduceat(v, np.array(starts), axis=1)  # (P, D)
+    sigs = np.minimum.reduceat(v, starts, axis=1)  # (P, D)
     sigs = sigs.T[:, : bands * r].reshape(len(doc_ids), bands, r)  # (D, bands, r)
     # band key = same XOR-multiplier combine as shingles (no per-band
     # tobytes loop); bit-reinterpret to int64 for Arrow
