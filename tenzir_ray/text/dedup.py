@@ -73,6 +73,51 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return _combine_windows(th, n)
 
 
+def _shingle_hashes_batch(col, ngram: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-column :func:`_shingle_hashes`: ALL docs' sliding windows
+    in one vectorized pass — full n-wide windows via one global
+    XOR-combine with doc-boundary masking, one all-token window for
+    shorter-than-n docs, one zero hash for token-less docs, per-doc
+    sorted-unique via one lexsort. Returns (flat shingle hashes in doc
+    order, per-doc shingle counts, every count >= 1) — value-identical
+    to calling ``_shingle_hashes`` per document."""
+    from tenzir_ray.text.lm import _token_hashes_batch
+
+    th_all, counts = _token_hashes_batch(col)
+    D = counts.size
+    W = th_all.size
+    doc_of_tok = np.repeat(np.arange(D, dtype=np.int64), counts)
+    tok_starts = np.r_[0, np.cumsum(counts[:-1])]
+    pos = np.arange(W, dtype=np.int64) - np.repeat(tok_starts, counts)
+    parts_doc: list[np.ndarray] = []
+    parts_val: list[np.ndarray] = []
+    L = W - ngram + 1
+    if L > 0:
+        acc = np.zeros(L, np.uint64)
+        for j in range(ngram):
+            acc ^= th_all[j:j + L] * _POS_MULT[j]
+        ok = counts[doc_of_tok[:L]] - pos[:L] >= ngram
+        parts_doc.append(doc_of_tok[:L][ok])
+        parts_val.append(acc[ok])
+    short = (counts > 0) & (counts < ngram)
+    if short.any():
+        m = short[doc_of_tok]
+        vals = th_all[m] * _POS_MULT[pos[m]]
+        sstarts = np.r_[0, np.cumsum(counts[short][:-1])]
+        parts_doc.append(np.flatnonzero(short).astype(np.int64))
+        parts_val.append(np.bitwise_xor.reduceat(vals, sstarts))
+    if (counts == 0).any():
+        parts_doc.append(np.flatnonzero(counts == 0).astype(np.int64))
+        parts_val.append(np.zeros(int((counts == 0).sum()), np.uint64))
+    sdoc = np.concatenate(parts_doc)
+    sval = np.concatenate(parts_val)
+    order = np.lexsort((sval, sdoc))
+    sdoc, sval = sdoc[order], sval[order]
+    keep = np.r_[True, (sdoc[1:] != sdoc[:-1]) | (sval[1:] != sval[:-1])]
+    sdoc, sval = sdoc[keep], sval[keep]
+    return sval, np.bincount(sdoc, minlength=D).astype(np.int64)
+
+
 # ------------------------------------------------------ drop-set filter
 
 #: Above this estimated drop-set size, dedup finalization switches from
@@ -573,43 +618,8 @@ def _minhash_batch(t: pa.Table, *, id_col, text_col, num_perm, bands,
                          "band_key": pa.array([], pa.int64())})
     doc_ids = tt.column(id_col).to_numpy(
         zero_copy_only=False).astype(np.int64)
-    # whole-batch tokenize+hash, then ALL docs' sliding windows in one
-    # vectorized pass (value-identical to per-doc _combine_windows:
-    # full n-wide windows, one all-token window for shorter docs, one
-    # zero hash for token-less docs, per-doc sorted-unique)
-    th_all, counts = _token_hashes_batch(tt.column(text_col))
-    D = len(doc_ids)
-    W = th_all.size
-    doc_of_tok = np.repeat(np.arange(D, dtype=np.int64), counts)
-    tok_starts = np.r_[0, np.cumsum(counts[:-1])]
-    pos = np.arange(W, dtype=np.int64) - np.repeat(tok_starts, counts)
-    parts_doc: list[np.ndarray] = []
-    parts_val: list[np.ndarray] = []
-    L = W - ngram + 1
-    if L > 0:
-        acc = np.zeros(L, np.uint64)
-        for j in range(ngram):
-            acc ^= th_all[j:j + L] * _POS_MULT[j]
-        ok = counts[doc_of_tok[:L]] - pos[:L] >= ngram
-        parts_doc.append(doc_of_tok[:L][ok])
-        parts_val.append(acc[ok])
-    short = (counts > 0) & (counts < ngram)
-    if short.any():
-        m = short[doc_of_tok]
-        vals = th_all[m] * _POS_MULT[pos[m]]
-        sstarts = np.r_[0, np.cumsum(counts[short][:-1])]
-        parts_doc.append(np.flatnonzero(short).astype(np.int64))
-        parts_val.append(np.bitwise_xor.reduceat(vals, sstarts))
-    if (counts == 0).any():
-        parts_doc.append(np.flatnonzero(counts == 0).astype(np.int64))
-        parts_val.append(np.zeros(int((counts == 0).sum()), np.uint64))
-    sdoc = np.concatenate(parts_doc)
-    sval = np.concatenate(parts_val)
-    order = np.lexsort((sval, sdoc))
-    sdoc, sval = sdoc[order], sval[order]
-    keep = np.r_[True, (sdoc[1:] != sdoc[:-1]) | (sval[1:] != sval[:-1])]
-    sdoc, sh = sdoc[keep], sval[keep]  # (S,) per-doc sorted-unique
-    starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+    sh, scounts = _shingle_hashes_batch(tt.column(text_col), ngram)
+    starts = np.r_[0, np.cumsum(scounts[:-1])]
     v = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE  # (P, S)
     sigs = np.minimum.reduceat(v, starts, axis=1)  # (P, D)
     sigs = sigs.T[:, : bands * r].reshape(len(doc_ids), bands, r)  # (D, bands, r)
@@ -863,11 +873,26 @@ def minhash_lsh_dedup(
             for i, s in zip(sub.column(id_col).to_pylist(),
                             sub.column(text_col).to_pylist()):
                 texts[i] = s
+        # shingle each doc ONCE (a doc can appear in many pairs);
+        # the set ops per pair are the same exact-Jaccard as jaccard()
+        grams: dict = {}
+
+        def gram(i):
+            g = grams.get(i)
+            if g is None:
+                g = _token_ngrams(texts.get(i) or "", ngram)
+                grams[i] = g
+            return g
+
+        def jac(sa, sb) -> float:
+            if not sa and not sb:
+                return 1.0
+            return len(sa & sb) / max(1, len(sa | sb))
+
         keep = [
             d for d, r in zip(pairs.column("__drop_id").to_pylist(),
                               pairs.column("__rep").to_pylist())
-            if jaccard(texts.get(d) or "", texts.get(r) or "",
-                       ngram) >= verify_threshold
+            if jac(gram(d), gram(r)) >= verify_threshold
         ]
         return pa.array(sorted(set(keep)), pa.int64())
 
@@ -897,22 +922,27 @@ def minhash_lsh_dedup(
 def simhash_batch(
     t: pa.Table, *, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2
 ) -> pa.Table:
-    """64-bit SimHash per document: sign-sum of shingle-hash bit vectors.
-    Emits (id, simhash); near-dups differ in few bits (Hamming)."""
-    ids, texts = t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
-    out = np.zeros(len(ids), dtype=np.uint64)
-    for k, txt in enumerate(texts):
-        if txt is None:
-            continue
-        sh = _shingle_hashes(txt, ngram)
-        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        score = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)  # ±1 per bit
-        # bit b of the fingerprint = majority of shingle-hash bit b
-        out[k] = (
-            (score > 0).astype(np.uint64)
-            << np.arange(64, dtype=np.uint64)
-        ).sum(dtype=np.uint64)
-    return pa.table({id_col: pa.array(ids), "simhash": pa.array(out, pa.uint64())})
+    """64-bit SimHash per document: sign-sum of shingle-hash bit vectors
+    (bit b of the fingerprint = majority of shingle-hash bit b; null
+    docs fingerprint 0). Whole batch in one vectorized pass: flat
+    shingles from :func:`_shingle_hashes_batch`, per-doc bit sums via
+    64 segment reduceats — no per-document Python."""
+    col = t.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    out = np.zeros(t.num_rows, dtype=np.uint64)
+    if valid.any():
+        sh, scounts = _shingle_hashes_batch(
+            col.filter(pa.array(valid)), ngram)
+        starts = np.r_[0, np.cumsum(scounts[:-1])]
+        fp = np.zeros(scounts.size, np.uint64)
+        for b in range(64):
+            bit = ((sh >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            score = 2 * np.add.reduceat(bit, starts) - scounts
+            fp |= (score > 0).astype(np.uint64) << np.uint64(b)
+        out[valid] = fp
+    return pa.table({id_col: t.column(id_col),
+                     "simhash": pa.array(out, pa.uint64())})
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
