@@ -70,12 +70,31 @@ _WORD = re.compile(r"\w+", re.UNICODE)
 _PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
 
 
+def _pow_mod64(base: int, e: np.ndarray) -> np.ndarray:
+    """Vectorized ``base ** e (mod 2**64)`` by binary exponentiation
+    (wrapping uint64 arithmetic; ~log2(max e) passes)."""
+    result = np.ones(e.size, np.uint64)
+    b = int(base) & 0xFFFFFFFFFFFFFFFF  # python-int squaring: no
+    ee = e.astype(np.uint64)            # numpy scalar-overflow warnings
+    emax = int(e.max()) if e.size else 0
+    bit = 0
+    while (1 << bit) <= emax:
+        sel = ((ee >> np.uint64(bit)) & np.uint64(1)) == 1
+        result[sel] *= np.uint64(b)
+        b = (b * b) & 0xFFFFFFFFFFFFFFFF
+        bit += 1
+    return result
+
+
 class DocumentAnalyzer:
     """Actor-pool stage: per-document language id, quality metrics, token
     count (BPE-ish regex), rolling-hash fingerprint. Setup in __init__
-    (once per actor); ``__call__`` is a per-document loop — inherent to
-    tokenization-style analysis (regex findall per text), with the
-    numeric reductions vectorized across the batch at the end."""
+    (once per actor). ``__call__`` runs ONE vectorized pass for ASCII
+    documents (Arrow regex counts + split, stopword membership via
+    dictionary ``is_in``, and the FNV-1a-style rolling fingerprint
+    linearized to ``B·m^k + Σ crc32(w_i)·m^(k-1-i) mod 2^64`` so it
+    reduces to a segment sum); non-ASCII documents take the per-doc
+    Unicode path (script-range language id needs codepoints anyway)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -117,48 +136,150 @@ class DocumentAnalyzer:
                 best, score = lang, s
         return best
 
+    _FNV_BASIS = 1469598103934665603
+    _FNV_MULT = 1099511628211
+
+    def _doc_row(self, txt: str) -> tuple:
+        """Per-doc fallback (non-ASCII texts): identical metrics via the
+        original sequential path."""
+        all_stop = self._all_stop
+        low = txt.lower()
+        words = self.word.findall(low)
+        n_tok = len(self.token.findall(txt))
+        n_punct = len(self.punct.findall(txt))
+        stop = sum(w in all_stop for w in words) / len(words) if words else 0.0
+        mwl = sum(map(len, words)) / len(words) if words else 0.0
+        # rolling-hash fingerprint over the word sequence (order-aware,
+        # whitespace-normalization-invariant). crc32 per word, NOT
+        # Python hash() — hash() is per-process randomized
+        # (PYTHONHASHSEED) and would make fingerprints differ across
+        # Ray workers.
+        h = self._FNV_BASIS
+        for w in words:
+            h = (h * self._FNV_MULT + zlib.crc32(w.encode())) \
+                & 0xFFFFFFFFFFFFFFFF
+        return (len(txt), n_tok, len(words), n_punct / max(1, len(txt)),
+                stop, mwl, self._lang_of(words, txt), h)
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column(self.text_col).to_pylist()
-        n = len(texts)
-        n_chars = np.zeros(n, np.int64)
+        n = t.num_rows
+        col = t.column(self.text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = pc.fill_null(col, "")
+        n_chars = pc.utf8_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64) if n else np.zeros(0, np.int64)
         n_tokens = np.zeros(n, np.int64)
         n_words = np.zeros(n, np.int64)
         punct_ratio = np.zeros(n, np.float64)
         stop_ratio = np.zeros(n, np.float64)
         mean_word_len = np.zeros(n, np.float64)
-        langs: list[str] = []
+        langs = np.full(n, "und", dtype=object)
         fingerprints = np.zeros(n, np.uint64)
-        all_stop = frozenset().union(*self.profiles.values())
-        for i, txt in enumerate(texts):
-            if not txt:
-                langs.append("und")
-                continue
-            n_chars[i] = len(txt)
-            low = txt.lower()
-            words = self.word.findall(low)
-            n_words[i] = len(words)
-            n_tokens[i] = len(self.token.findall(txt))
-            n_punct = len(self.punct.findall(txt))
-            punct_ratio[i] = n_punct / max(1, len(txt))
-            if words:
-                stop_ratio[i] = sum(w in all_stop for w in words) / len(words)
-                mean_word_len[i] = sum(map(len, words)) / len(words)
-            langs.append(self._lang_of(words, txt))
-            # rolling-hash fingerprint over the word sequence (order-aware,
-            # whitespace-normalization-invariant). crc32 per word, NOT
-            # Python hash() — hash() is per-process randomized
-            # (PYTHONHASHSEED) and would make fingerprints differ across
-            # Ray workers.
-            h = 1469598103934665603
-            for w in words:
-                h = (h * 1099511628211 + zlib.crc32(w.encode())) \
-                    & 0xFFFFFFFFFFFFFFFF
-            fingerprints[i] = np.uint64(h)
+        if not hasattr(self, "_all_stop"):
+            self._all_stop = frozenset().union(*self.profiles.values())
+            self._lang_names = list(self.profiles)
+            self._all_stop_arr = pa.array(sorted(self._all_stop))
+            self._lang_arrs = {k: pa.array(sorted(v))
+                               for k, v in self.profiles.items()}
+        if n:
+            byte_len = pc.binary_length(col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            is_ascii = n_chars == byte_len
+            vec = is_ascii & (n_chars > 0)  # empty docs keep the zeros/"und"
+            if vec.any():
+                self._vector_pass(col, np.flatnonzero(vec), n_tokens,
+                                  n_words, punct_ratio, stop_ratio,
+                                  mean_word_len, langs, fingerprints)
+            for i in np.flatnonzero(~is_ascii & (n_chars > 0)):
+                (n_chars[i], n_tokens[i], n_words[i], punct_ratio[i],
+                 stop_ratio[i], mean_word_len[i], langs[i],
+                 fingerprints[i]) = self._doc_row(col[int(i)].as_py())
         qual = (
             np.clip(n_words / 100.0, 0, 1) * 0.4
             + np.clip(stop_ratio * 4.0, 0, 1) * 0.3
             + (1.0 - np.clip(punct_ratio * 5.0, 0, 1)) * 0.3
         )
+        return self._assemble(t, n_chars, n_tokens, n_words, punct_ratio,
+                              stop_ratio, mean_word_len, langs,
+                              fingerprints, qual)
+
+    def _vector_pass(self, col: pa.Array, idx: np.ndarray, n_tokens,
+                     n_words, punct_ratio, stop_ratio, mean_word_len,
+                     langs, fingerprints) -> None:
+        """One Arrow/numpy pass over the non-empty ASCII docs at
+        positions ``idx`` — scatters results into the output arrays."""
+        sub = col.take(pa.array(idx, pa.int64()))
+        D = len(idx)
+        chars = pc.utf8_length(sub).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_tokens[idx] = pc.count_substring_regex(
+            sub, self.token.pattern).to_numpy(zero_copy_only=False)
+        n_punct = pc.count_substring_regex(
+            sub, r"[^\w\s]").to_numpy(zero_copy_only=False)
+        punct_ratio[idx] = n_punct / np.maximum(1, chars)
+        # words of ALL docs in one split (== \w+ findall on lowered
+        # ASCII), with per-doc segments
+        la = pc.split_pattern_regex(pc.utf8_lower(sub),
+                                    pattern="[^a-z0-9_]+")
+        per = pc.list_value_length(la).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(la)
+        doc = np.repeat(np.arange(D, dtype=np.int64), per)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, doc = flat.filter(pa.array(keep)), doc[keep]
+        counts = np.bincount(doc, minlength=D).astype(np.int64)
+        n_words[idx] = counts
+        wlen = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nz = counts > 0
+        safe = np.maximum(1, counts)
+        mwl = np.bincount(doc, weights=wlen, minlength=D) / safe
+        mean_word_len[idx[nz]] = mwl[nz]
+        acc = np.zeros(D, np.uint64)
+        if len(flat):
+            enc = pc.dictionary_encode(
+                flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+                else flat)
+            vocab = enc.dictionary
+            codes = enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # stopword ratio: every occurrence counts
+            all_mask = pc.is_in(vocab, value_set=self._all_stop_arr) \
+                .to_numpy(zero_copy_only=False)
+            stop_ratio[idx[nz]] = (np.bincount(
+                doc, weights=all_mask[codes], minlength=D) / safe)[nz]
+            # language vote: DISTINCT words among the first 200 per doc,
+            # argmax over profiles in dict order (strict >, ties earlier)
+            pos = np.arange(doc.size) - np.repeat(
+                np.r_[0, np.cumsum(counts[:-1])], counts)
+            head = pos < 200
+            pairs = np.unique(
+                doc[head] * np.int64(len(vocab)) + codes[head])
+            pdoc, pcode = pairs // len(vocab), pairs % len(vocab)
+            scores = np.zeros((len(self._lang_names), D), np.int64)
+            for li, lang in enumerate(self._lang_names):
+                m = pc.is_in(vocab, value_set=self._lang_arrs[lang]) \
+                    .to_numpy(zero_copy_only=False)
+                scores[li] = np.bincount(
+                    pdoc, weights=m[pcode], minlength=D)
+            best = np.argmax(scores, axis=0)  # first max == dict order
+            hit = scores[best, np.arange(D)] > 0
+            lang_arr = np.array(self._lang_names, object)[best]
+            langs[idx[hit]] = lang_arr[hit]
+            # rolling fingerprint, linearized: B·m^k + Σ crc·m^(k-1-pos)
+            crc = np.fromiter(
+                (zlib.crc32(w.encode()) for w in vocab.to_pylist()),
+                np.uint64, count=len(vocab))
+            weights = _pow_mod64(self._FNV_MULT, counts[doc] - 1 - pos)
+            term = crc[codes] * weights  # wrapping uint64
+            starts_nz = np.r_[0, np.cumsum(counts[:-1])][nz]
+            acc[nz] = np.add.reduceat(term, starts_nz)
+        fingerprints[idx] = (np.uint64(self._FNV_BASIS)
+                             * _pow_mod64(self._FNV_MULT, counts)) + acc
+
+    @staticmethod
+    def _assemble(t, n_chars, n_tokens, n_words, punct_ratio, stop_ratio,
+                  mean_word_len, langs, fingerprints, qual) -> pa.Table:
         out = t
         for name, arr in [
             ("n_chars_m", pa.array(n_chars)),
