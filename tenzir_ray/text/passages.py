@@ -101,23 +101,20 @@ def doc_fingerprints(text: str, ngram: int = 8, window: int = 4) -> np.ndarray:
     return _fps_from_token_hashes(th, ngram, window)
 
 
-def _batch_fingerprints(texts: list, ngram: int, window: int) \
+def _batch_fingerprints(col, ngram: int, window: int) \
         -> list[np.ndarray]:
-    """Per-doc fingerprint arrays for a whole batch with ONE
-    ``hash_array`` call over every token in the batch (the same
-    batch-flat vectorization as dedup._minhash_batch; identical results
-    to per-doc :func:`doc_fingerprints`)."""
-    import pandas as pd
+    """Per-doc fingerprint arrays for a whole batch: one vectorized
+    tokenize+hash pass over the column (``_token_hashes_batch``),
+    then per-doc window-min on array views — identical results to
+    per-doc :func:`doc_fingerprints`."""
+    from tenzir_ray.text.lm import _token_hashes_batch
 
-    tok_lists = [_WORD.findall((t or "").lower()) for t in texts]
-    flat = np.array([x for tk in tok_lists for x in tk], dtype=object)
-    th_all = pd.util.hash_array(flat) if flat.size \
-        else np.zeros(0, dtype=np.uint64)
+    th_all, counts = _token_hashes_batch(col)
     out, pos = [], 0
-    for tk in tok_lists:
-        out.append(_fps_from_token_hashes(
-            th_all[pos:pos + len(tk)], ngram, window))
-        pos += len(tk)
+    for c in counts:
+        out.append(_fps_from_token_hashes(th_all[pos:pos + c],
+                                          ngram, window))
+        pos += c
     return out
 
 
@@ -134,8 +131,7 @@ def repeated_passages(
     import ray
 
     def partial_df(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        parts = _batch_fingerprints(texts, ngram, window)
+        parts = _batch_fingerprints(t.column(text_col), ngram, window)
         flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
         if flat.size == 0:
             return pa.table({"h": pa.array([], pa.int64()),
@@ -156,8 +152,7 @@ def repeated_passages(
         # plain task (no actor pool): the hot array is a single plasma
         # object, so per-task ray.get is a zero-copy shared-memory read
         hot = ray.get(hot_ref)
-        texts = t.column(text_col).to_pylist()
-        parts = _batch_fingerprints(texts, ngram, window)
+        parts = _batch_fingerprints(t.column(text_col), ngram, window)
         n_fp = np.fromiter((p.size for p in parts), np.int64,
                            count=len(parts))
         flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
