@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from tenzir_ray.text.dedup import _shingle_hashes
@@ -150,16 +151,28 @@ def sample_mixture(
 def _decontam_batch(t: pa.Table, bench: np.ndarray, text_col: str,
                     ngram: int, threshold: int) -> pa.Table:
     """Flag documents sharing ≥ ``threshold`` distinct word-``ngram``
-    shingle hashes with the (sorted uint64) benchmark set."""
-    texts = t.column(text_col).to_pylist()
-    hits = np.zeros(len(texts), np.int64)
-    for i, txt in enumerate(texts):
-        if not txt or bench.size == 0:
-            continue
-        h = np.unique(_shingle_hashes(txt, ngram))
-        idx = np.searchsorted(bench, h)
+    shingle hashes with the (sorted uint64) benchmark set. One
+    vectorized pass: batch shingling + one searchsorted + per-doc
+    segment sums (empty/null docs score 0, as before)."""
+    from tenzir_ray.text.dedup import _shingle_hashes_batch
+
+    col = t.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    nonempty = pc.and_kleene(
+        pc.is_valid(col), pc.not_equal(pc.fill_null(col, ""), "")
+    ).to_numpy(zero_copy_only=False)
+    hits = np.zeros(t.num_rows, np.int64)
+    if nonempty.any() and bench.size:
+        sh, scounts = _shingle_hashes_batch(
+            col.filter(pa.array(nonempty)), ngram)
+        idx = np.searchsorted(bench, sh)
         idx[idx == bench.size] = 0
-        hits[i] = int(np.count_nonzero(bench[idx] == h))
+        hit = (bench[idx] == sh).astype(np.int64)
+        per = np.zeros(scounts.size, np.int64)
+        nz = scounts > 0  # always true (>=1 shingle/doc), kept for shape
+        starts = np.r_[0, np.cumsum(scounts[:-1])][nz]
+        per[nz] = np.add.reduceat(hit, starts)
+        hits[nonempty] = per
     t = t.append_column("n_contaminated_ngrams", pa.array(hits))
     t = t.append_column("contaminated", pa.array(hits >= threshold))
     return t.replace_schema_metadata(None) if t.schema.metadata else t
