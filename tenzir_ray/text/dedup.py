@@ -866,35 +866,80 @@ def minhash_lsh_dedup(
             return pa.array([], pa.int64())
         need = pc.unique(pa.chunked_array([
             pairs.column("__drop_id"), pairs.column("__rep")]))
-        texts: dict = {}
+        # shingle every candidate doc ONCE in a single vectorized batch
+        # pass (hash Jaccard == n-gram Jaccard up to 64-bit collisions;
+        # the sequential oracle uses the same hashes). Missing ids act
+        # like empty docs, whose shingle set is the {0} sentinel — so a
+        # (missing, missing) pair scores 1.0, matching the old
+        # "both-empty-sets" special case.
+        subs = []
         for blk in text_blocks:
             ids = pc.cast(blk.column(id_col).combine_chunks(), pa.int64())
             sub = blk.filter(pc.is_in(ids, value_set=need))
-            for i, s in zip(sub.column(id_col).to_pylist(),
-                            sub.column(text_col).to_pylist()):
-                texts[i] = s
-        # shingle each doc ONCE (a doc can appear in many pairs);
-        # the set ops per pair are the same exact-Jaccard as jaccard()
-        grams: dict = {}
+            if sub.num_rows:
+                subs.append(pa.table({
+                    "id": pc.cast(sub.column(id_col), pa.int64()),
+                    "text": sub.column(text_col),
+                }))
+        if subs:
+            sub = pa.concat_tables(subs).combine_chunks()
+            ids_np = sub.column("id").to_numpy(zero_copy_only=False)
+            sh, cnt = _shingle_hashes_batch(sub.column("text"), ngram)
+        else:
+            ids_np = np.zeros(0, np.int64)
+            sh, cnt = np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        need_np = pc.cast(need, pa.int64()).to_numpy(zero_copy_only=False)
+        missing = np.setdiff1d(need_np, ids_np)
+        if missing.size:
+            ids_np = np.r_[ids_np, missing]
+            sh = np.r_[sh, np.zeros(missing.size, np.uint64)]
+            cnt = np.r_[cnt, np.ones(missing.size, np.int64)]
+        order = np.argsort(ids_np, kind="stable")
+        sorted_ids = ids_np[order]
+        starts = np.r_[0, np.cumsum(cnt[:-1])]
+        d = pairs.column("__drop_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        r = pairs.column("__rep").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos_d = order[np.searchsorted(sorted_ids, d)]
+        pos_r = order[np.searchsorted(sorted_ids, r)]
+        nd, nr = cnt[pos_d], cnt[pos_r]
+        # score all pairs with one gather + lexsort per bounded slice:
+        # per-doc hash lists are unique, so |A ∩ B| = adjacent-equal
+        # count inside each pair's combined list. Slicing bounds the
+        # gathered matrix (a hub rep re-gathers its hashes per pair).
+        tot = nd + nr
+        csum = np.cumsum(tot)
+        cap = 1 << 25  # 32M hashes ≈ 256 MiB gathered per slice
+        cuts = np.searchsorted(
+            csum, np.arange(cap, int(csum[-1]) + cap, cap), side="left")
+        bounds = np.unique(np.clip(np.r_[0, cuts + 1, len(tot)],
+                                   0, len(tot)))
+        keep_parts = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            snd, snr = nd[lo:hi], nr[lo:hi]
+            P = hi - lo
 
-        def gram(i):
-            g = grams.get(i)
-            if g is None:
-                g = _token_ngrams(texts.get(i) or "", ngram)
-                grams[i] = g
-            return g
+            def gather(idx_pos, n):
+                base = np.repeat(starts[idx_pos], n)
+                off = np.arange(int(n.sum()), dtype=np.int64) \
+                    - np.repeat(np.cumsum(n) - n, n)
+                return sh[base + off]
 
-        def jac(sa, sb) -> float:
-            if not sa and not sb:
-                return 1.0
-            return len(sa & sb) / max(1, len(sa | sb))
-
-        keep = [
-            d for d, r in zip(pairs.column("__drop_id").to_pylist(),
-                              pairs.column("__rep").to_pylist())
-            if jac(gram(d), gram(r)) >= verify_threshold
-        ]
-        return pa.array(sorted(set(keep)), pa.int64())
+            tags = np.r_[np.repeat(np.arange(P, dtype=np.int64), snd),
+                         np.repeat(np.arange(P, dtype=np.int64), snr)]
+            vals = np.r_[gather(pos_d[lo:hi], snd),
+                         gather(pos_r[lo:hi], snr)]
+            o = np.lexsort((vals, tags))
+            tags, vals = tags[o], vals[o]
+            dup = (tags[1:] == tags[:-1]) & (vals[1:] == vals[:-1])
+            inter = np.bincount(tags[1:][dup], minlength=P)
+            union = snd + snr - inter
+            jacv = inter / np.maximum(1, union)
+            keep_parts.append(d[lo:hi][jacv >= verify_threshold])
+        keep = np.unique(np.concatenate(keep_parts)) if keep_parts \
+            else np.zeros(0, np.int64)
+        return pa.array(keep, pa.int64())
 
     drop_refs_v = [
         _verify_bucket.remote(pairs_ref, b, n_vbuckets, *text_refs)

@@ -19,7 +19,6 @@ from tenzir_ray.text.dedup import (
     _perm_params,
     _POS_MULT,
     _shingle_hashes,
-    _token_ngrams,
 )
 
 
@@ -128,10 +127,12 @@ def minhash_dedup_seq(
     txt = dict(zip(doc_ids, texts))
 
     def jac(x: str, y: str) -> float:
-        sx, sy = _token_ngrams(x, ngram), _token_ngrams(y, ngram)
-        if not sx and not sy:
-            return 1.0
-        return len(sx & sy) / max(1, len(sx | sy))
+        # shingle-hash Jaccard (matches the engine's vectorized
+        # verifier; == n-gram Jaccard up to 64-bit collisions; empty
+        # docs are the {0} sentinel, so empty-vs-empty scores 1.0)
+        hx, hy = _shingle_hashes(x, ngram), _shingle_hashes(y, ngram)
+        inter = np.intersect1d(hx, hy, assume_unique=True).size
+        return inter / max(1, hx.size + hy.size - inter)
 
     return [
         i for i in all_ids
