@@ -135,6 +135,47 @@ def lww_reduce(t: pa.Table, key: str = "url", within: str | None = None) -> pa.T
     return t.drop_columns([_HASH]) if added_hash else t
 
 
+def _lww_reduce_url_sorted(t: pa.Table, key: str = "url") -> pa.Table:
+    """:func:`lww_reduce` fused with the final sort-by-``key``, in ONE
+    payload gather: both permutations are computed on the narrow key
+    columns only (sort_indices never moves the multi-KB html/text
+    payload), survivors are composed index-wise, and the full table is
+    ``take``-n once at the end. Output is byte-identical to
+    ``lww_reduce(t)`` + sort-by-``key`` (survivor urls are unique, so
+    the final order is fully determined); the ``_HASH`` engine column
+    is dropped. The hot kernel of :func:`_write_one` — at 6M events the
+    second full-payload gather was ~15% of the reduce stage."""
+    if t.num_rows <= 1:
+        return t.drop_columns([_HASH]) if _HASH in t.column_names else t
+    if _HASH not in t.column_names:
+        t = t.append_column(
+            _HASH, pa.array(_key_hashes(t.column(key)).view(np.int64))
+        )
+    idx = pc.sort_indices(t, sort_keys=[
+        (_HASH, "ascending"), (key, "ascending"),
+        ("warc_ts", "ascending"), ("lsn", "ascending"),
+    ]).to_numpy()
+    h = t.column(_HASH).combine_chunks().to_numpy()[idx]
+    keep = np.empty(len(h), dtype=bool)
+    keep[-1] = True
+    np.not_equal(h[1:], h[:-1], out=keep[:-1])
+    # exact boundaries under hash collisions (see lww_reduce): compare
+    # the rare hash-equal neighbors' keys — single-column gather only
+    urls_perm = t.column(key).combine_chunks().take(pa.array(idx))
+    same = np.flatnonzero(~keep[:-1])
+    if len(same):
+        left = urls_perm.take(pa.array(same))
+        right = urls_perm.take(pa.array(same + 1))
+        differs = pc.fill_null(pc.not_equal(left, right), True).to_numpy(
+            zero_copy_only=False
+        )
+        keep[same[differs]] = True
+    kept = idx[keep]
+    order = pc.sort_indices(urls_perm.filter(pa.array(keep))).to_numpy()
+    out = t.take(pa.array(kept[order]))
+    return out.drop_columns([_HASH])
+
+
 def _key_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -222,10 +263,8 @@ def _write_one(group: pa.Table, *, root: str, epoch: int, bucket: int,
         with open(mpath, "rb") as f:
             return json.load(f)
     n_in = group.num_rows if events_in is None else events_in
-    group = lww_reduce(group)  # reuses the staged __h column
-    if _HASH in group.column_names:
-        group = group.drop_columns([_HASH])
-    group = group.take(pc.sort_indices(group, sort_keys=[("url", "ascending")]))
+    # LWW + url sort fused into one payload gather (reuses staged __h)
+    group = _lww_reduce_url_sorted(group)
     pdir = os.path.join(root, f"p={pid:04d}")
     os.makedirs(pdir, exist_ok=True)
     fname = f"delta-e{epoch:05d}-b{bucket:05d}.parquet"
