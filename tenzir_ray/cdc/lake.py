@@ -110,28 +110,32 @@ def lww_reduce(t: pa.Table, key: str = "url", within: str | None = None) -> pa.T
         (_HASH, "ascending"), (key, "ascending"),
         ("warc_ts", "ascending"), ("lsn", "ascending"),
     ]
-    t = t.take(pc.sort_indices(t, sort_keys=keys))
-    h = t.column(_HASH).combine_chunks().to_numpy()
+    # permutation + keep-mask computed in index space on the narrow key
+    # columns; the (multi-KB html/text) payload is gathered ONCE, for
+    # the survivors only — never take-all-then-filter
+    idx = pc.sort_indices(t, sort_keys=keys).to_numpy()
+    h = t.column(_HASH).combine_chunks().to_numpy()[idx]
     keep = np.empty(len(h), dtype=bool)
     keep[-1] = True
     np.not_equal(h[1:], h[:-1], out=keep[:-1])
     if within:
-        w = t.column(within).combine_chunks().to_numpy(zero_copy_only=False)
+        w = t.column(within).combine_chunks().to_numpy(
+            zero_copy_only=False)[idx]
         np.logical_or(keep[:-1], w[1:] != w[:-1], out=keep[:-1])
     # exact boundaries under hash collisions: hash-equal neighbors are
     # usually same-url duplicates (re-crawls) — compare them vectorized,
     # promoting the rare genuinely-colliding different-url pair back to
-    # a boundary
+    # a boundary (single-column gather of the neighbors only)
     same = np.flatnonzero(~keep[:-1])
     if len(same):
         urls = t.column(key).combine_chunks()
-        left = urls.take(pa.array(same))
-        right = urls.take(pa.array(same + 1))
+        left = urls.take(pa.array(idx[same]))
+        right = urls.take(pa.array(idx[same + 1]))
         differs = pc.fill_null(pc.not_equal(left, right), True).to_numpy(
             zero_copy_only=False
         )
         keep[same[differs]] = True
-    t = t.filter(pa.array(keep))
+    t = t.take(pa.array(idx[keep]))
     return t.drop_columns([_HASH]) if added_hash else t
 
 
@@ -160,18 +164,18 @@ def _lww_reduce_url_sorted(t: pa.Table, key: str = "url") -> pa.Table:
     keep[-1] = True
     np.not_equal(h[1:], h[:-1], out=keep[:-1])
     # exact boundaries under hash collisions (see lww_reduce): compare
-    # the rare hash-equal neighbors' keys — single-column gather only
-    urls_perm = t.column(key).combine_chunks().take(pa.array(idx))
+    # the rare hash-equal neighbors' keys — neighbor-only gathers
+    urls = t.column(key).combine_chunks()
     same = np.flatnonzero(~keep[:-1])
     if len(same):
-        left = urls_perm.take(pa.array(same))
-        right = urls_perm.take(pa.array(same + 1))
+        left = urls.take(pa.array(idx[same]))
+        right = urls.take(pa.array(idx[same + 1]))
         differs = pc.fill_null(pc.not_equal(left, right), True).to_numpy(
             zero_copy_only=False
         )
         keep[same[differs]] = True
     kept = idx[keep]
-    order = pc.sort_indices(urls_perm.filter(pa.array(keep))).to_numpy()
+    order = pc.sort_indices(urls.take(pa.array(kept))).to_numpy()
     out = t.take(pa.array(kept[order]))
     return out.drop_columns([_HASH])
 
