@@ -208,11 +208,15 @@ def _normalize_batch(
     to single-epoch application (deterministic lake layout under any
     batching/resume pattern)."""
     if epoch is None:
-        paths = t.column("path").to_pylist()
-        epochs = np.fromiter(
-            (int(_EPOCH_RE.search(p).group(1)) for p in paths),
-            np.int64, count=len(paths),
+        # a block has a handful of DISTINCT segment paths but one path
+        # string per row — regex the dictionary, broadcast via codes
+        enc = t.column("path").combine_chunks().dictionary_encode()
+        ep_u = np.fromiter(
+            (int(_EPOCH_RE.search(p).group(1))
+             for p in enc.dictionary.to_pylist()),
+            np.int64, count=len(enc.dictionary),
         )
+        epochs = ep_u[enc.indices.to_numpy(zero_copy_only=False)]
         t = t.drop_columns(["path"])
     else:
         epochs = np.full(t.num_rows, epoch, np.int64)
