@@ -1317,6 +1317,76 @@ def _group_over(sf_dir: str):
     return p.run()
 
 
+def _incremental_dedup_docs(sf_dir: str):
+    """Incremental MinHash dedup AT INGEST (text/incremental.py): the
+    documents table arrives as 4 doc_id-range epochs; each epoch
+    near-dup-checks against the persistent signature store of earlier
+    survivors (only narrow (doc, band, band_key) rows shuffle or
+    persist; the store is scanned streaming with an epoch-sized
+    broadcast probe). Oracle: precomputed table from the independent
+    sequential epoch loop (incremental_minhash_dedup_seq)."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tenzir_ray.text import SignatureStore, incremental_minhash_dedup
+    from tenzir_ray.text.sequential import incremental_minhash_dedup_seq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    # epoch = doc_id quartile; max doc_id from parquet column STATISTICS
+    # (metadata-only — no driver data read)
+    md = pq.read_metadata(path)
+    di = md.schema.to_arrow_schema().get_field_index("doc_id")
+    mx = max(md.row_group(i).column(di).statistics.max
+             for i in range(md.num_row_groups))
+    n_epochs = 4
+
+    def epoch_of(ids: np.ndarray) -> np.ndarray:
+        return ids * n_epochs // (mx + 1)
+
+    docs = _oracle_table(path, 2000, columns=["doc_id", "text"])
+    if docs is not None:
+        ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        seq = incremental_minhash_dedup_seq(
+            ids.tolist(), docs.column("text").to_pylist(),
+            epoch_of(ids).tolist())
+        _write_oracle("incremental_dedup_docs", pa.table({
+            "epoch": pa.array([e for e, _ in seq], pa.int64()),
+            "doc_id": pa.array([i for _, i in seq], pa.int64()),
+        }))
+    else:
+        _skip_oracle("incremental_dedup_docs")
+
+    root = os.path.join(
+        "/tmp", "tenzir_ray_sigstore_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10])
+    shutil.rmtree(root, ignore_errors=True)
+    store = SignatureStore(root)
+    parts = []
+    for e in range(n_epochs):
+        def in_epoch(t: pa.Table, _e=e) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(epoch_of(ids) == _e))
+
+        ds_e = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(in_epoch, batch_format="pyarrow")
+        surv = incremental_minhash_dedup(ds_e, store, e)
+
+        def tag(t: pa.Table, _e=e) -> pa.Table:
+            return pa.table({
+                "epoch": pa.array(np.full(t.num_rows, _e, np.int64)),
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            })
+
+        parts.append(surv.map_batches(tag, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def _grok_parse(sf_dir: str):
     """grok parser driver-checked with STOCK library patterns
     (grok-patterns set, sources/grok_patterns.py; reference
@@ -2240,6 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": _token_budget_sample,
         # -- new this round ---------------------------------------------------
         "group_over": _group_over,
+        "incremental_dedup_docs": _incremental_dedup_docs,
         # -- r04-green, code changed this round (graph/dedup/quality/cdc) ----
         "minhash_cc_docs": _minhash_cc_docs,
         "jaccard_dedup_docs": _jaccard_dedup_docs,
@@ -2831,6 +2902,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY event_type ORDER BY value, event_id) <= 3
+        """,
+        "incremental_dedup_docs": """
+            SELECT * FROM
+              '/tmp/tenzir_ray_oracle/incremental_dedup_docs.parquet'
         """,
         "tql_let_if": """
             SELECT CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS bucket,

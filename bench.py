@@ -152,7 +152,8 @@ def bench_queries() -> dict[str, float]:
         "warc_ingest", "pcap_decap",
         "tql_let_if", "ocsf_map", "grok_parse", "semdedup_docs",
         "jaccard_dedup_docs", "minhash_cc_docs", "yield_nested",
-        "sliding_window", "token_budget_sample",
+        "sliding_window", "token_budget_sample", "group_over",
+        "incremental_dedup_docs",
     ]
     out: dict[str, float] = {}
     for name in names:

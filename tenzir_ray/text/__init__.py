@@ -17,6 +17,10 @@ from tenzir_ray.text.dedup import (
     simhash_dedup,
     simhash_near_dedup,
 )
+from tenzir_ray.text.incremental import (
+    SignatureStore,
+    incremental_minhash_dedup,
+)
 from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
 from tenzir_ray.text.quality import analyze_documents
 from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf_search, ivf_write
@@ -40,4 +44,6 @@ __all__ = [
     "ivf_build",
     "ivf_search",
     "ivf_write",
+    "SignatureStore",
+    "incremental_minhash_dedup",
 ]

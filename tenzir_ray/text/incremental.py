@@ -1,0 +1,300 @@
+"""Incremental MinHash-LSH dedup at ingest.
+
+The batch dedup family (:mod:`tenzir_ray.text.dedup`) recomputes the
+whole corpus's signatures per run. A CDC-style ingest pipeline instead
+sees the corpus one epoch at a time and must answer "is this new page a
+near-dup of anything ALREADY ingested?" without touching old text. This
+module keeps a persistent **signature store** — the banded MinHash keys
+of every *surviving* document, one parquet file set per committed epoch
+— and dedups each incoming epoch against it:
+
+- a new doc is dropped iff it shares any LSH band bucket with a
+  prior-epoch survivor, OR its within-epoch one-hop min-label
+  representative (:func:`tenzir_ray.text.dedup.lsh_candidate_pairs`
+  semantics) has a smaller id;
+- only the epoch's survivors enter the store (RefinedWeb-style: dropped
+  docs never index), so the store grows with the UNIQUE corpus, not the
+  raw stream;
+- epoch commits are atomic (tmp dir + rename + ``.done`` marker) and
+  idempotent: re-applying a committed epoch recomputes the same drop
+  decision from the same ``< epoch`` store prefix and no-ops the append
+  — the same marker-replay contract as the lake's manifests.
+
+Scale shape: document text is shingled once per epoch (map-only); only
+narrow ``(doc, band, band_key)`` int64 rows are materialized, shuffled
+(salt-bucketed band_reduce) or stored. The store is scanned streaming
+with a broadcast membership probe sized by the NEW epoch (epochs are
+bounded by construction in a CDC tail; the store — corpus-sized — never
+rides a shuffle and is never collected). No reference analog (Tenzir
+has no corpus-text ops); the incremental shape mirrors its
+deduplicate operator's persistent suppression state
+(deduplicate.cpp:126-260) re-expressed over a parquet store.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from ray.data import Dataset
+
+from tenzir_ray.text.dedup import _minhash_batch, anti_filter_ids
+
+#: golden-ratio multiplier fusing (band, band_key) into one uint64 probe
+#: key (wrapping arithmetic; identical expression in the sequential
+#: oracle — a fused collision is a 2^-64-per-pair event, same risk class
+#: as the shingle hashes themselves)
+_FUSE = np.uint64(0x9E3779B97F4A7C15)
+
+_SIG_SCHEMA = pa.schema([
+    pa.field("doc", pa.int64()),
+    pa.field("band", pa.int64()),
+    pa.field("band_key", pa.int64()),
+])
+
+
+def fuse_band_keys(band: np.ndarray, band_key: np.ndarray) -> np.ndarray:
+    """(band, band_key) → one int64 probe key (wrapping uint64 mix)."""
+    fused = band_key.astype(np.int64).view(np.uint64) ^ (
+        band.astype(np.uint64) * _FUSE)
+    return fused.view(np.int64)
+
+
+class SignatureStore:
+    """Persistent banded-signature store: ``root/e{epoch:05d}/*.parquet``
+    per committed epoch plus an ``e{epoch:05d}.done`` marker. Readers see
+    only committed epochs; a crashed append leaves an unmarked tmp dir
+    that the next attempt replaces."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, epoch: int) -> str:
+        return os.path.join(self.root, f"e{epoch:05d}")
+
+    def _marker(self, epoch: int) -> str:
+        return os.path.join(self.root, f"e{epoch:05d}.done")
+
+    def committed(self, epoch: int) -> bool:
+        return os.path.exists(self._marker(epoch))
+
+    def epochs(self) -> list[int]:
+        return sorted(
+            int(os.path.basename(m)[1:-5])
+            for m in glob.glob(os.path.join(self.root, "e*.done"))
+        )
+
+    def files(self, before_epoch: int | None = None) -> list[str]:
+        """Parquet files of every committed epoch ``< before_epoch``."""
+        out: list[str] = []
+        for e in self.epochs():
+            if before_epoch is not None and e >= before_epoch:
+                continue
+            out.extend(sorted(glob.glob(
+                os.path.join(self._dir(e), "*.parquet"))))
+        return out
+
+    def append(self, epoch: int, sigs: pa.Table) -> bool:
+        """Atomically commit one epoch's survivor signatures; no-op
+        (returns False) when the epoch is already committed."""
+        if self.committed(epoch):
+            return False
+        tmp = f"{self._dir(epoch)}.tmp.{os.getpid()}.{time.monotonic_ns()}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(sigs.cast(_SIG_SCHEMA),
+                       os.path.join(tmp, "part-000.parquet"))
+        shutil.rmtree(self._dir(epoch), ignore_errors=True)
+        os.replace(tmp, self._dir(epoch))
+        with open(self._marker(epoch) + ".tmp", "w") as f:
+            f.write(str(sigs.num_rows))
+        os.replace(self._marker(epoch) + ".tmp", self._marker(epoch))
+        return True
+
+
+def incremental_minhash_dedup(
+    ds_new: Dataset, store: SignatureStore | str, epoch: int,
+    id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 64, bands: int = 16, ngram: int = 3,
+    seed: int = 1337, max_broadcast_bytes: int | None = None,
+) -> Dataset:
+    """Dedup one incoming epoch against the signature store (and within
+    itself), commit the survivors' signatures, and return the surviving
+    rows of ``ds_new``.
+
+    The epoch's band rows are computed once (vectorized
+    :func:`_minhash_batch` shingling) and cached as a narrow
+    materialized dataset; the store scan ships only MATCHED rows back
+    (a broadcast ``pc.is_in`` probe against the new epoch's fused key
+    set — epoch-sized, not store-sized). Docs with null text have no
+    bands and always survive (consistent with the batch family)."""
+    import functools
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if isinstance(store, str):
+        store = SignatureStore(store)
+
+    banded = ds_new.map_batches(
+        functools.partial(
+            _minhash_batch, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, bands=bands, ngram=ngram, seed=seed),
+        batch_format="pyarrow",
+        batch_size=1024,
+    ).materialize()  # narrow (3 × int64 × bands/doc); consumed 4×
+
+    def _fused_tbl(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "band" not in t.column_names:
+            return pa.table({"fused": pa.array([], pa.int64())})
+        f = fuse_band_keys(
+            t.column("band").to_numpy(zero_copy_only=False),
+            t.column("band_key").to_numpy(zero_copy_only=False))
+        return pa.table({"fused": pa.array(np.unique(f), pa.int64())})
+
+    @ray.remote
+    def _concat_unique(*blocks) -> pa.Array:
+        parts = [b.column("fused").combine_chunks().to_numpy(
+            zero_copy_only=False) for b in blocks
+            if b.num_rows and "fused" in b.column_names]
+        if not parts:
+            return pa.array([], pa.int64())
+        return pa.array(np.unique(np.concatenate(parts)), pa.int64())
+
+    key_refs = [r for b in banded.map_batches(
+        _fused_tbl, batch_format="pyarrow").iter_internal_ref_bundles()
+        for r in b.block_refs]
+    new_keys_ref = _concat_unique.remote(*key_refs)
+
+    # ---- store probe: which of the new epoch's buckets already exist?
+    store_files = store.files(before_epoch=epoch)
+    if store_files:
+        def probe(t: pa.Table) -> pa.Table:
+            keys = ray.get(new_keys_ref)
+            if t.num_rows == 0:
+                return pa.table({"fused": pa.array([], pa.int64())})
+            f = fuse_band_keys(
+                t.column("band").to_numpy(zero_copy_only=False),
+                t.column("band_key").to_numpy(zero_copy_only=False))
+            hit = pc.is_in(pa.array(f, pa.int64()), value_set=keys)
+            return pa.table({"fused": pa.array(
+                np.unique(f[hit.to_numpy(zero_copy_only=False)]),
+                pa.int64())})
+
+        hit_refs = [r for b in rd.read_parquet(store_files).map_batches(
+            probe, batch_format="pyarrow").iter_internal_ref_bundles()
+            for r in b.block_refs]
+        matched_ref = _concat_unique.remote(*hit_refs)
+    else:
+        matched_ref = None
+
+    # ---- within-epoch one-hop min-label (salt-bucketed band_reduce)
+    def add_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "band_key" not in t.column_names:
+            return pa.table({
+                "doc": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int64()),
+                "band_key": pa.array([], pa.int64()),
+                "bk_salt": pa.array([], pa.int64())})
+        return t.append_column(
+            "bk_salt", pc.bit_wise_and(t.column("band_key"), 255))
+
+    def band_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "rep": pa.array([], pa.int64())})
+        keys = g.column("band_key").to_numpy(zero_copy_only=False)
+        docs = g.column("doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, keys))
+        k, d = keys[order], docs[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        bucket_min = np.minimum.reduceat(d, starts)
+        rep = np.repeat(bucket_min, np.diff(np.r_[starts, len(k)]))
+        return pa.table({"doc": pa.array(d, pa.int64()),
+                         "rep": pa.array(rep, pa.int64())})
+
+    reps = (banded.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["band", "bk_salt"])
+            .map_groups(band_reduce, batch_format="pyarrow")
+            .groupby("doc").aggregate(Min(on="rep", alias_name="rep")))
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        # native aggregates emit zero-column blocks for empty partitions
+        if "doc" not in t.column_names:
+            return pa.table({"__drop_id": pa.array([], pa.int64())})
+        t = t.filter(pc.less(t.column("rep"), t.column("doc")))
+        return pa.table({"__drop_id": pc.cast(t.column("doc"), pa.int64())})
+
+    within_drops = reps.map_batches(to_drops, batch_format="pyarrow")
+
+    def store_drops(t: pa.Table) -> pa.Table:
+        # docs sharing ANY bucket with a prior-epoch survivor
+        if matched_ref is None or t.num_rows == 0 \
+                or "band" not in t.column_names:
+            return pa.table({"__drop_id": pa.array([], pa.int64())})
+        matched = ray.get(matched_ref)
+        if len(matched) == 0:
+            return pa.table({"__drop_id": pa.array([], pa.int64())})
+        f = fuse_band_keys(
+            t.column("band").to_numpy(zero_copy_only=False),
+            t.column("band_key").to_numpy(zero_copy_only=False))
+        hit = pc.is_in(pa.array(f, pa.int64()), value_set=matched)
+        docs = t.column("doc").to_numpy(zero_copy_only=False)
+        return pa.table({"__drop_id": pa.array(
+            np.unique(docs[hit.to_numpy(zero_copy_only=False)]),
+            pa.int64())})
+
+    drops = within_drops.union(
+        banded.map_batches(store_drops, batch_format="pyarrow"))
+
+    # drop ids are needed twice (survivor filter + signature commit):
+    # assemble ONCE in a remote task — the driver only holds the ref.
+    # The set is epoch-bounded (ids of this epoch's dropped docs only).
+    @ray.remote
+    def _concat_ids(*blocks) -> pa.Table:
+        parts = [b.column("__drop_id").combine_chunks().to_numpy(
+            zero_copy_only=False) for b in blocks
+            if b.num_rows and "__drop_id" in b.column_names]
+        ids = (np.unique(np.concatenate(parts)) if parts
+               else np.zeros(0, np.int64))
+        return pa.table({"__drop_id": pa.array(ids, pa.int64())})
+
+    drop_refs = [r for b in drops.iter_internal_ref_bundles()
+                 for r in b.block_refs]
+    drop_ids_ref = _concat_ids.remote(*drop_refs)
+
+    # ---- commit survivors' signatures (idempotent per epoch); the
+    # concat + parquet write happens in a remote task against the
+    # (cluster-shared, like the lake root) store filesystem
+    if not store.committed(epoch):
+        def survivor_sigs(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc" not in t.column_names:
+                return _SIG_SCHEMA.empty_table()
+            vs = ray.get(drop_ids_ref).column("__drop_id").combine_chunks()
+            keep = pc.invert(pc.is_in(
+                t.column("doc").combine_chunks(), value_set=vs))
+            return t.filter(keep).select(
+                ["doc", "band", "band_key"]).cast(_SIG_SCHEMA)
+
+        @ray.remote
+        def _commit(root: str, e: int, *blocks) -> bool:
+            tabs = [b for b in blocks if b.num_rows]
+            sigs = (pa.concat_tables(tabs) if tabs
+                    else _SIG_SCHEMA.empty_table())
+            return SignatureStore(root).append(e, sigs)
+
+        sig_refs = [r for bundle in banded.map_batches(
+            survivor_sigs, batch_format="pyarrow"
+        ).iter_internal_ref_bundles() for r in bundle.block_refs]
+        ray.get(_commit.remote(store.root, epoch, *sig_refs))
+
+    drops_ds = rd.from_arrow_refs([drop_ids_ref])
+    return anti_filter_ids(ds_new, drops_ds, id_col, "__drop_id",
+                           max_broadcast_bytes=max_broadcast_bytes)

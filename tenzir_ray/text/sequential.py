@@ -141,6 +141,59 @@ def minhash_dedup_seq(
     ]
 
 
+def incremental_minhash_dedup_seq(
+    doc_ids: list, texts: list, epochs: list,
+    num_perm: int = 64, bands: int = 16, ngram: int = 3,
+    seed: int = 1337,
+) -> list[tuple[int, int]]:
+    """Sequential oracle for
+    :func:`tenzir_ray.text.incremental.incremental_minhash_dedup`:
+    epochs processed in order with a plain-dict signature store. A doc
+    is dropped iff it shares a fused (band, band_key) bucket with a
+    PRIOR-epoch survivor, or the min doc id over its within-epoch
+    buckets is smaller than itself; only survivors' keys enter the
+    store. Returns [(epoch, doc_id), ...] of survivors."""
+    a, b = _perm_params(num_perm, seed)
+    r = num_perm // bands
+    fuse = np.uint64(0x9E3779B97F4A7C15)
+
+    def keys_of(txt):
+        if txt is None:
+            return []
+        sh = _shingle_hashes(txt, ngram)
+        v = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+        sig = v.min(axis=1)
+        out = []
+        for band in range(bands):
+            seg = sig[band * r:(band + 1) * r].astype(np.uint64)
+            acc = np.bitwise_xor.reduce(seg * _POS_MULT[:r])
+            fused = np.array([acc ^ (np.uint64(band) * fuse)],
+                             np.uint64).view(np.int64)
+            out.append(int(fused[0]))
+        return out
+
+    by_epoch: dict[int, list] = {}
+    for i, txt, e in zip(doc_ids, texts, epochs):
+        by_epoch.setdefault(int(e), []).append((int(i), txt))
+    store: set[int] = set()
+    survivors: list[tuple[int, int]] = []
+    for e in sorted(by_epoch):
+        keys = {i: keys_of(txt) for i, txt in by_epoch[e]}
+        bmin: dict[int, int] = {}
+        for i, ks in keys.items():
+            for k in ks:
+                bmin[k] = min(bmin.get(k, i), i)
+        ep_surv = [
+            i for i, ks in keys.items()
+            if not any(k in store for k in ks)
+            and not any(bmin[k] < i for k in ks)
+        ]
+        for i in sorted(ep_surv):
+            survivors.append((e, i))
+            store.update(keys[i])
+    return survivors
+
+
 def kmeans_assign_seq(
     doc_ids: list, vectors: "np.ndarray",
     n_lists: int = 8, iters: int = 5, seed: int = 11,
