@@ -110,42 +110,76 @@ def bpe_train(ds: Dataset, text_col: str = "text", num_merges: int = 256,
     if max_words is not None and len(counts) > max_words:
         keep = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         counts = dict(keep[:max_words])
-    # word → tuple of current symbols
-    words: dict[tuple[str, ...], int] = {}
+    # indexed incremental trainer (subword-nmt style): a merge touches
+    # only the words CONTAINING the merged pair; pair counts update
+    # exactly, and the argmax comes from a lazy-invalidation heap whose
+    # (-count, pair) entries reproduce the naive full-recount
+    # tie-break (max count, then lexicographic pair) bit-for-bit.
+    import heapq
+    from collections import defaultdict
+
+    agg: dict[tuple[str, ...], int] = {}
     for w, n in counts.items():
         sym = tuple(w) + (_EOW,)
-        words[sym] = words.get(sym, 0) + n
+        agg[sym] = agg.get(sym, 0) + n
+    entries: list[list] = [[list(s), n] for s, n in agg.items()]
+
+    pair_n: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (sym, n) in enumerate(entries):
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pair_n[p] += n
+            where[p].add(wi)
+    heap = [(-c, p) for p, c in pair_n.items()]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, n in words.items():
-            for i in range(len(sym) - 1):
-                p = (sym[i], sym[i + 1])
-                pairs[p] = pairs.get(p, 0) + n
-        if not pairs:
-            break
-        # deterministic: max count, then lexicographic pair
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pairs[best] < 2:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_n.get(p, 0) == -negc:  # fresh entry
+                best = p
+                break
+        if best is None or pair_n[best] < 2:
             break
         merges.append(best)
         merged = best[0] + best[1]
-        new_words: dict[tuple[str, ...], int] = {}
-        for sym, n in words.items():
+        touched: set[tuple[str, str]] = set()
+        for wi in where.pop(best, ()):  # may hold stale indices
+            sym, n = entries[wi]
             out = []
             i = 0
+            hit = False
             while i < len(sym):
                 if i < len(sym) - 1 and sym[i] == best[0] \
                         and sym[i + 1] == best[1]:
                     out.append(merged)
                     i += 2
+                    hit = True
                 else:
                     out.append(sym[i])
                     i += 1
-            t = tuple(out)
-            new_words[t] = new_words.get(t, 0) + n
-        words = new_words
+            if not hit:  # stale where entry
+                continue
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_n[p] -= n
+                touched.add(p)
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_n[p] += n
+                where[p].add(wi)
+                touched.add(p)
+            entries[wi][0] = out
+        del pair_n[best]
+        touched.discard(best)
+        for p in touched:
+            if pair_n.get(p, 0) <= 0:
+                pair_n.pop(p, None)
+            else:
+                heapq.heappush(heap, (-pair_n[p], p))
     return merges
 
 
