@@ -553,16 +553,55 @@ def deduplicate(
     """Exact dedup: first ``limit`` rows per key
     (operators/deduplicate.cpp:126-260; the order/distance-dependent modes
     are not carried over — Ray blocks are unordered, so "first" is defined
-    by ``order_by`` when determinism matters). Hash-partition by key then
-    per-group head — the scale pattern for exact dedup."""
+    by ``order_by`` when determinism matters). Scale shape: the shuffle is
+    hash-partitioned on a COARSE salt (key-hash & 1023), so one
+    ``map_groups`` call handles ~1/1024 of all distinct keys in one
+    vectorized pass (sort by key + ``order_by``, segment by key equality,
+    rank-within-segment < limit) — never one Python call per distinct
+    key."""
+    import pandas as pd
+
     keys = [keys] if isinstance(keys, str) else keys
 
-    def _first(g: pa.Table) -> pa.Table:
-        if order_by:
-            g = g.take(pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_by]))
-        return nometa(g.slice(0, limit))
+    def add_salt(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, np.uint64)
+        for c in keys:
+            col = t.column(c).combine_chunks()
+            hc = pd.util.hash_array(
+                col.to_numpy(zero_copy_only=False)).astype(np.uint64)
+            h = h * np.uint64(0x100000001B3) ^ hc
+        return nometa(t.append_column(
+            "__dd_salt", pa.array((h & np.uint64(1023)).astype(np.int64))))
 
-    return ds.groupby(keys).map_groups(_first, batch_format="pyarrow")
+    def heads(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__dd_salt" not in g.column_names:
+            return g.drop_columns(
+                [c for c in ("__dd_salt",) if c in g.column_names])
+        sort_keys = [(c, "ascending") for c in keys]
+        sort_keys += [(c, "ascending") for c in (order_by or [])
+                      if c not in keys]
+        g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        n = g.num_rows
+        new = np.zeros(n, bool)
+        new[0] = True
+        for c in keys:
+            a = g.column(c).combine_chunks()
+            lo, hi = a.slice(0, n - 1), a.slice(1)
+            eq = pc.fill_null(pc.equal(hi, lo), False)
+            both_null = pc.and_(pc.is_null(hi), pc.is_null(lo))
+            same = pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+            new[1:] |= ~same
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.r_[starts, n])
+        rank = np.arange(n) - np.repeat(starts, seg_len)
+        return nometa(
+            g.filter(pa.array(rank < limit)).drop_columns(["__dd_salt"]))
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("__dd_salt")
+        .map_groups(heads, batch_format="pyarrow")
+    )
 
 
 def taste(ds: Dataset, n: int = 10, by: str | None = None) -> Dataset:

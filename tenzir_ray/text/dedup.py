@@ -1110,11 +1110,31 @@ def simhash_dedup(
         batch_format="pyarrow",
     )
 
-    def first(g: pa.Table) -> pa.Table:
-        g = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
-        return g.slice(0, 1)
+    def add_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "simhash" not in t.column_names:
+            return t
+        s = t.column("simhash").to_numpy(zero_copy_only=False)
+        # coarse salt groups (band_reduce pattern): one map_groups call
+        # handles ~1/1024 of all distinct simhashes in one vectorized
+        # pass — never one Python call per distinct signature
+        return t.append_column("__ss", pa.array(
+            (s.view(np.uint64) & np.uint64(1023)).astype(np.int64)))
 
-    return sigs.groupby("simhash").map_groups(first, batch_format="pyarrow")
+    def first_per_sig(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__ss" not in g.column_names:
+            return g.drop_columns(
+                [c for c in ("__ss",) if c in g.column_names])
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            ("simhash", "ascending"), (id_col, "ascending")]))
+        s = g.column("simhash").to_numpy(zero_copy_only=False)
+        firsts = np.r_[True, s[1:] != s[:-1]]
+        return g.filter(pa.array(firsts)).drop_columns(["__ss"])
+
+    return (
+        sigs.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("__ss")
+        .map_groups(first_per_sig, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------------- recall metric
