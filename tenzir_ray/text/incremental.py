@@ -151,47 +151,54 @@ def incremental_minhash_dedup(
         batch_size=1024,
     ).materialize()  # narrow (3 × int64 × bands/doc); consumed 4×
 
-    def _fused_tbl(t: pa.Table) -> pa.Table:
+    # banded is materialized, so its block refs are free to enumerate;
+    # the three narrow follow-ups (fused-key extraction, store-hit doc
+    # drops, survivor-signature filter) run as raw per-block Ray tasks
+    # on those refs — zero extra Dataset executions per epoch (each one
+    # used to cost a full pipeline-execution round trip)
+    banded_refs = [r for b in banded.iter_internal_ref_bundles()
+                   for r in b.block_refs]
+
+    @ray.remote
+    def _fused_of_block(t: pa.Table) -> pa.Array:
         if t.num_rows == 0 or "band" not in t.column_names:
-            return pa.table({"fused": pa.array([], pa.int64())})
+            return pa.array([], pa.int64())
         f = fuse_band_keys(
             t.column("band").to_numpy(zero_copy_only=False),
             t.column("band_key").to_numpy(zero_copy_only=False))
-        return pa.table({"fused": pa.array(np.unique(f), pa.int64())})
+        return pa.array(np.unique(f), pa.int64())
 
     @ray.remote
-    def _concat_unique(*blocks) -> pa.Array:
-        parts = [b.column("fused").combine_chunks().to_numpy(
-            zero_copy_only=False) for b in blocks
-            if b.num_rows and "fused" in b.column_names]
+    def _concat_unique(*arrs) -> pa.Array:
+        parts = [a.to_numpy(zero_copy_only=False) for a in arrs if len(a)]
         if not parts:
             return pa.array([], pa.int64())
         return pa.array(np.unique(np.concatenate(parts)), pa.int64())
 
-    key_refs = [r for b in banded.map_batches(
-        _fused_tbl, batch_format="pyarrow").iter_internal_ref_bundles()
-        for r in b.block_refs]
-    new_keys_ref = _concat_unique.remote(*key_refs)
+    new_keys_ref = _concat_unique.remote(
+        *[_fused_of_block.remote(r) for r in banded_refs])
 
     # ---- store probe: which of the new epoch's buckets already exist?
+    # One raw read task per store file (parquet footer + narrow int64
+    # columns), each probing against the broadcast epoch key set — the
+    # store is scanned streaming, never collected.
     store_files = store.files(before_epoch=epoch)
     if store_files:
-        def probe(t: pa.Table) -> pa.Table:
-            keys = ray.get(new_keys_ref)
+        @ray.remote
+        def _probe_file(path: str, keys: pa.Array) -> pa.Array:
+            t = pq.read_table(path, columns=["band", "band_key"])
             if t.num_rows == 0:
-                return pa.table({"fused": pa.array([], pa.int64())})
+                return pa.array([], pa.int64())
             f = fuse_band_keys(
                 t.column("band").to_numpy(zero_copy_only=False),
                 t.column("band_key").to_numpy(zero_copy_only=False))
             hit = pc.is_in(pa.array(f, pa.int64()), value_set=keys)
-            return pa.table({"fused": pa.array(
+            return pa.array(
                 np.unique(f[hit.to_numpy(zero_copy_only=False)]),
-                pa.int64())})
+                pa.int64())
 
-        hit_refs = [r for b in rd.read_parquet(store_files).map_batches(
-            probe, batch_format="pyarrow").iter_internal_ref_bundles()
-            for r in b.block_refs]
-        matched_ref = _concat_unique.remote(*hit_refs)
+        matched_ref = _concat_unique.remote(
+            *[_probe_file.remote(p, new_keys_ref) for p in store_files])
     else:
         matched_ref = None
 
@@ -234,50 +241,57 @@ def incremental_minhash_dedup(
 
     within_drops = reps.map_batches(to_drops, batch_format="pyarrow")
 
-    def store_drops(t: pa.Table) -> pa.Table:
+    @ray.remote
+    def _store_drops_block(t: pa.Table, matched: pa.Array) -> pa.Array:
         # docs sharing ANY bucket with a prior-epoch survivor
-        if matched_ref is None or t.num_rows == 0 \
-                or "band" not in t.column_names:
-            return pa.table({"__drop_id": pa.array([], pa.int64())})
-        matched = ray.get(matched_ref)
-        if len(matched) == 0:
-            return pa.table({"__drop_id": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "band" not in t.column_names \
+                or len(matched) == 0:
+            return pa.array([], pa.int64())
         f = fuse_band_keys(
             t.column("band").to_numpy(zero_copy_only=False),
             t.column("band_key").to_numpy(zero_copy_only=False))
         hit = pc.is_in(pa.array(f, pa.int64()), value_set=matched)
         docs = t.column("doc").to_numpy(zero_copy_only=False)
-        return pa.table({"__drop_id": pa.array(
+        return pa.array(
             np.unique(docs[hit.to_numpy(zero_copy_only=False)]),
-            pa.int64())})
+            pa.int64())
 
-    drops = within_drops.union(
-        banded.map_batches(store_drops, batch_format="pyarrow"))
+    store_drop_refs = ([] if matched_ref is None else
+                       [_store_drops_block.remote(r, matched_ref)
+                        for r in banded_refs])
 
     # drop ids are needed twice (survivor filter + signature commit):
     # assemble ONCE in a remote task — the driver only holds the ref.
     # The set is epoch-bounded (ids of this epoch's dropped docs only).
+    # Only the within-epoch min-label pass is a Dataset execution (it
+    # carries the one shuffle); the store-hit drops arrive as raw task
+    # results on the same concat.
     @ray.remote
-    def _concat_ids(*blocks) -> pa.Table:
+    def _concat_ids(n_blocks: int, *parts_in) -> pa.Table:
+        blocks, arrs = parts_in[:n_blocks], parts_in[n_blocks:]
         parts = [b.column("__drop_id").combine_chunks().to_numpy(
             zero_copy_only=False) for b in blocks
             if b.num_rows and "__drop_id" in b.column_names]
+        parts += [a.to_numpy(zero_copy_only=False) for a in arrs if len(a)]
         ids = (np.unique(np.concatenate(parts)) if parts
                else np.zeros(0, np.int64))
         return pa.table({"__drop_id": pa.array(ids, pa.int64())})
 
-    drop_refs = [r for b in drops.iter_internal_ref_bundles()
+    drop_refs = [r for b in within_drops.iter_internal_ref_bundles()
                  for r in b.block_refs]
-    drop_ids_ref = _concat_ids.remote(*drop_refs)
+    drop_ids_ref = _concat_ids.remote(
+        len(drop_refs), *drop_refs, *store_drop_refs)
 
     # ---- commit survivors' signatures (idempotent per epoch); the
-    # concat + parquet write happens in a remote task against the
+    # per-block filter and the concat + parquet write are raw remote
+    # tasks against the materialized banded blocks and the
     # (cluster-shared, like the lake root) store filesystem
     if not store.committed(epoch):
-        def survivor_sigs(t: pa.Table) -> pa.Table:
+        @ray.remote
+        def _survivor_sigs_block(t: pa.Table, drop_t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or "doc" not in t.column_names:
                 return _SIG_SCHEMA.empty_table()
-            vs = ray.get(drop_ids_ref).column("__drop_id").combine_chunks()
+            vs = drop_t.column("__drop_id").combine_chunks()
             keep = pc.invert(pc.is_in(
                 t.column("doc").combine_chunks(), value_set=vs))
             return t.filter(keep).select(
@@ -290,9 +304,8 @@ def incremental_minhash_dedup(
                     else _SIG_SCHEMA.empty_table())
             return SignatureStore(root).append(e, sigs)
 
-        sig_refs = [r for bundle in banded.map_batches(
-            survivor_sigs, batch_format="pyarrow"
-        ).iter_internal_ref_bundles() for r in bundle.block_refs]
+        sig_refs = [_survivor_sigs_block.remote(r, drop_ids_ref)
+                    for r in banded_refs]
         ray.get(_commit.remote(store.root, epoch, *sig_refs))
 
     drops_ds = rd.from_arrow_refs([drop_ids_ref])
