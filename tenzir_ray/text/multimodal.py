@@ -5,14 +5,15 @@ columns; every decode / resize / feature-extract / frame-sample step is an
 **actor-pool** ``map_batches`` stage (decoder state built once per actor in
 ``__init__``), with small ``batch_size`` because rows are megabytes.
 
-UNCOMPRESSED containers decode for REAL in pure numpy (no codec libs):
-BMP (BI_RGB 8/24/32-bit), binary PPM/PGM, RIFF/WAVE PCM (8/16-bit, any
-channel count) — plus a deterministic FAKE container for fixtures.
-COMPRESSED codecs (JPEG/PNG/MP3/AAC/video) need Pillow/ffmpeg, which
-this container lacks, so those raise a clearly-marked
-``NotImplementedError``; swapping the ``_decode_payload`` /
-``_decode_audio`` dispatchers' fallthrough for Pillow/ffmpeg changes
-nothing else in the pipeline.
+These containers decode for REAL with numpy + the stdlib (no codec
+libs): BMP (BI_RGB 8/24/32-bit), binary PPM/PGM, **PNG** (stdlib zlib
+inflate + numpy scanline unfiltering; 8-bit gray/RGB/palette/GA/RGBA,
+non-interlaced — plus an :func:`encode_png` dual), RIFF/WAVE PCM
+(8/16-bit, any channel count) — and a deterministic FAKE container for
+fixtures. Codecs whose libraries this container lacks (JPEG/GIF/WebP/
+MP3/AAC/video) raise a clearly-marked ``NotImplementedError``; swapping
+the ``_decode_payload`` / ``_decode_audio`` dispatchers' fallthrough
+for Pillow/ffmpeg changes nothing else in the pipeline.
 """
 
 from __future__ import annotations
@@ -102,12 +103,139 @@ def _decode_pnm(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     return px, w, h, c
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo PNG per-row filtering (RFC 2083 §6). None/Up are whole-row
+    numpy ops; Sub is a wrapping ``np.add.accumulate`` over the row's
+    (pixels × bpp) view; Average/Paeth carry an in-row dependency and
+    loop per pixel group (bpp-wide vector ops) — fine at fixture scale,
+    and only rows an encoder actually filtered that way pay it."""
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prior = np.zeros(stride, np.uint8)
+    npix = stride // bpp
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub: cumsum over pixel groups, wrapping uint8
+            rec = np.add.accumulate(
+                row.reshape(npix, bpp), axis=0, dtype=np.uint8).ravel()
+        elif f == 2:  # Up
+            rec = row + prior
+        elif f == 3:  # Average
+            rec = np.empty(stride, np.uint8)
+            left = np.zeros(bpp, np.uint16)
+            pr = prior.astype(np.uint16)
+            for x in range(0, stride, bpp):
+                s = x + bpp
+                rec[x:s] = (row[x:s] + ((left + pr[x:s]) >> 1)
+                            ).astype(np.uint8)
+                left = rec[x:s].astype(np.uint16)
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.uint8)
+            a = np.zeros(bpp, np.int16)  # left
+            c0 = np.zeros(bpp, np.int16)  # upper-left
+            pr = prior.astype(np.int16)
+            for x in range(0, stride, bpp):
+                s = x + bpp
+                b = pr[x:s]
+                p = a + b - c0
+                pa_, pb, pcv = np.abs(p - a), np.abs(p - b), np.abs(p - c0)
+                pred = np.where((pa_ <= pb) & (pa_ <= pcv), a,
+                                np.where(pb <= pcv, b, c0))
+                rec[x:s] = (row[x:s].astype(np.int16) + pred
+                            ).astype(np.uint8)
+                a, c0 = rec[x:s].astype(np.int16), b
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def _decode_png(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL PNG decoder — stdlib ``zlib`` inflate + numpy unfiltering,
+    no codec libraries. Supports 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette → RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced (the overwhelming majority of real PNGs); 16-bit,
+    sub-byte-depth and Adam7 raise ``NotImplementedError``. Chunk walk
+    per the PNG spec (ISO/IEC 15948): IHDR → PLTE? → IDAT+ → IEND."""
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(buf):
+        ln, typ = struct.unpack_from(">I4s", buf, pos)
+        data = buf[pos + 8: pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG unsupported")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        px = plte[px[:, :, 0]]
+        return np.ascontiguousarray(px), w, h, 3
+    return px, w, h, channels
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal real PNG encoder (filter 0 rows + one zlib IDAT): the
+    dual of :func:`_decode_png` for sinks and fixtures. Accepts (h, w)
+    or (h, w, c) uint8 with c ∈ {1, 2, 3, 4}."""
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    rows = np.ascontiguousarray(px.astype(np.uint8)).reshape(h, w * c)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rows], axis=1).tobytes()
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
 def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
-    """Dispatch by magic: REAL pure-numpy decoders for the uncompressed
-    formats (BMP, binary PPM/PGM) and the deterministic FAKE container;
-    compressed formats (JPEG/PNG/GIF/WebP) raise — their libs are not
-    in this environment, and swapping this dispatcher's fallthrough for
-    Pillow changes nothing else in the pipeline."""
+    """Dispatch by magic: REAL pure-numpy decoders for BMP, binary
+    PPM/PGM, PNG (stdlib zlib + numpy unfiltering) and the
+    deterministic FAKE container; JPEG/GIF/WebP raise — their codec
+    libs are not in this environment, and swapping this dispatcher's
+    fallthrough for Pillow changes nothing else in the pipeline."""
     if buf[:4] == _MAGIC:
         w, h, c = struct.unpack("<HHB", buf[4:9])
         px = np.frombuffer(buf[9: 9 + w * h * c],
@@ -117,9 +245,11 @@ def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
         return _decode_bmp(buf)
     if buf[:2] in (b"P5", b"P6"):
         return _decode_pnm(buf)
+    if buf[:8] == _PNG_SIG:
+        return _decode_png(buf)
     raise NotImplementedError(
-        "compressed image codecs (JPEG/PNG/…) are not available in this "
-        "environment; BMP, binary PPM/PGM and the FAKE container decode"
+        "JPEG/GIF/WebP codecs are not available in this environment; "
+        "BMP, binary PPM/PGM, PNG and the FAKE container decode"
     )
 
 

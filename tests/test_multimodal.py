@@ -220,3 +220,127 @@ def test_corrupt_containers_null_not_crash():
     px, dw, dh, dc = _decode_payload(bmp8)
     assert (dw, dh, dc) == (2, 2, 3)
     assert px[0, 0, 0] == 255 and px[1, 1, 0] == 252  # inverted ramp
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def _png_filter_rows(px: np.ndarray, ftypes: list[int]) -> bytes:
+    """Forward-filter pixels per RFC 2083 §6 (the easy direction,
+    implemented independently in the test) and build raw scanlines."""
+    h, w, c = px.shape
+    rows = px.reshape(h, w * c).astype(np.int16)
+    out = bytearray()
+    prior = np.zeros(w * c, np.int16)
+    for y in range(h):
+        row, f = rows[y], ftypes[y]
+        left = np.roll(row, c)
+        left[:c] = 0
+        up = prior
+        ul = np.roll(prior, c)
+        ul[:c] = 0
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - up
+        elif f == 3:
+            filt = row - ((left + up) >> 1)
+        else:  # paeth
+            p = left + up - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, up, ul))
+            filt = row - pred
+        out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+    return bytes(out)
+
+
+def _build_png(raw: bytes, w: int, h: int, ctype: int,
+               plte: bytes | None = None) -> bytes:
+    import struct as _s
+    import zlib
+
+    def chunk(typ, data):
+        return (_s.pack(">I", len(data)) + typ + data
+                + _s.pack(">I", zlib.crc32(typ + data)))
+
+    png = b"\x89PNG\r\n\x1a\n"
+    png += chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    if plte is not None:
+        png += chunk(b"PLTE", plte)
+    png += chunk(b"IDAT", zlib.compress(raw))
+    png += chunk(b"IEND", b"")
+    return png
+
+
+def test_png_all_filter_types_roundtrip():
+    from tenzir_ray.text.multimodal import _decode_payload
+
+    rng = np.random.default_rng(7)
+    for c, ctype in ((1, 0), (2, 4), (3, 2), (4, 6)):
+        px = rng.integers(0, 256, size=(5, 4, c), dtype=np.uint8)
+        raw = _png_filter_rows(px, [0, 1, 2, 3, 4])
+        got, w, h, ch = _decode_payload(_build_png(raw, 4, 5, ctype))
+        assert (w, h, ch) == (4, 5, c)
+        np.testing.assert_array_equal(got.reshape(5, 4, c), px)
+
+
+def test_png_encoder_decoder_roundtrip():
+    from tenzir_ray.text.multimodal import _decode_payload, encode_png
+
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(7, 3, c), dtype=np.uint8)
+        got, w, h, ch = _decode_payload(encode_png(px))
+        assert (w, h, ch) == (3, 7, c)
+        np.testing.assert_array_equal(got, px)
+
+
+def test_png_palette_and_stubs():
+    from tenzir_ray.text.multimodal import _decode_payload
+
+    # palette: index i -> (i, 255-i, 7)
+    idx = np.array([[0, 1], [2, 3]], np.uint8)[:, :, None]
+    plte = b"".join(bytes([i, 255 - i, 7]) for i in range(4))
+    raw = _png_filter_rows(idx, [0, 0])
+    got, w, h, c = _decode_payload(_build_png(raw, 2, 2, 3, plte=plte))
+    assert (w, h, c) == (2, 2, 3)
+    assert got[0, 1].tolist() == [1, 254, 7]
+    assert got[1, 1].tolist() == [3, 252, 7]
+
+    # interlaced and 16-bit stay loud stubs
+    import struct as _s
+    import zlib
+
+    def chunk(typ, data):
+        return (_s.pack(">I", len(data)) + typ + data
+                + _s.pack(">I", zlib.crc32(typ + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    interlaced = (sig + chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        _decode_payload(interlaced)
+    deep = (sig + chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        _decode_payload(deep)
+
+
+def test_png_through_decoder_stage():
+    from tenzir_ray.text.multimodal import ImageDecoder, encode_png
+
+    rng = np.random.default_rng(3)
+    pngs = [encode_png(rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8))
+            for _ in range(4)]
+    t = pa.table({"image": pa.array(pngs, pa.binary())})
+    out = ImageDecoder()(t)
+    assert out.column("img_ok").to_pylist() == [True] * 4
+    assert out.column("img_width").to_pylist() == [5] * 4
+    assert out.column("img_height").to_pylist() == [6] * 4
+    assert out.column("img_channels").to_pylist() == [3] * 4
