@@ -27,6 +27,20 @@ def test_open_uri_dispatch(tmp_path):
     assert open_uri(str(pq)).count() == 3
 
 
+def test_open_uri_arrow_filesystem_scheme(tmp_path):
+    """Scheme-qualified URIs resolve through pyarrow.fs.from_uri inside
+    Ray's readers — the SAME code path s3://, gs:// and az:// take (only
+    the filesystem object differs), proven offline with file://."""
+    import pyarrow.parquet as paq
+
+    pq = tmp_path / "fs.parquet"
+    paq.write_table(pa.table({"v": [1, 2, 3]}), pq)
+    assert open_uri(f"file://{pq}").count() == 3
+    c = tmp_path / "fs.csv"
+    c.write_text("a,b\n1,x\n2,y\n")
+    assert sorted(open_uri(f"file://{c}").to_pandas()["b"]) == ["x", "y"]
+
+
 def test_parse_kv():
     t = pa.table({"text": ['a=1 b="two words" c=x', "a=9"]})
     out = parse_kv_batch(t)
