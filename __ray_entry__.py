@@ -1846,12 +1846,15 @@ def _ivf_ann(sf_dir: str):
 
 def _multimodal_decode(sf_dir: str):
     """image decode → resize → feature-extract actor-pool chain over an
-    opaque binary column (deterministic fake payloads synthesized from
-    doc ids; codecs stubbed — container has no image libs)."""
+    opaque binary column: a MIX of real PNG payloads (every 4th doc —
+    stdlib-zlib codec, text/multimodal.py _decode_png) and
+    deterministic fake-container payloads, all synthesized from doc
+    ids. Remaining compressed codecs stay stubbed (no image libs)."""
     import ray.data as rd
 
     from tenzir_ray.text.multimodal import (
         ImageFeatures, ImageResizer, decode_images, encode_fake_image,
+        encode_png,
     )
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id"])
@@ -1860,7 +1863,15 @@ def _multimodal_decode(sf_dir: str):
         import pyarrow as pa2
 
         ids = t.column("doc_id").to_pylist()
-        imgs = [encode_fake_image(16 + i % 16, 16 + i % 8, 3, seed=i) for i in ids]
+        imgs = []
+        for i in ids:
+            w, h = 16 + i % 16, 16 + i % 8
+            if i % 4 == 0:
+                px = np.random.default_rng(i).integers(
+                    0, 256, size=(h, w, 3), dtype=np.uint8)
+                imgs.append(encode_png(px))
+            else:
+                imgs.append(encode_fake_image(w, h, 3, seed=i))
         out = t.append_column("image", pa2.array(imgs, pa2.binary()))
         return out.replace_schema_metadata(None) if out.schema.metadata else out
 
@@ -2318,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": _cdc_replay,
         "cdc_asof": _cdc_asof,
         "upsert_events": _upsert_events,
+        "multimodal_decode": _multimodal_decode,
         "q1_summarize": _q1_summarize,
         "warc_ingest": _warc_ingest,
         # ---- position 50 boundary (driver window ends here) ---------------
@@ -2347,7 +2359,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routed_json": _routed_json,
         "embedding_dedup": _embedding_dedup,
         "ivf_ann": _ivf_ann,
-        "multimodal_decode": _multimodal_decode,
         "semi_join_orders": _semi_join_orders,
         "anti_join_orders": _anti_join_orders,
         "slice_events": _slice_events,
