@@ -8,9 +8,9 @@ columns; every decode / resize / feature-extract / frame-sample step is an
 These containers decode for REAL with numpy + the stdlib (no codec
 libs): BMP (BI_RGB 8/24/32-bit), binary PPM/PGM, **PNG** (stdlib zlib
 inflate + numpy scanline unfiltering; 8-bit gray/RGB/palette/GA/RGBA,
-non-interlaced — plus an :func:`encode_png` dual), RIFF/WAVE PCM
-(8/16-bit, any channel count) — and a deterministic FAKE container for
-fixtures. Codecs whose libraries this container lacks (JPEG/GIF/WebP/
+non-interlaced — plus an :func:`encode_png` dual), RIFF/WAVE (8/16-bit
+PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, EXTENSIBLE wrappers, any
+channel count) — and a deterministic FAKE container for fixtures. Codecs whose libraries this container lacks (JPEG/GIF/WebP/
 MP3/AAC/video) raise a clearly-marked ``NotImplementedError``; swapping
 the ``_decode_payload`` / ``_decode_audio`` dispatchers' fallthrough
 for Pillow/ffmpeg changes nothing else in the pipeline.
@@ -397,12 +397,41 @@ def encode_fake_audio(n_samples: int, sample_rate: int = 16_000,
     return _AMAGIC + struct.pack("<II", sample_rate, n_samples) + pcm.tobytes()
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry µ-law / A-law → float32 expansion tables (ITU-T G.711),
+    built arithmetically once at import."""
+    codes = np.arange(256, dtype=np.uint8)
+    # µ-law: invert, split sign/exponent/mantissa, expand with bias 0x84
+    u = ~codes
+    sign = (u & 0x80) != 0
+    exp = (u.astype(np.int32) >> 4) & 0x07
+    mant = u.astype(np.int32) & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    ulaw = np.where(sign, -mag, mag).astype(np.float32) / 32768.0
+    # A-law: even bits inverted, exponent 0 is linear; after ^0x55 a
+    # SET sign bit means POSITIVE (the encoder XORs 0xD5 for >= 0)
+    a = codes ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a.astype(np.int32) >> 4) & 0x07
+    mant = a.astype(np.int32) & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    alaw = np.where(sign, mag, -mag).astype(np.float32) / 32768.0
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def _decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
-    """Real decoder for RIFF/WAVE PCM (8/16-bit, any channel count —
-    channels averaged to mono): pure struct+numpy chunk walk."""
+    """Real decoder for RIFF/WAVE — integer PCM (8/16-bit, format 1),
+    IEEE float (32/64-bit, format 3), and G.711 A-law/µ-law (formats
+    6/7, table expansion); any channel count, channels averaged to
+    mono. Pure struct+numpy chunk walk; WAVE_FORMAT_EXTENSIBLE resolves
+    through its SubFormat GUID's leading format tag."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, rate, bits, nch = 12, None, None, 1
+    pos, fmt, rate, bits, nch = 12, None, None, None, 1
     data = None
     while pos + 8 <= len(buf):
         cid = buf[pos:pos + 4]
@@ -411,20 +440,28 @@ def _decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
         if cid == b"fmt ":
             fmt, nch, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt != 1:
-                raise NotImplementedError(
-                    f"non-PCM WAV (format {fmt}) unsupported")
+            if fmt == 0xFFFE and len(body) >= 26:  # EXTENSIBLE
+                fmt = struct.unpack_from("<H", body, 24)[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if bits == 16:
+    if fmt == 1 and bits == 16:
         x = np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
-    elif bits == 8:
+    elif fmt == 1 and bits == 8:
         x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif fmt == 3 and bits == 32:
+        x = np.frombuffer(data, np.float32).astype(np.float32)
+    elif fmt == 3 and bits == 64:
+        x = np.frombuffer(data, np.float64).astype(np.float32)
+    elif fmt == 6:  # A-law
+        x = _ALAW_TABLE[np.frombuffer(data, np.uint8)]
+    elif fmt == 7:  # µ-law
+        x = _ULAW_TABLE[np.frombuffer(data, np.uint8)]
     else:
-        raise NotImplementedError(f"{bits}-bit WAV unsupported")
+        raise NotImplementedError(
+            f"WAV format {fmt} / {bits}-bit unsupported")
     if nch > 1:
         x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
     return rate, x

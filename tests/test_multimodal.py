@@ -344,3 +344,53 @@ def test_png_through_decoder_stage():
     assert out.column("img_width").to_pylist() == [5] * 4
     assert out.column("img_height").to_pylist() == [6] * 4
     assert out.column("img_channels").to_pylist() == [3] * 4
+
+
+# ----------------------------------------------------------- WAV formats
+
+
+def _wav(fmt: int, bits: int, data: bytes, rate=8000, nch=1) -> bytes:
+    import struct as _s
+    fmtc = _s.pack("<HHIIHH", fmt, nch, rate, rate * nch * bits // 8,
+                   nch * bits // 8, bits)
+    body = (b"fmt " + _s.pack("<I", len(fmtc)) + fmtc
+            + b"data" + _s.pack("<I", len(data)) + data)
+    return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_float_and_g711():
+    from tenzir_ray.text.multimodal import _decode_wav
+
+    # IEEE float 32/64 pass through
+    x = np.array([0.5, -0.25, 0.0], np.float32)
+    r, got = _decode_wav(_wav(3, 32, x.tobytes()))
+    np.testing.assert_allclose(got, x)
+    r, got = _decode_wav(_wav(3, 64, x.astype(np.float64).tobytes()))
+    np.testing.assert_allclose(got, x)
+
+    # µ-law anchor codes from G.711 (Sun reference table):
+    #   0x00 → -32124, 0x80 → +32124, 0xFF → 0
+    r, got = _decode_wav(_wav(7, 8, bytes([0x00, 0x80, 0xFF])))
+    np.testing.assert_allclose(
+        got * 32768.0, [-32124.0, 32124.0, 0.0])
+
+    # A-law anchors: 0x55 → -8, 0xD5 → +8, 0x2A → -32256, 0xAA → +32256
+    r, got = _decode_wav(_wav(6, 8, bytes([0x55, 0xD5, 0x2A, 0xAA])))
+    np.testing.assert_allclose(
+        got * 32768.0, [-8.0, 8.0, -32256.0, 32256.0])
+
+    # EXTENSIBLE wrapper resolves through the SubFormat tag
+    import struct as _s
+    sub = _s.pack("<H", 3) + b"\x00\x00" + b"\x00" * 12
+    fmtc = _s.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32) \
+        + _s.pack("<H", 22) + _s.pack("<HI", 32, 0x4) + sub[:16]
+    data = np.array([0.125], np.float32).tobytes()
+    body = (b"fmt " + _s.pack("<I", len(fmtc)) + fmtc
+            + b"data" + _s.pack("<I", len(data)) + data)
+    buf = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    r, got = _decode_wav(buf)
+    np.testing.assert_allclose(got, [0.125])
+
+    # unknown compressed format stays a loud stub
+    with pytest.raises(NotImplementedError):
+        _decode_wav(_wav(0x55, 8, b"\x00\x00"))  # MP3-in-WAV
