@@ -10,7 +10,9 @@ libs): BMP (BI_RGB 8/24/32-bit), binary PPM/PGM, **PNG** (stdlib zlib
 inflate + numpy scanline unfiltering; 8-bit gray/RGB/palette/GA/RGBA,
 non-interlaced — plus an :func:`encode_png` dual), RIFF/WAVE (8/16-bit
 PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, EXTENSIBLE wrappers, any
-channel count) — and a deterministic FAKE container for fixtures. Codecs whose libraries this container lacks (JPEG/GIF/WebP/
+channel count), **GIF** (87a/89a first frame, pure-Python LZW + numpy
+palette mapping / deinterlacing) — and a deterministic FAKE container
+for fixtures. Codecs whose libraries this container lacks (JPEG/WebP/
 MP3/AAC/video) raise a clearly-marked ``NotImplementedError``; swapping
 the ``_decode_payload`` / ``_decode_audio`` dispatchers' fallthrough
 for Pillow/ffmpeg changes nothing else in the pipeline.
@@ -230,11 +232,120 @@ def encode_png(px: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
+    """GIF-flavor LZW (GIF89a spec appendix F): LSB-first variable-width
+    codes, dictionary reset on CLEAR, width grows at dictionary
+    fill-up, 12-bit cap. The per-code Python loop is inherent — LZW's
+    dictionary is adaptive, so codes cannot be decoded independently —
+    and bounded by the frame's pixel count."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    cur = nbits = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < npix:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            cur |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << width) - 1)
+        cur >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.frombuffer(bytes(out[:npix]), np.uint8)
+
+
+def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL GIF decoder (GIF87a/89a, first frame): pure-Python LZW +
+    numpy palette mapping and Adam-style 4-pass deinterlacing. No codec
+    library — the LZW table walk is the stdlib-free part of the format.
+    Animations decode as their first frame; transparency is ignored
+    (output is RGB)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf, np.uint8, count=n * 3,
+                            offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, w, h, ipack = struct.unpack_from("<HHHHB", buf, pos + 1)
+            pos += 10
+            pal = gct
+            if ipack & 0x80:
+                n = 2 << (ipack & 0x07)
+                pal = np.frombuffer(buf, np.uint8, count=n * 3,
+                                    offset=pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = buf[pos]
+            pos += 1
+            chunks = []
+            while buf[pos] != 0:
+                ln = buf[pos]
+                chunks.append(buf[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+            if idx.size < w * h:
+                raise ValueError("GIF pixel data underrun")
+            idx = idx.reshape(h, w)
+            if ipack & 0x40:  # interlaced: 4-pass row shuffle
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                rows = np.empty(h, np.int64)
+                rows[order] = np.arange(h)
+                idx = idx[rows]
+            px = pal[np.minimum(idx, len(pal) - 1)]
+            return np.ascontiguousarray(px), w, h, 3
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
-    """Dispatch by magic: REAL pure-numpy decoders for BMP, binary
-    PPM/PGM, PNG (stdlib zlib + numpy unfiltering) and the
-    deterministic FAKE container; JPEG/GIF/WebP raise — their codec
-    libs are not in this environment, and swapping this dispatcher's
+    """Dispatch by magic: REAL decoders for BMP, binary PPM/PGM, PNG
+    (stdlib zlib + numpy unfiltering), GIF (pure-Python LZW) and the
+    deterministic FAKE container; JPEG/WebP raise — their codec libs
+    are not in this environment, and swapping this dispatcher's
     fallthrough for Pillow changes nothing else in the pipeline."""
     if buf[:4] == _MAGIC:
         w, h, c = struct.unpack("<HHB", buf[4:9])
@@ -247,9 +358,11 @@ def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
         return _decode_pnm(buf)
     if buf[:8] == _PNG_SIG:
         return _decode_png(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(buf)
     raise NotImplementedError(
-        "JPEG/GIF/WebP codecs are not available in this environment; "
-        "BMP, binary PPM/PGM, PNG and the FAKE container decode"
+        "JPEG/WebP codecs are not available in this environment; "
+        "BMP, binary PPM/PGM, PNG, GIF and the FAKE container decode"
     )
 
 

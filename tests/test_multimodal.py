@@ -394,3 +394,110 @@ def test_wav_float_and_g711():
     # unknown compressed format stays a loud stub
     with pytest.raises(NotImplementedError):
         _decode_wav(_wav(0x55, 8, b"\x00\x00"))  # MP3-in-WAV
+
+
+# ------------------------------------------------------------------ GIF
+
+
+def _gif_lzw_encode(idx: bytes, min_code: int) -> bytes:
+    """Independent forward GIF-LZW encoder (test-side reference):
+    hash-dict, CLEAR first, EOI last, width grows with the table."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out, cur, nbits = bytearray(), 0, 0
+    width = min_code + 1
+
+    def emit(code):
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = eoi + 1
+    emit(clear)
+    s = b""
+    for ch in idx:
+        s2 = s + bytes([ch])
+        if s2 in table:
+            s = s2
+            continue
+        emit(table[s])
+        table[s2] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code + 1
+        s = bytes([ch])
+    if s:
+        emit(table[s])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _build_gif(idx: np.ndarray, pal: np.ndarray, interlaced=False,
+               animated=False) -> bytes:
+    import struct as _s
+
+    h, w = idx.shape
+    n = len(pal)
+    depth = max(1, int(np.ceil(np.log2(n))))
+    min_code = max(2, depth)
+    gct = pal.astype(np.uint8).tobytes() + b"\x00" * ((2 << (depth - 1)) * 3 - n * 3) \
+        if n == (1 << depth) else pal.astype(np.uint8).tobytes()
+    gif = b"GIF89a" + _s.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0) + gct
+    if animated:  # NETSCAPE looping extension, then a GCE per frame
+        gif += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        gif += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    rows = idx
+    if interlaced:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        rows = idx[order]
+    data = _gif_lzw_encode(rows.astype(np.uint8).tobytes(), min_code)
+    gif += _s.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                   0x40 if interlaced else 0) + bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00"
+    if animated:  # second (different) frame: decoder must return frame 1
+        gif += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        data2 = _gif_lzw_encode(
+            ((rows + 1) % len(pal)).astype(np.uint8).tobytes(), min_code)
+        gif += _s.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0) + bytes([min_code])
+        for i in range(0, len(data2), 255):
+            chunk = data2[i:i + 255]
+            gif += bytes([len(chunk)]) + chunk
+        gif += b"\x00"
+    return gif + b"\x3b"
+
+
+def test_gif_roundtrip():
+    from tenzir_ray.text.multimodal import _decode_payload
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 7), dtype=np.uint8)
+    for interlaced in (False, True):
+        got, w, h, c = _decode_payload(_build_gif(idx, pal,
+                                                  interlaced=interlaced))
+        assert (w, h, c) == (7, 9, 3)
+        np.testing.assert_array_equal(got, pal[idx])
+
+    # repetitive data exercises real dictionary growth
+    idx2 = np.tile(np.arange(8, dtype=np.uint8), (32, 16))[:, :100]
+    got, w, h, c = _decode_payload(_build_gif(idx2, pal))
+    np.testing.assert_array_equal(got, pal[idx2])
+
+    # animated: first frame wins
+    got, w, h, c = _decode_payload(_build_gif(idx, pal, animated=True))
+    np.testing.assert_array_equal(got, pal[idx])
