@@ -1,0 +1,504 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) in pure numpy + stdlib.
+
+No codec library: the decoder parses DQT/SOF0/DHT/DRI/SOS segments,
+entropy-decodes the interleaved baseline scan with canonical Huffman
+tables reconstructed from the file's own DHT segments (per-symbol
+Python loop — inherent: Huffman symbols are sequentially dependent —
+bounded by the image's coefficient count), then dequantizes, inverse-
+zigzags and IDCTs ALL blocks in one batched einsum, upsamples chroma
+by ``np.repeat`` and converts YCbCr→RGB vectorized. Supports 8-bit
+baseline sequential (SOF0), 1 or 3 components, sampling factors up to
+2×2 (covers 4:4:4, 4:2:2, 4:2:0), restart markers. Progressive (SOF2),
+arithmetic coding and 12-bit raise ``NotImplementedError``.
+
+The encoder is the test-side dual: 4:4:4 (or grayscale), standard
+Annex-K quantization tables scaled by IJG quality, batched forward DCT,
+and SIMPLE valid canonical Huffman tables (all DC categories at 4 bits,
+all AC run/size symbols at 8 bits — ~2× bigger files than optimal,
+irrelevant here) so the general decoder's table reconstruction is what
+the round-trip exercises. Lossy: round-trips match within quantization
+error, exact-ish on flat blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------- constants
+
+#: Annex K.1 luminance quantization table (row-major 8×8)
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.float64)
+
+#: Annex K.2 chrominance quantization table
+_QT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.float64)
+
+
+def _zigzag() -> np.ndarray:
+    """The 64-entry zigzag permutation: zig[k] = row-major index of the
+    k-th coefficient in zigzag order."""
+    out = []
+    for s in range(15):
+        cells = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0:
+            cells = cells[::-1]  # even diagonals run bottom-left → top-right
+        out.extend(i * 8 + j for i, j in cells)
+    return np.array(out, np.int64)
+
+
+_ZIG = _zigzag()
+_INV_ZIG = np.argsort(_ZIG)
+
+_DCT = np.array([[np.cos((2 * n + 1) * k * np.pi / 16)
+                  * (np.sqrt(1 / 8) if k == 0 else 0.5)
+                  for n in range(8)] for k in range(8)])
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = max(1, min(100, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    def sc(t):
+        return np.clip(np.floor((t * scale + 50) / 100), 1, 255)
+    return sc(_QT_LUM), sc(_QT_CHR)
+
+
+# ----------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, width: int):
+        if width == 0:
+            return
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.n += width
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-stuffing marker (caller handles RSTn)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(0xFF00 | nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, w: int) -> int:
+        v = 0
+        for _ in range(w):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Skip to the next marker (for RST handling)."""
+        self.n = 0
+        while self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] == 0x00:
+            self.pos += 1
+        m = 0xFF00 | self.buf[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+# ------------------------------------------------------------ huffman
+
+
+class _HuffTable:
+    """Canonical Huffman decoder from a DHT (BITS, HUFFVAL) spec —
+    min/max code per length, per T.81 F.2.2.3."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            if n:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += n
+                k += n
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if ln > 16:
+                raise ValueError("invalid Huffman code")
+            if self.maxcode[ln] >= code >= self.mincode[ln]:
+                return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ------------------------------------------------------------ decoder
+
+
+def decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Decode a baseline JPEG → (pixels uint8 (h, w, c), w, h, c)."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
+    comps = None  # list of (cid, h, v, tq)
+    w = h = None
+    restart_interval = 0
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        seg_len = struct.unpack_from(">H", buf, pos)[0]
+        seg = buf[pos + 2: pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                qt[tq] = np.frombuffer(
+                    seg, np.uint8, 64, p + 1).astype(np.float64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1: p + 17])
+                nv = sum(bits)
+                huff[(tc, th)] = _HuffTable(bits, seg[p + 17: p + 17 + nv])
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — single interleaved baseline scan
+            ns = seg[0]
+            scan = []  # (comp index, dc table, ac table)
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                ci = next(j for j, c in enumerate(comps) if c[0] == cs)
+                scan.append((ci, tt >> 4, tt & 0x0F))
+            data_pos = pos + seg_len
+            return _decode_scan(buf, data_pos, w, h, comps, scan, qt,
+                                huff, restart_interval)
+        pos += seg_len
+    raise ValueError("JPEG contains no scan")
+
+
+def _decode_scan(buf, pos, w, h, comps, scan, qt, huff, restart_interval):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    # per component: coefficient store, one row per block in MCU order
+    blocks = [np.zeros((n_mcu * c[1] * c[2], 64), np.int32) for c in comps]
+    br = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    mcu = 0
+    try:
+        while mcu < n_mcu:
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                m = br.align_to_marker()
+                if not 0xFFD0 <= m <= 0xFFD7:
+                    raise ValueError(f"expected RST, got {m:04x}")
+                pred = [0] * len(comps)
+            for ci, tdc, tac in scan:
+                _, ch, cv, _tq = comps[ci]
+                for b in range(ch * cv):
+                    blk = blocks[ci][mcu * ch * cv + b]
+                    dcht, acht = huff[(0, tdc)], huff[(1, tac)]
+                    t = dcht.decode(br)
+                    diff = _extend(br.bits(t), t) if t else 0
+                    pred[ci] += diff
+                    blk[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = acht.decode(br)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        blk[k] = _extend(br.bits(s), s)
+                        k += 1
+            mcu += 1
+    except _MarkerHit as mh:
+        if not (mh.marker == 0xFFD9 and mcu >= n_mcu):
+            if not 0xFFD0 <= mh.marker <= 0xFFD7:
+                raise ValueError(
+                    f"unexpected marker 0x{mh.marker:04X} mid-scan")
+    # batched dequant + inverse zigzag + IDCT per component
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        coef = blocks[ci].astype(np.float64) * qt[tq][None, :]
+        sq = coef[:, _INV_ZIG].reshape(-1, 8, 8)
+        pix = np.einsum("ki,nij,lj->nkl", _DCT.T, sq, _DCT.T,
+                        optimize=True) + 128.0
+        # reassemble block grid: MCUs row-major, blocks row-major in MCU
+        bw, bh = mcux * ch, mcuy * cv
+        pix = pix.reshape(mcuy, mcux, cv, ch, 8, 8)
+        plane = pix.transpose(0, 2, 4, 1, 3, 5).reshape(bh * 8, bw * 8)
+        # upsample to full MCU grid resolution
+        if ch < hmax:
+            plane = np.repeat(plane, hmax // ch, axis=1)
+        if cv < vmax:
+            plane = np.repeat(plane, vmax // cv, axis=0)
+        planes.append(plane[: h, : w])
+    if len(planes) == 1:
+        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return px[:, :, None], w, h, 1
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    px = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255
+                 ).astype(np.uint8)
+    return px, w, h, 3
+
+
+# ------------------------------------------------------------ encoder
+
+# simple valid canonical tables: 12 DC categories at 4 bits; the 162
+# standard AC run/size symbols at 8 bits (Kraft 162/256 < 1, all-ones
+# code unused) — suboptimal size, trivially correct
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = bytes(range(12))
+_AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_BITS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
+
+
+def _canonical_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _block_coefs(plane: np.ndarray, q: np.ndarray,
+                 bw: int, bh: int) -> np.ndarray:
+    """Pad a plane to (bh×8, bw×8), batched forward DCT + quantize →
+    (bh*bw, 64) int32 coefficients in zigzag order, block row-major."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    b = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    f = np.einsum("ki,nij,lj->nkl", _DCT, b - 128.0, _DCT, optimize=True)
+    qc = np.round(f.reshape(-1, 64) / q[None, :]).astype(np.int32)
+    return qc[:, _ZIG]
+
+
+def _encode_block(bwr: _BitWriter, blk: np.ndarray, pred: int) -> int:
+    diff = int(blk[0]) - pred
+    t = _category(diff)
+    code, ln = _DC_CODES[t]
+    bwr.put(code, ln)
+    if t:
+        bwr.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    nz = np.flatnonzero(blk[1:])
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODES[0xF0]
+            bwr.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = _AC_CODES[(run << 4) | s]
+        bwr.put(code, ln)
+        bwr.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = _AC_CODES[0x00]
+        bwr.put(code, ln)
+    return int(blk[0])
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w) or (h, w, 1|3) uint8 → baseline JFIF bytes.
+    ``subsample=True`` emits 4:2:0 (2×2 Y sampling, chroma box-averaged
+    to half resolution); ``restart_interval`` emits DRI + RSTn markers
+    every N MCUs."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("1 or 3 channels only")
+    qlum, qchr = _quality_tables(quality)
+    sub = subsample and nc == 3
+    if nc == 3:
+        f = px.astype(np.float64)
+        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        cb = 128.0 - 0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] \
+            + 0.5 * f[:, :, 2]
+        cr = 128.0 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] \
+            - 0.081312 * f[:, :, 2]
+        if sub:
+            h2, w2 = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = np.pad(cb, ((0, h2 - h), (0, w2 - w)), mode="edge")
+            cr = np.pad(cr, ((0, h2 - h), (0, w2 - w)), mode="edge")
+            cb = cb.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        qts = [qlum, qchr, qchr]
+        tsel = [0, 1, 1]
+        samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+        qts = [qlum]
+        tsel = [0]
+        samp = [(1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    grids, qcoefs = [], []
+    for plane, q, (sh, sv) in zip(planes, qts, samp):
+        gw, gh = mcux * sh, mcuy * sv
+        qcoefs.append(_block_coefs(plane, q, gw, gh))
+        grids.append((gw, gh, sh, sv))
+
+    bwr = _BitWriter()
+    pred = [0] * len(planes)
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bwr.flush()  # byte-align with 1-bits
+            bwr.out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1)
+                                            % 8)])
+            pred = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, qc in enumerate(qcoefs):
+            gw, _gh, sh, sv = grids[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    bi = (my * sv + by) * gw + (mx * sh + bx)
+                    pred[ci] = _encode_block(bwr, qc[bi], pred[ci])
+    bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + qlum.astype(np.uint8)[_ZIG].tobytes())
+    if nc == 3:
+        out += seg(0xFFDB, b"\x01" + qchr.astype(np.uint8)[_ZIG].tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sh, sv = samp[i]
+        sof += struct.pack(">BBB", i + 1, (sh << 4) | sv, tsel[i])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + _DC_VALS)
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + _AC_SYMBOLS)
+    if nc == 3:
+        out += seg(0xFFC4, b"\x01" + bytes(_DC_BITS) + _DC_VALS)
+        out += seg(0xFFC4, b"\x11" + bytes(_AC_BITS) + _AC_SYMBOLS)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += bytes(bwr.out) + b"\xff\xd9"
+    return out

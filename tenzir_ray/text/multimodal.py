@@ -11,9 +11,12 @@ inflate + numpy scanline unfiltering; 8-bit gray/RGB/palette/GA/RGBA,
 non-interlaced — plus an :func:`encode_png` dual), RIFF/WAVE (8/16-bit
 PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, EXTENSIBLE wrappers, any
 channel count), **GIF** (87a/89a first frame, pure-Python LZW + numpy
-palette mapping / deinterlacing) — and a deterministic FAKE container
-for fixtures. Codecs whose libraries this container lacks (JPEG/WebP/
-MP3/AAC/video) raise a clearly-marked ``NotImplementedError``; swapping
+palette mapping / deinterlacing), **baseline JPEG**
+(:mod:`tenzir_ray.text.jpeg`: general DHT Huffman decode + batched
+einsum IDCT, 4:4:4/4:2:2/4:2:0, restart markers; encoder dual) — and a
+deterministic FAKE container for fixtures. Codecs whose libraries this
+container lacks (WebP/AVIF/MP3/AAC/video; progressive JPEG) raise a
+clearly-marked ``NotImplementedError``; swapping
 the ``_decode_payload`` / ``_decode_audio`` dispatchers' fallthrough
 for Pillow/ffmpeg changes nothing else in the pipeline.
 """
@@ -360,9 +363,13 @@ def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
         return _decode_png(buf)
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(buf)
+    if buf[:2] == b"\xff\xd8":
+        from tenzir_ray.text.jpeg import decode_jpeg
+        return decode_jpeg(buf)
     raise NotImplementedError(
-        "JPEG/WebP codecs are not available in this environment; "
-        "BMP, binary PPM/PGM, PNG, GIF and the FAKE container decode"
+        "WebP/AVIF codecs are not available in this environment; BMP, "
+        "binary PPM/PGM, PNG, GIF, baseline JPEG and the FAKE container "
+        "decode"
     )
 
 

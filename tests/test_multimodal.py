@@ -501,3 +501,77 @@ def test_gif_roundtrip():
     # animated: first frame wins
     got, w, h, c = _decode_payload(_build_gif(idx, pal, animated=True))
     np.testing.assert_array_equal(got, pal[idx])
+
+
+# ----------------------------------------------------------------- JPEG
+
+
+def _smooth_rgb(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([xx * 255 // max(w - 1, 1),
+                     yy * 255 // max(h - 1, 1),
+                     (xx + yy) * 255 // max(h + w - 2, 1)],
+                    -1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444():
+    from tenzir_ray.text.jpeg import decode_jpeg, encode_jpeg
+
+    # flat blocks survive near-exactly (DC-only)
+    flat = np.full((16, 24, 3), [120, 64, 200], np.uint8)
+    got, w, h, c = decode_jpeg(encode_jpeg(flat, 95))
+    assert (w, h, c) == (24, 16, 3)
+    assert np.abs(got.astype(int) - flat.astype(int)).max() <= 1
+
+    # smooth gradients within tight quantization error, odd dimensions
+    px = _smooth_rgb(33, 47)
+    got, w, h, c = decode_jpeg(encode_jpeg(px, 90))
+    assert (w, h, c) == (47, 33, 3)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 6
+
+    # grayscale single-component scan
+    g = px[:, :, 1]
+    got, w, h, c = decode_jpeg(encode_jpeg(g, 90))
+    assert (w, h, c) == (47, 33, 1)
+    assert np.abs(got[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+
+
+def test_jpeg_420_and_restarts():
+    from tenzir_ray.text.jpeg import decode_jpeg, encode_jpeg
+
+    px = _smooth_rgb(31, 45)
+    got, w, h, c = decode_jpeg(encode_jpeg(px, 90, subsample=True))
+    assert (w, h, c) == (45, 31, 3)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 12
+
+    got, w, h, c = decode_jpeg(
+        encode_jpeg(px, 90, subsample=True, restart_interval=2))
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 12
+
+    got, w, h, c = decode_jpeg(encode_jpeg(px, 90, restart_interval=3))
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 6
+
+
+def test_jpeg_progressive_stub_and_dispatch():
+    import struct as _s
+
+    from tenzir_ray.text.jpeg import decode_jpeg, encode_jpeg
+    from tenzir_ray.text.multimodal import ImageDecoder, _decode_payload
+
+    # progressive (SOF2) stays a loud stub
+    buf = bytearray(encode_jpeg(_smooth_rgb(16, 16), 90))
+    i = bytes(buf).index(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+    # dispatcher routes FFD8 and the actor stage decodes a mixed batch
+    px = _smooth_rgb(12, 10)
+    got, w, h, c = _decode_payload(encode_jpeg(px, 95))
+    assert (w, h, c) == (10, 12, 3)
+    t = pa.table({"image": pa.array(
+        [encode_jpeg(px, 90), encode_jpeg(px, 90, subsample=True)],
+        pa.binary())})
+    out = ImageDecoder()(t)
+    assert out.column("img_ok").to_pylist() == [True, True]
+    assert out.column("img_width").to_pylist() == [10, 10]
