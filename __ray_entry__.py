@@ -1847,11 +1847,13 @@ def _ivf_ann(sf_dir: str):
 def _multimodal_decode(sf_dir: str):
     """image decode → resize → feature-extract actor-pool chain over an
     opaque binary column: a MIX of real PNG payloads (every 4th doc —
-    stdlib-zlib codec, text/multimodal.py _decode_png) and
-    deterministic fake-container payloads, all synthesized from doc
-    ids. Remaining compressed codecs stay stubbed (no image libs)."""
+    stdlib-zlib codec, text/multimodal.py _decode_png), real baseline
+    JPEGs (every 8th doc ≡ 1 — text/jpeg.py, alternating 4:4:4 and
+    4:2:0), and deterministic fake-container payloads, all synthesized
+    from doc ids. WebP/progressive-JPEG stay stubbed."""
     import ray.data as rd
 
+    from tenzir_ray.text.jpeg import encode_jpeg
     from tenzir_ray.text.multimodal import (
         ImageFeatures, ImageResizer, decode_images, encode_fake_image,
         encode_png,
@@ -1870,6 +1872,12 @@ def _multimodal_decode(sf_dir: str):
                 px = np.random.default_rng(i).integers(
                     0, 256, size=(h, w, 3), dtype=np.uint8)
                 imgs.append(encode_png(px))
+            elif i % 8 == 1:
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+                     np.full((h, w), i % 256)], -1).astype(np.uint8)
+                imgs.append(encode_jpeg(px, 90, subsample=(i % 16 == 1)))
             else:
                 imgs.append(encode_fake_image(w, h, 3, seed=i))
         out = t.append_column("image", pa2.array(imgs, pa2.binary()))
