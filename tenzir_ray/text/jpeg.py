@@ -213,9 +213,14 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int, int]:
             pos += 1
             continue
         marker = buf[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # stray EOI before any scan
+            break
         seg_len = struct.unpack_from(">H", buf, pos)[0]
         seg = buf[pos + 2: pos + seg_len]
         if marker == 0xDB:  # DQT

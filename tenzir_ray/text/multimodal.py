@@ -269,10 +269,12 @@ def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
         elif code == len(table):  # the KwKwK case
             entry = prev + prev[:1]
-            table.append(entry)
+            if len(table) < 4096:
+                table.append(entry)
         else:
             raise ValueError("corrupt GIF LZW code")
         out += entry
