@@ -255,12 +255,21 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int, int]:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — single interleaved baseline scan
+            if comps is None:
+                raise ValueError("SOS before SOF0")
             ns = seg[0]
             scan = []  # (comp index, dc table, ac table)
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                ci = next(j for j, c in enumerate(comps) if c[0] == cs)
-                scan.append((ci, tt >> 4, tt & 0x0F))
+                ci = next((j for j, c in enumerate(comps) if c[0] == cs),
+                          None)
+                if ci is None:
+                    raise ValueError(f"SOS component {cs} not in SOF0")
+                tdc, tac = tt >> 4, tt & 0x0F
+                if (0, tdc) not in huff or (1, tac) not in huff \
+                        or comps[ci][3] not in qt:
+                    raise ValueError("scan references a missing table")
+                scan.append((ci, tdc, tac))
             data_pos = pos + seg_len
             return _decode_scan(buf, data_pos, w, h, comps, scan, qt,
                                 huff, restart_interval)
@@ -292,6 +301,8 @@ def _decode_scan(buf, pos, w, h, comps, scan, qt, huff, restart_interval):
                     blk = blocks[ci][mcu * ch * cv + b]
                     dcht, acht = huff[(0, tdc)], huff[(1, tac)]
                     t = dcht.decode(br)
+                    if t > 11:
+                        raise ValueError(f"invalid DC category {t}")
                     diff = _extend(br.bits(t), t) if t else 0
                     pred[ci] += diff
                     blk[0] = pred[ci]

@@ -348,10 +348,11 @@ def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
 
 def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     """Dispatch by magic: REAL decoders for BMP, binary PPM/PGM, PNG
-    (stdlib zlib + numpy unfiltering), GIF (pure-Python LZW) and the
-    deterministic FAKE container; JPEG/WebP raise — their codec libs
-    are not in this environment, and swapping this dispatcher's
-    fallthrough for Pillow changes nothing else in the pipeline."""
+    (stdlib zlib + numpy unfiltering), GIF (pure-Python LZW), baseline
+    JPEG (:mod:`tenzir_ray.text.jpeg`) and the deterministic FAKE
+    container; WebP/AVIF raise — their codec libs are not in this
+    environment, and swapping this dispatcher's fallthrough for Pillow
+    changes nothing else in the pipeline."""
     if buf[:4] == _MAGIC:
         w, h, c = struct.unpack("<HHB", buf[4:9])
         px = np.frombuffer(buf[9: 9 + w * h * c],
@@ -388,6 +389,8 @@ class ImageDecoder:
         self.keep_pixels = keep_pixels
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import zlib
+
         widths, heights, chans, pixels, ok = [], [], [], [], []
         for buf in t.column(self.col).to_pylist():
             if buf is None:
@@ -397,10 +400,11 @@ class ImageDecoder:
             try:
                 px, w, h, c = _decode_payload(buf)
             except (NotImplementedError, ValueError, struct.error,
-                    IndexError):
+                    IndexError, KeyError, zlib.error, OverflowError):
                 # unsupported codec OR corrupt container (truncated
-                # pixel data, bogus header): a bad row must not kill
-                # the whole decode stage at corpus scale
+                # pixel data, bogus header, bad entropy stream): a bad
+                # row must not kill the whole decode stage at corpus
+                # scale
                 widths.append(None); heights.append(None)
                 chans.append(None); pixels.append(None); ok.append(False)
                 continue

@@ -575,3 +575,37 @@ def test_jpeg_progressive_stub_and_dispatch():
     out = ImageDecoder()(t)
     assert out.column("img_ok").to_pylist() == [True, True]
     assert out.column("img_width").to_pylist() == [10, 10]
+
+
+def test_corrupt_compressed_payloads_null_not_crash():
+    """The review's fuzz findings: corrupt PNG/JPEG/GIF rows must set
+    img_ok=False, never kill the decode stage."""
+    from tenzir_ray.text.jpeg import encode_jpeg
+    from tenzir_ray.text.multimodal import ImageDecoder, encode_png
+
+    rng = np.random.default_rng(17)
+    png = encode_png(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    jpg = encode_jpeg(_smooth_rgb(8, 8), 90)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    gif = _build_gif(np.zeros((4, 4), np.uint8), pal)
+
+    bad = []
+    for base in (png, jpg, gif):
+        bad.append(base[: len(base) // 2])          # truncation
+        bad.append(base[:-7])                       # tail truncation
+        for off in range(8, min(len(base), 64)):    # bit flips
+            b = bytearray(base)
+            b[off] ^= 0xFF
+            bad.append(bytes(b))
+    # SOS-before-SOF and missing-table JPEGs (review findings)
+    i = jpg.index(b"\xff\xc0")
+    bad.append(jpg[:i] + jpg[jpg.index(b"\xff\xda"):])
+    t = pa.table({"image": pa.array(bad, pa.binary())})
+    out = ImageDecoder()(t)  # must not raise
+    oks = out.column("img_ok").to_pylist()
+    assert len(oks) == len(bad)
+    # valid payloads survive alongside
+    t2 = pa.table({"image": pa.array([png, jpg, gif] + bad[:5],
+                                     pa.binary())})
+    out2 = ImageDecoder()(t2)
+    assert out2.column("img_ok").to_pylist()[:3] == [True, True, True]
