@@ -429,19 +429,24 @@ def _encode_block(bwr: _BitWriter, blk: np.ndarray, pred: int) -> int:
 
 
 def encode_jpeg(px: np.ndarray, quality: int = 90,
-                subsample: bool = False,
+                subsample: bool | tuple[int, int] = False,
                 restart_interval: int = 0) -> bytes:
     """Encode (h, w) or (h, w, 1|3) uint8 → baseline JFIF bytes.
-    ``subsample=True`` emits 4:2:0 (2×2 Y sampling, chroma box-averaged
-    to half resolution); ``restart_interval`` emits DRI + RSTn markers
-    every N MCUs."""
+    ``subsample`` sets the luma sampling factors: ``True`` = (2, 2)
+    (4:2:0), or an explicit ``(sh, sv)`` with each in {1, 2} —
+    (2, 1) is 4:2:2; chroma is box-averaged down by the same factors.
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, nc = px.shape
     if nc not in (1, 3):
         raise ValueError("1 or 3 channels only")
     qlum, qchr = _quality_tables(quality)
-    sub = subsample and nc == 3
+    ysamp = (2, 2) if subsample is True else \
+        (tuple(subsample) if subsample else (1, 1))
+    if any(s not in (1, 2) for s in ysamp):
+        raise ValueError("sampling factors must be 1 or 2")
+    sub = ysamp != (1, 1) and nc == 3
     if nc == 3:
         f = px.astype(np.float64)
         y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
@@ -450,15 +455,16 @@ def encode_jpeg(px: np.ndarray, quality: int = 90,
         cr = 128.0 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] \
             - 0.081312 * f[:, :, 2]
         if sub:
-            h2, w2 = -(-h // 2) * 2, -(-w // 2) * 2
+            fx, fy = ysamp
+            h2, w2 = -(-h // fy) * fy, -(-w // fx) * fx
             cb = np.pad(cb, ((0, h2 - h), (0, w2 - w)), mode="edge")
             cr = np.pad(cr, ((0, h2 - h), (0, w2 - w)), mode="edge")
-            cb = cb.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            cb = cb.reshape(h2 // fy, fy, w2 // fx, fx).mean(axis=(1, 3))
+            cr = cr.reshape(h2 // fy, fy, w2 // fx, fx).mean(axis=(1, 3))
         planes = [y, cb, cr]
         qts = [qlum, qchr, qchr]
         tsel = [0, 1, 1]
-        samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+        samp = [ysamp, (1, 1), (1, 1)] if sub else [(1, 1)] * 3
     else:
         planes = [px[:, :, 0].astype(np.float64)]
         qts = [qlum]

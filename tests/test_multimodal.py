@@ -609,3 +609,13 @@ def test_corrupt_compressed_payloads_null_not_crash():
                                      pa.binary())})
     out2 = ImageDecoder()(t2)
     assert out2.column("img_ok").to_pylist()[:3] == [True, True, True]
+
+
+def test_jpeg_422_and_vertical_subsampling():
+    from tenzir_ray.text.jpeg import decode_jpeg, encode_jpeg
+
+    px = _smooth_rgb(29, 43)
+    for samp in ((2, 1), (1, 2)):
+        got, w, h, c = decode_jpeg(encode_jpeg(px, 90, subsample=samp))
+        assert (w, h, c) == (43, 29, 3)
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 12
