@@ -106,13 +106,23 @@ def lww_reduce(t: pa.Table, key: str = "url", within: str | None = None) -> pa.T
         t = t.append_column(
             _HASH, pa.array(_key_hashes(t.column(key)).view(np.int64))
         )
+    kept = _lww_survivor_indices(t, key, within)
+    t = t.take(pa.array(kept))
+    return t.drop_columns([_HASH]) if added_hash else t
+
+
+def _lww_survivor_indices(t: pa.Table, key: str,
+                          within: str | None = None) -> np.ndarray:
+    """The shared LWW kernel: row indices of each key's max
+    ``(warc_ts, lsn)`` row, computed entirely in index space on the
+    narrow key columns (``t`` must already carry the ``_HASH`` column).
+    The multi-KB payload is never gathered here — callers compose the
+    returned indices with whatever final permutation they need and
+    gather ONCE."""
     keys = ([(within, "ascending")] if within else []) + [
         (_HASH, "ascending"), (key, "ascending"),
         ("warc_ts", "ascending"), ("lsn", "ascending"),
     ]
-    # permutation + keep-mask computed in index space on the narrow key
-    # columns; the (multi-KB html/text) payload is gathered ONCE, for
-    # the survivors only — never take-all-then-filter
     idx = pc.sort_indices(t, sort_keys=keys).to_numpy()
     h = t.column(_HASH).combine_chunks().to_numpy()[idx]
     keep = np.empty(len(h), dtype=bool)
@@ -135,8 +145,7 @@ def lww_reduce(t: pa.Table, key: str = "url", within: str | None = None) -> pa.T
             zero_copy_only=False
         )
         keep[same[differs]] = True
-    t = t.take(pa.array(idx[keep]))
-    return t.drop_columns([_HASH]) if added_hash else t
+    return idx[keep]
 
 
 def _lww_reduce_url_sorted(t: pa.Table, key: str = "url") -> pa.Table:
@@ -155,27 +164,9 @@ def _lww_reduce_url_sorted(t: pa.Table, key: str = "url") -> pa.Table:
         t = t.append_column(
             _HASH, pa.array(_key_hashes(t.column(key)).view(np.int64))
         )
-    idx = pc.sort_indices(t, sort_keys=[
-        (_HASH, "ascending"), (key, "ascending"),
-        ("warc_ts", "ascending"), ("lsn", "ascending"),
-    ]).to_numpy()
-    h = t.column(_HASH).combine_chunks().to_numpy()[idx]
-    keep = np.empty(len(h), dtype=bool)
-    keep[-1] = True
-    np.not_equal(h[1:], h[:-1], out=keep[:-1])
-    # exact boundaries under hash collisions (see lww_reduce): compare
-    # the rare hash-equal neighbors' keys — neighbor-only gathers
-    urls = t.column(key).combine_chunks()
-    same = np.flatnonzero(~keep[:-1])
-    if len(same):
-        left = urls.take(pa.array(idx[same]))
-        right = urls.take(pa.array(idx[same + 1]))
-        differs = pc.fill_null(pc.not_equal(left, right), True).to_numpy(
-            zero_copy_only=False
-        )
-        keep[same[differs]] = True
-    kept = idx[keep]
-    order = pc.sort_indices(urls.take(pa.array(kept))).to_numpy()
+    kept = _lww_survivor_indices(t, key)
+    order = pc.sort_indices(
+        t.column(key).combine_chunks().take(pa.array(kept))).to_numpy()
     out = t.take(pa.array(kept[order]))
     return out.drop_columns([_HASH])
 

@@ -676,9 +676,16 @@ class Pipeline:
             return lambda t: t
         if op == "summarize":
             m = _SUMMARIZE.match(rest)
+            # TQL aggregate names → pyarrow hash-aggregate names (same
+            # aliases ops.summarize accepts at top level, so the same
+            # pipeline text works inside and outside group blocks)
+            fn_map = {"avg": "mean", "std": "stddev",
+                      "median": "approximate_median",
+                      "collect": "list"}
             aggs = []  # (alias, arrow result name, (target, fn))
             for alias, fn, col in _AGG.findall(m.group("aggs")):
                 col = col.strip()
+                fn = fn_map.get(fn, fn)
                 if fn == "count" and col in ("", "*"):
                     aggs.append((alias, "count_all", ([], "count_all")))
                 else:
@@ -786,7 +793,11 @@ class Pipeline:
                     f"group: unexpected trailing {rest[j:].strip()!r}")
             tsteps = Pipeline._compile_table_steps(inner)
 
-            def _kernel(g: pa.Table, tsteps=tsteps) -> pa.Table:
+            def _kernel(g: pa.Table, tsteps=tsteps, keys=keys) -> pa.Table:
+                # Ray emits zero-column blocks for empty partitions
+                # (known artifact) — they must not reach the block steps
+                if g.num_rows == 0 or keys[0] not in g.column_names:
+                    return g
                 for st in tsteps:
                     g = st(g)
                 return g.replace_schema_metadata(None) \

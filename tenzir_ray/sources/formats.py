@@ -563,9 +563,13 @@ def load_tcp(host: str = "127.0.0.1", port: int = 0,
     def drain() -> list[str]:
         srv.settimeout(idle_timeout)
         conn, _ = srv.accept()
+        # accepted sockets do NOT inherit the listener's timeout — set
+        # it BEFORE the TLS handshake, or a client that connects but
+        # never handshakes blocks the drain forever
+        conn.settimeout(idle_timeout)
         if ssl_ctx is not None:
             conn = ssl_ctx.wrap_socket(conn, server_side=True)
-        conn.settimeout(idle_timeout)
+            conn.settimeout(idle_timeout)
         buf = b""
         lines: list[str] = []
         try:
@@ -1330,7 +1334,13 @@ def _oauth2_client_credentials(token_url: str, client_id: str,
     import time as _time
     import urllib.parse as _up
 
-    key = (token_url, client_id)
+    # key includes scope and a secret digest: a rotated secret or a
+    # second caller with a different resource scope must not be served
+    # a cached token minted for the other
+    import hashlib as _hl
+
+    key = (token_url, client_id, scope,
+           _hl.sha256((client_secret or "").encode()).hexdigest()[:16])
     tok = _OAUTH_TOKENS.get(key)
     if tok and tok[1] > _time.time() + 60:
         return tok[0]
@@ -1568,8 +1578,14 @@ def save_email(ds, recipient: str, *, endpoint: str = "smtp://localhost:25",
         import urllib.parse as _up
 
         u = _up.urlparse(endpoint)
-        with smtplib.SMTP(u.hostname, u.port or 25, timeout=30) as s:
-            if tls or endpoint.startswith("smtps://"):
+        if endpoint.startswith("smtps://"):
+            # smtps = IMPLICIT TLS on connect (default port 465), not
+            # cleartext + STARTTLS
+            cm = smtplib.SMTP_SSL(u.hostname, u.port or 465, timeout=30)
+        else:
+            cm = smtplib.SMTP(u.hostname, u.port or 25, timeout=30)
+        with cm as s:
+            if tls and not endpoint.startswith("smtps://"):
                 s.starttls()
             if username is not None:
                 s.login(username, password or "")

@@ -47,6 +47,13 @@ def _tokenize_batch(col, lowercase: bool) -> tuple[pa.Array, "np.ndarray"]:
     n = len(arr)
     ascii_only = pc.all(pc.equal(
         pc.utf8_length(arr), pc.binary_length(arr))).as_py()
+    if ascii_only and n:
+        # \x0b and \x1c-\x1f are whitespace to Python's \s but not to
+        # RE2/Arrow — batches containing them must take the per-doc
+        # path or tokenization would depend on batch composition
+        ctl = pc.any(pc.match_substring_regex(
+            arr, "[\x0b\x1c-\x1f]")).as_py()
+        ascii_only = not ctl
     if not ascii_only:
         per_doc = [_WORD.findall(x.lower() if lowercase else x)
                    for x in arr.to_pylist()]

@@ -323,8 +323,9 @@ def exact_dedup(ds: Dataset, text_col: str = "text", keep_by: str | None = None)
         return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     def first_per_hash(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return g.drop_columns(["__h", "__hs"])
+        if g.num_rows == 0 or "__h" not in g.column_names:
+            return g.drop_columns(
+                [c for c in ("__h", "__hs") if c in g.column_names])
         keys = [("__h", "ascending")]
         if keep_by:
             keys.append((keep_by, "ascending"))
@@ -363,8 +364,9 @@ def exact_dedup_wide(
     def losers(g: pa.Table) -> pa.Table:
         # one group = one salt slice of hashes; all but the min id per
         # hash-segment, in one vectorized pass (band_reduce pattern)
-        if g.num_rows == 0:
-            return g.select([id_col])
+        if g.num_rows == 0 or "__h" not in g.column_names:
+            return (g.select([id_col]) if id_col in g.column_names
+                    else pa.table({id_col: pa.array([], pa.int64())}))
         g = g.take(pc.sort_indices(g, sort_keys=[
             ("__h", "ascending"), (id_col, "ascending")]))
         h = g.column("__h").to_numpy(zero_copy_only=False)

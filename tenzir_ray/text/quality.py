@@ -184,6 +184,12 @@ class DocumentAnalyzer:
             byte_len = pc.binary_length(col).to_numpy(
                 zero_copy_only=False).astype(np.int64)
             is_ascii = n_chars == byte_len
+            # \x0b and \x1c-\x1f: whitespace to Python's \s, not to
+            # RE2/Arrow — route those docs through the per-doc path so
+            # metrics don't depend on which path a doc takes
+            ctl = pc.match_substring_regex(
+                col, "[\x0b\x1c-\x1f]").to_numpy(zero_copy_only=False)
+            is_ascii = is_ascii & ~ctl.astype(bool)
             vec = is_ascii & (n_chars > 0)  # empty docs keep the zeros/"und"
             if vec.any():
                 self._vector_pass(col, np.flatnonzero(vec), n_tokens,

@@ -699,6 +699,22 @@ def test_group_block_rejects_unsupported_op():
         Pipeline.parse("group k { shell cat }")
 
 
+def test_group_block_summarize_tql_aggregate_aliases(ray_session):
+    """Review r05: avg/std/median work inside group blocks exactly like
+    at top level (TQL names map to pyarrow hash-aggregate names)."""
+    got = Pipeline.parse(
+        f"from {SF}/events.parquet\n"
+        "group event_type { summarize n=count(), m=avg(value) "
+        "by event_type }"
+    ).run().to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = sql("""
+        SELECT event_type, count(*) AS n, avg(value) AS m
+        FROM events GROUP BY event_type ORDER BY event_type
+    """)
+    got["m"] = got["m"].round(6); want["m"] = want["m"].round(6)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
 def test_let_not_substituted_inside_string_literal(ray_session):
     """ADVICE r04: `$name` inside a quoted literal must stay literal."""
     import pyarrow as pa
