@@ -10,12 +10,14 @@ libs): BMP (BI_RGB 8/24/32-bit), binary PPM/PGM, **PNG** (stdlib zlib
 inflate + numpy scanline unfiltering; 8-bit gray/RGB/palette/GA/RGBA,
 non-interlaced — plus an :func:`encode_png` dual), RIFF/WAVE (8/16-bit
 PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, EXTENSIBLE wrappers, any
-channel count), **GIF** (87a/89a first frame, pure-Python LZW + numpy
-palette mapping / deinterlacing), **baseline JPEG**
+channel count), **GIF** (87a/89a, pure-Python LZW + numpy palette
+mapping / deinterlacing; ANIMATIONS compose on the logical-screen
+canvas with sub-rectangles, transparency and disposal, feeding real
+video frame-sampling), **baseline JPEG**
 (:mod:`tenzir_ray.text.jpeg`: general DHT Huffman decode + batched
 einsum IDCT, 4:4:4/4:2:2/4:2:0, restart markers; encoder dual) — and a
 deterministic FAKE container for fixtures. Codecs whose libraries this
-container lacks (WebP/AVIF/MP3/AAC/video; progressive JPEG) raise a
+container lacks (WebP/AVIF/MP3/AAC/MP4; progressive JPEG) raise a
 clearly-marked ``NotImplementedError``; swapping
 the ``_decode_payload`` / ``_decode_audio`` dispatchers' fallthrough
 for Pillow/ffmpeg changes nothing else in the pipeline.
@@ -284,15 +286,16 @@ def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
     return np.frombuffer(bytes(out[:npix]), np.uint8)
 
 
-def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
-    """REAL GIF decoder (GIF87a/89a, first frame): pure-Python LZW +
-    numpy palette mapping and Adam-style 4-pass deinterlacing. No codec
-    library — the LZW table walk is the stdlib-free part of the format.
-    Animations decode as their first frame; transparency is ignored
-    (output is RGB)."""
+def _gif_frames(buf: bytes):
+    """Iterate a GIF87a/89a's frames COMPOSED on the logical-screen
+    canvas: each yield is (frame_index, full-canvas RGB uint8 array).
+    Honors per-frame sub-rectangles, local color tables, interlacing,
+    GCE transparency (transparent pixels leave the canvas untouched)
+    and disposal methods 0/1 (leave), 2 (restore background) and
+    3 (restore previous). Pure Python/numpy — no codec library."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -300,15 +303,26 @@ def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
         gct = np.frombuffer(buf, np.uint8, count=n * 3,
                             offset=pos).reshape(n, 3)
         pos += n * 3
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    transp, disposal = None, 0
+    fidx = 0
     while pos < len(buf):
         b0 = buf[pos]
         if b0 == 0x21:  # extension: label + sub-blocks
+            label = buf[pos + 1]
             pos += 2
+            if label == 0xF9 and buf[pos] >= 4:  # graphic control
+                gp = buf[pos + 1]
+                disposal = (gp >> 2) & 0x07
+                transp = buf[pos + 4] if gp & 0x01 else None
             while buf[pos] != 0:
                 pos += 1 + buf[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
-            _l, _t, w, h, ipack = struct.unpack_from("<HHHHB", buf, pos + 1)
+            left, top, w, h, ipack = struct.unpack_from(
+                "<HHHHB", buf, pos + 1)
             pos += 10
             pal = gct
             if ipack & 0x80:
@@ -325,6 +339,7 @@ def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
                 ln = buf[pos]
                 chunks.append(buf[pos + 1: pos + 1 + ln])
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
             if idx.size < w * h:
                 raise ValueError("GIF pixel data underrun")
@@ -337,12 +352,41 @@ def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
                 rows = np.empty(h, np.int64)
                 rows[order] = np.arange(h)
                 idx = idx[rows]
-            px = pal[np.minimum(idx, len(pal) - 1)]
-            return np.ascontiguousarray(px), w, h, 3
+            # clip the sub-rectangle to the logical screen
+            ch, cw = min(h, sh - top), min(w, sw - left)
+            if ch <= 0 or cw <= 0:
+                fidx += 1
+                continue
+            region = canvas[top:top + ch, left:left + cw]
+            prev = region.copy() if disposal == 3 else None
+            sub_idx = np.minimum(idx[:ch, :cw], len(pal) - 1)
+            sub = pal[sub_idx]
+            if transp is not None:
+                mask = idx[:ch, :cw] != transp
+                region[mask] = sub[mask]
+            else:
+                region[:, :] = sub
+            yield fidx, canvas.copy()
+            if disposal == 2:
+                region[:, :] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                region[:, :] = prev
+            transp, disposal = None, 0
+            fidx += 1
         elif b0 == 0x3B:  # trailer
-            break
+            return
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
+
+
+def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL GIF decoder (GIF87a/89a): pure-Python LZW + numpy palette
+    mapping and deinterlacing, composed on the logical-screen canvas
+    (:func:`_gif_frames`). Still images and animations both decode as
+    the first composed frame."""
+    for _i, canvas in _gif_frames(buf):
+        h, w = canvas.shape[:2]
+        return np.ascontiguousarray(canvas), w, h, 3
     raise ValueError("GIF contains no image frame")
 
 
@@ -469,17 +513,36 @@ class ImageFeatures:
 def sample_video_frames(
     t: pa.Table, *, payload_col: str = "video", every_n: int = 10
 ) -> pa.Table:
-    """Frame-sampling stage (video = concatenated fake frames): one output
-    row per sampled frame. Stateless, vectorizes the row explosion; the
-    frame decode itself is the same stub."""
+    """Frame-sampling stage: one output row per sampled frame. REAL
+    container: animated GIF — frames are composed on the logical-screen
+    canvas (:func:`_gif_frames`, honoring sub-rectangles / transparency
+    / disposal) and every ``every_n``-th composed frame is re-emitted
+    as a decodable FAKE-container payload, so downstream
+    ``ImageDecoder`` stages consume sampled frames uniformly. The FAKE
+    video container (fixed-size fake frames back to back) remains for
+    fixtures; MP4/WebM stay loud stubs (no ffmpeg in this
+    environment)."""
     rows = {"frame_idx": [], "frame": []}
     parents = []
     for i, buf in enumerate(t.column(payload_col).to_pylist()):
         if buf is None:
             continue
+        if buf[:6] in (b"GIF87a", b"GIF89a"):
+            for f, canvas in _gif_frames(buf):
+                if f % every_n:
+                    continue
+                h, w = canvas.shape[:2]
+                rows["frame_idx"].append(f)
+                rows["frame"].append(
+                    _MAGIC + struct.pack("<HHB", w, h, 3)
+                    + np.ascontiguousarray(canvas).tobytes())
+                parents.append(i)
+            continue
         # fake video container: frames are fixed-size fake images back to back
         if buf[:4] != _MAGIC:
-            raise NotImplementedError("only FAKE video containers supported")
+            raise NotImplementedError(
+                "only animated GIF and FAKE video containers are "
+                "supported (no ffmpeg in this environment)")
         w, h, c = struct.unpack("<HHB", buf[4:9])
         fsize = 9 + w * h * c
         nframes = len(buf) // fsize

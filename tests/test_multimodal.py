@@ -619,3 +619,77 @@ def test_jpeg_422_and_vertical_subsampling():
         got, w, h, c = decode_jpeg(encode_jpeg(px, 90, subsample=samp))
         assert (w, h, c) == (43, 29, 3)
         assert np.abs(got.astype(int) - px.astype(int)).max() <= 12
+
+
+def _gif_frame_block(idx: np.ndarray, min_code: int, left=0, top=0,
+                     lct: np.ndarray | None = None,
+                     transp: int | None = None, disposal: int = 0) -> bytes:
+    import struct as _s
+
+    h, w = idx.shape
+    out = b""
+    gp = (disposal << 2) | (1 if transp is not None else 0)
+    out += bytes([0x21, 0xF9, 0x04, gp, 0, 0, transp or 0, 0])
+    lpack = 0
+    if lct is not None:
+        depth = max(1, int(np.ceil(np.log2(len(lct)))))
+        lpack = 0x80 | (depth - 1)
+    out += _s.pack("<BHHHHB", 0x2C, left, top, w, h, lpack)
+    if lct is not None:
+        out += lct.astype(np.uint8).tobytes()
+    data = _gif_lzw_encode(idx.astype(np.uint8).tobytes(), min_code)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00"
+
+
+def test_gif_animation_composition_and_frame_sampling():
+    """Multi-frame GIF: sub-rectangle frames, transparency and disposal
+    compose on the logical-screen canvas; sample_video_frames emits
+    every n-th composed frame as a decodable payload."""
+    import struct as _s
+
+    from tenzir_ray.text.multimodal import (
+        ImageDecoder, _gif_frames, sample_video_frames,
+    )
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                   np.uint8)
+    gif = b"GIF89a" + _s.pack("<HHBBB", 6, 4, 0x80 | 1, 0, 0) \
+        + pal.tobytes()
+    # frame 0: full canvas of color 1
+    gif += _gif_frame_block(np.full((4, 6), 1, np.uint8), 2)
+    # frame 1: 2x2 patch of color 2 at (2,1), disposal 3 (restore prev)
+    gif += _gif_frame_block(np.full((2, 2), 2, np.uint8), 2,
+                            left=2, top=1, disposal=3)
+    # frame 2: 2x3 patch at (0,0), color 3 with index 0 transparent holes
+    patch = np.array([[3, 0, 3], [0, 3, 0]], np.uint8)
+    gif += _gif_frame_block(patch, 2, transp=0)
+    gif += b"\x3b"
+
+    frames = dict(_gif_frames(gif))
+    assert sorted(frames) == [0, 1, 2]
+    np.testing.assert_array_equal(frames[0], pal[np.full((4, 6), 1)])
+    exp1 = pal[np.full((4, 6), 1)].copy()
+    exp1[1:3, 2:4] = pal[2]
+    np.testing.assert_array_equal(frames[1], exp1)
+    # disposal 3 restored frame 0's canvas before frame 2 drew
+    exp2 = pal[np.full((4, 6), 1)].copy()
+    mask = patch != 0
+    exp2[0:2, 0:3][mask] = pal[3]
+    np.testing.assert_array_equal(frames[2], exp2)
+
+    # frame sampling every 2nd frame → 0 and 2, decodable payloads
+    t = pa.table({"video": pa.array([gif], pa.binary()),
+                  "vid": pa.array([7], pa.int64())})
+    s = sample_video_frames(t, payload_col="video", every_n=2)
+    assert s.column("frame_idx").to_pylist() == [0, 2]
+    assert s.column("vid").to_pylist() == [7, 7]
+    d = ImageDecoder(payload_col="frame")(s)
+    assert d.column("img_ok").to_pylist() == [True, True]
+    assert d.column("img_width").to_pylist() == [6, 6]
+    got2 = np.frombuffer(d.column("pixels")[1].as_py(),
+                         np.uint8).reshape(4, 6, 3)
+    np.testing.assert_array_equal(got2, exp2)
