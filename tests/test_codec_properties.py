@@ -1,0 +1,96 @@
+"""Property obligations for the image/audio codecs (text/multimodal.py,
+text/jpeg.py):
+
+- PNG encode→decode is the identity on ARBITRARY uint8 pixel arrays of
+  every channel count (lossless codec, any dimensions ≥ 1)
+- GIF LZW encode→decode is the identity on arbitrary index streams
+  (including runs that grow the dictionary across width boundaries)
+- JPEG encode→decode stays within a quantization-error bound on
+  arbitrary pixels at high quality, for every sampling mode, and is
+  near-exact on constant images (DC-only blocks)
+- ImageDecoder never raises on arbitrary byte strings — garbage decodes
+  to img_ok=False rows, never an exception (the corpus-scale contract)
+
+No Ray needed: the codecs are pure functions; ImageDecoder is a plain
+callable over an Arrow table."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tenzir_ray.text.jpeg import decode_jpeg, encode_jpeg
+from tenzir_ray.text.multimodal import (
+    ImageDecoder,
+    _decode_payload,
+    _gif_lzw_decode,
+    encode_png,
+)
+
+_dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@given(dims=_dims, c=st.sampled_from([1, 2, 3, 4]),
+       seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_is_identity(dims, c, seed):
+    h, w = dims
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c), dtype=np.uint8)
+    got, gw, gh, gc = _decode_payload(encode_png(px))
+    assert (gw, gh, gc) == (w, h, c)
+    np.testing.assert_array_equal(got, px)
+
+
+@given(data=st.binary(min_size=0, max_size=400),
+       min_code=st.integers(2, 8))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_is_identity(data, min_code):
+    from tests.test_multimodal import _gif_lzw_encode
+
+    idx = bytes(b % (1 << min_code) for b in data)
+    out = _gif_lzw_decode(_gif_lzw_encode(idx, min_code), min_code,
+                          len(idx))
+    assert bytes(out) == idx
+
+
+@given(dims=_dims, seed=st.integers(0, 2**31 - 1),
+       samp=st.sampled_from([False, True, (2, 1), (1, 2)]))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_error_bound(dims, seed, samp):
+    h, w = dims
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    got, gw, gh, gc = decode_jpeg(encode_jpeg(px, 97, subsample=samp))
+    assert (gw, gh, gc) == (w, h, 3)
+    if samp is False:
+        # random noise is the worst case for DCT quantization
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 64
+    else:
+        # chroma is box-averaged, so RGB error on random noise is
+        # unbounded-ish by design; LUMA is never subsampled — bound it
+        def luma(a):
+            f = a.astype(np.float64)
+            return (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
+                    + 0.114 * f[:, :, 2])
+
+        assert np.abs(luma(got) - luma(px)).max() <= 64
+
+
+@given(dims=_dims, val=st.integers(0, 255))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_constant_image_near_exact(dims, val):
+    h, w = dims
+    px = np.full((h, w, 3), val, np.uint8)
+    got, *_ = decode_jpeg(encode_jpeg(px, 95))
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
+
+
+@given(buf=st.binary(min_size=0, max_size=200),
+       prefix=st.sampled_from([b"", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+                               b"\xff\xd8", b"BM", b"P6", b"FAKE"]))
+@settings(max_examples=120, deadline=None)
+def test_image_decoder_never_raises(buf, prefix):
+    t = pa.table({"image": pa.array([prefix + buf], pa.binary())})
+    out = ImageDecoder()(t)  # must not raise
+    assert out.num_rows == 1
