@@ -91,12 +91,25 @@ def subscribe(topic: str, from_seq: int = 0):
     """Read the topic's buffered events from ``from_seq``; returns
     ``(dataset, next_seq)`` — pass ``next_seq`` back in to poll for new
     events only. The dataset is built directly over the topic's block
-    refs: zero driver-side copies."""
+    refs: zero driver-side copies.
+
+    Raises ``LookupError`` when ``from_seq`` predates the retention
+    window (events were evicted before this reader polled) — a slow
+    consumer must learn about the gap instead of silently skipping it;
+    catch it and re-subscribe from the error's ``.base_seq`` to accept
+    the loss explicitly."""
     import ray
     import ray.data as rd
 
     actor = _topic_actor(topic)
-    wrapped, next_seq, _base = ray.get(actor.read.remote(from_seq))
+    wrapped, next_seq, base = ray.get(actor.read.remote(from_seq))
+    if from_seq < base:
+        err = LookupError(
+            f"subscribe({topic!r}, {from_seq}): events "
+            f"[{from_seq}, {base}) were evicted by retention; "
+            f"re-subscribe from {base} to accept the gap")
+        err.base_seq = base
+        raise err
     refs = wrapped[0]
     if not refs:
         return rd.from_items([]).limit(0), next_seq

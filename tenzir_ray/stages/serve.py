@@ -33,19 +33,32 @@ import pyarrow.feather as feather
 
 class ServeHandle:
     def __init__(self, server: ThreadingHTTPServer, thread: threading.Thread,
-                 port: int, spool: str, total_rows: int, truncated: bool):
+                 port: int, spool: str, total_rows: int, truncated: bool,
+                 owns_spool: bool = True, spool_paths: list | None = None):
         self._server = server
         self._thread = thread
         self.port = port
         self.spool = spool
         self.total_rows = total_rows
         self.truncated = truncated
+        self._owns_spool = owns_spool
+        self._spool_paths = spool_paths or []
 
     def stop(self) -> None:
         self._server.shutdown()
         self._thread.join(timeout=5)
         self._server.server_close()
-        shutil.rmtree(self.spool, ignore_errors=True)
+        # a self-created tempdir is removed whole; in a caller-supplied
+        # spool_dir only the page files WE wrote are unlinked — any
+        # pre-existing files (and the directory) are not ours to delete
+        if self._owns_spool:
+            shutil.rmtree(self.spool, ignore_errors=True)
+        else:
+            for pth in self._spool_paths:
+                try:
+                    os.unlink(pth)
+                except OSError:
+                    pass
 
 
 def serve(ds, host: str = "127.0.0.1", port: int = 0,
@@ -79,6 +92,7 @@ def serve(ds, host: str = "127.0.0.1", port: int = 0,
 
     def page_rows(off: int, lim: int) -> list[dict]:
         out: list[dict] = []
+        off = max(0, off)  # a negative offset must not index paths[-1]
         if off >= total_rows or lim <= 0:
             return out
         fi = bisect.bisect_right(starts, off) - 1
@@ -113,8 +127,15 @@ def serve(ds, host: str = "127.0.0.1", port: int = 0,
                 self.end_headers()
                 return
             q = parse_qs(u.query)
-            off = int(q.get("offset", ["0"])[0])
-            lim = int(q.get("limit", [str(default_limit)])[0])
+            try:
+                off = int(q.get("offset", ["0"])[0])
+                lim = int(q.get("limit", [str(default_limit)])[0])
+            except ValueError:
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(b"offset/limit must be integers")
+                return
+            off = max(0, off)  # X-Next-Offset must advance from 0
             page = page_rows(off, lim)
             body = "\n".join(
                 json.dumps(r, default=str) for r in page).encode()
@@ -132,4 +153,5 @@ def serve(ds, host: str = "127.0.0.1", port: int = 0,
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
     return ServeHandle(srv, th, srv.server_address[1], spool, total_rows,
-                       truncated)
+                       truncated, owns_spool=spool_dir is None,
+                       spool_paths=paths)

@@ -51,21 +51,25 @@ def _field_match(t: pa.Table, field_spec: str, value) -> pa.ChunkedArray:
     masks = []
     for v in vals:
         v = str(v)
+        # Sigma value matching is CASE-INSENSITIVE by default (spec
+        # §value matching); only the `re` modifier is case-sensitive
         if mod == "contains":
-            masks.append(pc.match_substring(col, pattern=v))
+            masks.append(pc.match_substring(col, pattern=v,
+                                            ignore_case=True))
         elif mod == "startswith":
-            masks.append(pc.starts_with(col, pattern=v))
+            masks.append(pc.starts_with(col, pattern=v, ignore_case=True))
         elif mod == "endswith":
-            masks.append(pc.ends_with(col, pattern=v))
+            masks.append(pc.ends_with(col, pattern=v, ignore_case=True))
         elif mod == "re":
             masks.append(pc.match_substring_regex(col, pattern=v))
         elif mod == "":
             # Sigma wildcards * and ? in plain equality values
             if "*" in v or "?" in v:
                 rx = "^" + re.escape(v).replace("\\*", ".*").replace("\\?", ".") + "$"
-                masks.append(pc.match_substring_regex(col, pattern=rx))
+                masks.append(pc.match_substring_regex(
+                    col, pattern=rx, ignore_case=True))
             else:
-                masks.append(pc.equal(col, v))
+                masks.append(pc.equal(pc.utf8_lower(col), v.lower()))
         else:
             raise ValueError(f"unsupported sigma modifier {mod!r}")
     out = masks[0]
@@ -111,7 +115,10 @@ def compile_rule(rule: dict) -> Predicate:
                     tokens[i + 2].replace("*", ".*"), n)
             ]
             joiner = " or " if tokens[i] == "1" else " and "
-            expr_parts.append("(" + joiner.join(names) + ")")
+            # zero matching selections must compile to a vacuous-false
+            # group, not the syntax error "()"
+            expr_parts.append(
+                "(" + (joiner.join(names) or "__sigma_none__") + ")")
             i += 3
             continue
         expr_parts.append(tokens[i])
@@ -139,6 +146,7 @@ def compile_rule(rule: dict) -> Predicate:
 
     def pred(t: pa.Table):
         masks = {name: _np_mask(p(t)) for name, p in sels.items()}
+        masks["__sigma_none__"] = np.zeros(t.num_rows, dtype=bool)
         return pa.array(eval(py_expr, {"__builtins__": {}}, {"__m": masks}))
 
     return pred

@@ -70,7 +70,11 @@ def hll_count_distinct(ds: Dataset, col: str, p: int = 12) -> int:
     import ray
 
     def fold(t: pa.Table) -> pa.Table:
-        vals = t.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+        # drop nulls BEFORE numpy conversion: a nullable int column
+        # otherwise converts to float64-with-NaN, whose hashes diverge
+        # from the oracle's and would count null as a distinct value
+        vals = t.column(col).combine_chunks().drop_null().to_numpy(
+            zero_copy_only=False)
         regs = hll_registers(vals, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
@@ -80,6 +84,8 @@ def hll_count_distinct(ds: Dataset, col: str, p: int = 12) -> int:
     def merge(*blocks) -> int:
         acc = np.zeros(1 << p, dtype=np.uint8)
         for b in blocks:
+            if b.num_rows == 0 or "regs" not in b.column_names:
+                continue  # zero-column empty blocks bypass map_batches
             for buf in b.column("regs").to_pylist():
                 np.maximum(acc, np.frombuffer(buf, dtype=np.uint8), out=acc)
         return int(round(hll_estimate(acc)))
@@ -93,6 +99,7 @@ def hll_count_distinct_seq(values: list, p: int = 12) -> int:
     """Sequential oracle: one value at a time into the same registers
     (shares only the leaf fold/estimate kernels). Must equal the
     distributed estimate exactly — max-merge is order-free."""
+    values = [v for v in values if v is not None]  # fold drops nulls too
     arr = np.asarray(values)
     if arr.dtype.kind in "USO":  # match the Arrow to_numpy object dtype
         arr = arr.astype(object)

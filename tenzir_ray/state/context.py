@@ -44,7 +44,11 @@ class _Context:
 
 
 def ContextActor(name: str):
-    """Get-or-create the named context actor (reference: context::create)."""
+    """Get-or-create the named context actor (reference:
+    context::create). DETACHED lifetime: a named non-detached actor
+    dies when its creator's handles drop, so a context populated by
+    pipeline A would silently vanish before pipeline B probes it (the
+    same reasoning as pubsub's broker actor)."""
     import ray
 
     try:
@@ -52,7 +56,7 @@ def ContextActor(name: str):
     except ValueError:
         return (
             ray.remote(_Context)
-            .options(name=name, lifetime=None, get_if_exists=True)
+            .options(name=name, lifetime="detached", get_if_exists=True)
             .remote()
         )
 
@@ -66,6 +70,18 @@ def context_enrich(ds, name: str, key: str, out_field: str = "context"):
 
     actor = ContextActor(name)
     snapshot: dict = ray.get(actor.snapshot.remote())
+    if not snapshot:
+        # an empty build side would type its key array as null and make
+        # the probe-side cast raise; an empty context enriches with null
+        import pyarrow as pa
+
+        def _null_col(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                out_field, pa.nulls(t.num_rows, pa.string()))
+            return t.replace_schema_metadata(None) \
+                if t.schema.metadata else t
+
+        return ds.map_batches(_null_col, batch_format="pyarrow")
     return ops.enrich(ds, snapshot, key=key, out_field=out_field)
 
 

@@ -45,5 +45,13 @@ def test_topic_stores_refs_and_evicts(ray_session):
     refs = wrapped[0]
     assert all(isinstance(r, ray.ObjectRef) for r in refs)
     assert len(refs) == 5 and base == 3 and next_seq == 8
-    got, _ = subscribe("topic_refs")
+    # a cursor that predates retention must FAIL LOUDLY (review r05):
+    # the reader re-subscribes from err.base_seq to accept the gap
+    import pytest
+
+    with pytest.raises(LookupError) as ei:
+        subscribe("topic_refs")
+    assert ei.value.base_seq == 3
+    got, nxt = subscribe("topic_refs", ei.value.base_seq)
+    assert nxt == 8
     assert sorted(r["i"] for r in got.take_all()) == [3, 4, 5, 6, 7]
