@@ -10,6 +10,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _digest(arr, algo: str) -> pa.Array:
@@ -53,11 +54,17 @@ def hash_sha512(arr):
 
 def hash_fast64(arr) -> pa.Array:
     """Vectorized non-crypto 64-bit hash (engine-internal; deterministic
-    across processes). Tenzir's xxh3 analog without the xxhash dep."""
+    across processes). Tenzir's xxh3 analog without the xxhash dep.
+    Null propagates to null (like every _digest function here) — it
+    must not hash to one shared constant that groups all null rows."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     h = pd.util.hash_array(arr.to_numpy(zero_copy_only=False))
-    return pa.array(h.astype(np.uint64), pa.uint64())
+    out = pa.array(h.astype(np.uint64), pa.uint64())
+    if arr.null_count:
+        out = pc.if_else(pc.is_valid(arr), out,
+                         pa.scalar(None, pa.uint64()))
+    return out
 
 
 def hash_xxh3(arr) -> pa.Array:

@@ -23,7 +23,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_V4 = re.compile(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
+#: octets reject leading zeros ('010' is ambiguous octal — ipaddress
+#: and the reference both refuse it), so the vectorized path's validity
+#: matches the per-value fallback exactly
+_OCT = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_V4 = re.compile(rf"^{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}$")
 _V4_PREFIX = bytes(10) + b"\xff\xff"
 
 

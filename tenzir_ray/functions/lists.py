@@ -45,14 +45,29 @@ def sort_elements(arr) -> pa.Array:
     )
 
 
+def _canon_list(arr) -> pa.ListArray:
+    """Canonicalize a list array for offset math: Ray blocks are often
+    zero-copy SLICES, whose ``.offsets`` are NOT rebased to 0 while
+    ``flatten()`` is — mixing them corrupts every kernel below. A
+    ``take`` of the identity permutation compacts the array (offset 0,
+    dense values)."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.asarray(arr.offsets)
+    if arr.offset != 0 or (len(offs) and offs[0] != 0):
+        arr = arr.take(pa.array(np.arange(len(arr), dtype=np.int64)))
+    return arr
+
+
 def _add_element(arr, value, front: bool) -> pa.Array:
     """Shared append/prepend kernel (builtins/functions/list.cpp): grow
     every list by one element, vectorized — a take-index interleave
     over [flat values ++ n copies of value], no per-row Python."""
     import numpy as np
 
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+    arr = _canon_list(arr)
     n = len(arr)
     flat = arr.flatten()
     offs = np.asarray(arr.offsets)
@@ -90,8 +105,7 @@ def map_elements(arr, fn) -> pa.Array:
     kernel ``fn`` (Array → Array) runs ONCE over the flat element
     values of the whole column; offsets are reused unchanged — no
     per-row or per-element Python."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+    arr = _canon_list(arr)
     out_flat = fn(arr.flatten())
     if isinstance(out_flat, pa.ChunkedArray):
         out_flat = out_flat.combine_chunks()
@@ -108,8 +122,7 @@ def filter_elements(arr, fn) -> pa.Array:
     indexed at the old offsets), so empty lists cost nothing."""
     import numpy as np
 
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+    arr = _canon_list(arr)
     flat = arr.flatten()
     mask = fn(flat)
     if isinstance(mask, pa.ChunkedArray):

@@ -46,7 +46,11 @@ def load_config(path_or_dict) -> dict:
 
 
 def config(key: str, default=None):
-    """Dotted-path config lookup over the loaded config."""
+    """Dotted-path config lookup over the loaded config. A flat key
+    stored verbatim (the flat-YAML fallback keeps 'a.b: v' as one key)
+    wins over the nested descent."""
+    if isinstance(_CONFIG, dict) and key in _CONFIG:
+        return _CONFIG[key]
     cur = _CONFIG
     for part in key.split("."):
         if not isinstance(cur, dict) or part not in cur:

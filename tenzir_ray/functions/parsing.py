@@ -100,8 +100,20 @@ def parse_csv_col(arr, columns: list[str], delimiter: str = ",") -> pa.Array:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     parts = pc.split_pattern(arr, pattern=delimiter)
-    cols = [pc.list_element(parts, i) if len(arr) else pa.array([], pa.string())
-            for i in range(len(columns))]
+    # fixed-size slices pad missing fields with null, so ragged rows
+    # (fewer fields than declared columns) yield null instead of
+    # crashing the batch on an out-of-bounds list_element; the .values
+    # child (NOT list_flatten, which drops null parents and misaligns)
+    # keeps one slot per input row
+    cols = []
+    for i in range(len(columns)):
+        if not len(arr):
+            cols.append(pa.array([], pa.string()))
+            continue
+        ls = pc.list_slice(parts, i, i + 1, return_fixed_size_list=True)
+        if isinstance(ls, pa.ChunkedArray):
+            ls = ls.combine_chunks()
+        cols.append(ls.values)
     return pa.StructArray.from_arrays(cols, names=columns)
 
 

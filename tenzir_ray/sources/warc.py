@@ -205,7 +205,16 @@ def write_warc(ds, path: str, url_col: str = "url",
             payloads = t.column(payload_col).cast(pa.binary()).to_pylist()
             chunks = []
             for u, ts, p in zip(urls, tss, payloads):
-                rec = record_bytes(u, ts, p or b"")
+                if u is None:
+                    # a record without WARC-Target-URI (e.g. warcinfo
+                    # from read_warc) cannot be addressed or LWW-keyed;
+                    # skip it rather than uuid5(None)-crash the block
+                    continue
+                # a null timestamp must not serialize as the literal
+                # header "WARC-Date: None"; the epoch is the spec-valid
+                # sentinel that round-trips as "oldest possible write"
+                rec = record_bytes(u, ts or "1970-01-01T00:00:00Z",
+                                   p or b"")
                 chunks.append(gzip.compress(rec) if compress else rec)
             ext = ".warc.gz" if compress else ".warc"
             name = os.path.join(path, f"part-{uuid.uuid4().hex}{ext}")

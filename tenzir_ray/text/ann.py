@@ -49,6 +49,12 @@ def ann_cosine_topk(
     # the query matrix is ray.put once, read zero-copy per worker
     def scorer(t: pa.Table) -> pa.Table:
         q = ray.get(qref)  # (Q, d)
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return pa.table({
+                "query": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
         m = _normalize(_to_matrix(t.column(vec_col), dtype))
         ids = t.column(id_col).to_numpy()
         sims = m @ q.T  # (n, Q)
@@ -107,6 +113,9 @@ def axis_planes(dim: int, n_planes: int) -> np.ndarray:
     legitimate sign-LSH family, and — unlike random planes — expressible
     in plain SQL (``embedding[i] > 0``), so the whole dedup is
     oracle-checkable."""
+    # more planes than coordinates is unexpressible in this family —
+    # clamp (extra all-zero planes would hash every vector identically)
+    n_planes = min(n_planes, dim)
     planes = np.zeros((n_planes, dim), dtype=np.float32)
     planes[np.arange(n_planes), np.arange(n_planes)] = 1.0
     return planes
@@ -169,7 +178,10 @@ def embedding_dedup(
         if vtype is not None and pa.types.is_fixed_size_list(vtype):
             dim = vtype.list_size
         else:
-            dim = len(ds.take(1)[0][vec_col])
+            head = ds.take(1)
+            if not head:  # empty corpus: nothing to dedup
+                return ds
+            dim = len(head[0][vec_col])
     if n_planes is None:
         # pure parquet reads answer count() from metadata (no execution)
         n_planes = _auto_n_planes(
@@ -316,6 +328,12 @@ def ivf_search(
 
     def scorer(t: pa.Table) -> pa.Table:
         q, prb = ray.get(ref)
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return pa.table({
+                "query": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
         m = _normalize(_to_matrix(t.column(vec_col)))
         ids = t.column(id_col).to_numpy()
         lists = t.column("ivf_list").to_numpy()

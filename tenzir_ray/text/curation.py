@@ -263,10 +263,15 @@ def sample_to_token_budget(
     materialized here so upstream compute (read + tokenize) runs once —
     the object store holds (and spills) the corpus between the passes.
     Callers who already know per-source totals pass ``totals=`` and
-    skip both the materialize and the aggregate."""
+    skip both the materialize and the aggregate — but then a source
+    present in the data yet MISSING from ``totals`` has an unknown
+    token mass and cannot be priced: it is dropped entirely when
+    ``default_budget`` is 0 and kept entirely otherwise (pass complete
+    totals to budget it exactly)."""
     from ray.data.aggregate import Sum
 
     null_total = 0
+    totals_known = totals is not None
     if totals is None:
         ds = ds.materialize()  # both passes read plasma, compute once
         totals_t = ds.groupby(key_col).aggregate(
@@ -283,7 +288,11 @@ def sample_to_token_budget(
 
     rates = {k: rate_for(t, budgets.get(k, default_budget))
              for k, t in totals.items()}
-    # null keys fall through sample_mixture's index_in to default_rate
-    default_rate = rate_for(null_total, default_budget)
+    # null keys (and, with caller-passed totals, unpriced sources) fall
+    # through sample_mixture's index_in to default_rate
+    if totals_known:
+        default_rate = 0.0 if default_budget <= 0 else 1.0
+    else:
+        default_rate = rate_for(null_total, default_budget)
     return sample_mixture(ds, rates, key_col=key_col, id_col=id_col,
                           default_rate=default_rate)
