@@ -143,7 +143,6 @@ def generate_wal(out_dir: str, spec: WalSpec | None = None) -> dict:
     per_epoch = spec.n_events // spec.n_epochs
     lsn0 = 0
     base_ts = np.datetime64("2025-01-01T00:00:00", "ns")
-    inserted: set[int] = set()
     for e in range(spec.n_epochs):
         n = per_epoch if e < spec.n_epochs - 1 else spec.n_events - lsn0
         # op mix: first epoch all inserts so updates/deletes hit existing urls
@@ -167,7 +166,6 @@ def generate_wal(out_dir: str, spec: WalSpec | None = None) -> dict:
         text_col = [None if d else s for s, d in zip(text, is_del)]
         lang_col = [None if d else l for l, d in zip(lang_of_url[uidx], is_del)]
         op_str = np.array(["INSERT", "UPDATE", "DELETE"])[ops]
-        inserted.update(uidx[~is_del].tolist())
 
         cols: dict[str, pa.Array] = {
             "lsn": pa.array(lsn, pa.int64()),

@@ -84,15 +84,24 @@ def shell(
                 self.cmd, shell=True, input=payload,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
-            # grep exits 1 on "no matches" — only ≥2 is an error there,
-            # but a generic stage treats any nonzero-with-stderr as fatal
-            if proc.returncode != 0 and proc.stderr:
+            # grep exits 1 on "no matches" (silently) — tolerate ONLY
+            # that case; every other nonzero rc (including
+            # stderr-silent OOM kills and exit(1)-after-partial-output
+            # scripts) must fail the batch, not silently drop rows
+            if proc.returncode != 0 and not (
+                    proc.returncode == 1 and not proc.stderr):
                 raise RuntimeError(
                     f"shell {self.cmd!r} failed rc={proc.returncode}: "
                     f"{proc.stderr.decode()[:500]}"
                 )
             if format == "ndjson":
-                return _ndjson_to_table(proc.stdout)
+                out = _ndjson_to_table(proc.stdout)
+                if out.num_columns == 0:
+                    # never inject a schema-less zero-column block (the
+                    # Ray empty-block artifact): keep the INPUT schema
+                    # with zero rows so downstream unification holds
+                    return t.schema.empty_table()
+                return out
             lines = proc.stdout.decode().splitlines()
             return pa.table({column: pa.array(lines, pa.string())})
 
@@ -171,8 +180,9 @@ def delay(
                 if hasattr(mx - self.anchor, "total_seconds") \
                 else (mx - self.anchor) / speed
             wait = due - (time.monotonic() - self.t0)
-            if wait > 0:
+            while wait > 0:  # pay the FULL debt (chunked, interruptible)
                 time.sleep(min(wait, 60.0))
+                wait = due - (time.monotonic() - self.t0)
             return t
 
     return ds.map_batches(Delayer, batch_format="pyarrow", concurrency=1)
@@ -192,8 +202,9 @@ def throttle(ds: Dataset, events_per_s: float) -> Dataset:
             self.released += t.num_rows
             due = self.released / events_per_s
             wait = due - (time.monotonic() - self.t0)
-            if wait > 0:
+            while wait > 0:  # a single capped sleep under-throttles
                 time.sleep(min(wait, 60.0))
+                wait = due - (time.monotonic() - self.t0)
             return t
 
     return ds.map_batches(Throttle, batch_format="pyarrow", concurrency=1)

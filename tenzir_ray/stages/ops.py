@@ -93,22 +93,29 @@ def flatten(ds: Dataset, sep: str = ".") -> Dataset:
 
 
 def unflatten(ds: Dataset, sep: str = ".") -> Dataset:
-    """Dotted names → nested structs (operators/unflatten.cpp:25)."""
-    def _f(t: pa.Table) -> pa.Table:
+    """Dotted names → nested structs, RECURSIVELY — 'a.b.c' becomes
+    struct a{struct b{c}}, so ``unflatten(flatten(ds))`` restores the
+    original schema at any depth (operators/unflatten.cpp:25, which
+    recurses the same way)."""
+    def _build(cols: dict[str, pa.Array]):
         groups: dict[str, dict[str, pa.Array]] = {}
         plain: dict[str, Any] = {}
-        for name in t.column_names:
-            col = t.column(name).combine_chunks()
+        for name, col in cols.items():
             if sep in name:
                 top, rest = name.split(sep, 1)
                 groups.setdefault(top, {})[rest] = col
             else:
                 plain[name] = col
         for top, subs in groups.items():
+            built = _build(subs)
             plain[top] = pa.StructArray.from_arrays(
-                list(subs.values()), names=list(subs.keys())
+                list(built.values()), names=list(built.keys())
             )
-        return pa.table(plain)
+        return plain
+
+    def _f(t: pa.Table) -> pa.Table:
+        cols = {n: t.column(n).combine_chunks() for n in t.column_names}
+        return pa.table(_build(cols))
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
@@ -475,13 +482,14 @@ def summarize(
             fn, col, param = spec
         parsed.append((alias, fn, col, param))
     # bare `count` (no column) is excluded from the native path: Ray
-    # 2.49's Count(on=None) returns 0 even over non-empty datasets
-    # (verified on rd.range(10), both ignore_nulls settings) — the
-    # partial/kernel paths count rows correctly
-    native = all(fn in _AGGS and fn != "median"
-                 and not (fn == "count" and col is None)
-                 for _a, fn, col, _p in parsed)
     by = [by] if isinstance(by, str) else by
+    # 2.49's UNGROUPED Count(on=None) returns 0 even over non-empty
+    # datasets (verified on rd.range(10), both ignore_nulls settings);
+    # GROUPED bare count works — excluding it there would push every
+    # mixed aggregation onto the per-group Python kernel for nothing
+    native = all(fn in _AGGS and fn != "median"
+                 and not (fn == "count" and col is None and by is None)
+                 for _a, fn, col, _p in parsed)
     if combine == "auto" and by is not None and all(
             fn in _PARTIAL_FNS for _a, fn, _c, _p in parsed):
         return summarize_partial(ds, by, **aggs)
@@ -765,7 +773,12 @@ def cache(ds: Dataset) -> Dataset:
 
 
 def repeat(ds: Dataset, n: int) -> Dataset:
-    """Replay input n times (operators/repeat.cpp:32)."""
+    """Replay input n times (operators/repeat.cpp:32); n=0 yields an
+    empty stream, not one phantom copy."""
+    if n < 0:
+        raise ValueError(f"repeat: n must be >= 0, got {n}")
+    if n == 0:
+        return ds.limit(0)
     out = ds
     for _ in range(n - 1):
         out = out.union(ds)

@@ -50,7 +50,11 @@ def redact_pii_batch(
         if kind not in kinds:
             continue
         if count:
-            n = pc.count_substring_regex(redacted, pattern)
+            # count against the ORIGINAL column, not the progressively
+            # redacted text — otherwise an IP inside an already-replaced
+            # email host is never counted and counts become
+            # pattern-order-dependent
+            n = pc.count_substring_regex(col, pattern)
             out = out.append_column(f"n_{kind}", pc.cast(n, pa.int64()))
         redacted = pc.replace_substring_regex(redacted, pattern, token)
     name = out_col or text_col
