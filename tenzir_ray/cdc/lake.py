@@ -290,43 +290,6 @@ def _write_one(group: pa.Table, *, root: str, epoch: int, bucket: int,
     return manifest
 
 
-def _write_bucket(group: pa.Table, *, root: str, salt: int) -> pa.Table:
-    """Per-bucket writer (one shuffle group). The group may carry several
-    epochs (batched WAL tail — one shuffle amortized over all pending
-    epochs); each epoch still gets its own delta file + commit manifest, so
-    exactly-once granularity is unchanged."""
-    bucket = int(group.column(_BUCKET)[0].as_py())
-    epochs = pc.unique(group.column(_EPOCH)).to_pylist()
-    out = []
-    for e in sorted(epochs):
-        sub = group.filter(pc.equal(group.column(_EPOCH), e))
-        sub = sub.drop_columns([_BUCKET, _EPOCH])
-        out.append(
-            _manifest_table(
-                _write_one(sub, root=root, epoch=int(e), bucket=bucket, salt=salt)
-            )
-        )
-    return pa.concat_tables(out)
-
-
-# ----------------------------------------------- file-staged exchange
-#
-# Ray's generic sort/hash shuffles copy the full row payload through the
-# object store several times; with multi-KB ``html`` binaries that memcpy
-# dominates the whole job (measured: SortReduce alone 373 core-s for a
-# 3.6 GB epoch batch — 6× the useful compute). The CDC exchange instead
-# stages payload ONCE to per-bucket parquet files on the lake filesystem
-# (on a cluster: the shared object store — exactly how cloud LSM ingest
-# ships data) and sends only tiny (bucket, path) metadata rows through the
-# Ray groupby. One streaming execution, one barrier, payload written once
-# before the final delta write.
-#
-# Exactly-once holds WITHOUT coordination: a retried/duplicated stage task
-# appends a second identical stage file, and the reducer's LWW dedup by
-# (url, warc_ts, lsn) absorbs the duplicate rows — at-least-once staging +
-# idempotent reduce = exactly-once commits (manifest-guarded as before).
-
-
 # Stage-file format: transient per-bucket spill written once per map task
 # and read once per reduce — Arrow IPC ("feather", lz4) skips parquet
 # encode/decode entirely; "parquet" (snappy) trades CPU for fewer tmpfs
@@ -404,6 +367,16 @@ def _reduce_bucket(
     """Reduce one bucket: read its stage files, split per epoch, LWW-reduce
     and commit each (epoch, bucket) delta + manifest. ``raw_rows`` from the
     metadata rows carries true (pre-combine) event volume into lineage."""
+    if group.num_rows == 0 or "bucket" not in group.column_names:
+        # Ray emits zero-column blocks for empty hash partitions (known
+        # artifact) — nothing to reduce; return an empty MANIFEST-shaped
+        # table so downstream concat/groupby schema unification holds
+        return _manifest_table({
+            "partition_id": 0, "bucket": 0, "epoch": 0, "max_lsn": 0,
+            "files": [], "num_rows": 0, "num_tombstones": 0,
+            "min_url": "", "max_url": "", "events_in": 0,
+            "wall_s": 0.0, "events_per_s": 0.0,
+        }).slice(0, 0)
     bucket = int(group.column("bucket")[0].as_py())
     files = sorted(set(group.column("path").to_pylist()))
     raw_per_epoch: dict[int, int] = {}
@@ -469,10 +442,14 @@ def _live_files(
     :class:`TimeTravelHorizonError` when every surviving base covers past
     ``as_of`` — the needed deltas were compacted away."""
     pdir = os.path.join(root, f"p={pid:04d}")
-    bases = sorted(glob.glob(os.path.join(pdir, "base-e*.parquet")))
 
     def _epoch_of(path: str) -> int:
         return int(os.path.basename(path)[len("base-e"):-len(".parquet")])
+
+    # NUMERIC sort: the 5-digit zero padding overflows at epoch 100000,
+    # where lexical order would pin 'latest' to epoch 99999 forever
+    bases = sorted(glob.glob(os.path.join(pdir, "base-e*.parquet")),
+                   key=_epoch_of)
 
     upto = -1
     files: list[str] = []
@@ -707,7 +684,12 @@ class Lake:
         With ``as_of_epoch``, the schema as committed at that epoch — a
         time-travel read reproduces the narrower historical schema before
         later add/widen/rename evolution."""
-        paths = sorted(glob.glob(os.path.join(self.root, "_manifest", "schema-e*.json")))
+        paths = sorted(
+            glob.glob(os.path.join(self.root, "_manifest",
+                                   "schema-e*.json")),
+            # numeric: lexical order breaks past the 5-digit padding
+            key=lambda p: int(
+                os.path.basename(p)[len("schema-e"):-len(".json")]))
         if as_of_epoch is not None:
             paths = [
                 p for p in paths
@@ -764,19 +746,26 @@ class Lake:
             for e, _ in epochs
             if self._epoch_done(e)
         ]
-        pending = [(e, files) for e, files in epochs if not self._epoch_done(e)]
+        pending = [(e, files) for e, files in epochs
+                   if files and not self._epoch_done(e)]
         if not pending:
             return results
         t0 = time.perf_counter()
         prev = self.schema()
-        chain: list[pa.Schema] = [prev] if prev is not None else []
+        running: pa.Schema | None = prev  # unify of everything <= e
         per_epoch_schema: dict[int, pa.Schema] = {}
+        footer_schemas: dict[str, pa.Schema] = {}  # one read per footer
         for e, files in pending:
             # every segment footer, not files[0] only: a column appearing
-            # mid-epoch must land in the epoch's unified schema
+            # mid-epoch must land in the epoch's unified schema; the
+            # chain folds INCREMENTALLY (unify is a join — associative),
+            # not O(epochs^2) re-unifications of the whole prefix
             for f in files:
-                chain.append(pq.read_schema(f))
-            s = unify_schemas(chain, self.aliases)
+                footer_schemas[f] = pq.read_schema(f)
+            running = unify_schemas(
+                ([running] if running is not None else [])
+                + [footer_schemas[f] for f in files], self.aliases)
+            s = running
             if self.extract and "html" in s.names and "text" not in s.names:
                 # the parse stage PRODUCES text: declare it even when the
                 # producer ships only raw html
@@ -815,7 +804,9 @@ class Lake:
             # dropped. Footer reads are metadata-only; above a file-count
             # cap fall back to per-file inference (slower, never lossy).
             if len(all_files) <= 256:
-                raw = [pq.read_schema(f).remove_metadata()
+                # reuse the footers already read for the evolution chain
+                # (each footer is a remote round-trip on object storage)
+                raw = [footer_schemas[f].remove_metadata()
                        for f in all_files]
             else:
                 raise OSError("too many segment footers to sample")
@@ -890,10 +881,24 @@ class Lake:
         return self.apply_epochs([(epoch, files)])[0]
 
     def apply_wal(self, wal_dir: str) -> list[dict]:
-        """Tail the WAL directory: apply every uncommitted epoch, batched
-        through one shuffle (resume point = the commit manifests,
-        Kafka-offset analog)."""
-        return self.apply_epochs(list_epochs(wal_dir))
+        """Tail the WAL directory: apply every uncommitted SEALED epoch,
+        batched through one shuffle (resume point = the commit
+        manifests, Kafka-offset analog). Unsealed or still-empty epoch
+        dirs are left alone — marking a mid-write epoch done would
+        silently skip its late segments forever (producers write parts
+        first, seal last; dirs without any seal convention are treated
+        as sealed for compatibility with externally staged WALs)."""
+        listed = [(e, files) for e, files in list_epochs(wal_dir) if files]
+        uses_seals = any(
+            os.path.exists(os.path.join(os.path.dirname(files[0]),
+                                        "_sealed"))
+            for _e, files in listed)
+        epochs = [
+            (e, files) for e, files in listed
+            if not uses_seals or os.path.exists(
+                os.path.join(os.path.dirname(files[0]), "_sealed"))
+        ]
+        return self.apply_epochs(epochs)
 
     def ingest_warc(self, warc_dir: str, epoch: int) -> dict:
         """Ingest a directory of WARC files (a crawl snapshot) as ONE
@@ -936,8 +941,13 @@ class Lake:
             url = t.column("url")
             ts = t.column("warc_ts")
             h = _key_hashes(url).astype(np.uint64)
-            tsec = pc.cast(pc.cast(ts, pa.timestamp("s")),
-                           pa.int64()).to_numpy(zero_copy_only=False) \
+            # WARC/1.1 dates may carry fractional seconds
+            # (sources/warc.py parses them to ns); second-truncation IS
+            # the intended lsn-key semantics, so allow the lossy cast
+            tsec = pc.cast(
+                ts.combine_chunks().cast(
+                    pa.timestamp("s"), safe=False),
+                pa.int64()).to_numpy(zero_copy_only=False) \
                 .astype(np.uint64)
             lsn = ((h ^ (tsec * np.uint64(0x9E3779B97F4A7C15)))
                    >> np.uint64(1)).astype(np.int64)  # 63-bit, positive
@@ -970,7 +980,8 @@ class Lake:
         while idle_rounds is None or idle < idle_rounds:
             pending = [
                 (e, files) for e, files in list_epochs(wal_dir)
-                if not self._epoch_done(e)
+                if files  # a just-mkdir'd epoch has no parts yet
+                and not self._epoch_done(e)
                 # only sealed segments: producers write parts first, seal
                 # last (or rename the whole dir atomically)
                 and os.path.exists(

@@ -225,4 +225,7 @@ def list_epochs(wal_dir: str) -> list[tuple[int, list[str]]]:
                 if f.endswith(".parquet")
             )
             out.append((e, files))
+    # numeric, not lexical: 'epoch=100000' sorts before 'epoch=99999'
+    # in directory-listing order
+    out.sort(key=lambda ef: ef[0])
     return out

@@ -389,6 +389,24 @@ _SUMMARIZE = re.compile(
 _AGG = re.compile(r"(\w+)\s*=\s*(\w+)\((\s*[\w*]*\s*)\)")
 
 
+def _parse_aggs(aggs_text: str) -> list[tuple[str, str, str]]:
+    """Parse 'alias=fn(col), …' and FAIL LOUDLY on any segment the
+    grammar cannot express (dotted/quoted columns, fn args) — findall
+    alone silently drops unparsed specs, yielding a result missing
+    columns with no diagnostic."""
+    specs = _AGG.findall(aggs_text)
+    segments = [p.strip() for p in aggs_text.split(",") if p.strip()]
+    if len(specs) != len(segments):
+        matched = {f"{a}={f}" for a, f, _c in specs}
+        bad = [seg for seg in segments
+               if not any(seg.replace(" ", "").startswith(m)
+                          for m in matched)] or segments
+        raise ValueError(
+            f"summarize: cannot parse aggregate spec {bad[0]!r} "
+            "(expected alias=fn(column) with a plain identifier column)")
+    return specs
+
+
 class Pipeline:
     """A parsed pipeline; apply with ``run(ds)``, or start the text with
     ``from <path>`` and call ``run()`` — the planner then pushes leading
@@ -516,7 +534,13 @@ class Pipeline:
         import pyarrow.parquet as pq
         import ray.data as rd
 
-        schema = pq.read_schema(self.source).remove_metadata()
+        try:
+            schema = pq.read_schema(self.source).remove_metadata()
+        except OSError:
+            # directory / glob / URI sources: read_parquet resolves them
+            # natively; skip the single-footer metadata-hygiene pass
+            return rd.read_parquet(self.source,
+                                   columns=self.source_columns)
         if self.source_columns:
             schema = pa.schema([schema.field(c) for c in self.source_columns])
         return rd.read_parquet(
@@ -552,7 +576,10 @@ class Pipeline:
                 buf.append(ch)
                 i += 1
                 continue
-            if ch == "/" and i + 1 < len(s) and s[i + 1] == "/":
+            if ch == "/" and i + 1 < len(s) and s[i + 1] == "/" \
+                    and (i == 0 or s[i - 1] in " \t\n|{("):
+                # a comment only at start-of-token: the '//' inside an
+                # unquoted URI (s3://…, https://…) is NOT a comment
                 while i < len(s) and s[i] != "\n":
                     i += 1
                 continue
@@ -683,7 +710,7 @@ class Pipeline:
                       "median": "approximate_median",
                       "collect": "list"}
             aggs = []  # (alias, arrow result name, (target, fn))
-            for alias, fn, col in _AGG.findall(m.group("aggs")):
+            for alias, fn, col in _parse_aggs(m.group("aggs")):
                 col = col.strip()
                 fn = fn_map.get(fn, fn)
                 if fn == "count" and col in ("", "*"):
@@ -883,7 +910,7 @@ class Pipeline:
                 rest = rest[:mm.start()]
             m = _SUMMARIZE.match(rest)
             aggs: dict = {}
-            for alias, fn, col in _AGG.findall(m.group("aggs")):
+            for alias, fn, col in _parse_aggs(m.group("aggs")):
                 col = col.strip()
                 if fn == "count" and col in ("", "*"):
                     aggs[alias] = "count"
@@ -1072,7 +1099,7 @@ class Pipeline:
             time_col, _, spec = spec.strip().partition(" ")
             m = _SUMMARIZE.match(spec.strip())
             aggs: dict = {}
-            for alias, fn, col in _AGG.findall(m.group("aggs")):
+            for alias, fn, col in _parse_aggs(m.group("aggs")):
                 col = col.strip()
                 aggs[alias] = "count" if fn == "count" and \
                     col in ("", "*") else (fn, col)

@@ -199,8 +199,12 @@ def write_warc(ds, path: str, url_col: str = "url",
             import pyarrow.compute as pc
 
             urls = t.column(url_col).to_pylist()
+            # WARC-Date is written at 1-second resolution; fractional
+            # input timestamps (WARC/1.1, parsed to ns by read_warc)
+            # truncate rather than abort the writer
             tss = pc.strftime(
-                t.column(ts_col).cast(pa.timestamp("s")),
+                t.column(ts_col).combine_chunks().cast(
+                    pa.timestamp("s"), safe=False),
                 format="%Y-%m-%dT%H:%M:%SZ").to_pylist()
             payloads = t.column(payload_col).cast(pa.binary()).to_pylist()
             chunks = []
