@@ -6,9 +6,10 @@ columns; every decode / resize / feature-extract / frame-sample step is an
 ``__init__``), with small ``batch_size`` because rows are megabytes.
 
 These containers decode for REAL with numpy + the stdlib (no codec
-libs): BMP (BI_RGB 8/24/32-bit), binary PPM/PGM, **PNG** (stdlib zlib
-inflate + numpy scanline unfiltering; 8-bit gray/RGB/palette/GA/RGBA,
-non-interlaced — plus an :func:`encode_png` dual), RIFF/WAVE (8/16-bit
+libs): BMP (BI_RGB 8/24/32-bit), binary PPM/PGM (8- and 16-bit),
+**PNG** (stdlib zlib inflate + numpy scanline unfiltering; ALL legal
+IHDR combinations — depths 1/2/4/8/16 × gray/RGB/palette/GA/RGBA ×
+non-interlaced/Adam7 — plus an :func:`encode_png` dual), RIFF/WAVE (8/16-bit
 PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, EXTENSIBLE wrappers, any
 channel count), **GIF** (87a/89a, pure-Python LZW + numpy palette
 mapping / deinterlacing; ANIMATIONS compose on the logical-screen
@@ -104,7 +105,12 @@ def _decode_pnm(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
     if maxval > 255:
-        raise NotImplementedError("16-bit PNM unsupported")
+        # 16-bit PNM: big-endian two-byte samples (Netpbm spec); reduce
+        # to 8-bit for the uint8 pixel pipeline (top byte ≈ val*255/maxval
+        # for the standard maxval=65535).
+        px16 = np.frombuffer(buf, ">u2", count=w * h * c,
+                             offset=pos).reshape(h, w, c)
+        return (px16 >> 8).astype(np.uint8), w, h, c
     px = np.frombuffer(buf, np.uint8, count=w * h * c,
                        offset=pos).reshape(h, w, c)
     return px, w, h, c
@@ -165,13 +171,40 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
     return out
 
 
+# Adam7 interlace passes (x_start, y_start, x_step, y_step) — PNG spec §8.2.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_expand(rows: np.ndarray, pw: int, channels: int,
+                depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes ``(ph, stride)`` → uint8 samples
+    ``(ph, pw, channels)``. 16-bit samples keep their top byte (the
+    uint8 pixel pipeline's documented precision); sub-byte depths
+    (gray/palette only, so ``channels == 1``) unpack MSB-first per the
+    PNG spec — grayscale values are scaled to full range by the
+    caller, palette indexes stay raw."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, :pw * channels].reshape(ph, pw, channels)
+    if depth == 16:
+        v = np.ascontiguousarray(rows).view(">u2")[:, :pw * channels]
+        return (v >> 8).astype(np.uint8).reshape(ph, pw, channels)
+    bits = np.unpackbits(rows, axis=1)[:, :pw * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(ph, pw, depth) * weights).sum(
+        axis=2, dtype=np.uint8)
+    return vals.reshape(ph, pw, 1)
+
+
 def _decode_png(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     """REAL PNG decoder — stdlib ``zlib`` inflate + numpy unfiltering,
-    no codec libraries. Supports 8-bit depth, color types 0 (gray),
-    2 (RGB), 3 (palette → RGB), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced (the overwhelming majority of real PNGs); 16-bit,
-    sub-byte-depth and Adam7 raise ``NotImplementedError``. Chunk walk
-    per the PNG spec (ISO/IEC 15948): IHDR → PLTE? → IDAT+ → IEND."""
+    no codec libraries. Supports ALL legal IHDR combinations: depths
+    1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette → RGB),
+    4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced
+    streams (16-bit reduces to its top byte for the uint8 pipeline).
+    Chunk walk per the PNG spec (ISO/IEC 15948): IHDR → PLTE? → IDAT+
+    → IEND."""
     import zlib
 
     if buf[:8] != _PNG_SIG:
@@ -193,24 +226,47 @@ def _decode_png(buf: bytes) -> tuple[np.ndarray, int, int, int]:
             break
     if w is None or not idat:
         raise ValueError("truncated PNG")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG unsupported")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and ctype not in (0, 3)):
+        raise ValueError(f"illegal PNG depth {depth} for color type {ctype}")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    stride = w * channels
-    if raw.size != h * (stride + 1):
+    # Filter unit: bytes per complete pixel, rounded up to 1 (spec §9.2).
+    bpp = max(1, channels * depth // 8)
+
+    def read_sub(pw: int, ph: int, off: int) -> tuple[np.ndarray, int]:
+        stride = (pw * channels * depth + 7) // 8
+        n = ph * (stride + 1)
+        seg = raw[off: off + n]
+        if seg.size != n:
+            raise ValueError("PNG scanline size mismatch")
+        rows = _png_unfilter(seg, ph, stride, bpp)
+        return _png_expand(rows, pw, channels, depth), off + n
+
+    if interlace:
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = read_sub(pw, ph, off)
+            px[y0::dy, x0::dx] = sub
+    else:
+        px, off = read_sub(w, h, 0)
+    if off != raw.size:
         raise ValueError("PNG scanline size mismatch")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 0 and depth < 8:
+        # 1/2/4-bit gray → full 0-255 range (factor is exact: 255, 85, 17).
+        px = px * np.uint8(255 // ((1 << depth) - 1))
     if ctype == 3:
         if plte is None:
             raise ValueError("paletted PNG without PLTE")
         px = plte[px[:, :, 0]]
         return np.ascontiguousarray(px), w, h, 3
-    return px, w, h, channels
+    return np.ascontiguousarray(px), w, h, channels
 
 
 def encode_png(px: np.ndarray) -> bytes:

@@ -163,6 +163,18 @@ def test_real_wav_and_bmp_ppm_decode():
     px3, dw3, dh3, dc3 = _decode_payload(pgm)
     assert (dw3, dh3, dc3) == (2, 2, 1) and px3[1, 1, 0] == 255
 
+    # 16-bit PGM/PPM: big-endian samples reduce to the top byte
+    s16 = np.array([[0, 0x1234], [0xABCD, 0xFFFF]], np.uint16)
+    pgm16 = b"P5 2 2 65535\n" + s16.astype(">u2").tobytes()
+    px4, dw4, dh4, dc4 = _decode_payload(pgm16)
+    assert (dw4, dh4, dc4) == (2, 2, 1)
+    np.testing.assert_array_equal(px4[:, :, 0], (s16 >> 8).astype(np.uint8))
+    rgb16 = np.repeat(s16[:, :, None], 3, axis=2)
+    ppm16 = b"P6 2 2 65535\n" + rgb16.astype(">u2").tobytes()
+    px5, dw5, dh5, dc5 = _decode_payload(ppm16)
+    assert (dw5, dh5, dc5) == (2, 2, 3)
+    np.testing.assert_array_equal(px5, (rgb16 >> 8).astype(np.uint8))
+
     # ImageDecoder stage consumes them alongside FAKE/null rows
     t = pa.table({"image": pa.array([bmp, ppm, None, b"\x89PNG..."],
                                     pa.binary())})
@@ -311,7 +323,7 @@ def test_png_palette_and_stubs():
     assert got[0, 1].tolist() == [1, 254, 7]
     assert got[1, 1].tolist() == [3, 252, 7]
 
-    # interlaced and 16-bit stay loud stubs
+    # 1x1 interlaced and 16-bit streams decode for real since round 5
     import struct as _s
     import zlib
 
@@ -322,14 +334,130 @@ def test_png_palette_and_stubs():
     sig = b"\x89PNG\r\n\x1a\n"
     interlaced = (sig + chunk(
         b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
-        + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        _decode_payload(interlaced)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x2a")) + chunk(b"IEND", b""))
+    got, w, h, c = _decode_payload(interlaced)
+    assert (w, h, c) == (1, 1, 1) and got[0, 0, 0] == 0x2A
     deep = (sig + chunk(
         b"IHDR", _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        _decode_payload(deep)
+        + chunk(b"IDAT", zlib.compress(b"\x00\xab\xcd")) + chunk(b"IEND", b""))
+    got, w, h, c = _decode_payload(deep)
+    assert (w, h, c) == (1, 1, 1) and got[0, 0, 0] == 0xAB
+
+
+def _build_png_deep(raw: bytes, w: int, h: int, ctype: int, depth: int,
+                    interlace: int = 0, plte: bytes | None = None) -> bytes:
+    import struct as _s
+    import zlib
+
+    def chunk(typ, data):
+        return (_s.pack(">I", len(data)) + typ + data
+                + _s.pack(">I", zlib.crc32(typ + data)))
+
+    png = b"\x89PNG\r\n\x1a\n"
+    png += chunk(b"IHDR",
+                 _s.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))
+    if plte is not None:
+        png += chunk(b"PLTE", plte)
+    png += chunk(b"IDAT", zlib.compress(raw))
+    png += chunk(b"IEND", b"")
+    return png
+
+
+def _pack_rows_subbyte(vals: np.ndarray, depth: int) -> bytes:
+    """Bit-pack (h, w) sample values MSB-first into filter-0 scanlines
+    — independent test-side forward direction."""
+    h, w = vals.shape
+    out = bytearray()
+    for y in range(h):
+        bits = ((vals[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1)
+        out += b"\x00" + np.packbits(bits.ravel().astype(np.uint8)).tobytes()
+    return bytes(out)
+
+
+def test_png_sub_byte_gray_depths():
+    from tenzir_ray.text.multimodal import _decode_payload
+
+    rng = np.random.default_rng(23)
+    for depth in (1, 2, 4):
+        vals = rng.integers(0, 1 << depth, size=(5, 7), dtype=np.uint8)
+        png = _build_png_deep(_pack_rows_subbyte(vals, depth), 7, 5, 0, depth)
+        got, w, h, c = _decode_payload(png)
+        assert (w, h, c) == (7, 5, 1)
+        scale = 255 // ((1 << depth) - 1)
+        np.testing.assert_array_equal(got[:, :, 0], vals * scale)
+
+
+def test_png_sub_byte_palette():
+    from tenzir_ray.text.multimodal import _decode_payload
+
+    rng = np.random.default_rng(29)
+    plte = bytes(rng.integers(0, 256, size=48, dtype=np.uint8))
+    lut = np.frombuffer(plte, np.uint8).reshape(16, 3)
+    for depth in (2, 4):
+        idx = rng.integers(0, 1 << depth, size=(4, 5), dtype=np.uint8)
+        png = _build_png_deep(_pack_rows_subbyte(idx, depth), 5, 4, 3,
+                              depth, plte=plte)
+        got, w, h, c = _decode_payload(png)
+        assert (w, h, c) == (5, 4, 3)
+        np.testing.assert_array_equal(got, lut[idx])
+
+
+def test_png_16bit_keeps_top_byte():
+    from tenzir_ray.text.multimodal import _decode_payload
+
+    rng = np.random.default_rng(31)
+    for ch, ctype in ((1, 0), (3, 2), (4, 6)):
+        px16 = rng.integers(0, 1 << 16, size=(3, 4, ch), dtype=np.uint16)
+        rows = b"".join(
+            b"\x00" + px16[y].astype(">u2").tobytes() for y in range(3))
+        got, w, h, c = _decode_payload(_build_png_deep(rows, 4, 3, ctype, 16))
+        assert (w, h, c) == (4, 3, ch)
+        np.testing.assert_array_equal(got, (px16 >> 8).astype(np.uint8))
+
+
+def _adam7_interlace(px: np.ndarray, depth: int = 8) -> bytes:
+    """Test-side Adam7 forward pass: serialize the seven pass
+    sub-images in spec order, each with its own filtered scanlines."""
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    out = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        if depth == 8:
+            ftypes = [i % 5 for i in range(sub.shape[0])]
+            out += _png_filter_rows(np.ascontiguousarray(sub), ftypes)
+        else:
+            out += _pack_rows_subbyte(sub[:, :, 0], depth)
+    return bytes(out)
+
+
+def test_png_adam7_roundtrip():
+    from tenzir_ray.text.multimodal import _decode_payload
+
+    rng = np.random.default_rng(37)
+    # 10x9 exercises every pass; 3x2 exercises empty-pass skipping.
+    for (hh, ww) in ((9, 10), (2, 3)):
+        for c, ctype in ((1, 0), (3, 2), (4, 6)):
+            px = rng.integers(0, 256, size=(hh, ww, c), dtype=np.uint8)
+            png = _build_png_deep(_adam7_interlace(px), ww, hh, ctype, 8,
+                                  interlace=1)
+            got, w, h, ch = _decode_payload(png)
+            assert (w, h, ch) == (ww, hh, c)
+            np.testing.assert_array_equal(got, px)
+
+
+def test_png_adam7_sub_byte():
+    from tenzir_ray.text.multimodal import _decode_payload
+
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 4, size=(9, 11), dtype=np.uint8)
+    png = _build_png_deep(_adam7_interlace(vals[:, :, None], 2), 11, 9, 0,
+                          2, interlace=1)
+    got, w, h, c = _decode_payload(png)
+    assert (w, h, c) == (11, 9, 1)
+    np.testing.assert_array_equal(got[:, :, 0], vals * 85)
 
 
 def test_png_through_decoder_stage():
