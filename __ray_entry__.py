@@ -1849,8 +1849,9 @@ def _multimodal_decode(sf_dir: str):
     opaque binary column: a MIX of real PNG payloads (every 4th doc —
     stdlib-zlib codec, text/multimodal.py _decode_png), real baseline
     JPEGs (every 8th doc ≡ 1 — text/jpeg.py, alternating 4:4:4 and
-    4:2:0), and deterministic fake-container payloads, all synthesized
-    from doc ids. WebP/progressive-JPEG stay stubbed."""
+    4:2:0), real PROGRESSIVE JPEGs (every 8th doc ≡ 5 — SOF2
+    successive-approximation scans), and deterministic fake-container
+    payloads, all synthesized from doc ids. WebP stays stubbed."""
     import ray.data as rd
 
     from tenzir_ray.text.jpeg import encode_jpeg
@@ -1878,6 +1879,13 @@ def _multimodal_decode(sf_dir: str):
                     [xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
                      np.full((h, w), i % 256)], -1).astype(np.uint8)
                 imgs.append(encode_jpeg(px, 90, subsample=(i % 16 == 1)))
+            elif i % 8 == 5:
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [np.full((h, w), i % 256), xx * 255 // max(w - 1, 1),
+                     yy * 255 // max(h - 1, 1)], -1).astype(np.uint8)
+                imgs.append(encode_jpeg(px, 85, subsample=(i % 16 == 5),
+                                        progressive=True))
             else:
                 imgs.append(encode_fake_image(w, h, 3, seed=i))
         out = t.append_column("image", pa2.array(imgs, pa2.binary()))

@@ -14,11 +14,12 @@ PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, EXTENSIBLE wrappers, any
 channel count), **GIF** (87a/89a, pure-Python LZW + numpy palette
 mapping / deinterlacing; ANIMATIONS compose on the logical-screen
 canvas with sub-rectangles, transparency and disposal, feeding real
-video frame-sampling), **baseline JPEG**
+video frame-sampling), **sequential AND progressive JPEG**
 (:mod:`tenzir_ray.text.jpeg`: general DHT Huffman decode + batched
-einsum IDCT, 4:4:4/4:2:2/4:2:0, restart markers; encoder dual) — and a
+einsum IDCT, 4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral
+selection + successive approximation; encoder duals for both) — and a
 deterministic FAKE container for fixtures. Codecs whose libraries this
-container lacks (WebP/AVIF/MP3/AAC/MP4; progressive JPEG) raise a
+container lacks (WebP/AVIF/MP3/AAC/MP4) raise a
 clearly-marked ``NotImplementedError``; swapping
 the ``_decode_payload`` / ``_decode_audio`` dispatchers' fallthrough
 for Pillow/ffmpeg changes nothing else in the pipeline.
@@ -448,11 +449,11 @@ def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
 
 def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     """Dispatch by magic: REAL decoders for BMP, binary PPM/PGM, PNG
-    (stdlib zlib + numpy unfiltering), GIF (pure-Python LZW), baseline
-    JPEG (:mod:`tenzir_ray.text.jpeg`) and the deterministic FAKE
-    container; WebP/AVIF raise — their codec libs are not in this
-    environment, and swapping this dispatcher's fallthrough for Pillow
-    changes nothing else in the pipeline."""
+    (stdlib zlib + numpy unfiltering), GIF (pure-Python LZW),
+    sequential + progressive JPEG (:mod:`tenzir_ray.text.jpeg`) and the
+    deterministic FAKE container; WebP/AVIF raise — their codec libs
+    are not in this environment, and swapping this dispatcher's
+    fallthrough for Pillow changes nothing else in the pipeline."""
     if buf[:4] == _MAGIC:
         w, h, c = struct.unpack("<HHB", buf[4:9])
         px = np.frombuffer(buf[9: 9 + w * h * c],
@@ -471,8 +472,8 @@ def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
         return decode_jpeg(buf)
     raise NotImplementedError(
         "WebP/AVIF codecs are not available in this environment; BMP, "
-        "binary PPM/PGM, PNG, GIF, baseline JPEG and the FAKE container "
-        "decode"
+        "binary PPM/PGM, PNG, GIF, sequential/progressive JPEG and the "
+        "FAKE container decode"
     )
 
 

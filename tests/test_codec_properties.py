@@ -86,6 +86,47 @@ def test_jpeg_constant_image_near_exact(dims, val):
     assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
 
 
+@given(dims=_dims, seed=st.integers(0, 2**31 - 1),
+       samp=st.sampled_from([False, True, (2, 1)]),
+       ri=st.sampled_from([0, 2, 5]), q=st.integers(20, 97))
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_equals_baseline(dims, seed, samp, ri, q):
+    """The progressive scan script re-encodes the SAME quantized
+    coefficients, so its decode must be bit-identical to baseline —
+    on arbitrary pixels, sampling modes, restart intervals, quality."""
+    h, w = dims
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, q, subsample=samp,
+                                   restart_interval=ri))
+    prog = decode_jpeg(encode_jpeg(px, q, subsample=samp,
+                                   restart_interval=ri, progressive=True))
+    np.testing.assert_array_equal(base[0], prog[0])
+    assert base[1:] == prog[1:]
+
+
+@given(dims=_dims, depth=st.sampled_from([1, 2, 4]),
+       seed=st.integers(0, 2**31 - 1), interlace=st.booleans())
+@settings(max_examples=30, deadline=None)
+def test_png_sub_byte_roundtrip(dims, depth, seed, interlace):
+    from tests.test_multimodal import (
+        _adam7_interlace,
+        _build_png_deep,
+        _pack_rows_subbyte,
+    )
+
+    h, w = dims
+    vals = np.random.default_rng(seed).integers(
+        0, 1 << depth, size=(h, w), dtype=np.uint8)
+    raw = (_adam7_interlace(vals[:, :, None], depth) if interlace
+           else _pack_rows_subbyte(vals, depth))
+    got, gw, gh, gc = _decode_payload(
+        _build_png_deep(raw, w, h, 0, depth, interlace=int(interlace)))
+    assert (gw, gh, gc) == (w, h, 1)
+    np.testing.assert_array_equal(
+        got[:, :, 0], vals * (255 // ((1 << depth) - 1)))
+
+
 @given(buf=st.binary(min_size=0, max_size=200),
        prefix=st.sampled_from([b"", b"\x89PNG\r\n\x1a\n", b"GIF89a",
                                b"\xff\xd8", b"BM", b"P6", b"FAKE"]))

@@ -680,17 +680,43 @@ def test_jpeg_420_and_restarts():
     assert np.abs(got.astype(int) - px.astype(int)).max() <= 6
 
 
-def test_jpeg_progressive_stub_and_dispatch():
-    import struct as _s
-
+def test_jpeg_progressive_roundtrip_and_dispatch():
     from tenzir_ray.text.jpeg import decode_jpeg, encode_jpeg
     from tenzir_ray.text.multimodal import ImageDecoder, _decode_payload
 
-    # progressive (SOF2) stays a loud stub
+    # progressive decodes BIT-IDENTICALLY to baseline (same quantized
+    # coefficients, different scan layering) across shapes/subsampling
+    rng = np.random.default_rng(43)
+    for hh, ww, nc in ((16, 16, 3), (17, 13, 3), (23, 9, 1)):
+        for samp in (False, True):
+            if nc == 1 and samp:
+                continue
+            px = rng.integers(0, 256, size=(hh, ww, nc), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(px, 80, subsample=samp))
+            prog = decode_jpeg(
+                encode_jpeg(px, 80, subsample=samp, progressive=True))
+            np.testing.assert_array_equal(base[0], prog[0])
+            assert base[1:] == prog[1:]
+
+    # restart markers inside progressive scans (reset pred + EOB run)
+    px = _smooth_rgb(31, 45)
+    base = decode_jpeg(encode_jpeg(px, 90, subsample=True))
+    prog = decode_jpeg(encode_jpeg(px, 90, subsample=True,
+                                   restart_interval=2, progressive=True))
+    np.testing.assert_array_equal(base[0], prog[0])
+
+    # flat image: long EOB runs spanning many blocks
+    flat = np.full((64, 48, 3), 200, np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(flat, progressive=True))[0],
+        decode_jpeg(encode_jpeg(flat))[0])
+
+    # a baseline file mislabeled SOF2 has an illegal progressive scan
+    # header (Ss=0, Se=63) — rejected loudly
     buf = bytearray(encode_jpeg(_smooth_rgb(16, 16), 90))
     i = bytes(buf).index(b"\xff\xc0")
     buf[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(buf))
 
     # dispatcher routes FFD8 and the actor stage decodes a mixed batch
@@ -698,11 +724,12 @@ def test_jpeg_progressive_stub_and_dispatch():
     got, w, h, c = _decode_payload(encode_jpeg(px, 95))
     assert (w, h, c) == (10, 12, 3)
     t = pa.table({"image": pa.array(
-        [encode_jpeg(px, 90), encode_jpeg(px, 90, subsample=True)],
+        [encode_jpeg(px, 90), encode_jpeg(px, 90, subsample=True),
+         encode_jpeg(px, 90, progressive=True)],
         pa.binary())})
     out = ImageDecoder()(t)
-    assert out.column("img_ok").to_pylist() == [True, True]
-    assert out.column("img_width").to_pylist() == [10, 10]
+    assert out.column("img_ok").to_pylist() == [True, True, True]
+    assert out.column("img_width").to_pylist() == [10, 10, 10]
 
 
 def test_corrupt_compressed_payloads_null_not_crash():
