@@ -1850,8 +1850,10 @@ def _multimodal_decode(sf_dir: str):
     stdlib-zlib codec, text/multimodal.py _decode_png), real baseline
     JPEGs (every 8th doc ≡ 1 — text/jpeg.py, alternating 4:4:4 and
     4:2:0), real PROGRESSIVE JPEGs (every 8th doc ≡ 5 — SOF2
-    successive-approximation scans), and deterministic fake-container
-    payloads, all synthesized from doc ids. WebP stays stubbed."""
+    successive-approximation scans), real LOSSLESS WebP (every 8th doc
+    ≡ 3 — text/webp.py VP8L, alternating predictor/subtract-green
+    transforms), and deterministic fake-container payloads, all
+    synthesized from doc ids. Lossy WebP (VP8) stays stubbed."""
     import ray.data as rd
 
     from tenzir_ray.text.jpeg import encode_jpeg
@@ -1859,6 +1861,7 @@ def _multimodal_decode(sf_dir: str):
         ImageFeatures, ImageResizer, decode_images, encode_fake_image,
         encode_png,
     )
+    from tenzir_ray.text.webp import encode_webp_lossless
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id"])
 
@@ -1886,6 +1889,12 @@ def _multimodal_decode(sf_dir: str):
                      yy * 255 // max(h - 1, 1)], -1).astype(np.uint8)
                 imgs.append(encode_jpeg(px, 85, subsample=(i % 16 == 5),
                                         progressive=True))
+            elif i % 8 == 3:
+                px = np.random.default_rng(i + 1).integers(
+                    0, 256, size=(h, w, 3), dtype=np.uint8)
+                imgs.append(encode_webp_lossless(
+                    px, predictor=(i // 8) % 14 if i % 16 == 3 else None,
+                    subtract_green=(i % 16 == 11)))
             else:
                 imgs.append(encode_fake_image(w, h, 3, seed=i))
         out = t.append_column("image", pa2.array(imgs, pa2.binary()))

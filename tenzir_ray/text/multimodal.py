@@ -17,9 +17,12 @@ canvas with sub-rectangles, transparency and disposal, feeding real
 video frame-sampling), **sequential AND progressive JPEG**
 (:mod:`tenzir_ray.text.jpeg`: general DHT Huffman decode + batched
 einsum IDCT, 4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral
-selection + successive approximation; encoder duals for both) — and a
-deterministic FAKE container for fixtures. Codecs whose libraries this
-container lacks (WebP/AVIF/MP3/AAC/MP4) raise a
+selection + successive approximation; encoder duals for both),
+**lossless WebP** (:mod:`tenzir_ray.text.webp`: the full VP8L
+bitstream — prefix codes, all four transforms, color cache, LZ77 with
+2D distance codes; encoder dual) — and a deterministic FAKE container
+for fixtures. Codecs whose libraries this container lacks
+(lossy-WebP-VP8/AVIF/MP3/AAC/MP4) raise a
 clearly-marked ``NotImplementedError``; swapping
 the ``_decode_payload`` / ``_decode_audio`` dispatchers' fallthrough
 for Pillow/ffmpeg changes nothing else in the pipeline.
@@ -470,10 +473,13 @@ def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     if buf[:2] == b"\xff\xd8":
         from tenzir_ray.text.jpeg import decode_jpeg
         return decode_jpeg(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from tenzir_ray.text.webp import decode_webp
+        return decode_webp(buf)
     raise NotImplementedError(
-        "WebP/AVIF codecs are not available in this environment; BMP, "
-        "binary PPM/PGM, PNG, GIF, sequential/progressive JPEG and the "
-        "FAKE container decode"
+        "AVIF/lossy-WebP codecs are not available in this environment; "
+        "BMP, binary PPM/PGM, PNG, GIF, sequential/progressive JPEG, "
+        "lossless WebP (VP8L) and the FAKE container decode"
     )
 
 

@@ -127,9 +127,37 @@ def test_png_sub_byte_roundtrip(dims, depth, seed, interlace):
         got[:, :, 0], vals * (255 // ((1 << depth) - 1)))
 
 
+@given(dims=_dims, c=st.sampled_from([1, 2, 3, 4]),
+       seed=st.integers(0, 2**31 - 1),
+       sg=st.booleans(), pred=st.sampled_from([None] + list(range(14))),
+       cache=st.sampled_from([0, 4]), lz=st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_webp_lossless_roundtrip_is_identity(dims, c, seed, sg, pred,
+                                             cache, lz):
+    from tenzir_ray.text.webp import decode_webp, encode_webp_lossless
+
+    h, w = dims
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c), dtype=np.uint8)
+    buf = encode_webp_lossless(px, subtract_green=sg, predictor=pred,
+                               cache_bits=cache,
+                               lz77_dists=(1, w) if lz else ())
+    got, gw, gh, gc = decode_webp(buf)
+    assert (gw, gh) == (w, h)
+    if c == 1:
+        exp = np.repeat(px, 3, axis=2)
+    elif c == 2:
+        exp = np.concatenate(
+            [np.repeat(px[:, :, :1], 3, axis=2), px[:, :, 1:]], axis=2)
+    else:
+        exp = px
+    np.testing.assert_array_equal(got, exp)
+
+
 @given(buf=st.binary(min_size=0, max_size=200),
        prefix=st.sampled_from([b"", b"\x89PNG\r\n\x1a\n", b"GIF89a",
-                               b"\xff\xd8", b"BM", b"P6", b"FAKE"]))
+                               b"\xff\xd8", b"BM", b"P6", b"FAKE",
+                               b"RIFF\x20\x00\x00\x00WEBPVP8L"]))
 @settings(max_examples=120, deadline=None)
 def test_image_decoder_never_raises(buf, prefix):
     t = pa.table({"image": pa.array([prefix + buf], pa.binary())})
