@@ -20,9 +20,13 @@ einsum IDCT, 4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral
 selection + successive approximation; encoder duals for both),
 **lossless WebP** (:mod:`tenzir_ray.text.webp`: the full VP8L
 bitstream — prefix codes, all four transforms, color cache, LZ77 with
-2D distance codes; encoder dual) — and a deterministic FAKE container
-for fixtures. Codecs whose libraries this container lacks
-(lossy-WebP-VP8/AVIF/MP3/AAC/MP4) raise a
+2D distance codes; encoder dual), **MP4/ISO-BMFF** demuxing
+(:mod:`tenzir_ray.text.mp4`: box-tree walk + sample-table resolution;
+Motion-JPEG tracks decode end-to-end through the JPEG codec, MJPEG
+muxer dual), **MP3** frame-header metadata
+(version/bitrate/duration) — and a deterministic FAKE container
+for fixtures. Codecs whose libraries this container lacks (lossy
+WebP-VP8, AVIF, H.264/HEVC pixel decode, MP3/AAC PCM decode) raise a
 clearly-marked ``NotImplementedError``; swapping
 the ``_decode_payload`` / ``_decode_audio`` dispatchers' fallthrough
 for Pillow/ffmpeg changes nothing else in the pipeline.
@@ -577,14 +581,16 @@ def sample_video_frames(
     t: pa.Table, *, payload_col: str = "video", every_n: int = 10
 ) -> pa.Table:
     """Frame-sampling stage: one output row per sampled frame. REAL
-    container: animated GIF — frames are composed on the logical-screen
+    containers: animated GIF — frames are composed on the logical-screen
     canvas (:func:`_gif_frames`, honoring sub-rectangles / transparency
-    / disposal) and every ``every_n``-th composed frame is re-emitted
-    as a decodable FAKE-container payload, so downstream
-    ``ImageDecoder`` stages consume sampled frames uniformly. The FAKE
-    video container (fixed-size fake frames back to back) remains for
-    fixtures; MP4/WebM stay loud stubs (no ffmpeg in this
-    environment)."""
+    / disposal) — and ISO-BMFF MP4 (:mod:`tenzir_ray.text.mp4` box-tree
+    demux): Motion-JPEG tracks decode each sampled sample through the
+    in-repo JPEG codec. Sampled frames are re-emitted as decodable
+    FAKE-container payloads, so downstream ``ImageDecoder`` stages
+    consume them uniformly. The FAKE video container (fixed-size fake
+    frames back to back) remains for fixtures; arithmetic-coded video
+    codecs (H.264/HEVC/VP9/AV1) demux but raise at pixel decode (no
+    codec lib in this environment)."""
     rows = {"frame_idx": [], "frame": []}
     parents = []
     for i, buf in enumerate(t.column(payload_col).to_pylist()):
@@ -601,11 +607,30 @@ def sample_video_frames(
                     + np.ascontiguousarray(canvas).tobytes())
                 parents.append(i)
             continue
+        if len(buf) >= 12 and buf[4:8] == b"ftyp":  # ISO-BMFF
+            from tenzir_ray.text.mp4 import mp4_video_frames
+
+            for f, _dts, _key, sample, codec in mp4_video_frames(buf):
+                if f % every_n:
+                    continue
+                if codec != "jpeg":
+                    raise NotImplementedError(
+                        f"MP4 video codec {codec!r} needs an arithmetic "
+                        "decoder — only Motion-JPEG tracks decode in "
+                        "this environment")
+                px, w, h, c = _decode_payload(sample)
+                rows["frame_idx"].append(f)
+                rows["frame"].append(
+                    _MAGIC + struct.pack("<HHB", w, h, c)
+                    + np.ascontiguousarray(px).tobytes())
+                parents.append(i)
+            continue
         # fake video container: frames are fixed-size fake images back to back
         if buf[:4] != _MAGIC:
             raise NotImplementedError(
-                "only animated GIF and FAKE video containers are "
-                "supported (no ffmpeg in this environment)")
+                "only animated GIF, MP4 (MJPEG) and FAKE video "
+                "containers are supported (no ffmpeg in this "
+                "environment)")
         w, h, c = struct.unpack("<HHB", buf[4:9])
         fsize = 9 + w * h * c
         nframes = len(buf) // fsize

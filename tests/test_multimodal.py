@@ -74,10 +74,16 @@ def test_video_frame_sampling():
 
 
 def test_real_codec_clearly_stubbed():
+    # MP4 demuxes for real since round 5 — a malformed box tree is a
+    # loud ValueError; unknown containers remain NotImplementedError
+    with pytest.raises(ValueError):
+        sample_video_frames(
+            pa.table({"video": [b"\x00\x00\x00 ftypmp42..."]}),
+            payload_col="video")
     with pytest.raises(NotImplementedError):
         sample_video_frames(
-            pa.table({"video": [b"\x00\x00\x00 ftypmp42..."]}), payload_col="video"
-        )
+            pa.table({"video": [b"\x1aE\xdf\xa3 webm-ish bytes"]}),
+            payload_col="video")
 
 
 def test_audio_features(ray_session):
