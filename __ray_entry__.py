@@ -1930,6 +1930,69 @@ def _multimodal_decode(sf_dir: str):
     )
 
 
+def _video_frames(sf_dir: str):
+    """MP4 video → frame-sample → decode → per-frame pixel stats over
+    an opaque binary column: REAL ISO-BMFF demux (text/mp4.py box tree
+    + stsd/stts/stsc/stsz/stco/stss sample resolution) of Motion-JPEG
+    tracks synthesized per doc id; every sampled frame decodes through
+    the in-repo JPEG codec. Oracle = the same chain run sequentially
+    on the driver (precomputed-expected-table pattern)."""
+    from tenzir_ray.text.jpeg import encode_jpeg
+    from tenzir_ray.text.mp4 import mux_mjpeg_mp4
+    from tenzir_ray.text.multimodal import ImageDecoder, sample_video_frames
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+    def keep(t):
+        import pyarrow.compute as pc2
+
+        return t.filter(pc2.equal(
+            pc2.bit_wise_and(t.column("doc_id"), 15), 0))
+
+    def make_video(i: int) -> bytes:
+        nf = 4 + i % 3
+        w, h = 12 + i % 5, 10 + i % 4
+        frames = []
+        for f in range(nf):
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(xx * 17 + f * 31 + i) % 256, (yy * 13 + f * 7) % 256,
+                 np.full((h, w), (i + f) % 256)], -1).astype(np.uint8)
+            frames.append(encode_jpeg(px, 90))
+        return mux_mjpeg_mp4(frames, w, h, fps=4, keyframe_every=2)
+
+    def attach(t):
+        import pyarrow as pa2
+
+        vids = [make_video(int(i)) for i in t.column("doc_id").to_pylist()]
+        out = t.append_column("video", pa2.array(vids, pa2.binary()))
+        return out.replace_schema_metadata(None) if out.schema.metadata \
+            else out
+
+    def chain(t):
+        import pyarrow as pa2
+
+        s = sample_video_frames(t, payload_col="video", every_n=2)
+        s = ImageDecoder(payload_col="frame")(s)
+        sums = [int(np.frombuffer(b, np.uint8).sum())
+                for b in s.column("pixels").to_pylist()]
+        s = s.select(["doc_id", "frame_idx", "img_width", "img_height"])
+        s = s.append_column("frame_sum", pa2.array(sums, pa2.int64()))
+        return s.replace_schema_metadata(None) if s.schema.metadata else s
+
+    all_ids = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                            columns=["doc_id"])
+    if all_ids is not None:
+        seq = keep(all_ids).sort_by("doc_id")
+        _write_oracle("video_frames", chain(attach(seq)))
+    else:
+        _skip_oracle("video_frames")
+
+    ds = docs.map_batches(keep, batch_format="pyarrow")
+    ds = ds.map_batches(attach, batch_format="pyarrow", batch_size=128)
+    return ds.map_batches(chain, batch_format="pyarrow", batch_size=128)
+
+
 def _semi_join_orders(sf_dir: str):
     """semi join via broadcast key set (contexts `where x in ctx`,
     SURVEY §2.6)."""
@@ -2350,14 +2413,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- r04-green, code changed this round (graph/dedup/quality/cdc) ----
         "minhash_cc_docs": _minhash_cc_docs,
         "jaccard_dedup_docs": _jaccard_dedup_docs,
-        "minhash_dedup_docs": _minhash_dedup_docs,
+        "video_frames": _video_frames,
         "cdc_replay": _cdc_replay,
         "cdc_asof": _cdc_asof,
         "warc_ingest": _warc_ingest,
         "multimodal_decode": _multimodal_decode,
         # ---- position 50 boundary (driver window ends here) ---------------
         # upsert_events (r04-green) yields its seat: its apply_wal+LWW
-        # path is covered in-window by cdc_replay AND warc_ingest
+        # path is covered in-window by cdc_replay AND warc_ingest;
+        # minhash_dedup_docs (r04-green) yields its seat to the new
+        # video_frames query — its r5-vectorized kernels stay covered
+        # in-window by jaccard_dedup_docs + minhash_cc_docs
+        "minhash_dedup_docs": _minhash_dedup_docs,
         "upsert_events": _upsert_events,
         "q1_summarize": _q1_summarize,
         "http_roundtrip": _http_roundtrip,
@@ -2513,6 +2580,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/multimodal_decode.parquet'
+        """,
+        "video_frames": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/video_frames.parquet'
         """,
         "pii_redact": r"""
             WITH salted AS (

@@ -763,17 +763,33 @@ class AudioFeatures:
     zero_crossing_rate) features. A real pipeline loads torchaudio /
     an ASR/embedding model in ``__init__`` and runs batched inference
     here; byte-level decode handles WAV PCM + the FAKE container for
-    real, compressed codecs raise (same policy as images)."""
+    real. MP3 rows get REAL metadata (sample_rate + duration from the
+    frame-header walk, :func:`tenzir_ray.text.mp4.parse_mp3`) with
+    null waveform features; other compressed codecs raise (same
+    policy as images)."""
 
     def __init__(self, payload_col: str = "audio"):
         self.col = payload_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from tenzir_ray.text.mp4 import parse_mp3
+
         sr, dur, rms, zcr, ok = [], [], [], [], []
         for buf in t.column(self.col).to_pylist():
             if buf is None or len(buf) < 4:
                 sr.append(None); dur.append(None)
                 rms.append(None); zcr.append(None); ok.append(False)
+                continue
+            if buf[:3] == b"ID3" or (buf[0] == 0xFF
+                                     and (buf[1] & 0xE0) == 0xE0):
+                try:  # MP3: metadata-only decode (no PCM without a
+                    meta = parse_mp3(buf)  # filterbank codec)
+                    sr.append(meta["sample_rate"])
+                    dur.append(meta["duration_s"])
+                    rms.append(None); zcr.append(None); ok.append(True)
+                except ValueError:
+                    sr.append(None); dur.append(None)
+                    rms.append(None); zcr.append(None); ok.append(False)
                 continue
             try:
                 rate, x = _decode_audio(buf)

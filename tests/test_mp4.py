@@ -117,3 +117,21 @@ def test_parse_mp3():
         parse_mp3(b"not audio at all")
     with pytest.raises(ValueError):
         parse_mp3(_mp3_frame()[:30])  # truncated single frame
+
+
+def test_audio_features_mp3_metadata():
+    """AudioFeatures emits real sample_rate/duration for MP3 payloads
+    (frame-header walk) with null waveform features."""
+    from tenzir_ray.text.multimodal import AudioFeatures, encode_fake_audio
+
+    mp3 = b"".join(_mp3_frame() for _ in range(20))
+    wav = encode_fake_audio(1600, sample_rate=8000, seed=3)
+    t = pa.table({"audio": pa.array([mp3, wav, b"\xff\xe0 bogus"],
+                                    pa.binary())})
+    out = AudioFeatures()(t)
+    assert out.column("audio_ok").to_pylist() == [True, True, False]
+    assert out.column("sample_rate").to_pylist()[0] == 44100
+    assert abs(out.column("duration_s").to_pylist()[0]
+               - 20 * 1152 / 44100) < 1e-3
+    assert out.column("audio_rms").to_pylist()[0] is None
+    assert out.column("audio_rms").to_pylist()[1] is not None
