@@ -317,6 +317,8 @@ def parse_mp3(buf: bytes) -> dict:
         pad = (h >> 9) & 1
         if ver_bits == 1 or layer == 4 or br_idx in (0, 0xF) \
                 or sr_idx == 3:
+            if n_frames:
+                break  # sync-looking trailing garbage after real frames
             raise ValueError("invalid MP3 frame header")
         is_v1 = 1 if ver_bits == 3 else 0
         kbps = _MP3_BITRATES[(is_v1, layer)][br_idx - 1]

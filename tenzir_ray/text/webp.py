@@ -423,23 +423,32 @@ def _inverse_predictor(res: np.ndarray, modes: np.ndarray, bits: int,
     return out
 
 
+def _s8v(a: np.ndarray) -> np.ndarray:
+    """uint8-valued int array → signed-int8 values (vectorized)."""
+    a = a.astype(np.int32)
+    return np.where(a >= 128, a - 256, a)
+
+
 def _inverse_color(img: np.ndarray, cts: np.ndarray, bits: int,
                    xs: int, ys: int) -> np.ndarray:
-    out = np.empty_like(img)
+    """Vectorized cross-color inverse: the transform is
+    pixel-independent given the tile multipliers (unlike the
+    predictor, which is genuinely sequential)."""
+    im = img.reshape(ys, xs)
     mw = _sub_size(xs, bits)
-    for y in range(ys):
-        for x in range(xs):
-            px = int(img[y * xs + x])
-            ct = int(cts[(y >> bits) * mw + (x >> bits)])
-            g2r, g2b, r2b = ct & 0xFF, (ct >> 8) & 0xFF, (ct >> 16) & 0xFF
-            green = (px >> 8) & 0xFF
-            red = ((px >> 16) & 0xFF) + _ct_delta(g2r, green)
-            red &= 0xFF
-            blue = (px & 0xFF) + _ct_delta(g2b, green) \
-                + _ct_delta(r2b, red)
-            out[y * xs + x] = (px & 0xFF00FF00) | (red << 16) \
-                | (blue & 0xFF)
-    return out
+    tile = cts.reshape(-1, mw)[
+        (np.arange(ys) >> bits)[:, None], np.arange(xs) >> bits]
+    g2r = _s8v(tile & 0xFF)
+    g2b = _s8v((tile >> 8) & 0xFF)
+    r2b = _s8v((tile >> 16) & 0xFF)
+    green = _s8v((im >> 8) & 0xFF)
+    red = (((im >> 16) & 0xFF).astype(np.int32)
+           + ((g2r * green) >> 5)) & 0xFF
+    blue = ((im & 0xFF).astype(np.int32) + ((g2b * green) >> 5)
+            + ((r2b * _s8v(red)) >> 5)) & 0xFF
+    out = (im & np.uint32(0xFF00FF00)) | (red.astype(np.uint32) << 16) \
+        | blue.astype(np.uint32)
+    return out.ravel().astype(np.uint32)
 
 
 def _inverse_subtract_green(img: np.ndarray) -> np.ndarray:
@@ -459,11 +468,10 @@ def _inverse_palette(img: np.ndarray, palette: np.ndarray, pbits: int,
         bpp = 8 >> pbits
         mask = (1 << bpp) - 1
         packed_w = _sub_size(xs, pbits)
-        idx = np.empty(xs * ys, np.uint32)
-        for y in range(ys):
-            for x in range(xs):
-                g = (int(img[y * packed_w + (x >> pbits)]) >> 8) & 0xFF
-                idx[y * xs + x] = (g >> (bpp * (x % per))) & mask
+        g = (img.reshape(ys, packed_w) >> 8) & 0xFF
+        xcol = np.arange(xs)
+        shift = (bpp * (xcol % per)).astype(np.uint32)
+        idx = ((g[:, xcol >> pbits] >> shift) & mask).ravel()
     else:
         idx = (img >> 8) & 0xFF
     if int(idx.max(initial=0)) >= n_colors:
@@ -837,6 +845,8 @@ def encode_webp_lossless(px: np.ndarray, *, subtract_green: bool = False,
         raise ValueError("1-4 channels only")
     if palette and (subtract_green or predictor is not None or color_mult):
         raise ValueError("palette is exclusive with other transforms")
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L dimensions are 14-bit (1..16384)")
     f = px.astype(np.uint32)
     if c == 1:
         a, r, g, b = np.full_like(f[:, :, 0], 255), f[:, :, 0], \

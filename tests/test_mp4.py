@@ -135,3 +135,12 @@ def test_audio_features_mp3_metadata():
                - 20 * 1152 / 44100) < 1e-3
     assert out.column("audio_rms").to_pylist()[0] is None
     assert out.column("audio_rms").to_pylist()[1] is not None
+
+
+def test_parse_mp3_tolerates_sync_looking_trailing_garbage():
+    """Trailing bytes that match the 11-bit sync but carry invalid
+    fields (free bitrate, reserved samplerate) must not void the
+    already-parsed frames (review finding)."""
+    body = b"".join(_mp3_frame() for _ in range(7))
+    meta = parse_mp3(body + b"\xff\xfb\x00\x00garbage")
+    assert meta["n_frames"] == 7

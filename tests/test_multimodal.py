@@ -111,10 +111,15 @@ def test_audio_compressed_codec_clearly_stubbed():
 
     from tenzir_ray.text.multimodal import AudioFeatures
 
-    # MP3 (compressed) stays a loud stub
+    # MP3 PCM decode stays a stub, but since round 5 the stage emits
+    # metadata-only rows (or ok=False for unparseable frames) instead
+    # of raising — AAC/OGG remain loud NotImplementedError stubs
     t = pa.table({"audio": pa.array([b"ID3\x04...mp3 frames"], pa.binary())})
+    out = AudioFeatures()(t)
+    assert out.column("audio_ok").to_pylist() == [False]
     with _pt.raises(NotImplementedError):
-        AudioFeatures()(t)
+        AudioFeatures()(pa.table({"audio": pa.array(
+            [b"OggS\x00 vorbis-ish"], pa.binary())}))
 
 
 def test_real_wav_and_bmp_ppm_decode():
@@ -217,10 +222,14 @@ def test_corrupt_containers_null_not_crash():
                                     pa.binary())})
     out = AudioFeatures()(t)
     assert out.column("audio_ok").to_pylist() == [False, False, False]
-    # compressed codec still a loud stub
+    # MP3-looking payload without a parseable frame: metadata decode
+    # fails soft (ok=False row); non-MP3 compressed codecs stay loud
+    out2 = AudioFeatures()(pa.table({"audio": pa.array(
+        [b"ID3\x04tag"], pa.binary())}))
+    assert out2.column("audio_ok").to_pylist() == [False]
     with _pt.raises(NotImplementedError):
-        AudioFeatures()(pa.table({"audio": pa.array([b"ID3\x04tag"],
-                                                    pa.binary())}))
+        AudioFeatures()(pa.table({"audio": pa.array(
+            [b"fLaC\x00\x00\x00\x22"], pa.binary())}))
 
     # paletted 8-bit BMP: indices map through the (inverted) palette
     w = h = 2

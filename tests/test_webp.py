@@ -137,3 +137,12 @@ def test_webp_through_image_decoder_stage():
     got = np.frombuffer(
         out.column("pixels").to_pylist()[0], np.uint8).reshape(7, 9, 3)
     np.testing.assert_array_equal(got, px)
+
+
+def test_webp_dimension_limit_is_loud():
+    """14-bit VP8L header fields: oversize inputs must raise, not
+    silently wrap (review finding)."""
+    with pytest.raises(ValueError):
+        encode_webp_lossless(np.zeros((1, 16385, 3), np.uint8))
+    with pytest.raises(ValueError):
+        encode_webp_lossless(np.zeros((16385, 1, 3), np.uint8))
