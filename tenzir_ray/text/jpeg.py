@@ -790,7 +790,8 @@ def _progressive_scans(qcoefs, grids, nc, mcux, mcuy, w, h, hmax, vmax,
 def encode_jpeg(px: np.ndarray, quality: int = 90,
                 subsample: bool | tuple[int, int] = False,
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                separate_scans: bool = False) -> bytes:
     """Encode (h, w) or (h, w, 1|3) uint8 → baseline JFIF bytes.
     ``subsample`` sets the luma sampling factors: ``True`` = (2, 2)
     (4:2:0), or an explicit ``(sh, sv)`` with each in {1, 2} —
@@ -798,7 +799,10 @@ def encode_jpeg(px: np.ndarray, quality: int = 90,
     ``restart_interval`` emits DRI + RSTn markers every N scan units.
     ``progressive`` emits SOF2 with a full successive-approximation
     scan script (see :func:`_progressive_scans`) — same coefficients,
-    so baseline and progressive encodings decode identically."""
+    so baseline and progressive encodings decode identically.
+    ``separate_scans`` emits one NON-INTERLEAVED sequential scan per
+    component (ns=1, each over its own block grid) instead of the
+    single interleaved scan — again coefficient-identical."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, nc = px.shape
@@ -871,6 +875,29 @@ def encode_jpeg(px: np.ndarray, quality: int = 90,
                 qcoefs, grids, nc, mcux, mcuy, w, h, hmax, vmax,
                 restart_interval):
             out += seg(0xFFDA, sos) + data
+        return out + b"\xff\xd9"
+
+    if separate_scans:
+        # one non-interleaved sequential scan per component (T.81
+        # allows it in baseline; scan units = the component's own
+        # sample-covering blocks, not the padded MCU grid)
+        for ci, qc in enumerate(qcoefs):
+            gw, _gh, sh, sv = grids[ci]
+            cw, chh = -(-(w * sh) // hmax), -(-(h * sv) // vmax)
+            nbx, nby = -(-cw // 8), -(-chh // 8)
+            bwr = _BitWriter()
+            pred = 0
+            for u in range(nbx * nby):
+                if restart_interval and u and u % restart_interval == 0:
+                    bwr.flush()
+                    bwr.out += bytes([
+                        0xFF, 0xD0 + ((u // restart_interval - 1) % 8)])
+                    pred = 0
+                by, bx = divmod(u, nbx)
+                pred = _encode_block(bwr, qc[by * gw + bx], pred)
+            bwr.flush()
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0])
+            out += seg(0xFFDA, sos) + bytes(bwr.out)
         return out + b"\xff\xd9"
 
     bwr = _BitWriter()

@@ -808,6 +808,43 @@ def _write_substream(bw: _LsbWriter, argb: np.ndarray, xs: int) -> None:
     _write_body(bw, argb, xs)
 
 
+def _write_body_meta(bw: _LsbWriter, argb: np.ndarray, xs: int, ys: int,
+                     meta_bits: int) -> None:
+    """All-literal body with a meta-prefix entropy image: two Huffman
+    groups assigned by tile-column parity (exercises the decoder's
+    per-tile group lookup). The entropy image itself is a substream
+    whose (red<<8 | green) channels carry the group index."""
+    mw, mh = _sub_size(xs, meta_bits), _sub_size(ys, meta_bits)
+    tile_idx = (np.arange(mw * mh, dtype=np.uint32) % mw) % 2
+    _write_substream(bw, (tile_idx << 8).astype(np.uint32), mw)
+    groups = [[dict() for _ in range(5)] for _ in range(2)]
+    vals = [int(v) for v in argb]
+    gsel = []
+    for pos, px in enumerate(vals):
+        y, x = divmod(pos, xs)
+        gi = int(tile_idx[(y >> meta_bits) * mw + (x >> meta_bits)])
+        gsel.append(gi)
+        f = groups[gi]
+        for i, s in ((0, (px >> 8) & 0xFF), (1, (px >> 16) & 0xFF),
+                     (2, px & 0xFF), (3, (px >> 24) & 0xFF)):
+            f[i][s] = f[i].get(s, 0) + 1
+    all_codes = []
+    for f in groups:
+        codes = [_flat_code(f[0], 256 + 24), _flat_code(f[1], 256),
+                 _flat_code(f[2], 256), _flat_code(f[3], 256),
+                 _flat_code(f[4], 40)]
+        for i, c in enumerate(codes):
+            _write_code(bw, c, (256 + 24) if i == 0 else
+                        (40 if i == 4 else 256))
+        all_codes.append(codes)
+    for pos, px in enumerate(vals):
+        codes = all_codes[gsel[pos]]
+        _put_code(bw, *codes[0].codes[(px >> 8) & 0xFF])
+        _put_code(bw, *codes[1].codes[(px >> 16) & 0xFF])
+        _put_code(bw, *codes[2].codes[px & 0xFF])
+        _put_code(bw, *codes[3].codes[(px >> 24) & 0xFF])
+
+
 def _fwd_predict(argb: np.ndarray, mode: int, bits: int, xs: int,
                  ys: int) -> np.ndarray:
     """Forward predictor residuals with the decoder's edge rules."""
@@ -833,7 +870,8 @@ def encode_webp_lossless(px: np.ndarray, *, subtract_green: bool = False,
                          color_mult: tuple[int, int, int] | None = None,
                          palette: bool = False, cache_bits: int = 0,
                          lz77_dists: tuple[int, ...] = (),
-                         transform_bits: int = 4) -> bytes:
+                         transform_bits: int = 4,
+                         meta_bits: int | None = None) -> bytes:
     """Encode (h, w) or (h, w, c∈{1,2,3,4}) uint8 → lossless WebP.
     The keyword switches steer which decoder paths the stream uses;
     ``color_mult`` is (green_to_red, green_to_blue, red_to_blue) bytes;
@@ -944,8 +982,15 @@ def encode_webp_lossless(px: np.ndarray, *, subtract_green: bool = False,
         bw.put(cache_bits, 4)
     else:
         bw.put(0, 1)
-    bw.put(0, 1)  # no meta prefix codes
-    _write_body(bw, argb, xs, cache_bits, lz77_dists)
+    if meta_bits is not None:
+        if cache_bits or lz77_dists:
+            raise ValueError("meta_bits is literal-only in this encoder")
+        bw.put(1, 1)
+        bw.put(meta_bits - 2, 3)
+        _write_body_meta(bw, argb, xs, h, meta_bits)
+    else:
+        bw.put(0, 1)  # no meta prefix codes
+        _write_body(bw, argb, xs, cache_bits, lz77_dists)
     payload = bw.flush()
     vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

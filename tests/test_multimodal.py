@@ -863,3 +863,23 @@ def test_gif_animation_composition_and_frame_sampling():
     got2 = np.frombuffer(d.column("pixels")[1].as_py(),
                          np.uint8).reshape(4, 6, 3)
     np.testing.assert_array_equal(got2, exp2)
+
+
+def test_jpeg_non_interleaved_sequential_scans():
+    """T.81 allows baseline files with one non-interleaved scan per
+    component; the general scan walker must decode them identically
+    to the single interleaved scan (same coefficients)."""
+    from tenzir_ray.text.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(47)
+    for shape in ((17, 13, 3), (23, 9, 1)):
+        for samp in (False, True):
+            if shape[2] == 1 and samp:
+                continue
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            a = decode_jpeg(encode_jpeg(px, 85, subsample=samp))
+            b = decode_jpeg(encode_jpeg(px, 85, subsample=samp,
+                                        separate_scans=True,
+                                        restart_interval=3))
+            np.testing.assert_array_equal(a[0], b[0])
+            assert a[1:] == b[1:]

@@ -146,3 +146,18 @@ def test_webp_dimension_limit_is_loud():
         encode_webp_lossless(np.zeros((1, 16385, 3), np.uint8))
     with pytest.raises(ValueError):
         encode_webp_lossless(np.zeros((16385, 1, 3), np.uint8))
+
+
+def test_webp_meta_prefix_groups():
+    """Meta-prefix entropy image: two Huffman groups by tile-column
+    parity — exercises the decoder's per-tile group lookup, alone and
+    composed with transforms."""
+    rng = np.random.default_rng(23)
+    for shape, mb in (((13, 37, 3), 2), ((20, 20, 4), 3), ((9, 50, 3), 2)):
+        _roundtrip(rng.integers(0, 256, size=shape, dtype=np.uint8),
+                   meta_bits=mb)
+    _roundtrip(rng.integers(0, 256, size=(14, 33, 3), dtype=np.uint8),
+               subtract_green=True, predictor=7, meta_bits=2)
+    with pytest.raises(ValueError):  # literal-only encoder restriction
+        encode_webp_lossless(np.zeros((4, 4, 3), np.uint8), meta_bits=2,
+                             cache_bits=3)
