@@ -756,11 +756,12 @@ def test_corrupt_compressed_payloads_null_not_crash():
     rng = np.random.default_rng(17)
     png = encode_png(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
     jpg = encode_jpeg(_smooth_rgb(8, 8), 90)
+    prog = encode_jpeg(_smooth_rgb(8, 8), 90, progressive=True)
     pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
     gif = _build_gif(np.zeros((4, 4), np.uint8), pal)
 
     bad = []
-    for base in (png, jpg, gif):
+    for base in (png, jpg, prog, gif):
         bad.append(base[: len(base) // 2])          # truncation
         bad.append(base[:-7])                       # tail truncation
         for off in range(8, min(len(base), 64)):    # bit flips
