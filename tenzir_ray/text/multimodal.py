@@ -23,11 +23,12 @@ bitstream — prefix codes, all four transforms, color cache, LZ77 with
 2D distance codes; encoder dual), **MP4/ISO-BMFF** demuxing
 (:mod:`tenzir_ray.text.mp4`: box-tree walk + sample-table resolution;
 Motion-JPEG tracks decode end-to-end through the JPEG codec, MJPEG
-muxer dual), **MP3** frame-header metadata
-(version/bitrate/duration) — and a deterministic FAKE container
-for fixtures. Codecs whose libraries this container lacks (lossy
-WebP-VP8, AVIF, H.264/HEVC pixel decode, MP3/AAC PCM decode) raise a
-clearly-marked ``NotImplementedError``; swapping
+muxer dual), **FLAC** (:mod:`tenzir_ray.text.flac`: Rice/LPC decode with CRC-8/16
++ MD5 verification; lossless encoder dual), **MP3** frame-header
+metadata (version/bitrate/duration) — and a deterministic FAKE
+container for fixtures. Codecs whose libraries this container lacks
+(lossy WebP-VP8, AVIF, H.264/HEVC pixel decode, MP3/AAC PCM decode)
+raise a clearly-marked ``NotImplementedError``; swapping
 the ``_decode_payload`` / ``_decode_audio`` dispatchers' fallthrough
 for Pillow/ffmpeg changes nothing else in the pipeline.
 """
@@ -745,28 +746,34 @@ def _decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
 
 
 def _decode_audio(buf: bytes) -> tuple[int, np.ndarray]:
-    """Dispatch by magic: REAL RIFF/WAVE PCM decode + the deterministic
-    FAKE container; compressed codecs (MP3/AAC/OGG) raise."""
+    """Dispatch by magic: REAL RIFF/WAVE PCM and FLAC decodes
+    (:mod:`tenzir_ray.text.flac` — pure numpy/stdlib, MD5-verified)
+    + the deterministic FAKE container; codecs whose spec is mostly
+    tabulated data (MP3/AAC/OGG-Vorbis) raise."""
     if buf[:4] == _AMAGIC:
         rate, n = struct.unpack("<II", buf[4:12])
         pcm = np.frombuffer(buf[12:12 + 2 * n], dtype=np.int16)
         return rate, pcm.astype(np.float32) / 32768.0
     if buf[:4] == b"RIFF":
         return _decode_wav(buf)
+    if buf[:4] == b"fLaC":
+        from tenzir_ray.text.flac import decode_flac_audio
+        return decode_flac_audio(buf)
     raise NotImplementedError(
         "compressed audio codecs (MP3/AAC/…) are not available in this "
-        "environment; WAV PCM and the FAKE container decode")
+        "environment; WAV PCM, FLAC and the FAKE container decode")
 
 
 class AudioFeatures:
     """Actor-pool stage: audio binary → (sample_rate, duration_s, rms,
     zero_crossing_rate) features. A real pipeline loads torchaudio /
     an ASR/embedding model in ``__init__`` and runs batched inference
-    here; byte-level decode handles WAV PCM + the FAKE container for
-    real. MP3 rows get REAL metadata (sample_rate + duration from the
-    frame-header walk, :func:`tenzir_ray.text.mp4.parse_mp3`) with
-    null waveform features; other compressed codecs raise (same
-    policy as images)."""
+    here; byte-level decode handles WAV PCM, FLAC and the FAKE
+    container for real. MP3 rows get REAL metadata (sample_rate +
+    duration from the frame-header walk,
+    :func:`tenzir_ray.text.mp4.parse_mp3`) with null waveform
+    features; other compressed codecs raise (same policy as
+    images)."""
 
     def __init__(self, payload_col: str = "audio"):
         self.col = payload_col
