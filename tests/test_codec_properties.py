@@ -10,6 +10,8 @@ text/jpeg.py):
   near-exact on constant images (DC-only blocks)
 - ImageDecoder never raises on arbitrary byte strings — garbage decodes
   to img_ok=False rows, never an exception (the corpus-scale contract)
+- FLAC encode→decode is the identity on arbitrary int16 PCM for every
+  encoder knob, and AudioFeatures survives arbitrary fLaC-tagged bytes
 
 No Ray needed: the codecs are pure functions; ImageDecoder is a plain
 callable over an Arrow table."""
@@ -162,4 +164,34 @@ def test_webp_lossless_roundtrip_is_identity(dims, c, seed, sg, pred,
 def test_image_decoder_never_raises(buf, prefix):
     t = pa.table({"image": pa.array([prefix + buf], pa.binary())})
     out = ImageDecoder()(t)  # must not raise
+    assert out.num_rows == 1
+
+
+@given(n=st.integers(0, 700), ch=st.integers(1, 2),
+       seed=st.integers(0, 2**31 - 1),
+       bs=st.sampled_from([192, 256, 577, 4096]),
+       knobs=st.sampled_from([{}, {"use_lpc": True}, {"rice2": True},
+                              {"partition_order": 3},
+                              {"stereo": "independent"}]))
+@settings(max_examples=50, deadline=None)
+def test_flac_roundtrip_is_identity(n, ch, seed, bs, knobs):
+    from tenzir_ray.text.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    # mix of smooth and noisy content so every predictor/escape path
+    # gets a turn across examples
+    base = (4000 * np.sin(np.arange(n)[:, None] / 9.0)
+            + rng.integers(-2000, 2000, (n, ch))).astype(np.int64)
+    x = np.clip(base, -32768, 32767)
+    _, _, out = decode_flac(encode_flac(x, 16000, block_size=bs, **knobs))
+    np.testing.assert_array_equal(out, x)
+
+
+@given(buf=st.binary(min_size=0, max_size=300))
+@settings(max_examples=120, deadline=None)
+def test_audio_features_never_raises_on_corrupt_flac(buf):
+    from tenzir_ray.text.multimodal import AudioFeatures
+
+    t = pa.table({"audio": pa.array([b"fLaC" + buf], pa.binary())})
+    out = AudioFeatures()(t)  # corrupt stream → null row, never a crash
     assert out.num_rows == 1
