@@ -1993,6 +1993,77 @@ def _video_frames(sf_dir: str):
     return ds.map_batches(chain, batch_format="pyarrow", batch_size=128)
 
 
+def _audio_features(sf_dir: str):
+    """audio decode → feature-extract actor-pool stage over an opaque
+    binary column: a MIX of real FLAC payloads (every 4th doc mono with
+    rotating encoder knobs — LPC, Rice2, odd block sizes; every 4th ≡ 2
+    stereo across all four channel assignments — text/flac.py pure
+    numpy/stdlib decode, CRC + MD5 verified), real RIFF/WAVE PCM16
+    bytes (every 4th ≡ 1), deterministic FAKE containers, and
+    deliberately corrupt fLaC-tagged bytes (every 32nd ≡ 3 — must
+    yield audio_ok=false rows, never a crash), all synthesized from
+    doc ids.  MP3/AAC PCM decode stays stubbed."""
+    import struct as _s
+
+    from tenzir_ray.text.flac import encode_flac
+    from tenzir_ray.text.multimodal import (
+        AudioFeatures, encode_fake_audio, extract_audio_features,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    cols = ["doc_id", "sample_rate", "duration_s", "audio_rms",
+            "audio_zcr", "audio_ok"]
+
+    def attach(t):
+        import pyarrow as pa2
+
+        bufs = []
+        for i in t.column("doc_id").to_pylist():
+            n = 500 + (i % 7) * 80
+            tt = np.arange(n)
+            x = (2500 * np.sin(tt / (5.0 + i % 11))
+                 + np.random.default_rng(i).integers(-400, 400, n))
+            x = np.clip(x, -32768, 32767).astype(np.int64)
+            m = i % 4
+            if m == 0:
+                bufs.append(encode_flac(
+                    x, 8000 + 4000 * (i % 3),
+                    use_lpc=(i % 8 == 0), rice2=(i % 16 == 4),
+                    block_size=576 if i % 16 == 12 else 4096))
+            elif m == 2:
+                st = np.stack([x, np.roll(x, 3) // 2], 1)
+                mode = ("mid-side", "left-side", "right-side",
+                        "auto")[(i // 4) % 4]
+                bufs.append(encode_flac(st, 16000, stereo=mode))
+            elif m == 1:
+                pcm = x.astype("<i2").tobytes()
+                bufs.append(
+                    b"RIFF" + _s.pack("<I", 36 + len(pcm)) + b"WAVE"
+                    + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 16000,
+                                        32000, 2, 16)
+                    + b"data" + _s.pack("<I", len(pcm)) + pcm)
+            elif i % 32 == 3:
+                bufs.append(b"fLaC" + bytes((i * 7 + j) % 256
+                                            for j in range(40)))
+            else:
+                bufs.append(encode_fake_audio(n, 8000, seed=i))
+        out = t.append_column("audio", pa2.array(bufs, pa2.binary()))
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
+
+    all_ids = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                            columns=["doc_id"])
+    if all_ids is not None:
+        # sequential reference pass: same decode chain, one driver thread
+        seq = AudioFeatures()(attach(all_ids.sort_by("doc_id")))
+        _write_oracle("audio_features", seq.select(cols))
+    else:
+        _skip_oracle("audio_features")
+
+    ds = docs.map_batches(attach, batch_format="pyarrow", batch_size=128)
+    ds = extract_audio_features(ds, batch_size=128, concurrency=(1, 8))
+    return ds.select_columns(cols)
+
+
 def _semi_join_orders(sf_dir: str):
     """semi join via broadcast key set (contexts `where x in ctx`,
     SURVEY §2.6)."""
@@ -2402,7 +2473,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enumerate_sorted": _enumerate_sorted,
         "distinct_collect": _distinct_collect,
         "scalar_funcs": _scalar_funcs,
-        "reverse_head": _reverse_head,
         # -- oracle SQL repaired this round (::BIGINT casts) -----------------
         "ocsf_map": _ocsf_map,
         "yield_nested": _yield_nested,
@@ -2410,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new this round ---------------------------------------------------
         "group_over": _group_over,
         "incremental_dedup_docs": _incremental_dedup_docs,
+        "audio_features": _audio_features,
         # -- r04-green, code changed this round (graph/dedup/quality/cdc) ----
         "minhash_cc_docs": _minhash_cc_docs,
         "jaccard_dedup_docs": _jaccard_dedup_docs,
@@ -2423,7 +2494,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path is covered in-window by cdc_replay AND warc_ingest;
         # minhash_dedup_docs (r04-green) yields its seat to the new
         # video_frames query — its r5-vectorized kernels stay covered
-        # in-window by jaccard_dedup_docs + minhash_cc_docs
+        # in-window by jaccard_dedup_docs + minhash_cc_docs;
+        # reverse_head (r03-green, trivial reverse+head ops unchanged
+        # since) yields its seat to the new audio_features query so the
+        # FLAC codec gets a driver row — reverse/head stay pytest-covered
+        "reverse_head": _reverse_head,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "upsert_events": _upsert_events,
         "q1_summarize": _q1_summarize,
@@ -2583,6 +2658,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "video_frames": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/video_frames.parquet'
+        """,
+        "audio_features": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/audio_features.parquet'
         """,
         "pii_redact": r"""
             WITH salted AS (
