@@ -20,7 +20,11 @@ einsum IDCT, 4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral
 selection + successive approximation; encoder duals for both),
 **lossless WebP** (:mod:`tenzir_ray.text.webp`: the full VP8L
 bitstream — prefix codes, all four transforms, color cache, LZ77 with
-2D distance codes; encoder dual), **MP4/ISO-BMFF** demuxing
+2D distance codes; encoder dual), **QOI / TGA / baseline TIFF**
+(:mod:`tenzir_ray.text.raster`: the complete QOI 1.0 op set; TGA
+truecolor/grayscale raw + RLE, 8/16/24/32-bit; TIFF strips with
+none/LZW-early-change/PackBits compression, predictor 2, palette —
+each with an encoder dual), **MP4/ISO-BMFF** demuxing
 (:mod:`tenzir_ray.text.mp4`: box-tree walk + sample-table resolution;
 Motion-JPEG tracks decode end-to-end through the JPEG codec, MJPEG
 muxer dual), **FLAC** (:mod:`tenzir_ray.text.flac`: Rice/LPC decode with CRC-8/16
@@ -458,9 +462,10 @@ def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
 def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     """Dispatch by magic: REAL decoders for BMP, binary PPM/PGM, PNG
     (stdlib zlib + numpy unfiltering), GIF (pure-Python LZW),
-    sequential + progressive JPEG (:mod:`tenzir_ray.text.jpeg`) and the
-    deterministic FAKE container; WebP/AVIF raise — their codec libs
-    are not in this environment, and swapping this dispatcher's
+    sequential + progressive JPEG (:mod:`tenzir_ray.text.jpeg`),
+    QOI / TGA / baseline TIFF (:mod:`tenzir_ray.text.raster`) and the
+    deterministic FAKE container; lossy-WebP/AVIF raise — their codec
+    libs are not in this environment, and swapping this dispatcher's
     fallthrough for Pillow changes nothing else in the pipeline."""
     if buf[:4] == _MAGIC:
         w, h, c = struct.unpack("<HHB", buf[4:9])
@@ -481,10 +486,22 @@ def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         from tenzir_ray.text.webp import decode_webp
         return decode_webp(buf)
+    if buf[:4] == b"qoif":
+        from tenzir_ray.text.raster import decode_qoi
+        return decode_qoi(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        from tenzir_ray.text.raster import decode_tiff
+        return decode_tiff(buf)
+    # TGA has no leading magic — key on the TGA 2.0 trailing footer.
+    from tenzir_ray.text.raster import is_tga
+    if is_tga(buf):
+        from tenzir_ray.text.raster import decode_tga
+        return decode_tga(buf)
     raise NotImplementedError(
         "AVIF/lossy-WebP codecs are not available in this environment; "
         "BMP, binary PPM/PGM, PNG, GIF, sequential/progressive JPEG, "
-        "lossless WebP (VP8L) and the FAKE container decode"
+        "lossless WebP (VP8L), QOI, TGA, baseline TIFF and the FAKE "
+        "container decode"
     )
 
 

@@ -13,6 +13,7 @@ from tenzir_ray.text.multimodal import (
     ImageDecoder,
     ImageFeatures,
     ImageResizer,
+    _decode_audio,
     decode_images,
     encode_fake_image,
     sample_video_frames,
@@ -227,9 +228,13 @@ def test_corrupt_containers_null_not_crash():
     out2 = AudioFeatures()(pa.table({"audio": pa.array(
         [b"ID3\x04tag"], pa.binary())}))
     assert out2.column("audio_ok").to_pylist() == [False]
+    # truncated FLAC: the real codec raises ValueError → soft-fail row
+    out3 = AudioFeatures()(pa.table({"audio": pa.array(
+        [b"fLaC\x00\x00\x00\x22"], pa.binary())}))
+    assert out3.column("audio_ok").to_pylist() == [False]
+    # genuinely unsupported compressed codec (OGG) stays loud
     with _pt.raises(NotImplementedError):
-        AudioFeatures()(pa.table({"audio": pa.array(
-            [b"fLaC\x00\x00\x00\x22"], pa.binary())}))
+        _decode_audio(b"OggS\x00\x02" + b"\x00" * 20)
 
     # paletted 8-bit BMP: indices map through the (inverted) palette
     w = h = 2
