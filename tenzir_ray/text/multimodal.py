@@ -762,23 +762,201 @@ def _decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     return rate, x
 
 
+def _ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float32 → G.711 µ-law codes; exact inverse of ``_ULAW_TABLE``
+    on its own 256 output values (pytest pins that round-trip)."""
+    s = np.clip(np.rint(np.asarray(x) * 32768.0), -32635, 32635).astype(np.int32)
+    sign = np.where(s < 0, 0x80, 0).astype(np.int32)
+    mag = np.abs(s) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    """float32 → G.711 A-law codes; exact inverse of ``_ALAW_TABLE``
+    on its own 256 output values."""
+    s = np.clip(np.rint(np.asarray(x) * 32768.0), -32767, 32767).astype(np.int32)
+    sign = np.where(s >= 0, 0x80, 0).astype(np.int32)
+    mag = np.abs(s)
+    small = mag < 256
+    exp = np.where(small, 0,
+                   (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32)
+                    - 7).clip(1, 7))
+    mant = np.where(
+        small, mag >> 4,
+        (((mag >> np.maximum(exp - 1, 0)) - 0x108) >> 4).clip(0, 15))
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def _f80_unpack(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rates)."""
+    se, hi, lo = struct.unpack(">HII", b)
+    mant = (hi << 32) | lo
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("AIFF: inf/nan sample rate")
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return -val if se & 0x8000 else val
+
+
+def _f80_pack(v: float) -> bytes:
+    import math
+
+    if v == 0:
+        return b"\x00" * 10
+    m, e = math.frexp(abs(v))
+    mant = int(m * (1 << 64))
+    se = (e + 16382) | (0x8000 if v < 0 else 0)
+    return struct.pack(">HII", se, mant >> 32, mant & 0xFFFFFFFF)
+
+
+def _decode_aiff(buf: bytes) -> tuple[int, np.ndarray]:
+    """Real decoder for AIFF / AIFF-C (EA IFF 85 big-endian chunks):
+    COMM (channels, frames, bits, 80-bit-extended rate, AIFC
+    compression id) + SSND. PCM 8/16/24/32-bit big-endian, AIFC
+    ``NONE``/``sowt`` (byte-swapped 16-bit)/``fl32``/``fl64``/
+    ``alaw``/``ulaw``; channels averaged to mono like WAV."""
+    if buf[:4] != b"FORM" or buf[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF")
+    is_aifc = buf[8:12] == b"AIFC"
+    pos, nch, bits, rate, comp, data = 12, None, None, None, b"NONE", None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = struct.unpack_from(">I", buf, pos + 4)[0]
+        body = buf[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("AIFF: truncated chunk")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError("AIFF: short COMM chunk")
+            nch, _nframes, bits = struct.unpack_from(">HIH", body, 0)
+            rate = _f80_unpack(body[8:18])
+            if is_aifc and size >= 22:
+                comp = body[18:22]
+        elif cid == b"SSND":
+            if size < 8:
+                raise ValueError("AIFF: short SSND chunk")
+            offset = struct.unpack_from(">I", body, 0)[0]
+            data = body[8 + offset:]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None or not nch:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if not (0 < rate < 2**31):
+        raise ValueError("AIFF: bad sample rate")
+    comp = comp.lower()
+    if comp == b"none":
+        if bits == 8:  # AIFF 8-bit PCM is SIGNED (unlike WAV)
+            x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, ">i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b3 = np.frombuffer(data, np.uint8)
+            b3 = b3[: len(b3) - len(b3) % 3].reshape(-1, 3).astype(np.int32)
+            v = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
+            x = (v - ((v & 0x800000) << 1)).astype(np.float32) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(data, ">i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"AIFF {bits}-bit PCM unsupported")
+    elif comp == b"sowt":  # little-endian 16-bit PCM
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif comp == b"fl32":
+        x = np.frombuffer(data, ">f4").astype(np.float32)
+    elif comp == b"fl64":
+        x = np.frombuffer(data, ">f8").astype(np.float32)
+    elif comp == b"alaw":
+        x = _ALAW_TABLE[np.frombuffer(data, np.uint8)]
+    elif comp == b"ulaw":
+        x = _ULAW_TABLE[np.frombuffer(data, np.uint8)]
+    else:
+        raise NotImplementedError(
+            f"AIFC compression {comp!r} unsupported")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return int(round(rate)), x
+
+
+def encode_aiff(pcm: np.ndarray, rate: int = 16_000, bits: int = 16,
+                compression: str | None = None) -> bytes:
+    """Encoder dual for :func:`_decode_aiff`. ``pcm`` is float32 in
+    [-1, 1), shape (n,) or (n, channels). ``compression=None`` writes
+    plain AIFF big-endian PCM at ``bits``; ``"sowt"``/``"fl32"``/
+    ``"fl64"``/``"alaw"``/``"ulaw"`` write the AIFC variants."""
+    pcm = np.asarray(pcm, np.float32)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    nframes, nch = pcm.shape
+    flat = pcm.reshape(-1)
+    if compression is None:
+        scale = {8: 128.0, 16: 32768.0, 24: 8388608.0, 32: 2147483648.0}[bits]
+        q = np.clip(np.rint(flat * scale), -scale, scale - 1).astype(np.int64)
+        if bits == 8:
+            data = q.astype(np.int8).tobytes()
+        elif bits == 24:
+            u = (q & 0xFFFFFF).astype(np.uint32)
+            data = np.stack([(u >> 16) & 255, (u >> 8) & 255, u & 255],
+                            -1).astype(np.uint8).tobytes()
+        else:
+            data = q.astype(f">i{bits // 8}").tobytes()
+        comm_tail = b""
+        form_type = b"AIFF"
+    else:
+        comp = compression.encode()
+        # AIFC compression name pstring (padded to even length)
+        comm_tail = comp + bytes([len(comp)]) + comp + b"\x00"
+        form_type = b"AIFC"
+        if compression == "sowt":
+            bits = 16
+            data = np.clip(np.rint(flat * 32768.0), -32768,
+                           32767).astype("<i2").tobytes()
+        elif compression == "fl32":
+            bits = 32
+            data = flat.astype(">f4").tobytes()
+        elif compression == "fl64":
+            bits = 64
+            data = flat.astype(">f8").tobytes()
+        elif compression == "alaw":
+            bits = 8
+            data = _alaw_encode(flat).tobytes()
+        elif compression == "ulaw":
+            bits = 8
+            data = _ulaw_encode(flat).tobytes()
+        else:
+            raise ValueError(f"unsupported AIFC compression {compression!r}")
+    comm = struct.pack(">HIH", nch, nframes, bits) + _f80_pack(float(rate)) \
+        + comm_tail
+    ssnd = struct.pack(">II", 0, 0) + data
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack(">I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    body = form_type + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
 def _decode_audio(buf: bytes) -> tuple[int, np.ndarray]:
-    """Dispatch by magic: REAL RIFF/WAVE PCM and FLAC decodes
-    (:mod:`tenzir_ray.text.flac` — pure numpy/stdlib, MD5-verified)
-    + the deterministic FAKE container; codecs whose spec is mostly
-    tabulated data (MP3/AAC/OGG-Vorbis) raise."""
+    """Dispatch by magic: REAL RIFF/WAVE PCM, AIFF/AIFF-C and FLAC
+    decodes (:mod:`tenzir_ray.text.flac` — pure numpy/stdlib,
+    MD5-verified) + the deterministic FAKE container; codecs whose
+    spec is mostly tabulated data (MP3/AAC/OGG-Vorbis) raise."""
     if buf[:4] == _AMAGIC:
         rate, n = struct.unpack("<II", buf[4:12])
         pcm = np.frombuffer(buf[12:12 + 2 * n], dtype=np.int16)
         return rate, pcm.astype(np.float32) / 32768.0
     if buf[:4] == b"RIFF":
         return _decode_wav(buf)
+    if buf[:4] == b"FORM" and buf[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(buf)
     if buf[:4] == b"fLaC":
         from tenzir_ray.text.flac import decode_flac_audio
         return decode_flac_audio(buf)
     raise NotImplementedError(
         "compressed audio codecs (MP3/AAC/…) are not available in this "
-        "environment; WAV PCM, FLAC and the FAKE container decode")
+        "environment; WAV PCM, AIFF, FLAC and the FAKE container decode")
 
 
 class AudioFeatures:

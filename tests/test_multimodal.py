@@ -544,6 +544,85 @@ def test_wav_float_and_g711():
         _decode_wav(_wav(0x55, 8, b"\x00\x00"))  # MP3-in-WAV
 
 
+# ------------------------------------------------------------------ AIFF
+
+
+def test_aiff_roundtrip_all_variants():
+    from tenzir_ray.text.multimodal import _decode_aiff, encode_aiff
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(400) * 0.3).clip(-0.999, 0.999) \
+        .astype(np.float32)
+    # plain AIFF PCM at every depth (quantization error bound = 1 LSB)
+    for bits in (8, 16, 24, 32):
+        rate, got = _decode_aiff(encode_aiff(x, 8000, bits=bits))
+        assert rate == 8000
+        np.testing.assert_allclose(got, x, atol=2.0 / (1 << (bits - 1)))
+    # AIFC: byte-swapped 16-bit, big-endian floats
+    for comp, tol in (("sowt", 1 / 32768), ("fl32", 0), ("fl64", 1e-7)):
+        rate, got = _decode_aiff(encode_aiff(x, 44100, compression=comp))
+        assert rate == 44100
+        np.testing.assert_allclose(got, x, atol=tol)
+    # G.711 inside AIFC: round-trip within segment quantization (~6%)
+    for comp in ("alaw", "ulaw"):
+        rate, got = _decode_aiff(encode_aiff(x, 8000, compression=comp))
+        np.testing.assert_allclose(got, x, atol=0.05)
+    # stereo averages to mono
+    st = np.stack([x, -x], -1)
+    rate, got = _decode_aiff(encode_aiff(st, 8000, bits=16))
+    np.testing.assert_allclose(got, np.zeros_like(x), atol=1 / 32768)
+
+
+def test_g711_encoders_invert_tables():
+    from tenzir_ray.text.multimodal import (
+        _ALAW_TABLE, _ULAW_TABLE, _alaw_encode, _ulaw_encode)
+
+    codes = np.arange(256, dtype=np.uint8)
+    # A-law: every code's decoded value encodes back to itself
+    np.testing.assert_array_equal(_alaw_encode(_ALAW_TABLE), codes)
+    # µ-law: 0x7F and 0xFF both decode to 0; the encoder picks 0xFF
+    enc = _ulaw_encode(_ULAW_TABLE)
+    assert enc[0x7F] == 0xFF
+    mask = codes != 0x7F
+    np.testing.assert_array_equal(enc[mask], codes[mask])
+
+
+def test_aiff_f80_and_corrupt():
+    import struct
+
+    from tenzir_ray.text.multimodal import (
+        _decode_aiff, _f80_pack, _f80_unpack, encode_aiff)
+
+    for v in (8000.0, 44100.0, 48000.0, 22050.5, 1.0, 0.0):
+        assert _f80_unpack(_f80_pack(v)) == v
+    good = encode_aiff(np.zeros(10, np.float32), 8000)
+    with pytest.raises(ValueError):
+        _decode_aiff(good[:20])            # truncated chunk
+    with pytest.raises(ValueError):
+        _decode_aiff(b"FORM\x00\x00\x00\x04JUNK")
+    with pytest.raises(ValueError):        # SSND without COMM
+        _decode_aiff(b"FORM" + struct.pack(">I", 16) + b"AIFF"
+                     + b"SSND" + struct.pack(">I", 8) + b"\x00" * 8)
+    # unknown AIFC compression stays a loud stub
+    bad = encode_aiff(np.zeros(4, np.float32), 8000, compression="sowt") \
+        .replace(b"sowt", b"ima4")
+    with pytest.raises(NotImplementedError):
+        _decode_aiff(bad)
+
+
+def test_aiff_through_audio_features():
+    from tenzir_ray.text.multimodal import AudioFeatures, encode_aiff
+
+    x = np.sin(np.linspace(0, 40 * np.pi, 8000)).astype(np.float32) * 0.5
+    t = pa.table({"audio": pa.array(
+        [encode_aiff(x, 8000, bits=16),
+         encode_aiff(x, 8000, compression="ulaw")], pa.binary())})
+    out = AudioFeatures()(t)
+    assert out.column("audio_ok").to_pylist() == [True, True]
+    assert out.column("sample_rate").to_pylist() == [8000, 8000]
+    assert abs(out.column("duration_s")[0].as_py() - 1.0) < 0.01
+
+
 # ------------------------------------------------------------------ GIF
 
 
