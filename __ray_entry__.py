@@ -1852,8 +1852,10 @@ def _multimodal_decode(sf_dir: str):
     4:2:0), real PROGRESSIVE JPEGs (every 8th doc ≡ 5 — SOF2
     successive-approximation scans), real LOSSLESS WebP (every 8th doc
     ≡ 3 — text/webp.py VP8L, alternating predictor/subtract-green
-    transforms), and deterministic fake-container payloads, all
-    synthesized from doc ids. Lossy WebP (VP8) stays stubbed."""
+    transforms), real QOI / TGA / TIFF payloads (every 16th ≡ 7/15/2 —
+    text/raster.py, rotating TIFF compressions + TGA raw/RLE), and
+    deterministic fake-container payloads, all synthesized from doc
+    ids. Lossy WebP (VP8) stays stubbed."""
     import ray.data as rd
 
     from tenzir_ray.text.jpeg import encode_jpeg
@@ -1861,6 +1863,7 @@ def _multimodal_decode(sf_dir: str):
         ImageFeatures, ImageResizer, decode_images, encode_fake_image,
         encode_png,
     )
+    from tenzir_ray.text.raster import encode_qoi, encode_tga, encode_tiff
     from tenzir_ray.text.webp import encode_webp_lossless
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id"])
@@ -1895,6 +1898,21 @@ def _multimodal_decode(sf_dir: str):
                 imgs.append(encode_webp_lossless(
                     px, predictor=(i // 8) % 14 if i % 16 == 3 else None,
                     subtract_green=(i % 16 == 11)))
+            elif i % 16 == 7:  # QOI: gradients hit DIFF/LUMA/RUN ops
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack([(xx + yy + i) % 256, (xx + yy + i + 7) % 256,
+                               (xx + yy + i + 14) % 256], -1).astype(np.uint8)
+                imgs.append(encode_qoi(px))
+            elif i % 16 == 15:  # TGA, alternating raw/RLE
+                px = np.random.default_rng(i + 2).integers(
+                    0, 256, size=(h, w, 3), dtype=np.uint8)
+                imgs.append(encode_tga(px, rle=(i % 32 == 15)))
+            elif i % 16 == 2:  # TIFF, rotating compression
+                px = np.random.default_rng(i + 3).integers(
+                    0, 256, size=(h, w, 3), dtype=np.uint8)
+                imgs.append(encode_tiff(
+                    px, compression=("none", "packbits",
+                                     "lzw")[(i // 16) % 3]))
             else:
                 imgs.append(encode_fake_image(w, h, 3, seed=i))
         out = t.append_column("image", pa2.array(imgs, pa2.binary()))
@@ -1999,15 +2017,18 @@ def _audio_features(sf_dir: str):
     rotating encoder knobs — LPC, Rice2, odd block sizes; every 4th ≡ 2
     stereo across all four channel assignments — text/flac.py pure
     numpy/stdlib decode, CRC + MD5 verified), real RIFF/WAVE PCM16
-    bytes (every 4th ≡ 1), deterministic FAKE containers, and
-    deliberately corrupt fLaC-tagged bytes (every 32nd ≡ 3 — must
+    bytes (every 4th ≡ 1), real AIFF/AIFC payloads (every 8th ≡ 7,
+    rotating PCM16/PCM24/sowt/fl32/alaw/ulaw variants —
+    text/multimodal.py _decode_aiff), deterministic FAKE containers,
+    and deliberately corrupt fLaC-tagged bytes (every 32nd ≡ 3 — must
     yield audio_ok=false rows, never a crash), all synthesized from
     doc ids.  MP3/AAC PCM decode stays stubbed."""
     import struct as _s
 
     from tenzir_ray.text.flac import encode_flac
     from tenzir_ray.text.multimodal import (
-        AudioFeatures, encode_fake_audio, extract_audio_features,
+        AudioFeatures, encode_aiff, encode_fake_audio,
+        extract_audio_features,
     )
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id"])
@@ -2045,6 +2066,15 @@ def _audio_features(sf_dir: str):
             elif i % 32 == 3:
                 bufs.append(b"fLaC" + bytes((i * 7 + j) % 256
                                             for j in range(40)))
+            elif i % 8 == 7:  # AIFF/AIFC, rotating variants
+                f = (x / 32768.0).astype(np.float32)
+                variant = (i // 8) % 6
+                if variant < 2:
+                    bufs.append(encode_aiff(f, 8000, bits=(16, 24)[variant]))
+                else:
+                    bufs.append(encode_aiff(
+                        f, 8000, compression=("sowt", "fl32", "alaw",
+                                              "ulaw")[variant - 2]))
             else:
                 bufs.append(encode_fake_audio(n, 8000, seed=i))
         out = t.append_column("audio", pa2.array(bufs, pa2.binary()))
