@@ -601,9 +601,11 @@ def sample_video_frames(
     """Frame-sampling stage: one output row per sampled frame. REAL
     containers: animated GIF — frames are composed on the logical-screen
     canvas (:func:`_gif_frames`, honoring sub-rectangles / transparency
-    / disposal) — and ISO-BMFF MP4 (:mod:`tenzir_ray.text.mp4` box-tree
-    demux): Motion-JPEG tracks decode each sampled sample through the
-    in-repo JPEG codec. Sampled frames are re-emitted as decodable
+    / disposal) — ISO-BMFF MP4 (:mod:`tenzir_ray.text.mp4` box-tree
+    demux) and RIFF AVI (:mod:`tenzir_ray.text.avi`): Motion-JPEG
+    tracks decode each sampled sample through the in-repo JPEG codec,
+    and uncompressed-DIB AVI streams decode directly. Sampled frames
+    are re-emitted as decodable
     FAKE-container payloads, so downstream ``ImageDecoder`` stages
     consume them uniformly. The FAKE video container (fixed-size fake
     frames back to back) remains for fixtures; arithmetic-coded video
@@ -625,18 +627,32 @@ def sample_video_frames(
                     + np.ascontiguousarray(canvas).tobytes())
                 parents.append(i)
             continue
-        if len(buf) >= 12 and buf[4:8] == b"ftyp":  # ISO-BMFF
-            from tenzir_ray.text.mp4 import mp4_video_frames
+        is_avi = buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+        if is_avi or (len(buf) >= 12 and buf[4:8] == b"ftyp"):
+            if is_avi:  # RIFF AVI: MJPEG 'dc' or uncompressed DIB 'db'
+                from tenzir_ray.text.avi import (
+                    avi_video_frames, demux_avi, dib_to_rgb)
 
-            for f, _dts, _key, sample, codec in mp4_video_frames(buf):
+                info = demux_avi(buf)
+                frames_iter = avi_video_frames(buf)
+            else:  # ISO-BMFF
+                from tenzir_ray.text.mp4 import mp4_video_frames
+
+                info, frames_iter = None, mp4_video_frames(buf)
+            for f, _dts, _key, sample, codec in frames_iter:
                 if f % every_n:
                     continue
-                if codec != "jpeg":
+                if codec == "jpeg":
+                    px, w, h, c = _decode_payload(sample)
+                elif codec == "raw" and info is not None:
+                    px = dib_to_rgb(sample, info["width"], info["height"])
+                    h, w, c = px.shape
+                else:
                     raise NotImplementedError(
-                        f"MP4 video codec {codec!r} needs an arithmetic "
-                        "decoder — only Motion-JPEG tracks decode in "
-                        "this environment")
-                px, w, h, c = _decode_payload(sample)
+                        f"video codec {codec!r} needs an arithmetic "
+                        "decoder — only Motion-JPEG (MP4/AVI) and "
+                        "uncompressed-DIB AVI tracks decode in this "
+                        "environment")
                 rows["frame_idx"].append(f)
                 rows["frame"].append(
                     _MAGIC + struct.pack("<HHB", w, h, c)
@@ -646,9 +662,9 @@ def sample_video_frames(
         # fake video container: frames are fixed-size fake images back to back
         if buf[:4] != _MAGIC:
             raise NotImplementedError(
-                "only animated GIF, MP4 (MJPEG) and FAKE video "
-                "containers are supported (no ffmpeg in this "
-                "environment)")
+                "only animated GIF, MP4 (MJPEG), AVI (MJPEG/DIB) and "
+                "FAKE video containers are supported (no ffmpeg in "
+                "this environment)")
         w, h, c = struct.unpack("<HHB", buf[4:9])
         fsize = 9 + w * h * c
         nframes = len(buf) // fsize
