@@ -195,3 +195,99 @@ def test_audio_features_never_raises_on_corrupt_flac(buf):
     t = pa.table({"audio": pa.array([b"fLaC" + buf], pa.binary())})
     out = AudioFeatures()(t)  # corrupt stream → null row, never a crash
     assert out.num_rows == 1
+
+
+@given(dims=_dims, c=st.sampled_from([3, 4]),
+       seed=st.integers(0, 2**31 - 1), smooth=st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_qoi_roundtrip_is_identity(dims, c, seed, smooth):
+    from tenzir_ray.text.raster import decode_qoi, encode_qoi
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    if smooth:  # gradients steer DIFF/LUMA/RUN ops
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack([(xx + yy + k * 5) % 256 for k in range(c)],
+                      -1).astype(np.uint8)
+    else:
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    got, gw, gh, gc = decode_qoi(encode_qoi(px))
+    assert (gw, gh, gc) == (w, h, c)
+    np.testing.assert_array_equal(got, px)
+
+
+@given(dims=_dims, c=st.sampled_from([1, 3, 4]),
+       seed=st.integers(0, 2**31 - 1), rle=st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_tga_roundtrip_is_identity(dims, c, seed, rle):
+    from tenzir_ray.text.raster import decode_tga, encode_tga
+
+    h, w = dims
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c), dtype=np.uint8)
+    got, gw, gh, gc = decode_tga(encode_tga(px, rle=rle))
+    assert (gw, gh, gc) == (w, h, c)
+    np.testing.assert_array_equal(got, px.reshape(h, w, c))
+
+
+@given(dims=_dims, c=st.sampled_from([1, 3, 4]),
+       seed=st.integers(0, 2**31 - 1),
+       comp=st.sampled_from(["none", "packbits", "lzw"]))
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_is_identity(dims, c, seed, comp):
+    from tenzir_ray.text.raster import decode_tiff, encode_tiff
+
+    h, w = dims
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c), dtype=np.uint8)
+    got, gw, gh, gc = decode_tiff(encode_tiff(px, compression=comp))
+    assert (gw, gh, gc) == (w, h, c)
+    np.testing.assert_array_equal(got, px.reshape(h, w, c))
+
+
+@given(buf=st.binary(min_size=0, max_size=200),
+       prefix=st.sampled_from([b"qoif", b"II*\x00", b"MM\x00*"]),
+       footer=st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_image_decoder_never_raises_on_raster_garbage(buf, prefix, footer):
+    payload = prefix + buf
+    if footer:  # also fuzz the TGA footer-dispatch path
+        payload = buf + b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+    t = pa.table({"image": pa.array([payload], pa.binary())})
+    out = ImageDecoder()(t)  # must not raise
+    assert out.num_rows == 1
+
+
+@given(n=st.integers(1, 600), ch=st.integers(1, 2),
+       seed=st.integers(0, 2**31 - 1),
+       variant=st.sampled_from([("pcm", 16), ("pcm", 24), ("pcm", 32),
+                                ("sowt", None), ("fl32", None),
+                                ("fl64", None)]))
+@settings(max_examples=50, deadline=None)
+def test_aiff_roundtrip_error_bound(n, ch, seed, variant):
+    from tenzir_ray.text.multimodal import _decode_aiff, encode_aiff
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-0.999, 0.999, (n, ch)).astype(np.float32)
+    kind, bits = variant
+    if kind == "pcm":
+        buf = encode_aiff(x, 8000, bits=bits)
+        tol = 2.0 / (1 << (bits - 1))
+    else:
+        buf = encode_aiff(x, 8000, compression=kind)
+        tol = {"sowt": 1 / 32768, "fl32": 0.0, "fl64": 1e-7}[kind]
+    rate, got = _decode_aiff(buf)
+    assert rate == 8000
+    np.testing.assert_allclose(got, x.mean(axis=1), atol=tol + 1e-7)
+
+
+@given(buf=st.binary(min_size=0, max_size=300),
+       form=st.sampled_from([b"AIFF", b"AIFC"]))
+@settings(max_examples=100, deadline=None)
+def test_audio_features_never_raises_on_corrupt_aiff(buf, form):
+    from tenzir_ray.text.multimodal import AudioFeatures
+
+    payload = b"FORM" + len(buf).to_bytes(4, "big") + form + buf
+    t = pa.table({"audio": pa.array([payload], pa.binary())})
+    out = AudioFeatures()(t)  # corrupt stream → null row, never a crash
+    assert out.num_rows == 1
