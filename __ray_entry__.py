@@ -2029,10 +2029,13 @@ def _audio_features(sf_dir: str):
     numpy/stdlib decode, CRC + MD5 verified), real RIFF/WAVE PCM16
     bytes (every 4th ≡ 1), real AIFF/AIFC payloads (every 8th ≡ 7,
     rotating PCM16/PCM24/sowt/fl32/alaw/ulaw variants —
-    text/multimodal.py _decode_aiff), deterministic FAKE containers,
-    and deliberately corrupt fLaC-tagged bytes (every 32nd ≡ 3 — must
+    text/multimodal.py _decode_aiff), real Ogg-FLAC (every 16th ≡ 11 —
+    CRC-verified page walk + packet reassembly feeding the FLAC codec,
+    text/ogg.py), Ogg-Vorbis id headers (every 32nd ≡ 19 —
+    metadata-only rows), deterministic FAKE containers, and
+    deliberately corrupt fLaC-tagged bytes (every 32nd ≡ 3 — must
     yield audio_ok=false rows, never a crash), all synthesized from
-    doc ids.  MP3/AAC PCM decode stays stubbed."""
+    doc ids.  MP3/AAC/Vorbis PCM decode stays stubbed."""
     import struct as _s
 
     from tenzir_ray.text.flac import encode_flac
@@ -2040,6 +2043,7 @@ def _audio_features(sf_dir: str):
         AudioFeatures, encode_aiff, encode_fake_audio,
         extract_audio_features,
     )
+    from tenzir_ray.text.ogg import encode_ogg_flac, mux_ogg
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id"])
     cols = ["doc_id", "sample_rate", "duration_s", "audio_rms",
@@ -2085,6 +2089,13 @@ def _audio_features(sf_dir: str):
                     bufs.append(encode_aiff(
                         f, 8000, compression=("sowt", "fl32", "alaw",
                                               "ulaw")[variant - 2]))
+            elif i % 16 == 11:  # Ogg-FLAC: real PCM through the Ogg layer
+                bufs.append(encode_ogg_flac(
+                    x, 8000, block_size=576 if i % 32 == 11 else 4096))
+            elif i % 32 == 19:  # Ogg-Vorbis id header: metadata-only row
+                vid = (b"\x01vorbis" + _s.pack("<I", 0) + bytes([1])
+                       + _s.pack("<IiiI", 22050, 0, 0, 0) + b"\x00\x01")
+                bufs.append(mux_ogg([vid], [22050 * (1 + i % 3)]))
             else:
                 bufs.append(encode_fake_audio(n, 8000, seed=i))
         out = t.append_column("audio", pa2.array(bufs, pa2.binary()))

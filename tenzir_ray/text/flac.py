@@ -657,7 +657,8 @@ def _encode_subframe(bw: _BitWriter, sig: np.ndarray, bps: int,
 def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
                 block_size: int = 4096, stereo: str = "auto",
                 partition_order: int = 2, use_lpc: bool = False,
-                lpc_order: int = 8, rice2: bool = False) -> bytes:
+                lpc_order: int = 8, rice2: bool = False,
+                _parts: bool = False):
     """Encode integer PCM → a spec-compliant FLAC stream.
 
     ``samples``: int array, shape ``(n,)`` or ``(n, channels)``, values
@@ -684,7 +685,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
     if not 0 < block_size <= 65536:
         raise ValueError("block size out of range")
 
-    frames = bytearray()
+    frame_list: list[bytes] = []
     frame_no = 0
     for start in range(0, max(nsamples, 1), block_size):
         blk = x[start:start + block_size]
@@ -755,7 +756,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
                              use_lpc, lpc_order, rice2)
         bw.align()
         bw.write(_crc16(bw.out), 16)
-        frames += bw.out
+        frame_list.append(bytes(bw.out))
         frame_no += 1
 
     md5 = hashlib.md5(_pcm_bytes(x, bps)).digest()
@@ -765,4 +766,6 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
                   + b"\x00" * 6  # min/max frame size unknown
                   + packed.to_bytes(8, "big") + md5)
     header = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
-    return _MAGIC + header + bytes(frames)
+    if _parts:  # Ogg-FLAC mapping needs (native header, per-frame packets)
+        return _MAGIC + header, frame_list
+    return _MAGIC + header + b"".join(frame_list)

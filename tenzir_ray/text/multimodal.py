@@ -970,19 +970,30 @@ def _decode_audio(buf: bytes) -> tuple[int, np.ndarray]:
     if buf[:4] == b"fLaC":
         from tenzir_ray.text.flac import decode_flac_audio
         return decode_flac_audio(buf)
+    if buf[:4] == b"OggS":
+        from tenzir_ray.text.ogg import decode_ogg_flac, ogg_packets
+        for pkt, _g in ogg_packets(buf):
+            if pkt[:5] == b"\x7fFLAC":
+                return decode_ogg_flac(buf)
+            break  # only the first packet identifies the codec
+        raise NotImplementedError(
+            "Ogg vorbis/opus PCM decode needs tabulated MDCT/CELT "
+            "codebooks; Ogg-FLAC decodes for real (text/ogg.py)")
     raise NotImplementedError(
         "compressed audio codecs (MP3/AAC/…) are not available in this "
-        "environment; WAV PCM, AIFF, FLAC and the FAKE container decode")
+        "environment; WAV PCM, AIFF, FLAC, Ogg-FLAC and the FAKE "
+        "container decode")
 
 
 class AudioFeatures:
     """Actor-pool stage: audio binary → (sample_rate, duration_s, rms,
     zero_crossing_rate) features. A real pipeline loads torchaudio /
     an ASR/embedding model in ``__init__`` and runs batched inference
-    here; byte-level decode handles WAV PCM, FLAC and the FAKE
-    container for real. MP3 rows get REAL metadata (sample_rate +
-    duration from the frame-header walk,
-    :func:`tenzir_ray.text.mp4.parse_mp3`) with null waveform
+    here; byte-level decode handles WAV PCM, AIFF, FLAC, Ogg-FLAC and
+    the FAKE container for real. MP3 and Ogg vorbis/opus/speex rows
+    get REAL container metadata (sample_rate + duration,
+    :func:`tenzir_ray.text.mp4.parse_mp3` /
+    :func:`tenzir_ray.text.ogg.parse_ogg`) with null waveform
     features; other compressed codecs raise (same policy as
     images)."""
 
@@ -1009,6 +1020,23 @@ class AudioFeatures:
                     sr.append(None); dur.append(None)
                     rms.append(None); zcr.append(None); ok.append(False)
                 continue
+            if buf[:4] == b"OggS":
+                from tenzir_ray.text.ogg import parse_ogg
+
+                try:
+                    meta = parse_ogg(buf)
+                except (ValueError, struct.error, IndexError):
+                    sr.append(None); dur.append(None)
+                    rms.append(None); zcr.append(None); ok.append(False)
+                    continue
+                if meta["codec"] != "flac":
+                    # vorbis/opus/speex: REAL container metadata, null
+                    # waveform features (same policy as MP3)
+                    sr.append(meta["sample_rate"])
+                    dur.append(meta["duration_s"])
+                    rms.append(None); zcr.append(None); ok.append(True)
+                    continue
+                # Ogg-FLAC: fall through to the full PCM decode
             try:
                 rate, x = _decode_audio(buf)
             except (ValueError, struct.error, IndexError):

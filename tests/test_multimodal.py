@@ -114,13 +114,14 @@ def test_audio_compressed_codec_clearly_stubbed():
 
     # MP3 PCM decode stays a stub, but since round 5 the stage emits
     # metadata-only rows (or ok=False for unparseable frames) instead
-    # of raising — AAC/OGG remain loud NotImplementedError stubs
+    # of raising; Ogg vorbis/opus likewise get metadata rows
+    # (test_ogg.py) — AAC remains a loud NotImplementedError stub
     t = pa.table({"audio": pa.array([b"ID3\x04...mp3 frames"], pa.binary())})
     out = AudioFeatures()(t)
     assert out.column("audio_ok").to_pylist() == [False]
     with _pt.raises(NotImplementedError):
         AudioFeatures()(pa.table({"audio": pa.array(
-            [b"OggS\x00 vorbis-ish"], pa.binary())}))
+            [b"ADIF\x00 aac-ish payload"], pa.binary())}))
 
 
 def test_real_wav_and_bmp_ppm_decode():
@@ -232,9 +233,23 @@ def test_corrupt_containers_null_not_crash():
     out3 = AudioFeatures()(pa.table({"audio": pa.array(
         [b"fLaC\x00\x00\x00\x22"], pa.binary())}))
     assert out3.column("audio_ok").to_pylist() == [False]
-    # genuinely unsupported compressed codec (OGG) stays loud
+    # Ogg with a non-FLAC codec stays loud at the PCM level...
+    from tenzir_ray.text.ogg import mux_ogg
+
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                 + (44100).to_bytes(4, "little") + b"\x00" * 13 + b"\x01")
+    ogg_vorbis = mux_ogg([vorbis_id], [0])
     with _pt.raises(NotImplementedError):
-        _decode_audio(b"OggS\x00\x02" + b"\x00" * 20)
+        _decode_audio(ogg_vorbis)
+    # ...but AudioFeatures gives it a REAL metadata row (MP3 policy)
+    out4 = AudioFeatures()(pa.table({"audio": pa.array(
+        [ogg_vorbis], pa.binary())}))
+    assert out4.column("audio_ok").to_pylist() == [True]
+    assert out4.column("sample_rate").to_pylist() == [44100]
+    # corrupt Ogg page (bad CRC) → soft-fail row
+    out5 = AudioFeatures()(pa.table({"audio": pa.array(
+        [b"OggS\x00\x02" + b"\x00" * 30], pa.binary())}))
+    assert out5.column("audio_ok").to_pylist() == [False]
 
     # paletted 8-bit BMP: indices map through the (inverted) palette
     w = h = 2
