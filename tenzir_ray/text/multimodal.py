@@ -459,6 +459,79 @@ def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     raise ValueError("GIF contains no image frame")
 
 
+def _decode_ico(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    """ICO/CUR: pick the largest directory entry; PNG-compressed
+    entries route to :func:`_decode_png`, DIB entries (headerless
+    BITMAPINFOHEADER with DOUBLED height for the trailing AND mask)
+    get a synthesized ``BM`` file header and route to
+    :func:`_decode_bmp` (the AND mask rows past the real height are
+    simply never read)."""
+    if len(buf) < 22 or buf[:4] not in (b"\x00\x00\x01\x00",
+                                        b"\x00\x00\x02\x00"):
+        raise ValueError("not an ICO/CUR")
+    count = struct.unpack_from("<H", buf, 4)[0]
+    if not count or 6 + 16 * count > len(buf):
+        raise ValueError("ICO: bad directory")
+    best = None
+    for e in range(count):
+        off = 6 + 16 * e
+        ew, eh = buf[off] or 256, buf[off + 1] or 256
+        size, doff = struct.unpack_from("<II", buf, off + 8)
+        if doff + size > len(buf):
+            raise ValueError("ICO: entry beyond file end")
+        if best is None or ew * eh > best[0]:
+            best = (ew * eh, doff, size)
+    _, doff, size = best
+    data = buf[doff:doff + size]
+    if data[:8] == _PNG_SIG:
+        return _decode_png(data)
+    if len(data) < 40:
+        raise ValueError("ICO: truncated DIB entry")
+    hdr_size = struct.unpack_from("<I", data, 0)[0]
+    h2 = struct.unpack_from("<i", data, 8)[0]
+    bpp = struct.unpack_from("<H", data, 14)[0]
+    patched = bytearray(data)
+    struct.pack_into("<i", patched, 8, h2 // 2)  # un-double the height
+    pal = 0
+    if bpp <= 8:
+        n_colors = struct.unpack_from("<I", data, 32)[0] or (1 << bpp)
+        pal = n_colors * 4
+    data_off = 14 + hdr_size + pal
+    bm = (b"BM" + struct.pack("<IHHI", 14 + len(patched), 0, 0, data_off)
+          + bytes(patched))
+    return _decode_bmp(bm)
+
+
+def encode_ico(px: np.ndarray, png: bool = False) -> bytes:
+    """Encoder dual for :func:`_decode_ico`: a single-entry ICO whose
+    image is either a PNG stream (``png=True``) or a DIB (doubled
+    height, bottom-up BGR(A), zeroed AND mask)."""
+    px = np.asarray(px, np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, -1)
+    h, w, c = px.shape
+    if not (1 <= w <= 256 and 1 <= h <= 256):
+        raise ValueError("ICO entries are at most 256x256")
+    if png:
+        data = encode_png(px)
+        bpp = 32
+    else:
+        if c not in (3, 4):
+            raise ValueError("ICO DIB entries need 3/4-channel pixels")
+        bpp = c * 8
+        stride = (w * c + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * c] = px[::-1, :, [2, 1, 0] + ([3] if c == 4 else [])] \
+            .reshape(h, w * c)
+        mask_stride = ((w + 31) // 32) * 4
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, bpp, 0,
+                          stride * h, 0, 0, 0, 0)
+        data = dib + rows.tobytes() + b"\x00" * (mask_stride * h)
+    entry = struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1, bpp,
+                        len(data), 22)
+    return b"\x00\x00\x01\x00\x01\x00" + entry + data
+
+
 def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     """Dispatch by magic: REAL decoders for BMP, binary PPM/PGM, PNG
     (stdlib zlib + numpy unfiltering), GIF (pure-Python LZW),
@@ -493,10 +566,14 @@ def _decode_payload(buf: bytes) -> tuple[np.ndarray, int, int, int]:
         from tenzir_ray.text.raster import decode_tiff
         return decode_tiff(buf)
     # TGA has no leading magic — key on the TGA 2.0 trailing footer.
+    # This check must precede ICO/CUR: a raw truecolor TGA begins
+    # 00 00 02 00, byte-identical to the CUR magic.
     from tenzir_ray.text.raster import is_tga
     if is_tga(buf):
         from tenzir_ray.text.raster import decode_tga
         return decode_tga(buf)
+    if buf[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return _decode_ico(buf)
     raise NotImplementedError(
         "AVIF/lossy-WebP codecs are not available in this environment; "
         "BMP, binary PPM/PGM, PNG, GIF, sequential/progressive JPEG, "

@@ -159,7 +159,8 @@ def test_webp_lossless_roundtrip_is_identity(dims, c, seed, sg, pred,
 @given(buf=st.binary(min_size=0, max_size=200),
        prefix=st.sampled_from([b"", b"\x89PNG\r\n\x1a\n", b"GIF89a",
                                b"\xff\xd8", b"BM", b"P6", b"FAKE",
-                               b"RIFF\x20\x00\x00\x00WEBPVP8L"]))
+                               b"RIFF\x20\x00\x00\x00WEBPVP8L",
+                               b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"]))
 @settings(max_examples=120, deadline=None)
 def test_image_decoder_never_raises(buf, prefix):
     t = pa.table({"image": pa.array([prefix + buf], pa.binary())})

@@ -265,7 +265,65 @@ def test_tiff_corrupt_is_loud():
 
 
 # ---------------------------------------------------------------------------
+# ICO/CUR
+
+
+def test_ico_roundtrip_dib_and_png():
+    from tenzir_ray.text.multimodal import encode_ico
+
+    rng = np.random.default_rng(51)
+    for c in (3, 4):
+        px = rng.integers(0, 256, (11, 7, c), dtype=np.uint8)
+        got, w, h, gc = _decode_payload(encode_ico(px))
+        assert (h, w, gc) == (11, 7, c)
+        np.testing.assert_array_equal(got, px)
+    # PNG-compressed entry routes through the PNG decoder
+    px = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    got, w, h, gc = _decode_payload(encode_ico(px, png=True))
+    np.testing.assert_array_equal(got, px)
+    # 256-wide entries encode as width byte 0
+    wide = rng.integers(0, 256, (2, 256, 3), dtype=np.uint8)
+    got, w, h, gc = _decode_payload(encode_ico(wide))
+    assert (w, h) == (256, 2)
+    np.testing.assert_array_equal(got, wide)
+
+
+def test_ico_picks_largest_entry_and_corrupt():
+    from tenzir_ray.text.multimodal import encode_ico
+
+    rng = np.random.default_rng(52)
+    small = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    # hand-stitch a two-entry directory from two single-entry files
+    a, b = encode_ico(small), encode_ico(big)
+    da, db = a[22:], b[22:]
+    hdr = b"\x00\x00\x01\x00\x02\x00"
+    ea = struct.pack("<BBBBHHII", 4, 4, 0, 0, 1, 24, len(da), 38)
+    eb = struct.pack("<BBBBHHII", 8, 8, 0, 0, 1, 24, len(db), 38 + len(da))
+    got, w, h, c = _decode_payload(hdr + ea + eb + da + db)
+    assert (w, h) == (8, 8)
+    np.testing.assert_array_equal(got, big)
+
+    with pytest.raises(ValueError):
+        _decode_payload(b"\x00\x00\x01\x00\x01\x00" + b"\x00" * 16)
+    bad = bytearray(a)
+    bad[14] = 0xFF  # entry size overruns the file
+    with pytest.raises(ValueError):
+        _decode_payload(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
 # dispatcher + stage integration
+
+
+def test_raw_tga_beats_cur_magic():
+    # a raw truecolor TGA starts 00 00 02 00 — byte-identical to the
+    # CUR magic. The footer check must win or TGA payloads break.
+    px = _gradient(7, 5, 3)
+    buf = encode_tga(px, rle=False)
+    assert buf[:4] == b"\x00\x00\x02\x00"
+    got, w, h, c = _decode_payload(buf)
+    np.testing.assert_array_equal(got, px)
 
 
 def test_dispatcher_routes_new_formats():
