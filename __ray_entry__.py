@@ -1953,13 +1953,14 @@ def _video_frames(sf_dir: str):
     opaque binary column, mixing THREE real containers per doc id:
     ISO-BMFF MP4 (text/mp4.py box tree + stsd/stts/stsc/stsz/stco/stss
     sample resolution) of Motion-JPEG tracks, RIFF AVI (text/avi.py)
-    with MJPEG 'dc' streams (every 48th ≡ 16), and RIFF AVI with
-    uncompressed bottom-up-DIB 'db' streams (every 48th ≡ 32 — the
-    entropy-free path). Every MJPEG frame decodes through the in-repo
-    JPEG codec. Oracle = the same chain run sequentially on the driver
+    with MJPEG 'dc' streams and with uncompressed bottom-up-DIB 'db'
+    streams, and Matroska (text/mkv.py EBML walk) with V_MJPEG and
+    V_UNCOMPRESSED tracks — six variants rotating by doc id. Every
+    MJPEG frame decodes through the in-repo JPEG codec. Oracle = the same chain run sequentially on the driver
     (precomputed-expected-table pattern)."""
     from tenzir_ray.text.avi import mux_avi, rgb_to_dib
     from tenzir_ray.text.jpeg import encode_jpeg
+    from tenzir_ray.text.mkv import mux_mjpeg_mkv
     from tenzir_ray.text.mp4 import mux_mjpeg_mp4
     from tenzir_ray.text.multimodal import ImageDecoder, sample_video_frames
 
@@ -1981,12 +1982,18 @@ def _video_frames(sf_dir: str):
                 [(xx * 17 + f * 31 + i) % 256, (yy * 13 + f * 7) % 256,
                  np.full((h, w), (i + f) % 256)], -1).astype(np.uint8)
             frames.append(px)
-        if i % 48 == 32:  # AVI, uncompressed DIB stream
+        variant = (i // 16) % 6
+        if variant == 2:  # AVI, uncompressed DIB stream
             return mux_avi([rgb_to_dib(p) for p in frames], w, h,
                            fps=4, codec="DIB ")
+        if variant == 4:  # Matroska, uncompressed RGB track
+            return mux_mjpeg_mkv([p.tobytes() for p in frames], w, h,
+                                 fps=4, codec_id="V_UNCOMPRESSED")
         jpegs = [encode_jpeg(p, 90) for p in frames]
-        if i % 48 == 16:  # AVI, Motion-JPEG stream
+        if variant == 1:  # AVI, Motion-JPEG stream
             return mux_avi(jpegs, w, h, fps=4, keyframe_every=2)
+        if variant == 3:  # Matroska, Motion-JPEG track
+            return mux_mjpeg_mkv(jpegs, w, h, fps=4)
         return mux_mjpeg_mp4(jpegs, w, h, fps=4, keyframe_every=2)
 
     def attach(t):

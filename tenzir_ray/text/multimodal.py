@@ -705,13 +705,22 @@ def sample_video_frames(
                 parents.append(i)
             continue
         is_avi = buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
-        if is_avi or (len(buf) >= 12 and buf[4:8] == b"ftyp"):
+        is_mkv = buf[:4] == b"\x1aE\xdf\xa3"
+        if is_avi or is_mkv or (len(buf) >= 12 and buf[4:8] == b"ftyp"):
+            raw_fmt = None
             if is_avi:  # RIFF AVI: MJPEG 'dc' or uncompressed DIB 'db'
                 from tenzir_ray.text.avi import (
                     avi_video_frames, demux_avi, dib_to_rgb)
 
                 info = demux_avi(buf)
                 frames_iter = avi_video_frames(buf)
+                raw_fmt = "dib"
+            elif is_mkv:  # Matroska/WebM: MJPEG or V_UNCOMPRESSED RGB
+                from tenzir_ray.text.mkv import demux_mkv, mkv_video_frames
+
+                info = demux_mkv(buf)
+                frames_iter = mkv_video_frames(buf)
+                raw_fmt = "rgb"
             else:  # ISO-BMFF
                 from tenzir_ray.text.mp4 import mp4_video_frames
 
@@ -721,15 +730,22 @@ def sample_video_frames(
                     continue
                 if codec == "jpeg":
                     px, w, h, c = _decode_payload(sample)
-                elif codec == "raw" and info is not None:
+                elif codec == "raw" and raw_fmt == "dib":
                     px = dib_to_rgb(sample, info["width"], info["height"])
                     h, w, c = px.shape
+                elif codec == "raw" and raw_fmt == "rgb":
+                    w, h = info["width"], info["height"]
+                    if len(sample) < w * h * 3:
+                        raise ValueError("V_UNCOMPRESSED frame truncated")
+                    px = np.frombuffer(sample, np.uint8,
+                                       w * h * 3).reshape(h, w, 3)
+                    c = 3
                 else:
                     raise NotImplementedError(
                         f"video codec {codec!r} needs an arithmetic "
-                        "decoder — only Motion-JPEG (MP4/AVI) and "
-                        "uncompressed-DIB AVI tracks decode in this "
-                        "environment")
+                        "decoder — only Motion-JPEG (MP4/AVI/MKV) and "
+                        "uncompressed AVI-DIB / MKV-RGB tracks decode "
+                        "in this environment")
                 rows["frame_idx"].append(f)
                 rows["frame"].append(
                     _MAGIC + struct.pack("<HHB", w, h, c)
@@ -739,9 +755,9 @@ def sample_video_frames(
         # fake video container: frames are fixed-size fake images back to back
         if buf[:4] != _MAGIC:
             raise NotImplementedError(
-                "only animated GIF, MP4 (MJPEG), AVI (MJPEG/DIB) and "
-                "FAKE video containers are supported (no ffmpeg in "
-                "this environment)")
+                "only animated GIF, MP4 (MJPEG), AVI (MJPEG/DIB), "
+                "Matroska/WebM (MJPEG/RGB) and FAKE video containers "
+                "are supported (no ffmpeg in this environment)")
         w, h, c = struct.unpack("<HHB", buf[4:9])
         fsize = 9 + w * h * c
         nframes = len(buf) // fsize

@@ -75,15 +75,20 @@ def test_video_frame_sampling():
 
 
 def test_real_codec_clearly_stubbed():
-    # MP4 demuxes for real since round 5 — a malformed box tree is a
-    # loud ValueError; unknown containers remain NotImplementedError
+    # MP4 and Matroska demux for real since round 5 — a malformed box
+    # tree / EBML run is a loud ValueError; unknown containers (FLV)
+    # remain NotImplementedError
     with pytest.raises(ValueError):
         sample_video_frames(
             pa.table({"video": [b"\x00\x00\x00 ftypmp42..."]}),
             payload_col="video")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         sample_video_frames(
             pa.table({"video": [b"\x1aE\xdf\xa3 webm-ish bytes"]}),
+            payload_col="video")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(
+            pa.table({"video": [b"FLV\x01\x05 flash video"]}),
             payload_col="video")
 
 
