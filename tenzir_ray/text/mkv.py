@@ -177,6 +177,8 @@ def _parse_block(buf: bytes, s: int, e: int, want_track: int,
     lacing = (flags >> 1) & 0x3
     if lacing == 0:  # no lacing: one frame
         return [(pos, e - pos, pts, key)]
+    if pos >= e:
+        raise ValueError("Matroska: truncated lace count")
     nframes = buf[pos] + 1
     pos += 1
     sizes: list[int] = []
@@ -189,6 +191,8 @@ def _parse_block(buf: bytes, s: int, e: int, want_track: int,
         for _ in range(nframes - 1):
             sz = 0
             while True:
+                if pos >= e:
+                    raise ValueError("Matroska: truncated Xiph lacing")
                 b = buf[pos]
                 pos += 1
                 sz += b
@@ -198,10 +202,14 @@ def _parse_block(buf: bytes, s: int, e: int, want_track: int,
         sizes.append(e - pos - sum(sizes))
     else:  # EBML lacing: first absolute, rest signed vint deltas
         first, pos = _read_vint(buf, pos, keep_marker=False)
+        if pos > e:
+            raise ValueError("Matroska: truncated EBML lacing")
         sizes.append(first)
         for _ in range(nframes - 2):
             raw_start = pos
             delta, pos = _read_vint(buf, pos, keep_marker=False)
+            if pos > e:
+                raise ValueError("Matroska: truncated EBML lacing")
             # signed: subtract the mid-range bias for the vint width
             width = pos - raw_start
             delta -= (1 << (7 * width - 1)) - 1

@@ -103,6 +103,29 @@ def test_all_lacing_modes():
     assert payloads[6:] == [b"xx", b"yy", b"zz"]
 
 
+def test_truncated_lacing_is_loud():
+    # Xiph lacing whose 255-run size coding runs past the block end:
+    # 2 frames declared, first size is an unterminated 255-run.
+    xiph = _block_track1(b"", 0x80 | 0x02, extra=bytes([1, 255, 255]))
+    with pytest.raises(ValueError, match="Xiph"):
+        demux_mkv(_wrap_segment(xiph))
+    # lace-count byte missing entirely (block ends right after flags)
+    empty = _block_track1(b"", 0x80 | 0x02, extra=b"")
+    with pytest.raises(ValueError, match="lace count"):
+        demux_mkv(_wrap_segment(empty))
+    # EBML lacing whose size vint body overruns the block: 3 frames,
+    # first-size vint claims 2 bytes but only 1 remains in the block.
+    ebml = _block_track1(b"", 0x80 | 0x06, extra=bytes([2, 0x40]))
+    with pytest.raises(ValueError):
+        demux_mkv(_wrap_segment(ebml))
+    # EBML delta vint that would read past the block into the payload
+    # of a SIBLING element must raise, not silently mis-frame.
+    sib = _block_track1(b"", 0x80 | 0x06, extra=bytes([2, 0x81]))
+    tail = _block_track1(b"pp", 0x80)
+    with pytest.raises(ValueError, match="EBML lacing"):
+        demux_mkv(_wrap_segment(sib + tail))
+
+
 def test_sample_video_frames_mkv_mjpeg_and_raw():
     w, h = 8, 6
     px = _frames_px(4, w, h)
