@@ -1060,6 +1060,45 @@ def _routed_json(sf_dir: str):
     return out
 
 
+def _kafka_roundtrip(sf_dir: str):
+    """save_kafka → load_kafka round-trip over the in-repo loopback
+    broker (plugins/kafka re-expressed from the public wire protocol,
+    sources/kafka.py): events publish as keyed NDJSON records across 2
+    partitions (distributed per-block producers, real v2 record batches
+    with CRC32C), both partition cursors drain back, and the re-parsed
+    stream aggregates — SQL-equivalent to the pre-publish pipeline, so
+    the oracle needs no side files."""
+    import json as _json
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.kafka import (
+        load_kafka, mini_kafka_broker, save_kafka,
+    )
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "user_id"])
+    ds = ops.where(ds, lambda t: pc.less(t["event_id"], 3000))
+    _, port = mini_kafka_broker()
+    save_kafka(ds, "events", port=port, key_col="event_type",
+               partitions=2)
+    parts = [load_kafka("events", port=port, partition=p)()
+             for p in range(2)]
+    got = parts[0].union(parts[1])
+
+    def parse(t: pa.Table) -> pa.Table:
+        rows = [_json.loads(s) for s in t.column("line").to_pylist()]
+        return pa.table({
+            "event_type": pa.array([r["event_type"] for r in rows],
+                                   pa.string()),
+            "user_id": pa.array([r["user_id"] for r in rows],
+                                pa.int64()),
+        })
+
+    got = got.map_batches(parse, batch_format="pyarrow")
+    return ops.summarize(got, "event_type", combine="auto",
+                         n="count", s=("sum", "user_id"))
+
+
 def _http_roundtrip(sf_dir: str):
     """serve → load_http round-trip (operators/serve.cpp bounded buffer
     + continuation paging; operators/http.cpp:423 client): a pipeline
@@ -2529,7 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeshift_hours": _timeshift_hours,
         "syslog_parse": _syslog_parse,
         "enumerate_sorted": _enumerate_sorted,
-        "distinct_collect": _distinct_collect,
+        "kafka_roundtrip": _kafka_roundtrip,
         "scalar_funcs": _scalar_funcs,
         # -- oracle SQL repaired this round (::BIGINT casts) -----------------
         "ocsf_map": _ocsf_map,
@@ -2598,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_head": _sort_head,
         "top_events": _top_events,
         "rare_events": _rare_events,
+        "distinct_collect": _distinct_collect,
     }
 
 
@@ -2840,6 +2880,10 @@ def oracle_sql() -> dict[str, str]:
         "http_roundtrip": """
             SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
             FROM events WHERE event_id < 4000 GROUP BY event_type
+        """,
+        "kafka_roundtrip": """
+            SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
+            FROM events WHERE event_id < 3000 GROUP BY event_type
         """,
         "windowed_agg": """
             SELECT time_bucket(INTERVAL '6 hours', ts) AS window,
