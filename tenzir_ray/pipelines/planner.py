@@ -1209,6 +1209,33 @@ class Pipeline:
                 ds, m.group(2), int(m.group(1)), m.group(3),
                 descending=(m.group(4) or "desc") == "desc",
                 id_col=m.group(5) or m.group(3))
+        if op.startswith("read_") or op.startswith("write_"):
+            return Pipeline._compile_format_op(op, rest)
+        if op.startswith(("compress_", "decompress_")):
+            # compress_<codec> [col] / decompress_<codec> [col]
+            # (operators/compress_*.mdx): the reference compresses the
+            # BYTE STREAM between write_* and save; the batch-engine
+            # analog is per-record compression of a string/binary
+            # column (default `line`, i.e. right after a write_* step).
+            from tenzir_ray.functions.compress import compress, decompress
+
+            kind, _, codec = op.partition("_")
+            col = rest.strip() or "line"
+            fn = compress if kind == "compress" else decompress
+
+            def _codec_step(t: pa.Table, _fn=fn, _codec=codec,
+                            _col=col) -> pa.Table:
+                arr = t[_col]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if pa.types.is_string(arr.type) or \
+                        pa.types.is_large_string(arr.type):
+                    arr = arr.cast(pa.binary())
+                return t.set_column(t.schema.get_field_index(_col), _col,
+                                    _fn(arr, _codec))
+
+            return lambda ds: ds.map_batches(_codec_step,
+                                             batch_format="pyarrow")
         if op == "python":
             # per-batch Python UDF (operators/python.cpp — venv+Arrow-IPC
             # subprocess there, trivially native here: the code runs over
@@ -1246,6 +1273,144 @@ class Pipeline:
             udf = _PyUDF()
             return lambda ds: ds.map_batches(udf, batch_format="pandas")
         raise ValueError(f"unknown operator {op!r}")
+
+    @staticmethod
+    def _compile_format_op(op: str, rest: str):
+        """``read_<fmt>`` / ``write_<fmt>`` in pipeline text (reference
+        ``web/docs/tql2/operators/read_*.mdx`` / ``write_*.mdx``):
+        ``read_*`` parses a string column (default ``line``) into event
+        columns and REPLACES the event, ``write_*`` prints events into a
+        single ``line`` column — the in-pipeline duals of the ``from``/
+        ``to`` dispatch. Options are space-separated ``key=value``
+        (``col=``, ``columns=a,b,c``, ``delimiter=``, ``header=``,
+        ``pattern=`` for grok). Formats whose structure lives at file
+        scope (parquet/feather/pcap/zeek full logs) stay with ``from``;
+        this family covers line-record formats."""
+        opts: dict[str, str] = {}
+        pos: list[str] = []
+        for p in rest.split():
+            k, eq, v = p.partition("=")
+            if eq:
+                opts[k.strip()] = v.strip().strip('"')
+            else:
+                pos.append(p.strip('"'))
+        kind, _, fmt = op.partition("_")
+        fmt = {"json": "ndjson"}.get(fmt, fmt)
+        col = opts.get("col", "line")
+        from tenzir_ray.functions import parsing as _pf
+        from tenzir_ray.sources import formats as _fmt
+        from tenzir_ray.sources import printers as _pr
+
+        def _struct_to_table(mk_struct):
+            """string col → struct parser, struct fields become the
+            event columns (parse replaces the stream, as in read_*)."""
+            def step(t: pa.Table) -> pa.Table:
+                s = mk_struct(t[col])
+                if isinstance(s, pa.ChunkedArray):
+                    s = s.combine_chunks()
+                return pa.table(
+                    {f.name: s.field(i)
+                     for i, f in enumerate(s.type)}) if len(s.type) \
+                    else pa.table({col: t[col]})
+            return lambda ds: ds.map_batches(step, batch_format="pyarrow")
+
+        if kind == "read":
+            if fmt == "ndjson":
+                return lambda ds: _fmt._parse_ndjson_staged(ds, col=col)
+            if fmt == "lines":
+                return lambda ds: ds
+            if fmt in ("csv", "tsv", "ssv", "xsv"):
+                columns = [c for c in opts.get("columns", "").split(",")
+                           if c]
+                if not columns:
+                    raise ValueError(
+                        f"{op}: columns=a,b,c is required (a byte-stream "
+                        "header does not exist at column scope)")
+                delim = {"csv": ",", "tsv": "\t", "ssv": " "}.get(
+                    fmt, opts.get("delimiter", ","))
+                if fmt == "xsv" and "delimiter" not in opts:
+                    raise ValueError("read_xsv: delimiter= is required")
+
+                def csv_step(t: pa.Table, _cols=tuple(columns),
+                             _d=delim) -> pa.Table:
+                    # stdlib csv for RFC-4180 quoting/escaping (the
+                    # write_csv dual quotes strings); the vectorized
+                    # no-quote splitter stays on parse_csv (field
+                    # function) and the Arrow reader owns `from *.csv`
+                    import csv as _csv
+                    import io as _io
+
+                    vals = t[col].to_pylist()
+                    text = "\n".join(v for v in vals if v is not None)
+                    out: dict[str, list] = {c: [] for c in _cols}
+                    for rec in _csv.reader(_io.StringIO(text),
+                                           delimiter=_d):
+                        for i, c in enumerate(_cols):
+                            out[c].append(rec[i] if i < len(rec)
+                                          else None)
+                    return pa.table(
+                        {c: pa.array(v, pa.string())
+                         for c, v in out.items()})
+
+                return lambda ds: ds.map_batches(csv_step,
+                                                 batch_format="pyarrow")
+            if fmt == "yaml":
+                return _struct_to_table(_pf.parse_yaml_col)
+            if fmt == "grok":
+                pat = opts.get("pattern") or (pos[-1] if pos else "")
+                if not pat:
+                    raise ValueError("read_grok: pattern= is required")
+                return lambda ds: ds.map_batches(
+                    lambda t: _fmt.parse_grok_batch(t, pat, col=col),
+                    batch_format="pyarrow")
+            batch_parsers = {
+                "kv": _fmt.parse_kv_batch,
+                "syslog": _fmt.parse_syslog_batch,
+                "cef": _fmt.parse_cef_batch,
+                "leef": _fmt.parse_leef_batch,
+            }
+            if fmt in batch_parsers:
+                fn = batch_parsers[fmt]
+                return lambda ds: ds.map_batches(
+                    lambda t: fn(t, col=col), batch_format="pyarrow")
+            raise ValueError(f"{op}: unsupported read format {fmt!r}")
+
+        # ---- write_* → a single `line` string column
+        import functools as _ft
+
+        if fmt == "yaml":
+            def yaml_step(t: pa.Table) -> pa.Table:
+                s = pa.StructArray.from_arrays(
+                    [t[c].combine_chunks() if
+                     isinstance(t[c], pa.ChunkedArray) else t[c]
+                     for c in t.column_names],
+                    names=t.column_names)
+                return pa.table({"line": _pf.print_yaml_col(s)})
+            return lambda ds: ds.map_batches(yaml_step,
+                                             batch_format="pyarrow")
+        printers = {
+            "ndjson": _pr.print_ndjson_batch,
+            "lines": _pr.print_lines_batch,
+            "kv": _pr.print_kv_batch,
+            "syslog": _pr.print_syslog_batch,
+            "cef": _pr.print_cef_batch,
+            "leef": _pr.print_leef_batch,
+            "zeek_tsv": _pr.print_zeek_tsv,
+            "csv": _ft.partial(
+                _pr.print_csv_batch,
+                include_header=opts.get("header", "false") == "true",
+                delimiter=opts.get("delimiter", ",")),
+            "tsv": _ft.partial(_pr.print_csv_batch, delimiter="\t"),
+            "ssv": _ft.partial(_pr.print_csv_batch, delimiter=" "),
+            "xsv": _ft.partial(
+                _pr.print_csv_batch,
+                delimiter=opts.get("delimiter", ",")),
+        }
+        if fmt not in printers:
+            raise ValueError(f"{op}: unsupported write format {fmt!r}")
+        fn = printers[fmt]
+        return lambda ds: ds.map_batches(lambda t: fn(t),
+                                         batch_format="pyarrow")
 
     def run(self, ds: Dataset | None = None) -> Dataset:
         if ds is None:

@@ -741,3 +741,83 @@ def test_string_ending_in_escaped_backslash_tokenizes(ray_session):
                        ds).to_pandas()
     assert list(out["x"]) == [2, 3]
     assert set(out["s"]) == {"a\\"}
+
+
+def test_read_write_format_ops(ray_session):
+    """read_*/write_* in pipeline text (web/docs/tql2/operators/
+    read_*.mdx, write_*.mdx): in-pipeline parse/print duals."""
+    import json
+
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import Pipeline
+
+    rows = [{"a": i, "b": f"t{i % 3}"} for i in range(10)]
+    ds = rd.from_items(rows)
+
+    # events → ndjson lines → events again (write/read duality)
+    lines = Pipeline.parse("write_ndjson").run(ds).take_all()
+    assert sorted(json.loads(r["line"])["a"] for r in lines) == list(
+        range(10))
+    back = Pipeline.parse("write_ndjson | read_ndjson").run(ds)
+    got = sorted(r["a"] for r in back.take_all())
+    assert got == list(range(10))
+
+    # csv dual needs declared columns on the read side
+    csv_back = Pipeline.parse(
+        "write_csv | read_csv columns=a,b").run(ds).take_all()
+    assert sorted(int(r["a"]) for r in csv_back) == list(range(10))
+    assert {r["b"] for r in csv_back} == {"t0", "t1", "t2"}
+
+    # kv round-trip
+    kv_back = Pipeline.parse("write_kv | read_kv col=line").run(ds)
+    assert kv_back.count() == 10
+
+    # syslog print produces one line per event
+    sys_lines = Pipeline.parse("write_syslog").run(ds).take_all()
+    assert len(sys_lines) == 10 and all("line" in r for r in sys_lines)
+
+
+def test_compress_ops_in_pipeline(ray_session):
+    """compress_<codec>/decompress_<codec> planner ops: per-record
+    column compression (the batch analog of the stream codecs)."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import Pipeline
+
+    rows = [{"a": i, "s": "payload-" * 20 + str(i)} for i in range(6)]
+    ds = rd.from_items(rows)
+    out = Pipeline.parse(
+        "write_ndjson | compress_zstd | decompress_zstd | read_ndjson"
+    ).run(ds)
+    assert sorted(r["a"] for r in out.take_all()) == list(range(6))
+
+    # gzip too, and unknown codec is loud
+    out2 = Pipeline.parse("write_ndjson | compress_gzip").run(ds)
+    import gzip
+
+    blobs = [r["line"] for r in out2.take_all()]
+    assert all(gzip.decompress(b).startswith(b"{") for b in blobs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        Pipeline.parse("write_ndjson | compress_nope").run(ds).count()
+
+
+def test_read_grok_and_xsv_validation(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import Pipeline
+
+    ds = rd.from_items([{"line": "alice 42"}])
+    got = Pipeline.parse(
+        'read_grok pattern="%{WORD:user} %{NUMBER:n}"').run(ds).take_all()
+    assert got[0]["user"] == "alice"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="columns="):
+        Pipeline.parse("read_csv")
+    with _pytest.raises(ValueError, match="delimiter="):
+        Pipeline.parse("read_xsv columns=a,b")
