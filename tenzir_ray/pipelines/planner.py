@@ -1286,14 +1286,18 @@ class Pipeline:
         ``pattern=`` for grok). Formats whose structure lives at file
         scope (parquet/feather/pcap/zeek full logs) stay with ``from``;
         this family covers line-record formats."""
+        import shlex
+
+        # shlex keeps quoted values whole: pattern="%{WORD:u} %{NUMBER:n}"
+        # and delimiter=" " must survive tokenization intact
         opts: dict[str, str] = {}
         pos: list[str] = []
-        for p in rest.split():
+        for p in shlex.split(rest):
             k, eq, v = p.partition("=")
             if eq:
-                opts[k.strip()] = v.strip().strip('"')
+                opts[k.strip()] = v
             else:
-                pos.append(p.strip('"'))
+                pos.append(p)
         kind, _, fmt = op.partition("_")
         fmt = {"json": "ndjson"}.get(fmt, fmt)
         col = opts.get("col", "line")
@@ -1388,6 +1392,15 @@ class Pipeline:
                 return pa.table({"line": _pf.print_yaml_col(s)})
             return lambda ds: ds.map_batches(yaml_step,
                                              batch_format="pyarrow")
+        if opts.get("header", "false") == "true":
+            # a header is a ONCE-per-stream artifact; this operator runs
+            # per BLOCK, which would interleave a header per block into
+            # the line stream. The CLI `write csv <path>` sink emits it
+            # host-side when assembling the file.
+            raise ValueError(
+                f"{op}: header=true is a sink-level concern "
+                "(once per stream, not per block) — use the CLI "
+                "`write csv <path>` which emits it host-side")
         printers = {
             "ndjson": _pr.print_ndjson_batch,
             "lines": _pr.print_lines_batch,
@@ -1398,7 +1411,6 @@ class Pipeline:
             "zeek_tsv": _pr.print_zeek_tsv,
             "csv": _ft.partial(
                 _pr.print_csv_batch,
-                include_header=opts.get("header", "false") == "true",
                 delimiter=opts.get("delimiter", ",")),
             "tsv": _ft.partial(_pr.print_csv_batch, delimiter="\t"),
             "ssv": _ft.partial(_pr.print_csv_batch, delimiter=" "),

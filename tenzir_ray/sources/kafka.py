@@ -35,27 +35,48 @@ import threading
 
 import pyarrow as pa
 
+from tenzir_ray.sources.mq import _recv_exact
+
 # ------------------------------------------------------------------ CRC32C
 
 
-def _crc32c_table() -> list[int]:
+def _crc32c_tables() -> list[list[int]]:
+    """Slicing-by-8 tables (the public technique from Intel's CRC
+    paper, as in zlib/kernel implementations): table[0] is the classic
+    byte table; table[k][b] pre-advances b by k more zero bytes."""
     poly = 0x82F63B78  # Castagnoli, reflected
-    table = []
+    t0 = []
     for i in range(256):
         crc = i
         for _ in range(8):
             crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
-        table.append(crc)
-    return table
+        t0.append(crc)
+    tables = [t0]
+    for k in range(1, 8):
+        prev = tables[k - 1]
+        tables.append([(prev[i] >> 8) ^ t0[prev[i] & 0xFF]
+                       for i in range(256)])
+    return tables
 
 
-_CRC32C = _crc32c_table()
+_T = _crc32c_tables()
 
 
 def crc32c(data: bytes) -> int:
+    """CRC32C via slicing-by-8: one loop iteration per 8 input bytes.
+    Pure Python is the floor this container allows (no C crc32c
+    module); a production build would swap in a compiled kernel."""
     crc = 0xFFFFFFFF
-    for b in data:
-        crc = (crc >> 8) ^ _CRC32C[(crc ^ b) & 0xFF]
+    n8 = len(data) & ~7
+    t0, t1, t2, t3, t4, t5, t6, t7 = _T  # t_k = k extra-byte advances
+    for i in range(0, n8, 8):
+        w = crc ^ int.from_bytes(data[i:i + 4], "little")
+        crc = (t7[w & 0xFF] ^ t6[(w >> 8) & 0xFF]
+               ^ t5[(w >> 16) & 0xFF] ^ t4[(w >> 24) & 0xFF]
+               ^ t3[data[i + 4]] ^ t2[data[i + 5]]
+               ^ t1[data[i + 6]] ^ t0[data[i + 7]])
+    for b in data[n8:]:
+        crc = (crc >> 8) ^ t0[(crc ^ b) & 0xFF]
     return crc ^ 0xFFFFFFFF
 
 
@@ -208,22 +229,13 @@ class KafkaClient:
                   + _kstr(self.client_id))
         msg = header + body
         self.sock.sendall(struct.pack(">i", len(msg)) + msg)
-        size = struct.unpack(">i", self._recv(4))[0]
-        resp = self._recv(size)
+        size = struct.unpack(">i", _recv_exact(self.sock, 4))[0]
+        resp = _recv_exact(self.sock, size)
         corr = struct.unpack_from(">i", resp, 0)[0]
         if corr != self._corr:
             raise ConnectionError(f"kafka: correlation {corr} != "
                                   f"{self._corr}")
         return resp[4:]
-
-    def _recv(self, n: int) -> bytes:
-        buf = b""
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("kafka: peer closed mid-read")
-            buf += chunk
-        return buf
 
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes]],
@@ -310,19 +322,10 @@ def mini_kafka_broker(host: str = "127.0.0.1", port: int = 0):
     logs: dict[tuple[str, int], list[tuple[bytes | None, bytes]]] = {}
 
     def handle(conn) -> None:
-        def recv_exact(n: int) -> bytes:
-            buf = b""
-            while len(buf) < n:
-                chunk = conn.recv(n - len(buf))
-                if not chunk:
-                    raise ConnectionError
-                buf += chunk
-            return buf
-
         try:
             while True:
-                size = struct.unpack(">i", recv_exact(4))[0]
-                req = recv_exact(size)
+                size = struct.unpack(">i", _recv_exact(conn, 4))[0]
+                req = _recv_exact(conn, size)
                 api, ver, corr = struct.unpack_from(">hhi", req, 0)
                 pos = 8
                 _, pos = _read_kstr(req, pos)  # client_id

@@ -176,10 +176,25 @@ def save_zmq(ds, endpoint: str = "tcp://127.0.0.1:5555", *,
             conn.settimeout(accept_timeout)
             _zmtp_greet(conn)
             _zmtp_ready(conn, "PUB")
-            # SUB announces its filters as \x01<prefix> messages
-            # (spec/23: subscriptions ride the message channel in 3.0)
-            flags, msg = _zmtp_recv_frame(conn)
-            prefixes = [msg[1:]] if msg[:1] == b"\x01" else [b""]
+            # SUB announces each filter as a \x01<prefix> message
+            # (spec/23: subscriptions ride the message channel in 3.0);
+            # collect ALL of them — a peer may subscribe to several
+            # prefixes — until a short quiet period. A SUB that sent
+            # none receives nothing (spec semantics), not everything.
+            prefixes: list[bytes] = []
+            conn.settimeout(0.25)
+            try:
+                while True:
+                    flags, msg = _zmtp_recv_frame(conn)
+                    if flags & 0x04:
+                        continue  # commands (PING…) are not subscriptions
+                    if msg[:1] == b"\x01":
+                        prefixes.append(msg[1:])
+                    elif msg[:1] == b"\x00" and msg[1:] in prefixes:
+                        prefixes.remove(msg[1:])  # unsubscribe
+            except (_socket.timeout, ConnectionError):
+                pass
+            conn.settimeout(accept_timeout)
             subs.append((conn, prefixes))
 
         if lines_fn is None:
@@ -281,10 +296,15 @@ def _longstr(s: str | bytes) -> bytes:
 class _AmqpIO:
     """Frame-level reader/writer shared by the client and the mini
     broker (spec §2.3: frame = type(1) channel(2) size(4) payload
-    frame-end(0xCE); method payload = class(2) method(2) args)."""
+    frame-end(0xCE); method payload = class(2) method(2) args).
+    ``send_lock`` serializes multi-frame sends when several broker
+    threads deliver to the same consumer socket."""
 
     def __init__(self, sock):
+        import threading as _threading
+
         self.sock = sock
+        self.send_lock = _threading.Lock()
 
     def send_frame(self, ftype: int, channel: int, payload: bytes) -> None:
         self.sock.sendall(struct.pack(">BHI", ftype, channel, len(payload))
@@ -376,16 +396,28 @@ class AmqpClient:
         for i in range(0, len(body), limit) or [0]:
             self.io.send_frame(_FRAME_BODY, 1, body[i:i + limit])
 
-    def consume_bodies(self, queue: str, max_messages: int) -> list[bytes]:
+    def consume_bodies(self, queue: str, max_messages: int, *,
+                       idle_timeout: float | None = None) -> list[bytes]:
         """Deliver-driven consume: Basic.Deliver → content header (for
-        body-size) → body frames until size satisfied."""
+        body-size) → body frames until size satisfied. Returns early
+        with the PARTIAL list when ``idle_timeout`` seconds pass with no
+        delivery — without it, a drain of a queue holding fewer than
+        ``max_messages`` would block until the socket timeout and then
+        LOSE the no-ack'd messages already consumed."""
+        import socket as _socket
+
         self.io.send_method(1, 60, 20, b"\x00\x00" + _shortstr(queue)
                             + _shortstr("") + b"\x02"  # no-ack
                             + struct.pack(">I", 0))
         self.io.recv_method((60, 21))
+        if idle_timeout is not None:
+            self.sock.settimeout(idle_timeout)
         out: list[bytes] = []
         while len(out) < max_messages:
-            self.io.recv_method((60, 60))
+            try:
+                self.io.recv_method((60, 60))
+            except (_socket.timeout, TimeoutError):
+                break  # queue drained — return what we have
             ftype, _, payload = self.io.recv_frame()
             if ftype != _FRAME_HEADER:
                 raise ConnectionError("AMQP: expected content header")
@@ -434,7 +466,7 @@ def mini_amqp_broker(host: str = "127.0.0.1", port: int = 0, *,
     bindings: dict[tuple[str, str], str] = {}
     consumers: dict[str, list[_AmqpIO]] = {}
 
-    def deliver(io: _AmqpIO, body: bytes) -> None:
+    def _deliver_frames(io: _AmqpIO, body: bytes) -> None:
         io.send_method(1, 60, 60, _shortstr("ctag") +
                        struct.pack(">Q", 0) + b"\x00" + _shortstr("") +
                        _shortstr(""))
@@ -443,14 +475,28 @@ def mini_amqp_broker(host: str = "127.0.0.1", port: int = 0, *,
         io.send_frame(_FRAME_BODY, 1, body)
 
     def route(exchange: str, rk: str, body: bytes) -> None:
+        # resolve under the global lock; SEND outside it (a stalled
+        # consumer's full TCP buffer must block only deliveries to that
+        # consumer, never the whole broker) — the per-consumer send_lock
+        # keeps the 3-frame delivery atomic against other publishers
         with lock:
             q = rk if exchange == "" else bindings.get((exchange, rk))
             if q is None:
                 return  # unroutable, mandatory=false → drop (spec)
             live = consumers.get(q)
-            if live:
-                deliver(live[0], body)
-            else:
+            target = live[0] if live else None
+            if target is None:
+                queues.setdefault(q, []).append(body)
+                return
+        try:
+            with target.send_lock:
+                _deliver_frames(target, body)
+        except OSError:
+            # dead consumer: deregister and re-queue, don't lose it
+            with lock:
+                ios = consumers.get(q)
+                if ios and target in ios:
+                    ios.remove(target)
                 queues.setdefault(q, []).append(body)
 
     def serve(conn) -> None:
@@ -508,14 +554,19 @@ def mini_amqp_broker(host: str = "127.0.0.1", port: int = 0, *,
                     pos = 2
                     qn = args[pos + 1:pos + 1 + args[pos]].decode()
                     io.send_method(channel, 60, 21, _shortstr("ctag"))
-                    # flush the backlog and register INSIDE the lock so a
-                    # concurrent publish can't interleave frames on this
-                    # consumer's socket or jump the backlog order
-                    with lock:
-                        for body in queues.get(qn, []):
-                            deliver(io, body)
-                        queues[qn] = []
-                        consumers.setdefault(qn, []).append(io)
+                    # hold OUR send_lock across register+flush: a
+                    # concurrent publish resolves this consumer under
+                    # the global lock, then blocks on send_lock until
+                    # the backlog has drained — order preserved, frames
+                    # never interleaved, global lock never held during
+                    # a send
+                    with io.send_lock:
+                        with lock:
+                            backlog = queues.get(qn, [])
+                            queues[qn] = []
+                            consumers.setdefault(qn, []).append(io)
+                        for body in backlog:
+                            _deliver_frames(io, body)
                 elif (cid, mid) == (10, 50):  # Connection.Close
                     io.send_method(0, 10, 51)
                     return
@@ -577,9 +628,11 @@ def load_amqp(*, host: str = "127.0.0.1", port: int = 5672,
               queue: str = "", exchange: str = "amq.direct",
               routing_key: str = "", username: str = "guest",
               password: str = "guest", vhost: str = "/",
-              max_events: int = 1000):
+              max_events: int = 1000, idle_timeout: float = 5.0):
     """AMQP loader (amqp/operator.hpp loader: declare + bind + no-ack
-    consume). Finite-drain thunk returning a Dataset of ``line`` rows."""
+    consume). Finite-drain thunk returning a Dataset of ``line`` rows;
+    the drain ends after ``idle_timeout`` quiet seconds, returning
+    whatever arrived (same semantics as ``load_tcp``)."""
     import ray.data as rd
 
     def drain() -> list[str]:
@@ -588,7 +641,8 @@ def load_amqp(*, host: str = "127.0.0.1", port: int = 5672,
         try:
             q = cli.queue_declare(queue)
             cli.queue_bind(q, exchange, routing_key)
-            bodies = cli.consume_bodies(q, max_events)
+            bodies = cli.consume_bodies(q, max_events,
+                                        idle_timeout=idle_timeout)
         finally:
             cli.close()
         return [b.decode(errors="replace") for b in bodies]
@@ -654,8 +708,12 @@ def from_sqs(queue_url: str, *, max_events: int = 1000,
     def drain() -> list[str]:
         out: list[str] = []
         while len(out) < max_events:
+            # never request more than we will return: a larger take
+            # would be deleted below but truncated by the caller's cap —
+            # acknowledged-and-dropped, breaking at-least-once
             body = _json.dumps({
-                "QueueUrl": queue_url, "MaxNumberOfMessages": 10,
+                "QueueUrl": queue_url,
+                "MaxNumberOfMessages": min(10, max_events - len(out)),
                 "WaitTimeSeconds": int(poll_time)})
             resp = _http_post_retry(
                 queue_url, body.encode(),
@@ -663,6 +721,9 @@ def from_sqs(queue_url: str, *, max_events: int = 1000,
                          "X-Amz-Target": "AmazonSQS.ReceiveMessage"},
                 timeout=timeout + poll_time, max_retries=1)
             msgs = _json.loads(resp or b"{}").get("Messages") or []
+            msgs = msgs[:max_events - len(out)]  # belt-and-braces: a
+            # server returning more than MaxNumberOfMessages must not
+            # get the overflow deleted below
             if not msgs:
                 break  # long poll expired empty → stream is drained
             out.extend(m["Body"] for m in msgs)
@@ -746,11 +807,15 @@ def from_google_cloud_pubsub(project_id: str, subscription_id: str, *,
     def drain() -> list[str]:
         out: list[str] = []
         while len(out) < max_events:
+            # pull at most what we will return — acking a pulled
+            # overflow and then truncating would silently drop it
             resp = _http_post_retry(
                 base + ":pull",
-                _json.dumps({"maxMessages": 100}).encode(),
+                _json.dumps({"maxMessages":
+                             min(100, max_events - len(out))}).encode(),
                 headers=headers, timeout=timeout, max_retries=1)
             recv = _json.loads(resp or b"{}").get("receivedMessages") or []
+            recv = recv[:max_events - len(out)]
             if not recv:
                 break
             ack_ids = []

@@ -56,6 +56,58 @@ def test_zmq_subscribe_filter(ray_session):
     assert sent["n"] == 3  # info lines matched no subscriber
 
 
+def test_zmq_multiple_subscriptions(ray_session):
+    """A SUB peer announcing several prefixes gets messages matching ANY
+    of them (save_zmq must collect every \\x01 frame, not just one)."""
+    import socket
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.mq import (
+        _zmtp_greet, _zmtp_ready, _zmtp_recv_frame, _zmtp_send_frame,
+        save_zmq,
+    )
+
+    port = _free_port()
+    lines = ["warn 1", "info 2", "crit 3", "debug 4", "crit 5"]
+    sent = {}
+
+    def pub():
+        sent["n"] = save_zmq(
+            rd.from_items([{"s": l} for l in lines]),
+            f"tcp://127.0.0.1:{port}",
+            lines_fn=lambda rows: [r["s"] for r in rows])
+
+    th = threading.Thread(target=pub)
+    th.start()
+    # hand-rolled SUB with two subscription prefixes
+    import time
+
+    for _ in range(50):
+        try:
+            cli = socket.create_connection(("127.0.0.1", port),
+                                           timeout=2.0)
+            break
+        except OSError:
+            time.sleep(0.1)
+    cli.settimeout(3.0)
+    _zmtp_greet(cli)
+    _zmtp_ready(cli, "SUB")
+    _zmtp_send_frame(cli, b"\x01warn")
+    _zmtp_send_frame(cli, b"\x01crit")
+    got = []
+    try:
+        while len(got) < 3:
+            flags, msg = _zmtp_recv_frame(cli)
+            if not flags & 0x04:
+                got.append(msg.decode())
+    finally:
+        cli.close()
+    th.join()
+    assert got == ["warn 1", "crit 3", "crit 5"]
+    assert sent["n"] == 3
+
+
 def test_zmq_rejects_incompatible_socket_type():
     import socket
     import struct
@@ -144,8 +196,12 @@ def test_amqp_backlog_then_consume(ray_session):
     n = save_amqp(rd.from_items([{"m": i} for i in range(5)]), port=port,
                   exchange="", routing_key="backlog")
     assert n == 5
+    # ask for MORE than the queue holds: the drain must return the
+    # partial set after idle_timeout instead of blocking and losing
+    # the no-ack'd messages
     mk = load_amqp(port=port, queue="backlog", exchange="",
-                   routing_key="backlog", max_events=5)
+                   routing_key="backlog", max_events=50,
+                   idle_timeout=1.0)
     got = [json.loads(r["line"])["m"] for r in mk().take_all()]
     assert got == [0, 1, 2, 3, 4]  # FIFO preserved through the backlog
 
@@ -180,7 +236,8 @@ class _QueueStub:
                     out = {"Successful": [{"Id": e["Id"]}
                                           for e in req["Entries"]]}
                 elif target.endswith("ReceiveMessage"):
-                    take, stub.msgs = stub.msgs[:10], stub.msgs[10:]
+                    cap = int(req.get("MaxNumberOfMessages", 10))
+                    take, stub.msgs = stub.msgs[:cap], stub.msgs[cap:]
                     out = {"Messages": [
                         {"Body": m, "ReceiptHandle": f"rh-{i}"}
                         for i, m in enumerate(take)]} if take else {}
@@ -193,7 +250,8 @@ class _QueueStub:
                     out = {"messageIds": [str(i) for i in
                                           range(len(req["messages"]))]}
                 elif self.path.endswith(":pull"):
-                    take, stub.msgs = stub.msgs[:100], stub.msgs[100:]
+                    cap = int(req.get("maxMessages", 100))
+                    take, stub.msgs = stub.msgs[:cap], stub.msgs[cap:]
                     out = {"receivedMessages": [
                         {"ackId": f"a-{i}", "message": {"data": m}}
                         for i, m in enumerate(take)]} if take else {}
@@ -234,8 +292,16 @@ def test_sqs_roundtrip(ray_session):
         rows = [{"id": i} for i in range(23)]
         n = to_sqs(rd.from_items(rows), url)
         assert n == 23 and len(stub.msgs) == 23
-        mk = from_sqs(url, max_events=23, poll_time=0)
-        got = sorted(json.loads(r["line"])["id"] for r in mk().take_all())
+        # a capped take must NOT delete beyond what it returns
+        # (ack-then-drop would violate at-least-once)
+        mk5 = from_sqs(url, max_events=5, poll_time=0)
+        first = mk5().take_all()
+        assert len(first) == 5 and stub.deleted == 5
+        assert len(stub.msgs) == 18  # the rest still queued
+        mk = from_sqs(url, max_events=18, poll_time=0)
+        rest = mk().take_all()
+        got = sorted(json.loads(r["line"])["id"]
+                     for r in first + rest)
         assert got == list(range(23))
         assert stub.deleted == 23  # delete-after-read honored
     finally:
@@ -256,9 +322,14 @@ def test_pubsub_roundtrip(ray_session):
         n = to_google_cloud_pubsub(rd.from_items(rows), "proj", "topic",
                                    endpoint=ep)
         assert n == 15
+        # capped pull must only ack what it returns
+        part = from_google_cloud_pubsub("proj", "sub", endpoint=ep,
+                                        max_events=4)().take_all()
+        assert len(part) == 4 and stub.deleted == 4
         mk = from_google_cloud_pubsub("proj", "sub", endpoint=ep,
                                       max_events=15)
-        got = sorted(json.loads(r["line"])["id"] for r in mk().take_all())
+        got = sorted(json.loads(r["line"])["id"]
+                     for r in part + mk().take_all())
         assert got == list(range(15))
         assert stub.deleted == 15  # every pull acknowledged
     finally:

@@ -813,7 +813,10 @@ def test_read_grok_and_xsv_validation(ray_session):
     ds = rd.from_items([{"line": "alice 42"}])
     got = Pipeline.parse(
         'read_grok pattern="%{WORD:user} %{NUMBER:n}"').run(ds).take_all()
+    # BOTH captures must survive — a whitespace tokenizer would silently
+    # truncate the quoted pattern after the first %{...}
     assert got[0]["user"] == "alice"
+    assert int(got[0]["n"]) == 42
 
     import pytest as _pytest
 
