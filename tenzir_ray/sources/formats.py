@@ -95,10 +95,33 @@ def resolve_binary_paths(paths, suffixes: tuple[str, ...]):
 
 
 def open_uri(uri: str, **kw):
-    """Dispatch on extension, transparently handling a trailing compression
-    suffix (Arrow decompresses .gz/.zst/.bz2 via arrow_open_stream_args —
-    reference: from_to_2.cpp extension matching + compress_decompress.cpp).
-    """
+    """Dispatch on scheme then extension, transparently handling a
+    trailing compression suffix (Arrow decompresses .gz/.zst/.bz2 via
+    arrow_open_stream_args — reference: from_to_2.cpp extension matching
+    + compress_decompress.cpp). Scheme dispatch mirrors the reference's
+    ``load_properties().schemes`` registration: ``kafka://host:port/
+    topic[?partition=N&offset=beginning|end|N]`` and ``zmq://host:port
+    [?filter=prefix]`` drain the MQ connectors into a Dataset."""
+    from urllib.parse import parse_qs, urlparse
+
+    if uri.startswith("kafka://"):
+        from tenzir_ray.sources.kafka import load_kafka
+
+        u = urlparse(uri)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        off = q.get("offset", "beginning")
+        return load_kafka(
+            u.path.lstrip("/"), host=u.hostname or "127.0.0.1",
+            port=u.port or 9092, partition=int(q.get("partition", 0)),
+            offset=off if off in ("beginning", "end") else int(off),
+            **kw)()
+    if uri.startswith("zmq://"):
+        from tenzir_ray.sources.mq import load_zmq
+
+        u = urlparse(uri)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        return load_zmq(f"tcp://{u.hostname}:{u.port}",
+                        filter=q.get("filter", "").encode(), **kw)()
     base = re.sub(r"\.(gz|zst|zstd|bz2|lz4)$", "", uri)
     for ext, reader in _EXT_READERS.items():
         if base.endswith(ext):

@@ -114,3 +114,43 @@ def mini_broker():
     from tenzir_ray.sources.kafka import mini_kafka_broker
 
     return mini_kafka_broker()
+
+
+def test_open_uri_kafka_and_zmq_schemes(ray_session):
+    """from-style scheme dispatch (reference load_properties schemes):
+    kafka://host:port/topic?offset=... and zmq://host:port?filter=..."""
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import open_uri
+    from tenzir_ray.sources.kafka import save_kafka
+    from tenzir_ray.sources.mq import save_zmq
+
+    _, port = mini_broker()
+    save_kafka(rd.from_items([{"m": i} for i in range(9)]), "t",
+               port=port)
+    ds = open_uri(f"kafka://127.0.0.1:{port}/t?offset=beginning")
+    assert ds.count() == 9
+    assert open_uri(
+        f"kafka://127.0.0.1:{port}/t?offset=3").count() == 6
+
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    zport = s.getsockname()[1]
+    s.close()
+
+    def pub():
+        save_zmq(rd.from_items([{"s": f"x{i}"} for i in range(4)]),
+                 f"tcp://127.0.0.1:{zport}",
+                 lines_fn=lambda rows: [r["s"] for r in rows])
+
+    th = threading.Thread(target=pub)
+    th.start()
+    got = open_uri(f"zmq://127.0.0.1:{zport}", max_events=4,
+                   idle_timeout=3.0)
+    n = got.count()
+    th.join()
+    assert n == 4
