@@ -995,6 +995,35 @@ def _ocsf_map(sf_dir: str):
     )
 
 
+def _format_roundtrip(sf_dir: str):
+    """In-pipeline parse/print duals + per-record codecs in TQL text
+    (web/docs/tql2/operators/read_*.mdx, write_*.mdx, compress_*.mdx;
+    planner.py _compile_format_op): events print to CSV lines, the
+    lines zstd-compress and decompress per record, parse back via the
+    RFC-4180 reader, and the round-tripped stream aggregates — values
+    identical to aggregating the source directly, which is the oracle."""
+    import tenzir_ray.stages as ops
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "user_id"])
+    ds = ops.where(ds, lambda t: pc.less(t["event_id"], 5000))
+    back = Pipeline.parse(
+        "write_csv | compress_zstd | decompress_zstd"
+        " | read_csv columns=event_id,event_type,user_id"
+    ).run(ds)
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+        })
+
+    back = back.map_batches(typed, batch_format="pyarrow")
+    return ops.summarize(back, "event_type", combine="auto",
+                         n="count", s=("sum", "user_id"))
+
+
 def _tql_let_if(sf_dir: str):
     """TQL2 language constructs in pipeline TEXT (tql2/parser.cpp let
     statements; operators/if.cpp branch subpipelines; planner.py
@@ -2567,7 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_pairs": _distinct_pairs,
         "timeshift_hours": _timeshift_hours,
         "syslog_parse": _syslog_parse,
-        "enumerate_sorted": _enumerate_sorted,
+        "format_roundtrip": _format_roundtrip,
         "kafka_roundtrip": _kafka_roundtrip,
         "scalar_funcs": _scalar_funcs,
         # -- oracle SQL repaired this round (::BIGINT casts) -----------------
@@ -2638,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": _top_events,
         "rare_events": _rare_events,
         "distinct_collect": _distinct_collect,
+        "enumerate_sorted": _enumerate_sorted,
     }
 
 
@@ -2884,6 +2914,10 @@ def oracle_sql() -> dict[str, str]:
         "kafka_roundtrip": """
             SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
             FROM events WHERE event_id < 3000 GROUP BY event_type
+        """,
+        "format_roundtrip": """
+            SELECT event_type, count(*) AS n, (sum(user_id))::BIGINT AS s
+            FROM events WHERE event_id < 5000 GROUP BY event_type
         """,
         "windowed_agg": """
             SELECT time_bucket(INTERVAL '6 hours', ts) AS window,

@@ -1345,7 +1345,10 @@ class Pipeline:
                     import io as _io
 
                     vals = t[col].to_pylist()
-                    text = "\n".join(v for v in vals if v is not None)
+                    # a decompress_* step upstream leaves binary values
+                    text = "\n".join(
+                        v.decode() if isinstance(v, bytes) else v
+                        for v in vals if v is not None)
                     out: dict[str, list] = {c: [] for c in _cols}
                     for rec in _csv.reader(_io.StringIO(text),
                                            delimiter=_d):
