@@ -1407,6 +1407,11 @@ class Pipeline:
         printers = {
             "ndjson": _pr.print_ndjson_batch,
             "lines": _pr.print_lines_batch,
+            "tql": _ft.partial(
+                _pr.print_tql_batch,
+                strip_null_fields=(
+                    opts.get("strip_null_fields",
+                             opts.get("strip", "false")) == "true")),
             "kv": _pr.print_kv_batch,
             "syslog": _pr.print_syslog_batch,
             "cef": _pr.print_cef_batch,

@@ -197,6 +197,47 @@ def print_zeek_tsv(t: pa.Table, path: str = "log", out: str = "line") -> pa.Tabl
     return pa.table({out: pa.array(lines, pa.string())})
 
 
+def _tql_value(v) -> str:
+    """One value in TQL literal notation (write_tql.md: records
+    ``{key: val}``, double-quoted strings, bare numbers/bools/null,
+    unquoted ISO timestamps). Bytes render as an escaped string —
+    the blob-literal approximation this engine uses throughout."""
+    import datetime as _dt
+    import json as _json
+
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return _json.dumps(v.decode("utf-8", errors="backslashreplace"))
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_tql_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return ("{" + ", ".join(f"{k}: {_tql_value(x)}"
+                                for k, x in v.items()) + "}")
+    return _json.dumps(str(v))
+
+
+def print_tql_batch(t: pa.Table, out: str = "line", *,
+                    strip_null_fields: bool = False) -> pa.Table:
+    """rows → compact TQL record notation, one event per line
+    (``write_tql compact=true`` — web/docs/tql2/operators/write_tql.md;
+    the reference's default pretty/color modes are terminal sugar, the
+    compact form is the machine dual)."""
+    lines = []
+    for r in t.to_pylist():
+        items = [(k, v) for k, v in r.items()
+                 if not (strip_null_fields and v is None)]
+        lines.append("{" + ", ".join(f"{k}: {_tql_value(v)}"
+                                     for k, v in items) + "}")
+    return pa.table({out: pa.array(lines, pa.string())})
+
+
 _CODEC_EXT = {"gzip": ".gz", "zstd": ".zst", "lz4": ".lz4", "bz2": ".bz2",
               "brotli": ".br"}
 

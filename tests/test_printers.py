@@ -206,3 +206,33 @@ def test_write_lines_compressed(ray_session, tmp_path):
     for f in sorted(files):
         got += gzip.open(f, "rt", encoding="utf-8").read().splitlines()
     assert sorted(got) == sorted(payload)
+
+
+def test_write_tql(ray_session):
+    """write_tql compact notation (web/docs/tql2/operators/
+    write_tql.md): records as {key: value, …}, one event per line."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import Pipeline
+    from tenzir_ray.sources.printers import print_tql_batch
+    import pyarrow as pa
+
+    t = pa.table({"id": [1, 2], "name": ["a", None],
+                  "ok": [True, False]})
+    lines = print_tql_batch(t).column("line").to_pylist()
+    assert lines[0] == '{id: 1, name: "a", ok: true}'
+    assert lines[1] == "{id: 2, name: null, ok: false}"
+    stripped = print_tql_batch(
+        t, strip_null_fields=True).column("line").to_pylist()
+    assert stripped[1] == "{id: 2, ok: false}"
+
+    # nested records/lists render in TQL notation
+    t2 = pa.table({"e": [{"ip": "10.0.0.1", "ports": [53, 80]}]})
+    assert print_tql_batch(t2).column("line").to_pylist()[0] == \
+        '{e: {ip: "10.0.0.1", ports: [53, 80]}}'
+
+    # reachable from pipeline text
+    ds = rd.from_items([{"x": 5, "y": None}])
+    got = Pipeline.parse(
+        "write_tql strip_null_fields=true").run(ds).take_all()
+    assert got[0]["line"] == "{x: 5}"
