@@ -195,7 +195,7 @@ def main(argv: list[str] | None = None) -> int:
             # `write <fmt> | save stdout`): stream printer lines
             # batch-by-batch, never materializing the result
             if fmt in ("syslog", "cef", "leef", "kv", "ndjson", "csv",
-                       "lines", "json"):
+                       "lines", "json", "tql"):
                 import functools
 
                 from tenzir_ray.sources import printers as pr
@@ -206,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
                     "leef": pr.print_leef_batch, "kv": pr.print_kv_batch,
                     "ndjson": pr.print_ndjson_batch,
                     "json": pr.print_ndjson_batch,
+                    "tql": pr.print_tql_batch,
                     "csv": functools.partial(pr.print_csv_batch,
                                              include_header=False),
                     "lines": pr.print_lines_batch,
@@ -247,6 +248,7 @@ def main(argv: list[str] | None = None) -> int:
                 "syslog": pr.print_syslog_batch, "cef": pr.print_cef_batch,
                 "leef": pr.print_leef_batch, "kv": pr.print_kv_batch,
                 "ndjson": pr.print_ndjson_batch,
+                "tql": pr.print_tql_batch,
                 "lines": pr.print_lines_batch,
             }[fmt]
             # extension-inferred save-side compression (`write kv out.gz`
