@@ -240,7 +240,8 @@ def main(argv: list[str] | None = None) -> int:
             from tenzir_ray.sources.pcap import write_pcap
 
             write_pcap(ds, path)
-        elif fmt in ("syslog", "cef", "leef", "kv", "ndjson", "lines"):
+        elif fmt in ("syslog", "cef", "leef", "kv", "ndjson", "lines",
+                     "tql"):
             # printer sinks: rows → format lines → distributed text files
             from tenzir_ray.sources import printers as pr
 

@@ -120,7 +120,8 @@ def open_uri(uri: str, **kw):
 
         u = urlparse(uri)
         q = {k: v[0] for k, v in parse_qs(u.query).items()}
-        return load_zmq(f"tcp://{u.hostname}:{u.port}",
+        host = u.hostname or "127.0.0.1"
+        return load_zmq(f"tcp://{host}:{u.port or 5555}",
                         filter=q.get("filter", "").encode(), **kw)()
     base = re.sub(r"\.(gz|zst|zstd|bz2|lz4)$", "", uri)
     for ext, reader in _EXT_READERS.items():

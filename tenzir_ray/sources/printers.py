@@ -13,7 +13,10 @@ output; no CSV quoting in the path).
 
 from __future__ import annotations
 
+import datetime
 import json
+import math
+import re
 
 import pyarrow as pa
 
@@ -197,30 +200,41 @@ def print_zeek_tsv(t: pa.Table, path: str = "log", out: str = "line") -> pa.Tabl
     return pa.table({out: pa.array(lines, pa.string())})
 
 
+_TQL_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _tql_key(k: str) -> str:
+    """Record keys print bare only when they are identifiers; anything
+    else ('user name', keys with ':') quotes, or the line is
+    unparseable."""
+    return k if _TQL_IDENT.match(k) else json.dumps(k)
+
+
 def _tql_value(v) -> str:
     """One value in TQL literal notation (write_tql.md: records
     ``{key: val}``, double-quoted strings, bare numbers/bools/null,
-    unquoted ISO timestamps). Bytes render as an escaped string —
-    the blob-literal approximation this engine uses throughout."""
-    import datetime as _dt
-    import json as _json
-
+    unquoted ISO timestamps). Bytes render as an escaped string — the
+    blob-literal approximation this engine uses throughout. Non-finite
+    floats print ``null`` (TQL has no nan/inf literal; a bare ``nan``
+    token would make the whole line unparseable)."""
     if v is None:
         return "null"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        return repr(v) if math.isfinite(v) else "null"
+    if isinstance(v, int):
         return repr(v)
-    if isinstance(v, _dt.datetime):
+    if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, bytes):
-        return _json.dumps(v.decode("utf-8", errors="backslashreplace"))
+        return json.dumps(v.decode("utf-8", errors="backslashreplace"))
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_tql_value(x) for x in v) + "]"
     if isinstance(v, dict):
-        return ("{" + ", ".join(f"{k}: {_tql_value(x)}"
+        return ("{" + ", ".join(f"{_tql_key(k)}: {_tql_value(x)}"
                                 for k, x in v.items()) + "}")
-    return _json.dumps(str(v))
+    return json.dumps(str(v))
 
 
 def print_tql_batch(t: pa.Table, out: str = "line", *,
@@ -233,7 +247,7 @@ def print_tql_batch(t: pa.Table, out: str = "line", *,
     for r in t.to_pylist():
         items = [(k, v) for k, v in r.items()
                  if not (strip_null_fields and v is None)]
-        lines.append("{" + ", ".join(f"{k}: {_tql_value(v)}"
+        lines.append("{" + ", ".join(f"{_tql_key(k)}: {_tql_value(v)}"
                                      for k, v in items) + "}")
     return pa.table({out: pa.array(lines, pa.string())})
 

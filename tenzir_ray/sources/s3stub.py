@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import threading
 from urllib.parse import parse_qs, unquote, urlparse
+from xml.sax.saxutils import escape as _esc
 
 
 def _xml(body: str) -> bytes:
@@ -120,6 +121,13 @@ def mini_s3_server(host: str = "127.0.0.1", port: int = 0):
                     0, len(data) - int(hi_s))
                 hi = min(int(hi_s), len(data) - 1) if hi_s and lo_s \
                     else len(data) - 1
+                if lo > hi or lo >= len(data):
+                    # real S3 reports 416 InvalidRange; a 206 with an
+                    # empty body would read as truncated-but-ok
+                    self._reply(416, _xml(
+                        "<Error><Code>InvalidRange</Code></Error>"), {
+                        "Content-Range": f"bytes */{len(data)}"})
+                    return
                 part = data[lo:hi + 1]
                 self._reply(206, part, {
                     "ETag": _etag(data),
@@ -139,10 +147,15 @@ def mini_s3_server(host: str = "127.0.0.1", port: int = 0):
                 if bucket not in buckets:
                     self._not_found("NoSuchBucket")
                     return
-                keys = sorted(k for (b, k) in objects
-                              if b == bucket and k.startswith(prefix))
+                # snapshot sizes+etags in the SAME critical section —
+                # a concurrent DELETE between list and index would
+                # KeyError otherwise
+                listed = sorted(
+                    (k, len(v), _etag(v)) for (b, k), v in
+                    objects.items()
+                    if b == bucket and k.startswith(prefix))
             contents, prefixes = [], []
-            for k in keys:
+            for k, size, etag in listed:
                 if delim:
                     tail = k[len(prefix):]
                     if delim in tail:
@@ -150,26 +163,24 @@ def mini_s3_server(host: str = "127.0.0.1", port: int = 0):
                         if p not in prefixes:
                             prefixes.append(p)
                         continue
-                contents.append(k)
+                contents.append((k, size, etag))
             body = ["<ListBucketResult>",
-                    f"<Name>{bucket}</Name>",
-                    f"<Prefix>{prefix}</Prefix>",
+                    f"<Name>{_esc(bucket)}</Name>",
+                    f"<Prefix>{_esc(prefix)}</Prefix>",
                     "<IsTruncated>false</IsTruncated>",
                     f"<KeyCount>{len(contents)}</KeyCount>"]
-            with lock:
-                for k in contents:
-                    data = objects[(bucket, k)]
-                    body.append(
-                        f"<Contents><Key>{k}</Key>"
-                        f"<Size>{len(data)}</Size>"
-                        "<LastModified>2024-01-01T00:00:00.000Z"
-                        "</LastModified>"
-                        f"<ETag>{_etag(data)}</ETag>"
-                        "<StorageClass>STANDARD</StorageClass>"
-                        "</Contents>")
+            for k, size, etag in contents:
+                body.append(
+                    f"<Contents><Key>{_esc(k)}</Key>"
+                    f"<Size>{size}</Size>"
+                    "<LastModified>2024-01-01T00:00:00.000Z"
+                    "</LastModified>"
+                    f"<ETag>{etag}</ETag>"
+                    "<StorageClass>STANDARD</StorageClass>"
+                    "</Contents>")
             for p in prefixes:
-                body.append(f"<CommonPrefixes><Prefix>{p}</Prefix>"
-                            "</CommonPrefixes>")
+                body.append(f"<CommonPrefixes><Prefix>{_esc(p)}"
+                            "</Prefix></CommonPrefixes>")
             body.append("</ListBucketResult>")
             self._reply(200, _xml("".join(body)),
                         {"Content-Type": "application/xml"})
@@ -196,26 +207,39 @@ def mini_s3_server(host: str = "127.0.0.1", port: int = 0):
             q = self._q()
             body = self._body()
             if "uploads" in q:  # InitiateMultipartUpload
-                uid = f"up-{len(uploads)}-{abs(hash((bucket, key)))}"
+                import uuid as _uuid
+
+                uid = f"up-{_uuid.uuid4().hex}"  # unique under
+                # concurrency — a len()-derived id would collide when
+                # two workers initiate for the same key (task retries)
                 with lock:
                     buckets.add(bucket)
                     uploads[uid] = {}
                 self._reply(200, _xml(
                     f"<InitiateMultipartUploadResult>"
-                    f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                    f"<Bucket>{_esc(bucket)}</Bucket>"
+                    f"<Key>{_esc(key)}</Key>"
                     f"<UploadId>{uid}</UploadId>"
                     f"</InitiateMultipartUploadResult>"),
                     {"Content-Type": "application/xml"})
                 return
             if "uploadId" in q:  # CompleteMultipartUpload
                 with lock:
-                    parts = uploads.pop(q["uploadId"], {})
-                    blob = b"".join(parts[i]
-                                    for i in sorted(parts))
-                    objects[(bucket, key)] = blob
+                    parts = uploads.pop(q["uploadId"], None)
+                    if parts is not None:
+                        blob = b"".join(parts[i]
+                                        for i in sorted(parts))
+                        objects[(bucket, key)] = blob
+                if parts is None:
+                    # unknown/already-consumed id: real S3 says
+                    # NoSuchUpload — overwriting with b"" would
+                    # truncate the object on a Complete retry
+                    self._not_found("NoSuchUpload")
+                    return
                 self._reply(200, _xml(
                     f"<CompleteMultipartUploadResult>"
-                    f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                    f"<Bucket>{_esc(bucket)}</Bucket>"
+                    f"<Key>{_esc(key)}</Key>"
                     f"<ETag>{_etag(blob)}</ETag>"
                     f"</CompleteMultipartUploadResult>"),
                     {"Content-Type": "application/xml"})

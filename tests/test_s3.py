@@ -57,3 +57,50 @@ def test_ray_data_reads_and_writes_s3(ray_session):
         assert pruned.count() == 500
     finally:
         srv.shutdown()
+
+
+def test_s3_stub_edge_cases():
+    """Multipart retry safety, invalid ranges, XML-metachar keys."""
+    import urllib.request
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.sources.s3stub import loopback_s3_fs, mini_s3_server
+
+    srv, port, objects = mini_s3_server()
+    try:
+        fs = loopback_s3_fs(port)
+        t = pa.table({"a": [1, 2, 3]})
+        # keys with XML metacharacters list correctly
+        pq.write_table(t, "bkt/a&b<c.parquet", filesystem=fs)
+        from pyarrow.fs import FileSelector
+
+        infos = fs.get_file_info(FileSelector("bkt/"))
+        assert [i.path for i in infos] == ["bkt/a&b<c.parquet"]
+        assert pq.read_table("bkt/a&b<c.parquet",
+                             filesystem=fs).equals(t)
+
+        # a Complete retry with a consumed uploadId must NOT truncate
+        # the object: it 404s (NoSuchUpload)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/bkt/a%26b%3Cc.parquet"
+            "?uploadId=up-gone", data=b"", method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 404 NoSuchUpload")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        assert len(objects[("bkt", "a&b<c.parquet")]) > 0
+
+        # range beyond EOF → 416, not a truncated 206
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/bkt/a%26b%3Cc.parquet",
+            headers={"Range": "bytes=999999-1000000"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 416")
+        except urllib.error.HTTPError as e:
+            assert e.code == 416
+    finally:
+        srv.shutdown()
