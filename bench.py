@@ -153,7 +153,7 @@ def bench_queries() -> dict[str, float]:
         "tql_let_if", "ocsf_map", "grok_parse", "semdedup_docs",
         "jaccard_dedup_docs", "minhash_cc_docs", "yield_nested",
         "sliding_window", "token_budget_sample", "group_over",
-        "incremental_dedup_docs",
+        "incremental_dedup_docs", "kafka_roundtrip", "format_roundtrip",
     ]
     out: dict[str, float] = {}
     for name in names:
