@@ -449,18 +449,39 @@ def save_kafka(ds, topic: str, *, host: str = "127.0.0.1",
 
 def load_kafka(topic: str, *, host: str = "127.0.0.1", port: int = 9092,
                partition: int = 0, offset: int | str = "beginning",
-               max_events: int = 100_000, max_wait_ms: int = 500):
+               max_events: int = 100_000, max_wait_ms: int = 500,
+               offset_store: str | None = None):
     """Kafka source (reference ``load_kafka`` — ``plugin.cpp:55-65``
-    offset semantics: ``beginning``/``end``/absolute int). Finite-drain
-    thunk over one partition cursor, returning a Dataset with ``line``
-    (value), ``key`` and ``offset`` columns. Fan out one call per
-    partition for the multi-partition scale path."""
+    offset semantics: ``beginning``/``end``/``store``/absolute int).
+    Finite-drain thunk over one partition cursor, returning a Dataset
+    with ``line`` (value), ``key`` and ``offset`` columns. Fan out one
+    call per partition for the multi-partition scale path.
+
+    ``offset="store"`` resumes from the committed cursor in
+    ``offset_store`` (a JSON file keyed by topic/partition — the
+    at-least-once commit-after-drain analog of librdkafka's stored
+    consumer offsets and of the lake's manifest offsets; written
+    atomically AFTER the drain, so a crash replays, never skips)."""
+    import json as _json
+    import os as _os
+
     import ray.data as rd
+
+    store_key = f"{topic}/{partition}"
 
     def drain():
         cli = KafkaClient(host, port)
         try:
-            if offset == "beginning":
+            if offset == "store":
+                if offset_store is None:
+                    raise ValueError(
+                        "load_kafka: offset='store' needs offset_store=")
+                committed = {}
+                if _os.path.exists(offset_store):
+                    with open(offset_store) as fh:
+                        committed = _json.load(fh)
+                cur = int(committed.get(store_key, 0))
+            elif offset == "beginning":
                 cur = cli.list_offsets(topic, partition, -2)
             elif offset == "end":
                 cur = cli.list_offsets(topic, partition, -1)
@@ -481,6 +502,18 @@ def load_kafka(topic: str, *, host: str = "127.0.0.1", port: int = 9092,
                 cur = recs[-1][0] + 1
         finally:
             cli.close()
+        if offset == "store":
+            # commit AFTER the drain (at-least-once): tmp + rename is
+            # atomic, a crash before this point replays the window
+            committed = {}
+            if _os.path.exists(offset_store):
+                with open(offset_store) as fh:
+                    committed = _json.load(fh)
+            committed[store_key] = cur
+            tmp = offset_store + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(committed, fh)
+            _os.replace(tmp, offset_store)
         return rd.from_items(out[:max_events])
 
     return drain

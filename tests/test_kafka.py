@@ -154,3 +154,27 @@ def test_open_uri_kafka_and_zmq_schemes(ray_session):
     n = got.count()
     th.join()
     assert n == 4
+
+
+def test_load_kafka_offset_store(ray_session, tmp_path):
+    """offset='store' (plugin.cpp:55-65 'store' mode): resume from the
+    committed cursor, commit-after-drain (at-least-once)."""
+    import ray.data as rd
+
+    from tenzir_ray.sources.kafka import load_kafka, save_kafka
+
+    _, port = mini_broker()
+    store = str(tmp_path / "offsets.json")
+    save_kafka(rd.from_items([{"m": i} for i in range(6)]), "t",
+               port=port)
+    first = load_kafka("t", port=port, offset="store",
+                       offset_store=store)().take_all()
+    assert sorted(r["offset"] for r in first) == list(range(6))
+    # nothing new → empty, cursor unchanged
+    assert load_kafka("t", port=port, offset="store",
+                      offset_store=store)().count() == 0
+    # new messages resume exactly after the committed cursor
+    save_kafka(rd.from_items([{"m": 99}]), "t", port=port)
+    nxt = load_kafka("t", port=port, offset="store",
+                     offset_store=store)().take_all()
+    assert [r["offset"] for r in nxt] == [6]
