@@ -406,7 +406,8 @@ def mini_kafka_broker(host: str = "127.0.0.1", port: int = 0):
 
 def save_kafka(ds, topic: str, *, host: str = "127.0.0.1",
                port: int = 9092, partition_by=None, partitions: int = 1,
-               key_col: str | None = None, lines_fn=None) -> int:
+               key_col: str | None = None, lines_fn=None,
+               records_per_batch: int = 5000) -> int:
     """Kafka sink (reference ``save_kafka``): DISTRIBUTED — each block
     opens a producer connection on the worker holding it and produces
     one v2 record batch per block-partition slice; only ack counts reach
@@ -437,7 +438,10 @@ def save_kafka(ds, topic: str, *, host: str = "127.0.0.1",
         cli = KafkaClient(host, port)
         try:
             for p, recs in sorted(by_part.items()):
-                cli.produce(topic, p, recs)
+                # cap each Produce request (brokers enforce
+                # max.request.size ≈1 MiB; real producers batch-split)
+                for i in range(0, len(recs), records_per_batch):
+                    cli.produce(topic, p, recs[i:i + records_per_batch])
         finally:
             cli.close()
         return pa.table({"docs": pa.array([len(rows)], pa.int64())})
