@@ -619,6 +619,68 @@ def load_tcp(host: str = "127.0.0.1", port: int = 0,
     return (lambda: rd.from_items([{"line": l} for l in drain()])), bound
 
 
+def save_tcp(ds, host: str, port: int, *, tls: bool = False,
+             cafile: str | None = None, lines_fn=None,
+             timeout: float = 10.0) -> int:
+    """TCP line sink (operators/save_tcp.md): connect once, stream each
+    row as one newline-terminated NDJSON line (``lines_fn`` overrides
+    the rendering). ``tls=True`` wraps the connection client-side
+    (save_tcp's TLS options); ``cafile=None`` skips verification — the
+    loopback-test posture, matching the reference's
+    ``skip_peer_verification``. Driver-edge singleton, the write dual
+    of ``load_tcp``. Returns lines sent."""
+    import json as _json
+    import socket as _socket
+
+    sock = _socket.create_connection((host, port), timeout=timeout)
+    if tls:
+        import ssl as _ssl
+
+        if cafile:
+            ctx = _ssl.create_default_context(cafile=cafile)
+            ctx.check_hostname = False
+        else:
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        sock = ctx.wrap_socket(sock)
+    if lines_fn is None:
+        def lines_fn(rows):
+            return [_json.dumps(r, default=str) for r in rows]
+    sent = 0
+    try:
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            payload = lines_fn(batch.to_pylist())
+            if payload:
+                sock.sendall(("\n".join(payload) + "\n").encode())
+                sent += len(payload)
+    finally:
+        sock.close()
+    return sent
+
+
+def save_udp(ds, host: str, port: int, *, lines_fn=None) -> int:
+    """UDP datagram sink (operators/save_udp.md): one datagram per row
+    — the write dual of ``load_udp`` (syslog-style shippers). Returns
+    datagrams sent."""
+    import json as _json
+    import socket as _socket
+
+    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    if lines_fn is None:
+        def lines_fn(rows):
+            return [_json.dumps(r, default=str) for r in rows]
+    sent = 0
+    try:
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            for line in lines_fn(batch.to_pylist()):
+                sock.sendto(line.encode(), (host, port))
+                sent += 1
+    finally:
+        sock.close()
+    return sent
+
+
 def load_udp(host: str = "127.0.0.1", port: int = 0,
              max_events: int | None = None, idle_timeout: float = 2.0):
     """UDP datagram source (operators/load_udp — one record per

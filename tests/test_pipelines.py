@@ -824,3 +824,36 @@ def test_read_grok_and_xsv_validation(ray_session):
         Pipeline.parse("read_csv")
     with _pytest.raises(ValueError, match="delimiter="):
         Pipeline.parse("read_xsv columns=a,b")
+
+
+def test_more_format_ops_dispatch(ray_session):
+    """The full read_*/write_* family is reachable from pipeline text:
+    syslog/cef parse duals, tsv/ssv/yaml printers, lz4/bz2 codecs."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import Pipeline
+
+    rows = [{"a": i, "b": f"w{i}"} for i in range(5)]
+    ds = rd.from_items(rows)
+
+    # syslog print → parse round-trip keeps the row count
+    back = Pipeline.parse("write_syslog | read_syslog").run(ds)
+    assert back.count() == 5
+
+    # CEF: real CEF lines parse into prefix+extension fields
+    cef = rd.from_items([{
+        "line": "CEF:0|V|P|1.0|42|probe|5|src=10.0.0.1 dst=10.0.0.2"}])
+    got = Pipeline.parse("read_cef").run(cef).take_all()
+    assert got and len(got) == 1
+
+    # tsv/ssv printers produce one line per row; yaml too
+    for fmt in ("write_tsv", "write_ssv", "write_yaml"):
+        lines = Pipeline.parse(fmt).run(ds).take_all()
+        assert len(lines) >= 5  # yaml may be multi-line per event
+
+    # every Arrow codec round-trips per record
+    for codec in ("lz4", "bz2", "brotli"):
+        out = Pipeline.parse(
+            f"write_ndjson | compress_{codec} | decompress_{codec} "
+            "| read_ndjson").run(ds)
+        assert sorted(r["a"] for r in out.take_all()) == list(range(5))

@@ -866,3 +866,80 @@ def test_load_tcp_tls(ray_session, tmp_path):
     th.join()
     lines = sorted(r["line"] for r in ds.take_all())
     assert lines == ['{"a":1}', '{"a":2}', '{"a":3}']
+
+
+def test_save_tcp_and_udp_duals(ray_session):
+    """save_tcp/save_udp sinks drain back through their load_* duals."""
+    import json
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import (
+        load_tcp, load_udp, save_tcp, save_udp,
+    )
+
+    rows = [{"i": i, "s": f"v{i}"} for i in range(9)]
+
+    mk, port = load_tcp(max_events=9, idle_timeout=5.0)
+    box = {}
+
+    def drain():
+        box["tcp"] = mk().take_all()
+
+    th = threading.Thread(target=drain)
+    th.start()
+    n = save_tcp(rd.from_items(rows), "127.0.0.1", port)
+    th.join()
+    assert n == 9
+    got = sorted(json.loads(r["line"])["i"] for r in box["tcp"])
+    assert got == list(range(9))
+
+    mku, uport = load_udp(max_events=9, idle_timeout=3.0)
+
+    def drain_u():
+        box["udp"] = mku().take_all()
+
+    th = threading.Thread(target=drain_u)
+    th.start()
+    import time
+
+    time.sleep(0.2)  # receiver must be listening before datagrams fly
+    nu = save_udp(rd.from_items(rows), "127.0.0.1", uport)
+    th.join()
+    assert nu == 9
+    gotu = sorted(json.loads(r["line"])["i"] for r in box["udp"])
+    assert gotu == list(range(9))
+
+
+def test_save_tcp_tls(ray_session, tmp_path):
+    """save_tcp tls=True against load_tcp's TLS listener."""
+    import json
+    import subprocess
+    import threading
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.formats import load_tcp, save_tcp
+
+    cert, key = tmp_path / "srv.pem", tmp_path / "srv.key"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=127.0.0.1"],
+        check=True, capture_output=True)
+    mk, port = load_tcp(max_events=4, idle_timeout=5.0, tls=True,
+                        certfile=str(cert), keyfile=str(key))
+    box = {}
+
+    def drain():
+        box["rows"] = mk().take_all()
+
+    th = threading.Thread(target=drain)
+    th.start()
+    n = save_tcp(rd.from_items([{"i": i} for i in range(4)]),
+                 "127.0.0.1", port, tls=True)
+    th.join()
+    assert n == 4
+    assert sorted(json.loads(r["line"])["i"]
+                  for r in box["rows"]) == [0, 1, 2, 3]
