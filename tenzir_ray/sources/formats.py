@@ -1289,6 +1289,47 @@ def to_clickhouse(ds, url: str, table: str,
         max_retries=max_retries)
 
 
+def from_fluent_bit(host: str = "127.0.0.1", port: int = 0,
+                    max_events: int | None = None,
+                    idle_timeout: float = 5.0):
+    """fluent-bit SOURCE (reference ``from_fluent_bit``): an HTTP
+    ingest endpoint fluent-bit's ``http`` output plugin pushes to.
+    Accepts both of that plugin's body formats — ``json`` (one JSON
+    array per request) and ``json_lines`` (NDJSON) — and parses the
+    pushed records with the distributed key-union NDJSON parse.
+    Returns ``(make_dataset, bound_port)``; the dataset rows are the
+    pushed records (typed columns, key union across events)."""
+    import json as _json
+
+    mk, bound = load_http_server(host, port, max_events=max_events,
+                                 idle_timeout=idle_timeout)
+
+    def make_dataset():
+        lines = mk()
+
+        def split_arrays(t: pa.Table) -> pa.Table:
+            # the `json` format posts one ARRAY per request; re-emit
+            # its elements as NDJSON lines so one parser serves both
+            out: list[str] = []
+            for s in t.column("line").to_pylist():
+                s = (s or "").strip()
+                if s.startswith("["):
+                    try:
+                        for item in _json.loads(s):
+                            out.append(_json.dumps(item))
+                        continue
+                    except ValueError:
+                        pass
+                if s:
+                    out.append(s)
+            return pa.table({"line": pa.array(out, pa.string())})
+
+        lines = lines.map_batches(split_arrays, batch_format="pyarrow")
+        return _parse_ndjson_staged(lines, col="line")
+
+    return make_dataset, bound
+
+
 def to_fluentbit(ds, url: str, tag: str = "tenzir",
                  rows_per_request: int = 10_000,
                  max_retries: int = 3, timeout: float = 30.0) -> int:

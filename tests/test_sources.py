@@ -943,3 +943,39 @@ def test_save_tcp_tls(ray_session, tmp_path):
     assert n == 4
     assert sorted(json.loads(r["line"])["i"]
                   for r in box["rows"]) == [0, 1, 2, 3]
+
+
+def test_from_fluent_bit_source(ray_session):
+    """from_fluent_bit ingest endpoint: accepts both fluent-bit http
+    output body formats (json array / json_lines)."""
+    import json
+    import threading
+    import urllib.request
+
+    from tenzir_ray.sources.formats import from_fluent_bit
+
+    mk, port = from_fluent_bit(max_events=5, idle_timeout=3.0)
+    box = {}
+
+    def drain():
+        box["ds"] = mk()
+
+    th = threading.Thread(target=drain)
+    th.start()
+    # json format: one array per request
+    arr = json.dumps([{"k": 1, "tag": "a"}, {"k": 2, "tag": "a"}])
+    urllib.request.urlopen(urllib.request.Request(
+        f"http://127.0.0.1:{port}/tenzir", data=arr.encode(),
+        method="POST"))
+    # json_lines format: NDJSON
+    nd = "\n".join(json.dumps({"k": i, "extra": True})
+                   for i in (3, 4, 5))
+    urllib.request.urlopen(urllib.request.Request(
+        f"http://127.0.0.1:{port}/tenzir", data=nd.encode(),
+        method="POST"))
+    th.join(timeout=15)
+    rows = box["ds"].take_all()
+    assert sorted(r["k"] for r in rows) == [1, 2, 3, 4, 5]
+    # key union: both shapes' fields present
+    names = set(box["ds"].schema().names)
+    assert {"k", "tag", "extra"} <= names
