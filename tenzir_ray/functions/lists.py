@@ -140,3 +140,50 @@ def filter_elements(arr, fn) -> pa.Array:
     if arr.null_count:
         out = pc.if_else(pc.is_valid(arr), out, pa.scalar(None, out.type))
     return out
+
+
+def zip_lists(xs, ys) -> pa.Array:
+    """``zip(xs, ys)`` (builtins/functions/zip.cpp; web docs
+    functions/zip.md): combine two lists into one list of
+    ``{left, right}`` records. Mismatched lengths (or one null side)
+    pad the shorter with nulls to the LONGER length; both sides null
+    gives a null row. Fully vectorized: one gather per side driven by
+    numpy offset math — no per-row Python."""
+    import numpy as np
+
+    xs, ys = _canon_list(xs), _canon_list(ys)
+    n = len(xs)
+    if len(ys) != n:
+        raise ValueError("zip: length mismatch between list columns")
+    xo = np.asarray(xs.offsets, dtype=np.int64)
+    yo = np.asarray(ys.offsets, dtype=np.int64)
+    xlen, ylen = np.diff(xo), np.diff(yo)
+    xnull = np.asarray(pc.is_null(xs).to_numpy(zero_copy_only=False))
+    ynull = np.asarray(pc.is_null(ys).to_numpy(zero_copy_only=False))
+    if n:
+        xlen = np.where(xnull, 0, xlen)
+        ylen = np.where(ynull, 0, ylen)
+    outlen = np.maximum(xlen, ylen)
+    out_off = np.concatenate([[0], np.cumsum(outlen)])
+    total = int(out_off[-1])
+
+    def side(flat: pa.Array, offs, lens):
+        # j-th slot of row i reads flat[offs[i] + j] when j < lens[i],
+        # else null — expressed as one take with null indices.
+        starts = np.repeat(out_off[:-1], outlen)
+        pos = np.arange(total, dtype=np.int64) - starts
+        idx = np.repeat(offs[:-1], outlen) + pos
+        valid = pos < np.repeat(lens, outlen)
+        return flat.take(pa.array(
+            np.where(valid, idx, 0), pa.int64(),
+            mask=~valid))
+
+    left = side(xs.flatten(), xo, xlen)
+    right = side(ys.flatten(), yo, ylen)
+    structs = pa.StructArray.from_arrays([left, right], ["left", "right"])
+    out = pa.ListArray.from_arrays(
+        pa.array(out_off.astype(np.int32), pa.int32()), structs)
+    both_null = pa.array(xnull & ynull)
+    if pc.any(both_null).as_py():
+        out = pc.if_else(both_null, pa.scalar(None, out.type), out)
+    return out

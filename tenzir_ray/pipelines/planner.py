@@ -31,6 +31,7 @@ Supported operators (reference file cited in OPS below)::
     let $name = <const>              // substitutes into later operators
     if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
     every <N[smhd]> [rounds=K] { <pipe> }
+    cron "<sec min hour dom month dow>" [rounds=K] { <pipe> }
     group <key>[, <key>…] { <pipe> }  // per-group Arrow-table program
     yield <path[.sub][[]]>       fields
 
@@ -246,6 +247,7 @@ def _expr_funcs() -> dict:
         "is_v4": _ipm.is_v4, "is_v6": _ipm.is_v6,
         # lists / yaml / typing
         "append": L.append, "prepend": L.prepend,
+        "zip": L.zip_lists,
         # lambda-over-list (where_map.cpp:265-455): the element expr is
         # a STRING compiled once and evaluated over the flat values
         "list_map": lambda xs, expr: L.map_elements(
@@ -269,6 +271,9 @@ def _expr_funcs() -> dict:
         "url_port": U.url_port, "url_normalize": U.url_normalize,
         # string concat (variadic)
         "concat": lambda *a: pc.binary_join_element_wise(*a, ""),
+        # whitelist placeholder — rebound per batch inside the eval env
+        # (needs the batch row count; see compile_array_expr.fn)
+        "random": lambda: None,
     }
 
 
@@ -326,6 +331,10 @@ def compile_array_expr(src: str):
 
     def fn(t: pa.Table):
         env = dict(fenv)
+        # row-context functions: need the batch length, not an input
+        # array (builtins/functions/random.cpp — uniform [0,1) per event)
+        env["__fn_random"] = lambda: _Arr(pa.array(
+            __import__("numpy").random.random(t.num_rows)))
         for n in col_names:
             env[n] = _Arr(t.column(n))
         # NB: __import__ stays reachable for pyarrow's internal scalar
@@ -996,6 +1005,45 @@ class Pipeline:
                 return out
 
             return _step
+        if op == "cron":
+            # `cron "<6-field expr>" [rounds=K] { <pipe> }`
+            # (operators/every_cron.cpp:56; web docs operators/cron.md).
+            # Scheduled analog of `every`: each round waits for the next
+            # cron fire point, then runs the block; rounds' outputs
+            # union. `rounds=` bounds the schedule (the reference runs
+            # until cancelled; a batch engine needs a horizon).
+            import datetime as _dt
+            import time as _time
+
+            from tenzir_ray.pipelines.cron import next_fire, parse_cron
+
+            m = re.match(r'"([^"]+)"(?:\s+rounds=(?P<r>\d+))?\s*\{', rest)
+            if not m:
+                raise ValueError(
+                    f'cron: expected `cron "<expr>" [rounds=K] '
+                    f'{{ … }}`, got {rest!r}')
+            spec = parse_cron(m.group(1))  # parse errors surface now
+            rounds = int(m.group("r") or 1)
+            inner, j = Pipeline._take_block(rest, m.end() - 1)
+            if rest[j:].strip():
+                raise ValueError(
+                    f"cron: unexpected trailing {rest[j:].strip()!r}")
+            sub = Pipeline.parse(inner)
+
+            def _cron_step(ds, sub=sub, spec=spec, rounds=rounds):
+                outs = []
+                for _ in range(rounds):
+                    now = _dt.datetime.now()
+                    wait = (next_fire(spec, now) - now).total_seconds()
+                    if wait > 0:
+                        _time.sleep(wait)
+                    outs.append(sub.run(None if sub.source else ds))
+                out = outs[0]
+                for o in outs[1:]:
+                    out = out.union(o)
+                return out
+
+            return _cron_step
         if op in ("set-attributes", "set_attributes"):
             # set-attributes key=value, … (operators/set_attributes.cpp)
             kv = _kv(rest, "set-attributes")

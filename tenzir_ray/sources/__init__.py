@@ -35,6 +35,7 @@ from tenzir_ray.sources.formats import (
 )
 from tenzir_ray.sources.introspect import (
     files,
+    openapi,
     processes,
     sockets,
     version,
@@ -60,5 +61,5 @@ __all__ = [
     "print_syslog_batch", "print_cef_batch", "print_leef_batch",
     "print_zeek_tsv", "write_lines",
     "read_tsv", "read_ssv", "read_xsv", "read_zeek_json", "read_gelf",
-    "files", "processes", "sockets", "version",
+    "files", "processes", "sockets", "version", "openapi",
 ]

@@ -155,3 +155,48 @@ def metrics() -> dict:
         "object_store_available": float(avail.get("object_store_memory", 0.0)),
         "memory_bytes": float(total.get("memory", 0.0)),
     }
+
+
+def openapi() -> dict:
+    """OpenAPI spec of this engine's HTTP surface as one event
+    (operators/openapi.md — the reference dumps its REST API spec).
+    Documents the `serve` spool endpoints (stages/serve.py) and the
+    push-ingest endpoints (sources/formats.py load_http_server /
+    from_fluent_bit), the only HTTP servers this engine runs."""
+    spec = {
+        "openapi": "3.0.0",
+        "info": {"title": "tenzir_ray", "version": "1.0"},
+        "paths": {
+            "/events": {
+                "get": {
+                    "summary": "page served events as NDJSON",
+                    "parameters": [
+                        {"name": "offset", "in": "query",
+                         "schema": {"type": "integer"}},
+                        {"name": "limit", "in": "query",
+                         "schema": {"type": "integer"}},
+                    ],
+                    "responses": {"200": {
+                        "description": "NDJSON page; X-Next-Offset "
+                                       "header carries the cursor"}},
+                }
+            },
+            "/schema": {
+                "get": {
+                    "summary": "column name/type map of the served result",
+                    "responses": {"200": {"description": "JSON schema"}},
+                }
+            },
+            "/ingest": {
+                "post": {
+                    "summary": "push events (json / ndjson body) into a "
+                               "load_http_server source",
+                    "responses": {"200": {"description": "accepted"}},
+                }
+            },
+        },
+    }
+    import json
+
+    return {"spec": json.dumps(spec, sort_keys=True),
+            "paths": sorted(spec["paths"]), "version": "3.0.0"}

@@ -1,0 +1,126 @@
+"""Round-5 tail additions: cron schedules, zip/random functions, and
+the openapi introspection source."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from tenzir_ray.pipelines.cron import next_fire, parse_cron
+
+BASE = dt.datetime(2026, 8, 19, 12, 30, 15)  # a Wednesday
+
+
+def test_cron_every_second():
+    assert next_fire(parse_cron("* * * * * *"), BASE) == \
+        BASE + dt.timedelta(seconds=1)
+
+
+def test_cron_step_and_dow_range():
+    # every 10th minute Mon-Fri (cron.md's example, seconds pinned to 0)
+    got = next_fire(parse_cron("0 */10 * * * MON-FRI"), BASE)
+    assert got == dt.datetime(2026, 8, 19, 12, 40, 0)
+    # Saturday/Sunday skipped: from Friday 23:59:59 → Monday 00:00
+    fri_night = dt.datetime(2026, 8, 21, 23, 59, 59)
+    got = next_fire(parse_cron("0 0 0 ? * MON-FRI"), fri_night)
+    assert got == dt.datetime(2026, 8, 24, 0, 0, 0)
+
+
+def test_cron_question_and_nth():
+    got = next_fire(parse_cron("0 0 9 ? * MON"), BASE)
+    assert got == dt.datetime(2026, 8, 24, 9, 0, 0)
+    assert got.weekday() == 0
+
+
+def test_cron_last_day_of_month():
+    got = next_fire(parse_cron("30 5 0 L * ?"), BASE)
+    assert got == dt.datetime(2026, 8, 31, 0, 5, 30)
+    # February of a leap year
+    feb = dt.datetime(2028, 2, 1)
+    assert next_fire(parse_cron("0 0 0 L * ?"), feb).day == 29
+
+
+def test_cron_month_literal_and_rollover():
+    got = next_fire(parse_cron("0 0 0 1 JAN *"), BASE)
+    assert got == dt.datetime(2027, 1, 1, 0, 0, 0)
+
+
+def test_cron_wrap_around_range():
+    # hour range 22-2 wraps midnight
+    spec = parse_cron("0 0 22-2 * * *")
+    assert next_fire(spec, BASE).hour == 22
+    late = dt.datetime(2026, 8, 19, 23, 30, 0)
+    assert next_fire(spec, late) == dt.datetime(2026, 8, 20, 0, 0, 0)
+
+
+def test_cron_both_day_fields_restricted_fires_on_either():
+    # standard quirk: dom=15 OR dow=MON (neither is `?`)
+    spec = parse_cron("0 0 0 15 * MON")
+    got = next_fire(spec, BASE)  # Wed Aug 19 → Mon Aug 24 < Sep 15
+    assert got == dt.datetime(2026, 8, 24, 0, 0, 0)
+
+
+def test_cron_rejects_bad_specs():
+    for bad in ["* * * * *",            # 5 fields
+                "* * * * * MON#2",      # nth-weekday unsupported
+                "* * * 15W * *",        # nearest-weekday unsupported
+                "99 * * * * *",         # out of range
+                "* * * * FOO *"]:       # bad literal
+        with pytest.raises(ValueError):
+            parse_cron(bad)
+
+
+def test_cron_operator_in_pipeline_text(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    ds = rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+    # fires every second — two rounds ≈ 2 s wall, outputs union
+    out = run_pipeline('cron "* * * * * *" rounds=2 { where x > 1 }', ds)
+    assert out.count() == 4
+    # parse errors surface at plan time, not first run
+    with pytest.raises(ValueError):
+        run_pipeline('cron "bad expr" { pass }', ds)
+
+
+def test_zip_lists_semantics():
+    from tenzir_ray.functions.lists import zip_lists
+
+    xs = pa.array([[1, 2], [5], None, None, [7, 8, 9]])
+    ys = pa.array([[3, 4], None, [6], None, [10]])
+    out = zip_lists(xs, ys).to_pylist()
+    assert out[0] == [{"left": 1, "right": 3}, {"left": 2, "right": 4}]
+    # one-sided null pads with nulls to the longer length
+    assert out[1] == [{"left": 5, "right": None}]
+    assert out[2] == [{"left": None, "right": 6}]
+    assert out[3] is None  # both null → null
+    assert out[4] == [{"left": 7, "right": 10},
+                      {"left": 8, "right": None},
+                      {"left": 9, "right": None}]
+
+
+def test_zip_and_random_in_expressions():
+    from tenzir_ray.pipelines.planner import compile_array_expr
+
+    t = pa.table({"xs": [[1, 2], [5]], "ys": [[3, 4], [6, 7]],
+                  "v": [1.0, 2.0]})
+    z = compile_array_expr("zip(xs, ys)")(t).to_pylist()
+    assert z[1] == [{"left": 5, "right": 6}, {"left": None, "right": 7}]
+    r = compile_array_expr("random()")(t)
+    assert len(r) == 2 and all(0.0 <= x < 1.0 for x in r.to_pylist())
+    # composes with arithmetic and column refs
+    rv = compile_array_expr("random() * 0 + v")(t).to_pylist()
+    assert rv == [1.0, 2.0]
+
+
+def test_openapi_source():
+    import json
+
+    from tenzir_ray.sources import openapi
+
+    row = openapi()
+    spec = json.loads(row["spec"])
+    assert spec["openapi"] == "3.0.0"
+    assert set(row["paths"]) == {"/events", "/schema", "/ingest"}
+    assert "/events" in spec["paths"]
