@@ -1024,6 +1024,24 @@ def _format_roundtrip(sf_dir: str):
                          n="count", s=("sum", "user_id"))
 
 
+def _cron_schedule(sf_dir: str):
+    """`cron "<expr>" { pipe }` in pipeline TEXT (operators/
+    every_cron.cpp:56; pipelines/cron.py next_fire): an every-second
+    schedule fires two rounds whose outputs union — the scheduled dual
+    of `every`, with a real 6-field cron expression."""
+    import pyarrow.compute as pc2
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.pipelines import Pipeline
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = Pipeline.parse(
+        'cron "* * * * * *" rounds=2 { where value > 50 }\n'
+        "summarize n=count(*), sv=sum(value) by event_type"
+    ).run(ds)
+    return ops.set_(out, sv=lambda t: pc2.round(t["sv"], 2))
+
+
 def _tql_let_if(sf_dir: str):
     """TQL2 language constructs in pipeline TEXT (tql2/parser.cpp let
     statements; operators/if.cpp branch subpipelines; planner.py
@@ -1335,6 +1353,36 @@ def _reverse_head(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_id"]).sort("event_id")
     return ops.head(ops.reverse(ds), 25)
+
+
+def _zip_funcs(sf_dir: str):
+    """zip() end-to-end (web docs functions/zip.md; functions/lists.py
+    zip_lists): pair each embedding list with its own first-3 slice —
+    the shorter right side pads with nulls to the longer length, so per
+    row n_pairs = len(embedding) and s3 = the sum of left values whose
+    right partner is non-null (= the first min(3, len) elements)."""
+    from tenzir_ray.functions.lists import zip_lists
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        z = zip_lists(col, pc.list_slice(col, 0, 3))
+        flat = z.flatten()  # struct<left, right>
+        left = pc.struct_field(flat, "left").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        rvalid = pc.is_valid(pc.struct_field(flat, "right")).to_numpy(
+            zero_copy_only=False)
+        lens = pc.list_value_length(z).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        s3 = np.add.reduceat(np.where(rvalid, left, 0.0), starts)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "n_pairs": pa.array(lens.astype(np.int64)),
+            "s3": pa.array(np.round(s3, 5), pa.float64()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
 
 
 def _list_funcs(sf_dir: str):
@@ -2646,6 +2694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fork_union": _fork_union,
         "context_roundtrip": _context_roundtrip,
         "list_funcs": _list_funcs,
+        "zip_funcs": _zip_funcs,
         "first3_per_type": _first3_per_type,
         "grok_parse": _grok_parse,
         "sigma_match": _sigma_match,
@@ -2659,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slice_events": _slice_events,
         "parse_props": _parse_props,
         "tql_let_if": _tql_let_if,
+        "cron_schedule": _cron_schedule,
         "sliding_window": _sliding_window,
         "cap_per_source": _cap_per_source,
         "where_select": _where_select,
@@ -3033,6 +3083,11 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(embedding)::DOUBLE, 5) AS s
             FROM embeddings
         """,
+        "zip_funcs": """
+            SELECT vec_id, len(embedding)::BIGINT AS n_pairs,
+                   round(list_sum(embedding[1:3])::DOUBLE, 5) AS s3
+            FROM embeddings
+        """,
         "first3_per_type": """
             SELECT event_type, event_id, ts, user_id FROM events QUALIFY
             row_number() OVER (PARTITION BY event_type
@@ -3228,6 +3283,14 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_docs": """
             SELECT * FROM
               '/tmp/tenzir_ray_oracle/incremental_dedup_docs.parquet'
+        """,
+        "cron_schedule": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+            FROM (
+                SELECT event_type, value FROM events WHERE value > 50
+                UNION ALL
+                SELECT event_type, value FROM events WHERE value > 50
+            ) GROUP BY event_type
         """,
         "tql_let_if": """
             SELECT CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS bucket,
