@@ -32,6 +32,7 @@ Supported operators (reference file cited in OPS below)::
     if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
     every <N[smhd]> [rounds=K] { <pipe> }
     cron "<sec min hour dom month dow>" [rounds=K] { <pipe> }
+    api </openapi|/version|/metrics|/processes|/sockets|/files/dir>
     group <key>[, <key>…] { <pipe> }  // per-group Arrow-table program
     yield <path[.sub][[]]>       fields
 
@@ -1044,6 +1045,33 @@ class Pipeline:
                 return out
 
             return _cron_step
+        if op == "api":
+            # `api <path>` (operators/api.cpp; web docs operators/api.md
+            # — query the node's REST API from a pipeline). The engine's
+            # API surface is its introspection endpoints; the response
+            # becomes the event stream, replacing any piped input (the
+            # reference's `api` is a source).
+            path = rest.strip().strip('"').strip("/")
+
+            def _api(ds, path=path):
+                import ray.data as rd
+
+                from tenzir_ray.sources import introspect as I
+
+                one_row = {"openapi": I.openapi, "version": I.version,
+                           "metrics": I.metrics}
+                if path in one_row:
+                    return rd.from_items([one_row[path]()])
+                if path in ("processes", "sockets"):
+                    return getattr(I, path)()
+                if path.startswith("files"):
+                    _, _, d = path.partition("/")
+                    return I.files("/" + d if d else "/")
+                raise ValueError(
+                    f"api: unknown endpoint /{path} (have /openapi "
+                    f"/version /metrics /processes /sockets /files/<dir>)")
+
+            return _api
         if op in ("set-attributes", "set_attributes"):
             # set-attributes key=value, … (operators/set_attributes.cpp)
             kv = _kv(rest, "set-attributes")

@@ -124,3 +124,29 @@ def test_openapi_source():
     assert spec["openapi"] == "3.0.0"
     assert set(row["paths"]) == {"/events", "/schema", "/ingest"}
     assert "/events" in spec["paths"]
+
+
+def test_api_operator(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    ds = rd.from_arrow(pa.table({"x": [1]}))
+    rows = run_pipeline('api "/openapi" | select version, paths',
+                        ds).take_all()
+    assert rows[0]["version"] == "3.0.0"
+    v = run_pipeline("api /version", ds).take_all()[0]
+    assert v["engine"] == "tenzir_ray"
+    with pytest.raises(ValueError):
+        run_pipeline("api /nope", ds)
+
+
+def test_api_operator_files(ray_session, tmp_path):
+    import ray.data as rd
+
+    (tmp_path / "a.txt").write_text("x")
+    ds = rd.from_arrow(pa.table({"x": [1]}))
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    rows = run_pipeline(f"api files{tmp_path}", ds).take_all()
+    assert any(r["name"] == "a.txt" for r in rows)
