@@ -163,6 +163,15 @@ def zip_lists(xs, ys) -> pa.Array:
     if n:
         xlen = np.where(xnull, 0, xlen)
         ylen = np.where(ynull, 0, ylen)
+    mismatched = int(np.count_nonzero(
+        (xlen != ylen) & ~xnull & ~ynull)) if n else 0
+    if mismatched:
+        # functions/zip.md: mismatching lengths fill with nulls AND warn
+        # — one diagnostic per batch, never per row
+        from tenzir_ray.diagnostics import emit
+
+        emit(f"zip: {mismatched} row(s) with mismatching list lengths "
+             "padded with nulls")
     outlen = np.maximum(xlen, ylen)
     out_off = np.concatenate([[0], np.cumsum(outlen)])
     total = int(out_off[-1])

@@ -33,6 +33,7 @@ Supported operators (reference file cited in OPS below)::
     every <N[smhd]> [rounds=K] { <pipe> }
     cron "<sec min hour dom month dow>" [rounds=K] { <pipe> }
     api </openapi|/version|/metrics|/processes|/sockets|/files/dir>
+    diagnostics [severity]       // retained engine diagnostics
     group <key>[, <key>…] { <pipe> }  // per-group Arrow-table program
     yield <path[.sub][[]]>       fields
 
@@ -1072,6 +1073,18 @@ class Pipeline:
                     f"/version /metrics /processes /sockets /files/<dir>)")
 
             return _api
+        if op == "diagnostics":
+            # `diagnostics [severity]` (operators/diagnostics.md retro
+            # mode): the engine's retained diagnostic events become the
+            # stream, replacing any piped input
+            sev = rest.strip() or None
+
+            def _diag(ds, sev=sev):
+                from tenzir_ray.diagnostics import diagnostics as d
+
+                return d(sev)
+
+            return _diag
         if op in ("set-attributes", "set_attributes"):
             # set-attributes key=value, … (operators/set_attributes.cpp)
             kv = _kv(rest, "set-attributes")

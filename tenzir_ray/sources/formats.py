@@ -482,6 +482,13 @@ def routed_json(ds, col: str = "line", selector: str = "event_type",
                 by_route.setdefault(str(d[selector]), []).append(d)
             else:
                 raw.setdefault("_unroutable", []).append(s)
+        if raw.get("_unroutable"):
+            # one diagnostic per batch (diagnostics.md), not per line
+            from tenzir_ray.diagnostics import emit
+
+            emit(f"routed_json: {len(raw['_unroutable'])} line(s) "
+                 f"without a usable {selector!r} selector routed to "
+                 "_unroutable")
         summary_route, summary_path, summary_rows = [], [], []
         for route, rows in by_route.items():
             keys: list[str] = []

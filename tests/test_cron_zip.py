@@ -150,3 +150,35 @@ def test_api_operator_files(ray_session, tmp_path):
 
     rows = run_pipeline(f"api files{tmp_path}", ds).take_all()
     assert any(r["name"] == "a.txt" for r in rows)
+
+
+def test_diagnostics_store_and_operator(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray import diagnostics as dg
+    from tenzir_ray.functions.lists import zip_lists
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    dg.clear()
+    # zip with mismatched lengths emits one warning per batch
+    zip_lists(pa.array([[1, 2, 3]]), pa.array([[4]]))
+    dg.emit("boom", severity="error", pipeline_id="p1")
+    # fire-and-forget appends race the read; poll briefly
+    import time as _t
+
+    rows = []
+    for _ in range(50):
+        rows = dg.diagnostics().take_all()
+        if len(rows) >= 2:
+            break
+        _t.sleep(0.1)
+    msgs = {r["severity"] for r in rows}
+    assert "warning" in msgs and "error" in msgs
+    assert any("mismatching list lengths" in r["message"] for r in rows)
+    # severity filter + pipeline-text operator
+    ds = rd.from_arrow(pa.table({"x": [1]}))
+    errs = run_pipeline("diagnostics error", ds).take_all()
+    assert len(errs) == 1 and errs[0]["pipeline_id"] == "p1"
+    assert errs[0]["rendered"] == "error: boom"
+    dg.clear()
+    assert run_pipeline("diagnostics", ds).count() == 0
