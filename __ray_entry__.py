@@ -1024,6 +1024,26 @@ def _format_roundtrip(sf_dir: str):
                          n="count", s=("sum", "user_id"))
 
 
+def _in_ternary(sf_dir: str):
+    """TQL2 range + conditional expressions in pipeline text
+    (language/expressions.md §Range Operations, §if/else expressions;
+    planner _InRewrite/_Sugar): the leading `where … in […]` pushes
+    into the scan as an Expression.isin row-group filter; the ternary
+    compiles to one pc.if_else kernel."""
+    import pyarrow.compute as pc2
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.pipelines import Pipeline
+
+    out = Pipeline.parse(
+        f"from {sf_dir}/events.parquet\n"
+        "where event_type in ['click', 'view', 'purchase']\n"
+        "set tier = 'hot' if value > 50 else 'cold'\n"
+        "summarize n=count(*), sv=sum(value) by event_type, tier"
+    ).run()
+    return ops.set_(out, sv=lambda t: pc2.round(t["sv"], 2))
+
+
 def _cron_schedule(sf_dir: str):
     """`cron "<expr>" { pipe }` in pipeline TEXT (operators/
     every_cron.cpp:56; pipelines/cron.py next_fire): an every-second
@@ -2709,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_props": _parse_props,
         "tql_let_if": _tql_let_if,
         "cron_schedule": _cron_schedule,
+        "in_ternary": _in_ternary,
         "sliding_window": _sliding_window,
         "cap_per_source": _cap_per_source,
         "where_select": _where_select,
@@ -3283,6 +3304,14 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_docs": """
             SELECT * FROM
               '/tmp/tenzir_ray_oracle/incremental_dedup_docs.parquet'
+        """,
+        "in_ternary": """
+            SELECT event_type,
+                   CASE WHEN value > 50 THEN 'hot' ELSE 'cold' END AS tier,
+                   count(*) AS n, round(sum(value), 2) AS sv
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase')
+            GROUP BY 1, 2
         """,
         "cron_schedule": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv

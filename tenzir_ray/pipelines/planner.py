@@ -37,6 +37,11 @@ Supported operators (reference file cited in OPS below)::
     group <key>[, <key>…] { <pipe> }  // per-group Arrow-table program
     yield <path[.sub][[]]>       fields
 
+Expressions support `x in [..]` / `x not in [..]` (pushes into the scan
+as Expression.isin when call-free) and ternary `a if cond else b`
+(compiles to one pc.if_else kernel), matching TQL2's range and
+conditional expressions (language/expressions.md).
+
 Expressions are Python syntax evaluated over pyarrow.dataset field
 expressions (``l_quantity > 45 and l_discount < 0.1`` →
 ``(field("l_quantity") > 45) & (field("l_discount") < 0.1)``) — the
@@ -80,14 +85,47 @@ class _BoolRewrite(ast.NodeTransformer):
         return node
 
 
+class _InRewrite(ast.NodeTransformer):
+    """``x in [a, b]`` / ``x not in [...]`` → ``__isin(x, key)`` with
+    the literal value list stashed in ``env`` (TQL2 range operations —
+    language/expressions.md §Range Operations). Only literal lists are
+    accepted: `in` must stay scan-pushdown-safe."""
+
+    def __init__(self, env: dict):
+        self.env = env
+
+    def visit_Compare(self, node):
+        self.generic_visit(node)
+        if len(node.ops) != 1 or not isinstance(
+                node.ops[0], (ast.In, ast.NotIn)):
+            return node
+        seq = node.comparators[0]
+        if not isinstance(seq, (ast.List, ast.Tuple)) or not all(
+                isinstance(e, ast.Constant) for e in seq.elts):
+            raise ValueError(
+                "`in` needs a literal list on the right-hand side")
+        key = f"__lst{len(self.env)}"
+        self.env[key] = [e.value for e in seq.elts]
+        call = ast.Call(func=ast.Name(id="__isin", ctx=ast.Load()),
+                        args=[node.left, ast.Name(id=key, ctx=ast.Load())],
+                        keywords=[])
+        if isinstance(node.ops[0], ast.NotIn):
+            return ast.UnaryOp(op=ast.Invert(), operand=call)
+        return call
+
+
 def compile_expr(src: str):
     """Python-syntax expression → pyarrow.dataset.Expression. Column names
     are pre-resolved from the AST to field expressions (an eval-time
     ``__missing__`` hook would also intercept pyarrow's internal
-    ``__import__`` lookups and crash); calls/attributes are rejected."""
+    ``__import__`` lookups and crash); calls/attributes are rejected
+    (except the internal ``__isin`` that ``in``-operator rewriting
+    emits — pads ``Expression.isin`` pushes into row-group pruning)."""
     tree = ast.parse(src, mode="eval")
     tree = _BoolRewrite().visit(tree)
     env: dict = {}
+    tree = ast.fix_missing_locations(_InRewrite(env).visit(tree))
+    env["__isin"] = lambda f, values: f.isin(values)
 
     class _Consts(ast.NodeTransformer):
         # literals → pre-built scalar Expressions, so mixed-direction
@@ -101,7 +139,11 @@ def compile_expr(src: str):
 
     tree = ast.fix_missing_locations(_Consts().visit(tree))
     for node in ast.walk(tree):  # guard: only safe node types
-        if isinstance(node, (ast.Call, ast.Attribute)):
+        if isinstance(node, ast.Call) and not (
+                isinstance(node.func, ast.Name)
+                and node.func.id == "__isin"):
+            raise ValueError(f"unsupported expression construct in {src!r}")
+        if isinstance(node, ast.Attribute):
             raise ValueError(f"unsupported expression construct in {src!r}")
         if isinstance(node, ast.Compare) and len(node.ops) > 1:
             raise ValueError(
@@ -243,7 +285,10 @@ def _expr_funcs() -> dict:
         "list_length": pc.list_value_length,
         "list_get": pc.list_element,
         "if_else": pc.if_else, "coalesce": pc.coalesce,
+        "otherwise": pc.coalesce,  # `foo else fallback` spelling
         "is_null": pc.is_null,
+        "isin": lambda a, values: pc.is_in(
+            a, value_set=pa.array(list(values))),
         # network
         "ip": ip_parse, "ip_str": ip_print, "in_subnet": subnet_contains,
         "is_v4": _ipm.is_v4, "is_v6": _ipm.is_v6,
@@ -283,7 +328,7 @@ def expr_has_calls(src: str) -> bool:
     """True when the expression needs the array-eval path: function
     calls, or operators pads Expressions lack (modulo)."""
     return any(
-        isinstance(n, ast.Call)
+        isinstance(n, (ast.Call, ast.IfExp))  # ternary → if_else kernel
         or (isinstance(n, ast.BinOp) and isinstance(n.op, ast.Mod))
         for n in ast.walk(ast.parse(src.strip(), mode="eval")))
 
@@ -299,6 +344,29 @@ def compile_array_expr(src: str):
     src = src.strip()
     tree = ast.parse(src, mode="eval")
     tree = _BoolRewrite().visit(tree)
+
+    class _Sugar(ast.NodeTransformer):
+        # TQL2 syntax sugar (language/expressions.md): `x in [..]` /
+        # `x not in [..]` → isin(); `a if cond else b` → if_else()
+        def visit_Compare(self, node):
+            self.generic_visit(node)
+            if len(node.ops) != 1 or not isinstance(
+                    node.ops[0], (ast.In, ast.NotIn)):
+                return node
+            call = ast.Call(
+                func=ast.Name(id="isin", ctx=ast.Load()),
+                args=[node.left, node.comparators[0]], keywords=[])
+            if isinstance(node.ops[0], ast.NotIn):
+                return ast.UnaryOp(op=ast.Invert(), operand=call)
+            return call
+
+        def visit_IfExp(self, node):
+            self.generic_visit(node)
+            return ast.Call(
+                func=ast.Name(id="if_else", ctx=ast.Load()),
+                args=[node.test, node.body, node.orelse], keywords=[])
+
+    tree = ast.fix_missing_locations(_Sugar().visit(tree))
 
     class _Calls(ast.NodeTransformer):
         def visit_Call(self, node):

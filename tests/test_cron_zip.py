@@ -182,3 +182,28 @@ def test_diagnostics_store_and_operator(ray_session):
     assert errs[0]["rendered"] == "error: boom"
     dg.clear()
     assert run_pipeline("diagnostics", ds).count() == 0
+
+
+def test_in_operator_and_ternary_in_pipelines(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import Pipeline, run_pipeline
+
+    ds = rd.from_arrow(pa.table({
+        "x": [1, 2, 3, 4], "s": ["a", "b", "c", "d"]}))
+    out = run_pipeline("where x in [2, 4]", ds).take_all()
+    assert sorted(r["x"] for r in out) == [2, 4]
+    out = run_pipeline("where s not in ['a', 'd']", ds).take_all()
+    assert sorted(r["s"] for r in out) == ["b", "c"]
+    out = run_pipeline("set t = 'hi' if x > 2 else 'lo'", ds).take_all()
+    assert [r["t"] for r in sorted(out, key=lambda r: r["x"])] == \
+        ["lo", "lo", "hi", "hi"]
+    # a leading `where … in …` pushes into the scan as an isin filter
+    p = Pipeline.parse("from /root/testdata/sf0.001/events.parquet\n"
+                       "where event_type in ['click', 'view']")
+    _, filt, _ = p.source_plan()
+    assert filt is not None and "is_in" in str(filt)
+    assert p.run().count() == 398
+    # non-literal RHS fails loudly
+    with pytest.raises(ValueError):
+        run_pipeline("where x in [s]", ds)
