@@ -1375,6 +1375,20 @@ def _reverse_head(sf_dir: str):
     return ops.head(ops.reverse(ds), 25)
 
 
+def _segment_sums(flat: "np.ndarray", lens: "np.ndarray") -> "np.ndarray":
+    """Per-list sums that tolerate EMPTY lists — naive
+    ``np.add.reduceat(flat, cumsum-starts)`` raises when the final list
+    is empty (start == len(flat)) and silently folds an empty row into
+    its neighbor otherwise. Reduceat only at the non-empty starts;
+    empty rows stay 0."""
+    sums = np.zeros(len(lens), np.float64)
+    nz = lens > 0
+    if nz.any():
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        sums[nz] = np.add.reduceat(flat.astype(np.float64), starts[nz])
+    return sums
+
+
 def _zip_funcs(sf_dir: str):
     """zip() end-to-end (web docs functions/zip.md; functions/lists.py
     zip_lists): pair each embedding list with its own first-3 slice —
@@ -1394,8 +1408,7 @@ def _zip_funcs(sf_dir: str):
         rvalid = pc.is_valid(pc.struct_field(flat, "right")).to_numpy(
             zero_copy_only=False)
         lens = pc.list_value_length(z).to_numpy(zero_copy_only=False)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
-        s3 = np.add.reduceat(np.where(rvalid, left, 0.0), starts)
+        s3 = _segment_sums(np.where(rvalid, left, 0.0), lens)
         return pa.table({
             "vec_id": t.column("vec_id"),
             "n_pairs": pa.array(lens.astype(np.int64)),
@@ -1414,8 +1427,7 @@ def _list_funcs(sf_dir: str):
         col = t.column("embedding").combine_chunks()
         flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
         lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
-        sums = np.add.reduceat(flat.astype(np.float64), starts)
+        sums = _segment_sums(flat, lens)
         return pa.table({
             "vec_id": t.column("vec_id"),
             "n": pa.array(lens.astype(np.int64)),

@@ -56,7 +56,14 @@ def _canon_list(arr) -> pa.ListArray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     offs = np.asarray(arr.offsets)
-    if arr.offset != 0 or (len(offs) and offs[0] != 0):
+    need = arr.offset != 0 or (len(offs) and offs[0] != 0)
+    if not need and arr.null_count:
+        # a null slot may still span values in the backing buffer
+        # (e.g. from_arrays with a mask): offsets then disagree with
+        # flatten(), which DROPS those spans — compact to realign
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        need = bool(np.any(nulls & (np.diff(offs) > 0)))
+    if need:
         arr = arr.take(pa.array(np.arange(len(arr), dtype=np.int64)))
     return arr
 
@@ -175,12 +182,12 @@ def zip_lists(xs, ys) -> pa.Array:
     outlen = np.maximum(xlen, ylen)
     out_off = np.concatenate([[0], np.cumsum(outlen)])
     total = int(out_off[-1])
+    # output-layout index math is side-independent: hoist it
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], outlen)
 
     def side(flat: pa.Array, offs, lens):
         # j-th slot of row i reads flat[offs[i] + j] when j < lens[i],
         # else null — expressed as one take with null indices.
-        starts = np.repeat(out_off[:-1], outlen)
-        pos = np.arange(total, dtype=np.int64) - starts
         idx = np.repeat(offs[:-1], outlen) + pos
         valid = pos < np.repeat(lens, outlen)
         return flat.take(pa.array(

@@ -66,7 +66,11 @@ def _field(expr: str, field: str) -> tuple[frozenset, bool, bool]:
     lo, hi = _RANGES[field]
     out: set[int] = set()
     has_l = False
-    is_any = expr in ("*", "?")
+    # Vixie cron's "star flag": a field whose spec STARTS with `*`
+    # (including `*/N`) or is `?` counts as unrestricted for the
+    # either-day-field quirk — `0 0 0 */1 * MON` must fire on Mondays
+    # only, not every day
+    is_any = expr == "?" or expr.startswith("*")
     for part in expr.split(","):
         part = part.strip()
         if part in ("*", "?"):

@@ -106,12 +106,13 @@ class _InRewrite(ast.NodeTransformer):
                 "`in` needs a literal list on the right-hand side")
         key = f"__lst{len(self.env)}"
         self.env[key] = [e.value for e in seq.elts]
-        call = ast.Call(func=ast.Name(id="__isin", ctx=ast.Load()),
+        # NOT IN must stay null-propagating (SQL/TQL: null NOT IN (…)
+        # is null → dropped by where) — a bare ~is_in would KEEP nulls
+        fname = ("__notin" if isinstance(node.ops[0], ast.NotIn)
+                 else "__isin")
+        return ast.Call(func=ast.Name(id=fname, ctx=ast.Load()),
                         args=[node.left, ast.Name(id=key, ctx=ast.Load())],
                         keywords=[])
-        if isinstance(node.ops[0], ast.NotIn):
-            return ast.UnaryOp(op=ast.Invert(), operand=call)
-        return call
 
 
 def compile_expr(src: str):
@@ -126,6 +127,7 @@ def compile_expr(src: str):
     env: dict = {}
     tree = ast.fix_missing_locations(_InRewrite(env).visit(tree))
     env["__isin"] = lambda f, values: f.isin(values)
+    env["__notin"] = lambda f, values: ~f.isin(values) & f.is_valid()
 
     class _Consts(ast.NodeTransformer):
         # literals → pre-built scalar Expressions, so mixed-direction
@@ -141,7 +143,7 @@ def compile_expr(src: str):
     for node in ast.walk(tree):  # guard: only safe node types
         if isinstance(node, ast.Call) and not (
                 isinstance(node.func, ast.Name)
-                and node.func.id == "__isin"):
+                and node.func.id in ("__isin", "__notin")):
             raise ValueError(f"unsupported expression construct in {src!r}")
         if isinstance(node, ast.Attribute):
             raise ValueError(f"unsupported expression construct in {src!r}")
@@ -289,6 +291,9 @@ def _expr_funcs() -> dict:
         "is_null": pc.is_null,
         "isin": lambda a, values: pc.is_in(
             a, value_set=pa.array(list(values))),
+        "notin": lambda a, values: pc.and_(
+            pc.invert(pc.is_in(a, value_set=pa.array(list(values)))),
+            pc.is_valid(a)),
         # network
         "ip": ip_parse, "ip_str": ip_print, "in_subnet": subnet_contains,
         "is_v4": _ipm.is_v4, "is_v6": _ipm.is_v6,
@@ -353,12 +358,12 @@ def compile_array_expr(src: str):
             if len(node.ops) != 1 or not isinstance(
                     node.ops[0], (ast.In, ast.NotIn)):
                 return node
-            call = ast.Call(
-                func=ast.Name(id="isin", ctx=ast.Load()),
+            # NOT IN propagates nulls (SQL/TQL where-semantics)
+            fname = ("notin" if isinstance(node.ops[0], ast.NotIn)
+                     else "isin")
+            return ast.Call(
+                func=ast.Name(id=fname, ctx=ast.Load()),
                 args=[node.left, node.comparators[0]], keywords=[])
-            if isinstance(node.ops[0], ast.NotIn):
-                return ast.UnaryOp(op=ast.Invert(), operand=call)
-            return call
 
         def visit_IfExp(self, node):
             self.generic_visit(node)
@@ -501,6 +506,34 @@ class Pipeline:
         self.source = source
         self.source_filter = source_filter
         self.source_columns = source_columns
+
+    @staticmethod
+    def _scheduled_block(op: str, rest: str, m, rounds_text):
+        """Shared tail of the `every`/`cron` grammar: validate rounds,
+        take the `{ … }` block, parse the subpipeline."""
+        rounds = int(rounds_text or 1)
+        if rounds < 1:
+            raise ValueError(f"{op}: rounds must be >= 1, got {rounds}")
+        inner, j = Pipeline._take_block(rest, m.end() - 1)
+        if rest[j:].strip():
+            raise ValueError(
+                f"{op}: unexpected trailing {rest[j:].strip()!r}")
+        return Pipeline.parse(inner), rounds
+
+    @staticmethod
+    def _run_rounds(sub: "Pipeline", rounds: int, wait, ds):
+        """Run the block once per round — ``wait(r)`` blocks until the
+        round's schedule point — and union the rounds' outputs. A
+        `from` inside the block re-opens its source each round, picking
+        up newly-arrived data."""
+        outs = []
+        for r in range(rounds):
+            wait(r)
+            outs.append(sub.run(None if sub.source else ds))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.union(o)
+        return out
 
     @staticmethod
     def _quote_escaped(s: str, i: int) -> bool:
@@ -1056,25 +1089,15 @@ class Pipeline:
                     f"{{ … }}`, got {rest!r}")
             secs = float(m.group("dur")) * {"s": 1, "m": 60, "h": 3600,
                                             "d": 86400}[m.group("u")]
-            rounds = int(m.group("r") or 1)
-            inner, j = Pipeline._take_block(rest, m.end() - 1)
-            if rest[j:].strip():
-                raise ValueError(
-                    f"every: unexpected trailing {rest[j:].strip()!r}")
-            sub = Pipeline.parse(inner)
+            sub, rounds = Pipeline._scheduled_block(
+                "every", rest, m, m.group("r"))
 
-            def _step(ds, sub=sub, secs=secs, rounds=rounds):
-                outs = []
-                for r in range(rounds):
-                    if r:
-                        _time.sleep(secs)
-                    outs.append(sub.run(None if sub.source else ds))
-                out = outs[0]
-                for o in outs[1:]:
-                    out = out.union(o)
-                return out
+            def _wait_every(r: int, secs=secs):
+                if r:
+                    _time.sleep(secs)
 
-            return _step
+            return lambda ds: Pipeline._run_rounds(
+                sub, rounds, _wait_every, ds)
         if op == "cron":
             # `cron "<6-field expr>" [rounds=K] { <pipe> }`
             # (operators/every_cron.cpp:56; web docs operators/cron.md).
@@ -1093,27 +1116,17 @@ class Pipeline:
                     f'cron: expected `cron "<expr>" [rounds=K] '
                     f'{{ … }}`, got {rest!r}')
             spec = parse_cron(m.group(1))  # parse errors surface now
-            rounds = int(m.group("r") or 1)
-            inner, j = Pipeline._take_block(rest, m.end() - 1)
-            if rest[j:].strip():
-                raise ValueError(
-                    f"cron: unexpected trailing {rest[j:].strip()!r}")
-            sub = Pipeline.parse(inner)
+            sub, rounds = Pipeline._scheduled_block(
+                "cron", rest, m, m.group("r"))
 
-            def _cron_step(ds, sub=sub, spec=spec, rounds=rounds):
-                outs = []
-                for _ in range(rounds):
-                    now = _dt.datetime.now()
-                    wait = (next_fire(spec, now) - now).total_seconds()
-                    if wait > 0:
-                        _time.sleep(wait)
-                    outs.append(sub.run(None if sub.source else ds))
-                out = outs[0]
-                for o in outs[1:]:
-                    out = out.union(o)
-                return out
+            def _wait_cron(r: int, spec=spec):
+                now = _dt.datetime.now()
+                wait = (next_fire(spec, now) - now).total_seconds()
+                if wait > 0:
+                    _time.sleep(wait)
 
-            return _cron_step
+            return lambda ds: Pipeline._run_rounds(
+                sub, rounds, _wait_cron, ds)
         if op == "api":
             # `api <path>` (operators/api.cpp; web docs operators/api.md
             # — query the node's REST API from a pipeline). The engine's
@@ -1133,7 +1146,7 @@ class Pipeline:
                     return rd.from_items([one_row[path]()])
                 if path in ("processes", "sockets"):
                     return getattr(I, path)()
-                if path.startswith("files"):
+                if path == "files" or path.startswith("files/"):
                     _, _, d = path.partition("/")
                     return I.files("/" + d if d else "/")
                 raise ValueError(

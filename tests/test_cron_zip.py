@@ -207,3 +207,67 @@ def test_in_operator_and_ternary_in_pipelines(ray_session):
     # non-literal RHS fails loudly
     with pytest.raises(ValueError):
         run_pipeline("where x in [s]", ds)
+
+
+def test_cron_star_step_day_field_is_unrestricted():
+    # vixie star flag: `*/1` in dom counts as `*` for the
+    # either-day-field quirk — fires Mondays only, not every day
+    spec = parse_cron("0 0 0 */1 * MON")
+    got = next_fire(spec, BASE)  # Wed Aug 19
+    assert got == dt.datetime(2026, 8, 24, 0, 0, 0)
+
+
+def test_scheduled_rounds_zero_rejected():
+    from tenzir_ray.pipelines.planner import Pipeline
+
+    for text in ['cron "* * * * * *" rounds=0 { pass }',
+                 "every 0s rounds=0 { pass }"]:
+        with pytest.raises(ValueError):
+            Pipeline.parse(text)
+
+
+def test_not_in_drops_nulls(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    ds = rd.from_arrow(pa.table({"s": ["a", "b", None]}))
+    # SQL NOT IN semantics: null rows drop from BOTH in and not-in
+    kept = run_pipeline("where s not in ['a', 'd']", ds).take_all()
+    assert [r["s"] for r in kept] == ["b"]
+    kept = run_pipeline("where s in ['a', 'd']", ds).take_all()
+    assert [r["s"] for r in kept] == ["a"]
+
+
+def test_not_in_pushdown_drops_nulls(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.planner import Pipeline
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"s": ["a", "b", None]}), p)
+    out = Pipeline.parse(f"from {p}\nwhere s not in ['a']").run()
+    assert [r["s"] for r in out.take_all()] == ["b"]
+
+
+def test_zip_lists_masked_null_spans():
+    # ListArray whose null slot still spans backing values (from_arrays
+    # with a mask): offsets disagree with flatten() — must not misindex
+    from tenzir_ray.functions.lists import zip_lists
+
+    m = pa.ListArray.from_arrays(
+        pa.array([0, 2, 4], pa.int32()), pa.array([1, 2, 3, 4]),
+        mask=pa.array([True, False]))
+    out = zip_lists(m, pa.array([[9, 9], [8, 8]])).to_pylist()
+    assert out == [[{"left": None, "right": 9}, {"left": None, "right": 9}],
+                   [{"left": 3, "right": 8}, {"left": 4, "right": 8}]]
+
+
+def test_api_unknown_files_prefix_rejected(ray_session):
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    ds = rd.from_arrow(pa.table({"x": [1]}))
+    with pytest.raises(ValueError):
+        run_pipeline("api /filesystem", ds)
