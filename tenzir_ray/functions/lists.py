@@ -203,3 +203,49 @@ def zip_lists(xs, ys) -> pa.Array:
     if pc.any(both_null).as_py():
         out = pc.if_else(both_null, pa.scalar(None, out.type), out)
     return out
+
+
+def concatenate_lists(xs, ys) -> pa.Array:
+    """``concatenate(xs, ys)`` (builtins/functions/list.cpp; web docs
+    functions/concatenate.md): per-row list concatenation —
+    ``[...xs, ...ys]``. A null side contributes nothing; both null
+    gives null. One combined gather over the two flat buffers — no
+    per-row Python."""
+    import numpy as np
+
+    xs, ys = _canon_list(xs), _canon_list(ys)
+    n = len(xs)
+    if len(ys) != n:
+        raise ValueError("concatenate: length mismatch between columns")
+    xo = np.asarray(xs.offsets, dtype=np.int64)
+    yo = np.asarray(ys.offsets, dtype=np.int64)
+    xlen, ylen = np.diff(xo), np.diff(yo)
+    xnull = np.asarray(pc.is_null(xs).to_numpy(zero_copy_only=False))
+    ynull = np.asarray(pc.is_null(ys).to_numpy(zero_copy_only=False))
+    if n:
+        xlen = np.where(xnull, 0, xlen)
+        ylen = np.where(ynull, 0, ylen)
+    outlen = xlen + ylen
+    out_off = np.concatenate([[0], np.cumsum(outlen)])
+    total = int(out_off[-1])
+    xflat, yflat = xs.flatten(), ys.flatten()
+    if xflat.type != yflat.type:
+        yflat = yflat.cast(xflat.type)
+    combined = pa.concat_arrays([xflat, yflat])
+    # slot j of row i reads xflat[xo[i]+j] while j < xlen[i], then
+    # yflat[yo[i] + (j - xlen[i])] — one fused index array
+    starts = np.repeat(out_off[:-1], outlen)
+    pos = np.arange(total, dtype=np.int64) - starts
+    in_x = pos < np.repeat(xlen, outlen)
+    idx = np.where(
+        in_x,
+        np.repeat(xo[:-1], outlen) + pos,
+        len(xflat) + np.repeat(yo[:-1], outlen)
+        + (pos - np.repeat(xlen, outlen)))
+    out = pa.ListArray.from_arrays(
+        pa.array(out_off.astype(np.int32), pa.int32()),
+        combined.take(pa.array(idx, pa.int64())))
+    both_null = pa.array(xnull & ynull)
+    if pc.any(both_null).as_py():
+        out = pc.if_else(both_null, pa.scalar(None, out.type), out)
+    return out

@@ -300,6 +300,7 @@ def _expr_funcs() -> dict:
         # lists / yaml / typing
         "append": L.append, "prepend": L.prepend,
         "zip": L.zip_lists,
+        "concatenate": L.concatenate_lists,
         # lambda-over-list (where_map.cpp:265-455): the element expr is
         # a STRING compiled once and evaluated over the flat values
         "list_map": lambda xs, expr: L.map_elements(

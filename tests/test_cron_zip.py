@@ -271,3 +271,18 @@ def test_api_unknown_files_prefix_rejected(ray_session):
     ds = rd.from_arrow(pa.table({"x": [1]}))
     with pytest.raises(ValueError):
         run_pipeline("api /filesystem", ds)
+
+
+def test_concatenate_lists():
+    from tenzir_ray.functions.lists import concatenate_lists
+
+    xs = pa.array([[1, 2], [5], None, None, []])
+    ys = pa.array([[3, 4], None, [6], None, [7]])
+    out = concatenate_lists(xs, ys).to_pylist()
+    assert out == [[1, 2, 3, 4], [5], [6], None, [7]]
+    # in expressions
+    from tenzir_ray.pipelines.planner import compile_array_expr
+
+    t = pa.table({"a": [[1], [2]], "b": [[9], []]})
+    got = compile_array_expr("concatenate(a, b)")(t).to_pylist()
+    assert got == [[1, 9], [2]]
