@@ -2296,6 +2296,56 @@ def _anti_join_orders(sf_dir: str):
     return ops.semi_join(_read(sf_dir, "orders"), keys, key="o_custkey", anti=True)
 
 
+def _asof_join_orders(sf_dir: str):
+    """as-of join (stages/joins.py): every event matched to the latest
+    order of the same user at-or-before the event time. Right side is
+    pre-aggregated to unique (custkey, orderdate) — the documented
+    kernel contract. Single coarse-group exchange, numpy carry kernel."""
+    from tenzir_ray.stages import asof_join, summarize
+
+    left = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = summarize(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+        ["o_custkey", "o_orderdate"], best_price=("max", "o_totalprice"))
+    out = asof_join(
+        left, right, by="user_id", left_on="ts",
+        right_by="o_custkey", right_on="o_orderdate",
+        value_cols=["best_price"], num_groups=64)
+    return out.select_columns(["event_id", "best_price"])
+
+
+def _range_join_events(sf_dir: str):
+    """interval-containment join (stages/joins.py): every event inside
+    the 1-hour window after a purchase by the same user, one row per
+    (event, purchase) pair. Candidate bounding by per-key max interval
+    length, merge-count + bounded expansion — no per-key Python."""
+    import datetime
+
+    import pyarrow.compute as _pc
+
+    from tenzir_ray.stages import range_join
+    from tenzir_ray.util import nometa
+
+    left = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    hour = pa.scalar(datetime.timedelta(hours=1), pa.duration("us"))
+
+    def _window(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.equal(t.column("event_type"), "purchase"))
+        t = t.append_column("ts_end", _pc.add(t.column("ts"), hour))
+        return nometa(t.rename_columns(
+            ["purchase_id" if c == "event_id" else c
+             for c in t.column_names]))
+
+    right = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(_window, batch_format="pyarrow")
+    return range_join(
+        left, right, by="user_id", left_on="ts",
+        right_start="ts", right_end="ts_end",
+        value_cols=["purchase_id"], num_groups=64,
+    ).select_columns(["event_id", "purchase_id"])
+
+
 def _slice_events(sf_dir: str):
     """positional slice over an ordered stream (operators/slice.cpp:28)."""
     import tenzir_ray.stages as ops
@@ -2737,6 +2787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": _ivf_ann,
         "semi_join_orders": _semi_join_orders,
         "anti_join_orders": _anti_join_orders,
+        "asof_join_orders": _asof_join_orders,
+        "range_join_events": _range_join_events,
         "slice_events": _slice_events,
         "parse_props": _parse_props,
         "tql_let_if": _tql_let_if,
@@ -3224,6 +3276,25 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_orders": """
             SELECT * FROM orders WHERE o_custkey NOT IN
               (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """,
+        "asof_join_orders": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate,
+                     max(o_totalprice) AS best_price
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, r.best_price
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "range_join_events": """
+            SELECT e.event_id, r.purchase_id
+            FROM events e JOIN (
+              SELECT user_id, event_id AS purchase_id, ts,
+                     ts + INTERVAL 1 HOUR AS ts_end
+              FROM events WHERE event_type = 'purchase') r
+              ON e.user_id = r.user_id
+             AND e.ts >= r.ts AND e.ts <= r.ts_end
         """,
         "slice_events": """
             SELECT * FROM events ORDER BY event_id LIMIT 10 OFFSET 100

@@ -1,0 +1,220 @@
+"""asof_join / range_join (stages/joins.py): handcrafted edge cases +
+randomized comparison against DuckDB ASOF JOIN / inequality join."""
+
+import datetime
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from tenzir_ray.stages.joins import asof_join, range_join
+
+
+def _df(ds) -> pd.DataFrame:
+    return ds.to_pandas()
+
+
+def _left():
+    return rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 2, 2, 3],
+        "t": [5, 10, 20, 7, 1, 4],
+        "payload": ["a", "b", "c", "d", "e", "f"],
+    }))
+
+
+def _right():
+    return rd.from_arrow(pa.table({
+        "k": [1, 1, 2, 4],
+        "t": [5, 15, 6, 1],
+        "v": [100, 200, 300, 400],
+    }))
+
+
+def test_asof_backward_basic():
+    out = _df(asof_join(
+        _left(), _right(), by="k", left_on="t", value_cols=["v"],
+        num_groups=4,
+    )).sort_values(["k", "t"]).reset_index(drop=True)
+    # k=1: t=5 matches right t=5 (inclusive tie), t=10 -> t=5,
+    # t=20 -> t=15; k=2: t=7 -> t=6, t=1 -> none; k=3: no right rows
+    assert list(out["k"]) == [1, 1, 1, 2, 2, 3]
+    assert list(out["t"]) == [5, 10, 20, 1, 7, 4]
+    assert list(out["v"].fillna(-1).astype(int)) == [
+        100, 100, 200, -1, 300, -1]
+
+
+def test_asof_inner_and_forward():
+    inner = _df(asof_join(
+        _left(), _right(), by="k", left_on="t", value_cols=["v"],
+        how="inner", num_groups=4))
+    assert len(inner) == 4 and inner["v"].notna().all()
+    fwd = _df(asof_join(
+        _left(), _right(), by="k", left_on="t", value_cols=["v"],
+        direction="forward", num_groups=4,
+    )).sort_values(["k", "t"]).reset_index(drop=True)
+    # k=1: t=5 -> 5 (tie), 10 -> 15, 20 -> none; k=2: 1 -> 6, 7 -> none
+    assert list(fwd["v"].fillna(-1).astype(int)) == [
+        100, 200, -1, 300, -1, -1]
+
+
+def test_asof_tolerance():
+    out = _df(asof_join(
+        _left(), _right(), by="k", left_on="t", value_cols=["v"],
+        tolerance=3, num_groups=4,
+    )).sort_values(["k", "t"]).reset_index(drop=True)
+    # k=1 t=10: nearest earlier right is t=5, dt=5 > 3 -> no match
+    assert list(out["v"].fillna(-1).astype(int)) == [
+        100, -1, -1, -1, 300, -1]
+
+
+def test_asof_null_keys_and_times():
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 1], pa.int64()),
+        "t": pa.array([10, 10, None], pa.int64()),
+        "payload": ["a", "b", "c"],
+    }))
+    out = _df(asof_join(
+        left, _right(), by="k", left_on="t", value_cols=["v"],
+        num_groups=4,
+    )).sort_values("payload").reset_index(drop=True)
+    assert len(out) == 3  # left join keeps null-key/null-time rows
+    assert list(out["v"].fillna(-1).astype(int)) == [100, -1, -1]
+    inner = _df(asof_join(
+        left, _right(), by="k", left_on="t", value_cols=["v"],
+        how="inner", num_groups=4))
+    assert list(inner["payload"]) == ["a"]
+
+
+def test_asof_string_keys_and_name_clash():
+    left = rd.from_arrow(pa.table({
+        "k": ["x", "y", "x"], "t": [3, 3, 1], "v": [7, 8, 9]}))
+    right = rd.from_arrow(pa.table({
+        "k": ["x", "z"], "t": [2, 2], "v": [50, 60]}))
+    out = _df(asof_join(
+        left, right, by="k", left_on="t", value_cols=["v"],
+        num_groups=4,
+    )).sort_values(["k", "t"]).reset_index(drop=True)
+    assert "v_r" in out.columns  # clash suffix
+    assert list(out["v"]) == [9, 7, 8]
+    assert list(out["v_r"].fillna(-1).astype(int)) == [-1, 50, -1]
+
+
+def test_asof_vs_duckdb_randomized():
+    rng = np.random.default_rng(42)
+    nl, nr = 4000, 1500
+    lk = rng.integers(0, 60, nl)
+    lt = rng.integers(0, 10_000, nl)
+    rk = rng.integers(0, 70, nr)
+    rt = rng.integers(0, 10_000, nr)
+    # unique (key, time) on the right — the documented contract
+    rdf = pd.DataFrame({"k": rk, "t": rt}).drop_duplicates(["k", "t"])
+    rdf["v"] = rng.integers(0, 1_000_000, len(rdf))
+    ldf = pd.DataFrame({"k": lk, "t": lt, "i": np.arange(nl)})
+    out = _df(asof_join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf),
+        by="k", left_on="t", value_cols=["v"], num_groups=16,
+    )).sort_values("i").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    want = con.sql(
+        "SELECT l.i, r.v FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.t >= r.t ORDER BY l.i").df()
+    got = out["v"].astype("float64").fillna(-1).to_numpy()
+    exp = want["v"].astype("float64").fillna(-1).to_numpy()
+    assert np.array_equal(got, exp)
+
+
+def test_asof_timestamp_and_timedelta_tolerance():
+    base = datetime.datetime(2024, 1, 1)
+    left = rd.from_arrow(pa.table({
+        "k": [1, 1],
+        "t": pa.array([base + datetime.timedelta(hours=h)
+                       for h in (1, 10)], pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": [1],
+        "t": pa.array([base], pa.timestamp("us")),
+        "v": [5],
+    }))
+    out = _df(asof_join(
+        left, right, by="k", left_on="t", value_cols=["v"],
+        tolerance=datetime.timedelta(hours=2), num_groups=4))
+    assert sorted(out["v"].fillna(-1).astype(int)) == [-1, 5]
+
+
+def test_range_join_basic_and_overlap():
+    left = rd.from_arrow(pa.table({
+        "k": [1, 1, 2], "t": [5, 30, 5], "i": [0, 1, 2]}))
+    right = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 2],
+        "s": [0, 4, 20, 9],
+        "e": [10, 6, 25, 12],
+        "w": [10, 20, 30, 40],
+    }))
+    out = _df(range_join(
+        left, right, by="k", left_on="t", right_start="s",
+        right_end="e", value_cols=["w"], num_groups=4))
+    # t=5 in [0,10] and [4,6]; t=30 in none; t=5 (k=2) not in [9,12]
+    assert sorted(out["w"]) == [10, 20]
+    lout = _df(range_join(
+        left, right, by="k", left_on="t", right_start="s",
+        right_end="e", value_cols=["w"], how="left", num_groups=4))
+    assert len(lout) == 4  # 2 matches + 2 unmatched passthroughs
+    assert lout["w"].isna().sum() == 2
+
+
+def test_range_join_vs_duckdb_randomized():
+    rng = np.random.default_rng(7)
+    nl, nr = 3000, 800
+    ldf = pd.DataFrame({
+        "k": rng.integers(0, 40, nl),
+        "t": rng.integers(0, 5_000, nl),
+        "i": np.arange(nl),
+    })
+    s = rng.integers(0, 5_000, nr)
+    rdf = pd.DataFrame({
+        "k": rng.integers(0, 45, nr),
+        "s": s,
+        "e": s + rng.integers(0, 400, nr),
+        "w": rng.integers(0, 10_000, nr),
+    })
+    out = _df(range_join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf),
+        by="k", left_on="t", right_start="s", right_end="e",
+        value_cols=["w"], num_groups=16))
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    want = con.sql(
+        "SELECT l.i, r.w FROM l JOIN r ON l.k = r.k "
+        "AND l.t BETWEEN r.s AND r.e").df()
+    got = out[["i", "w"]].sort_values(["i", "w"]).reset_index(drop=True)
+    exp = want.sort_values(["i", "w"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.array_equal(got["i"].to_numpy(), exp["i"].to_numpy())
+    assert np.array_equal(
+        got["w"].astype(np.int64).to_numpy(),
+        exp["w"].astype(np.int64).to_numpy())
+
+
+def test_range_join_empty_right_and_null_end():
+    left = rd.from_arrow(pa.table({"k": [1], "t": [5], "i": [0]}))
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+        "e": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}))
+    out = _df(range_join(
+        left, empty, by="k", left_on="t", right_start="s",
+        right_end="e", value_cols=["w"], how="left", num_groups=4))
+    assert len(out) == 1 and out["w"].isna().all()
+    nullend = rd.from_arrow(pa.table({
+        "k": [1, 1], "s": [0, 0],
+        "e": pa.array([None, 10], pa.int64()), "w": [1, 2]}))
+    out2 = _df(range_join(
+        left, nullend, by="k", left_on="t", right_start="s",
+        right_end="e", value_cols=["w"], num_groups=4))
+    assert list(out2["w"]) == [2]  # null-end interval dropped
