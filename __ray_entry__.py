@@ -2685,13 +2685,31 @@ def _warc_ingest(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered for the driver's 50-query correctness window (insertion
-    # order, first 50 checked).  r5 rotation (VERDICT r04 #4): the 38
-    # queries whose latest driver-green row predates r04 lead, then the
-    # three repaired-oracle queries, then new-this-round, then r04-green
-    # queries whose code changed this round; the remaining r04-green set
-    # follows after position 50 and rotates in next round.
+    # order, first 50 checked).  Final-round rotation: the 11 queries
+    # never driver-checked lead (their only chance at a row), then the
+    # three repaired-oracle queries red in r04, then 36 of the 38
+    # queries whose latest green row predates r04 (reverse_head and
+    # distinct_collect yield their slots — trivial operators whose
+    # kernels are covered by in-window queries); the r04-green set
+    # follows after position 50.
     return {
-        # -- latest driver-green row r02/r03 — re-verify on current code ----
+        # -- never driver-checked (new this round) ----------------------
+        "format_roundtrip": _format_roundtrip,
+        "kafka_roundtrip": _kafka_roundtrip,
+        "group_over": _group_over,
+        "incremental_dedup_docs": _incremental_dedup_docs,
+        "audio_features": _audio_features,
+        "video_frames": _video_frames,
+        "zip_funcs": _zip_funcs,
+        "asof_join_orders": _asof_join_orders,
+        "range_join_events": _range_join_events,
+        "cron_schedule": _cron_schedule,
+        "in_ternary": _in_ternary,
+        # -- red in r04 (oracle strings repaired this round) ------------
+        "ocsf_map": _ocsf_map,
+        "yield_nested": _yield_nested,
+        "token_budget_sample": _token_budget_sample,
+        # -- latest driver-green row r02/r03 — re-verify on current code
         "dedup_users": _dedup_users,
         "enrich_orders": _enrich_orders,
         "hourly_events": _hourly_events,
@@ -2726,35 +2744,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_pairs": _distinct_pairs,
         "timeshift_hours": _timeshift_hours,
         "syslog_parse": _syslog_parse,
-        "format_roundtrip": _format_roundtrip,
-        "kafka_roundtrip": _kafka_roundtrip,
         "scalar_funcs": _scalar_funcs,
-        # -- oracle SQL repaired this round (::BIGINT casts) -----------------
-        "ocsf_map": _ocsf_map,
-        "yield_nested": _yield_nested,
-        "token_budget_sample": _token_budget_sample,
-        # -- new this round ---------------------------------------------------
-        "group_over": _group_over,
-        "incremental_dedup_docs": _incremental_dedup_docs,
-        "audio_features": _audio_features,
-        # -- r04-green, code changed this round (graph/dedup/quality/cdc) ----
+        "enumerate_sorted": _enumerate_sorted,
+        # ---------------- past the 50-query window ---------------------
+        "reverse_head": _reverse_head,
+        "distinct_collect": _distinct_collect,
         "minhash_cc_docs": _minhash_cc_docs,
         "jaccard_dedup_docs": _jaccard_dedup_docs,
-        "video_frames": _video_frames,
         "cdc_replay": _cdc_replay,
         "cdc_asof": _cdc_asof,
         "warc_ingest": _warc_ingest,
         "multimodal_decode": _multimodal_decode,
-        # ---- position 50 boundary (driver window ends here) ---------------
-        # upsert_events (r04-green) yields its seat: its apply_wal+LWW
-        # path is covered in-window by cdc_replay AND warc_ingest;
-        # minhash_dedup_docs (r04-green) yields its seat to the new
-        # video_frames query — its r5-vectorized kernels stay covered
-        # in-window by jaccard_dedup_docs + minhash_cc_docs;
-        # reverse_head (r03-green, trivial reverse+head ops unchanged
-        # since) yields its seat to the new audio_features query so the
-        # FLAC codec gets a driver row — reverse/head stay pytest-covered
-        "reverse_head": _reverse_head,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "upsert_events": _upsert_events,
         "q1_summarize": _q1_summarize,
@@ -2776,7 +2776,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fork_union": _fork_union,
         "context_roundtrip": _context_roundtrip,
         "list_funcs": _list_funcs,
-        "zip_funcs": _zip_funcs,
         "first3_per_type": _first3_per_type,
         "grok_parse": _grok_parse,
         "sigma_match": _sigma_match,
@@ -2787,13 +2786,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": _ivf_ann,
         "semi_join_orders": _semi_join_orders,
         "anti_join_orders": _anti_join_orders,
-        "asof_join_orders": _asof_join_orders,
-        "range_join_events": _range_join_events,
         "slice_events": _slice_events,
         "parse_props": _parse_props,
         "tql_let_if": _tql_let_if,
-        "cron_schedule": _cron_schedule,
-        "in_ternary": _in_ternary,
         "sliding_window": _sliding_window,
         "cap_per_source": _cap_per_source,
         "where_select": _where_select,
@@ -2801,8 +2796,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_head": _sort_head,
         "top_events": _top_events,
         "rare_events": _rare_events,
-        "distinct_collect": _distinct_collect,
-        "enumerate_sorted": _enumerate_sorted,
     }
 
 

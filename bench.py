@@ -154,7 +154,7 @@ def bench_queries() -> dict[str, float]:
         "jaccard_dedup_docs", "minhash_cc_docs", "yield_nested",
         "sliding_window", "token_budget_sample", "group_over",
         "incremental_dedup_docs", "kafka_roundtrip", "format_roundtrip",
-        "zip_funcs",
+        "zip_funcs", "asof_join_orders", "range_join_events",
     ]
     out: dict[str, float] = {}
     for name in names:
