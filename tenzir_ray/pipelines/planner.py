@@ -20,6 +20,10 @@ Supported operators (reference file cited in OPS below)::
     sigma rules.yml|rules-dir/   parse_kv col
     parse_syslog|cef|leef col    parse_grok col "pat"
     enrich key=c, table=f.parquet, field=v, out=name[, table_key=c2]
+    asof_join table=f.parquet, key=c, on=t, value=v1|v2
+              [, table_key= table_on= direction= tolerance=N[smhd] how=]
+    range_join table=f.parquet, key=c, on=t, start=s, end=e, value=v1|v2
+               [, table_key= how=]
     move new=old, ...            unflatten [sep]      assert <expr>
     timeshift field [-]N[smhd]   delay field [speed]  throttle rate
     yara rules.yar [col]         python [num_cpus=c] [concurrency=n] "code"
@@ -490,6 +494,20 @@ def _parse_aggs(aggs_text: str) -> list[tuple[str, str, str]]:
             f"summarize: cannot parse aggregate spec {bad[0]!r} "
             "(expected alias=fn(column) with a plain identifier column)")
     return specs
+
+
+def _read_parquet_clean(path: str) -> Dataset:
+    """Lazy parquet read with a metadata-free schema (pandas metadata
+    in the file footer makes block schemas unhashable and defeats Ray's
+    schema dedup downstream — the same hygiene open_source applies)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    try:
+        schema = pq.read_schema(path).remove_metadata()
+    except OSError:
+        return rd.read_parquet(path)
+    return rd.read_parquet(path, schema=schema)
 
 
 class Pipeline:
@@ -1242,6 +1260,44 @@ class Pipeline:
             return lambda ds: ops.enrich(
                 ds, lookup, key=key, fields=fields, lookup_key=table_key,
                 out_field=out)
+        if op in ("asof_join", "range_join"):
+            # asof_join table=<path.parquet>, key=<col>, on=<time col>,
+            #   value=<c1|c2> [, table_key=] [, table_on=]
+            #   [, direction=backward|forward] [, tolerance=<Nd|Nh|Nm|Ns>]
+            #   [, how=left|inner]
+            # range_join table=<path.parquet>, key=<col>, on=<time col>,
+            #   start=<col>, end=<col>, value=<c1|c2> [, table_key=]
+            #   [, how=inner|left]
+            # The right side is a parquet table read lazily at apply
+            # time (stages/joins.py; value lists are |-separated
+            # because csv() splits the operand list on commas).
+            import datetime as _dt
+
+            from tenzir_ray.stages.joins import asof_join, range_join
+            from tenzir_ray.stages.window import _dur_seconds
+
+            kv = dict(p.split("=", 1) for p in csv(rest))
+            path = kv["table"].strip().strip('"')
+            key = kv["key"].strip()
+            on = kv["on"].strip()
+            vals = [v.strip() for v in kv["value"].split("|")]
+            table_key = kv.get("table_key", key).strip()
+            if op == "asof_join":
+                tol = kv.get("tolerance")
+                tol = _dt.timedelta(
+                    seconds=_dur_seconds(tol.strip())) if tol else None
+                return lambda ds: asof_join(
+                    ds, _read_parquet_clean(path), by=key, left_on=on,
+                    right_by=table_key,
+                    right_on=kv.get("table_on", on).strip(),
+                    value_cols=vals,
+                    direction=kv.get("direction", "backward").strip(),
+                    tolerance=tol, how=kv.get("how", "left").strip())
+            return lambda ds: range_join(
+                ds, _read_parquet_clean(path), by=key, left_on=on,
+                right_by=table_key, right_start=kv["start"].strip(),
+                right_end=kv["end"].strip(), value_cols=vals,
+                how=kv.get("how", "inner").strip())
         if op in ("parse_kv", "parse_syslog", "parse_cef", "parse_leef"):
             from tenzir_ray.sources import formats as _fmt
 

@@ -218,3 +218,34 @@ def test_range_join_empty_right_and_null_end():
         left, nullend, by="k", left_on="t", right_start="s",
         right_end="e", value_cols=["w"], num_groups=4))
     assert list(out2["w"]) == [2]  # null-end interval dropped
+
+
+def test_joins_from_pipeline_text(tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines import Pipeline
+
+    right = pa.table({
+        "k": [1, 1, 2], "t": [5, 15, 6],
+        "s": [5, 15, 6], "e": [9, 18, 7],
+        "v": [100, 200, 300]})
+    path = tmp_path / "right.parquet"
+    pq.write_table(right, path)
+    left = rd.from_arrow(pa.table({
+        "k": [1, 1, 2, 3], "t": [6, 16, 6, 1], "i": [0, 1, 2, 3]}))
+
+    p = Pipeline.parse(
+        f"asof_join table={path}, key=k, on=t, value=v")
+    out = _df(p.run(left)).sort_values("i")
+    assert list(out["v"].fillna(-1).astype(int)) == [100, 200, 300, -1]
+
+    p = Pipeline.parse(
+        f"asof_join table={path}, key=k, on=t, value=v, "
+        "direction=forward, tolerance=60s, how=inner")
+    out = _df(p.run(left)).sort_values("i")
+    assert list(out["v"].astype(int)) == [200, 300]
+
+    p = Pipeline.parse(
+        f"range_join table={path}, key=k, on=t, start=s, end=e, value=v")
+    out = _df(p.run(left)).sort_values("i")
+    assert list(out["v"].astype(int)) == [100, 200, 300]
