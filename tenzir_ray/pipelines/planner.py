@@ -496,18 +496,25 @@ def _parse_aggs(aggs_text: str) -> list[tuple[str, str, str]]:
     return specs
 
 
-def _read_parquet_clean(path: str) -> Dataset:
+def _read_parquet_clean(path: str, columns: list[str] | None = None,
+                        filter=None) -> Dataset:
     """Lazy parquet read with a metadata-free schema (pandas metadata
     in the file footer makes block schemas unhashable and defeats Ray's
-    schema dedup downstream — the same hygiene open_source applies)."""
+    schema dedup downstream). Directory / glob / URI sources raise
+    OSError from the single-footer read_schema probe and SKIP the
+    hygiene pass — read_parquet resolves them natively, at the cost of
+    whatever footer metadata the files carry."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     try:
         schema = pq.read_schema(path).remove_metadata()
     except OSError:
-        return rd.read_parquet(path)
-    return rd.read_parquet(path, schema=schema)
+        return rd.read_parquet(path, columns=columns, filter=filter)
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema,
+                           filter=filter)
 
 
 class Pipeline:
@@ -662,24 +669,9 @@ class Pipeline:
     def open_source(self) -> Dataset:
         if self.source is None:
             raise ValueError("pipeline has no `from` source")
-        import pyarrow.parquet as pq
-        import ray.data as rd
-
-        try:
-            schema = pq.read_schema(self.source).remove_metadata()
-        except OSError:
-            # directory / glob / URI sources: read_parquet resolves them
-            # natively; skip the single-footer metadata-hygiene pass
-            return rd.read_parquet(self.source,
-                                   columns=self.source_columns)
-        if self.source_columns:
-            schema = pa.schema([schema.field(c) for c in self.source_columns])
-        return rd.read_parquet(
-            self.source,
-            columns=self.source_columns,
-            schema=schema,
-            filter=self.source_filter,
-        )
+        return _read_parquet_clean(
+            self.source, columns=self.source_columns,
+            filter=self.source_filter)
 
     @staticmethod
     def split_ops(text: str) -> list[str]:
@@ -1277,27 +1269,44 @@ class Pipeline:
             from tenzir_ray.stages.window import _dur_seconds
 
             kv = dict(p.split("=", 1) for p in csv(rest))
-            path = kv["table"].strip().strip('"')
-            key = kv["key"].strip()
-            on = kv["on"].strip()
-            vals = [v.strip() for v in kv["value"].split("|")]
+            try:
+                path = kv["table"].strip().strip('"')
+                key = kv["key"].strip()
+                on = kv["on"].strip()
+                vals = [v.strip() for v in kv["value"].split("|")]
+                if op == "range_join":
+                    start, end = kv["start"].strip(), kv["end"].strip()
+            except KeyError as e:
+                raise ValueError(f"{op}: missing required operand "
+                                 f"{e.args[0]}=") from None
             table_key = kv.get("table_key", key).strip()
+            how = kv.get("how", "left" if op == "asof_join"
+                          else "inner").strip()
+            if how not in ("left", "inner"):
+                raise ValueError(f"{op}: bad how={how!r}")
             if op == "asof_join":
-                tol = kv.get("tolerance")
-                tol = _dt.timedelta(
-                    seconds=_dur_seconds(tol.strip())) if tol else None
+                direction = kv.get("direction", "backward").strip()
+                if direction not in ("backward", "forward"):
+                    raise ValueError(
+                        f"asof_join: bad direction={direction!r}")
+                tol = kv.get("tolerance", "").strip()
+                # a duration tolerance (60s/5m/…) presumes a TIMESTAMP
+                # time column; a bare integer is raw column units —
+                # int columns must use the latter (a duration would be
+                # silently reinterpreted as microseconds, joins.py
+                # _tol_to_int)
+                tol = (int(tol) if tol.isdigit() else _dt.timedelta(
+                    seconds=_dur_seconds(tol))) if tol else None
                 return lambda ds: asof_join(
                     ds, _read_parquet_clean(path), by=key, left_on=on,
                     right_by=table_key,
                     right_on=kv.get("table_on", on).strip(),
-                    value_cols=vals,
-                    direction=kv.get("direction", "backward").strip(),
-                    tolerance=tol, how=kv.get("how", "left").strip())
+                    value_cols=vals, direction=direction,
+                    tolerance=tol, how=how)
             return lambda ds: range_join(
                 ds, _read_parquet_clean(path), by=key, left_on=on,
-                right_by=table_key, right_start=kv["start"].strip(),
-                right_end=kv["end"].strip(), value_cols=vals,
-                how=kv.get("how", "inner").strip())
+                right_by=table_key, right_start=start,
+                right_end=end, value_cols=vals, how=how)
         if op in ("parse_kv", "parse_syslog", "parse_cef", "parse_leef"):
             from tenzir_ray.sources import formats as _fmt
 

@@ -58,7 +58,10 @@ def _tol_to_int(tolerance, time_type: pa.DataType) -> int | None:
         unit = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1e-3}[
             time_type.unit]
         return int(us // unit) if unit >= 1 else int(us * 1000)
-    return us
+    raise TypeError(
+        "asof_join: a duration tolerance requires a timestamp time "
+        "column; pass an integer (raw column units) for "
+        f"{time_type} time columns")
 
 
 def _pad_union(

@@ -241,11 +241,24 @@ def test_joins_from_pipeline_text(tmp_path):
 
     p = Pipeline.parse(
         f"asof_join table={path}, key=k, on=t, value=v, "
-        "direction=forward, tolerance=60s, how=inner")
+        "direction=forward, tolerance=60, how=inner")
     out = _df(p.run(left)).sort_values("i")
     assert list(out["v"].astype(int)) == [200, 300]
+
+    with pytest.raises(ValueError, match="missing required operand"):
+        Pipeline.parse(f"range_join table={path}, key=k, on=t, value=v")
+    with pytest.raises(ValueError, match="bad direction"):
+        Pipeline.parse(
+            f"asof_join table={path}, key=k, on=t, value=v, direction=up")
 
     p = Pipeline.parse(
         f"range_join table={path}, key=k, on=t, start=s, end=e, value=v")
     out = _df(p.run(left)).sort_values("i")
     assert list(out["v"].astype(int)) == [100, 200, 300]
+
+
+def test_asof_duration_tolerance_on_int_column_raises():
+    with pytest.raises((Exception,), match="raw column units"):
+        _df(asof_join(
+            _left(), _right(), by="k", left_on="t", value_cols=["v"],
+            tolerance=datetime.timedelta(seconds=5), num_groups=4))
