@@ -24,6 +24,13 @@ Ray-Data-first design — ONE exchange, no per-key Python:
 * skewed keys don't stall a reducer: a hot key shares its coarse
   group with ~(keys/num_groups) others, and the kernel cost is
   O(group rows log group rows) regardless of key distribution.
+
+Partitioning assumption: ``map_groups`` materializes one coarse group
+per task, so ``num_groups`` must be sized to the DATA, not just the
+cores — (left rows + right rows) / num_groups blocks of the padded
+schema must fit a worker's heap (at 100 TB input that means 1e5-1e6
+groups, not the default 1024; the default suits ≤ ~1 TB). The exchange
+itself ships each row exactly once either way.
 """
 
 from __future__ import annotations
