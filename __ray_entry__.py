@@ -2298,20 +2298,28 @@ def _anti_join_orders(sf_dir: str):
 
 def _asof_join_orders(sf_dir: str):
     """as-of join (stages/joins.py): every event matched to the latest
-    order of the same user at-or-before the event time. Right side is
-    pre-aggregated to unique (custkey, orderdate) — the documented
-    kernel contract. Single coarse-group exchange, numpy carry kernel."""
-    from tenzir_ray.stages import asof_join, summarize
+    order of the same user at-or-before the event time; same-date
+    duplicate orders resolved to the max price INSIDE the join kernel
+    (ties=) — ONE exchange total, no pre-aggregation shuffle."""
+    from tenzir_ray.stages import asof_join
 
     left = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    right = summarize(
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
-        ["o_custkey", "o_orderdate"], best_price=("max", "o_totalprice"))
+    right = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
     out = asof_join(
         left, right, by="user_id", left_on="ts",
         right_by="o_custkey", right_on="o_orderdate",
-        value_cols=["best_price"], num_groups=64)
-    return out.select_columns(["event_id", "best_price"])
+        value_cols=["o_totalprice"], ties=("max", "o_totalprice"),
+        num_groups=64)
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["best_price" if c == "o_totalprice" else c
+             for c in t.column_names])
+
+    return out.select_columns(
+        ["event_id", "o_totalprice"]).map_batches(
+        _rename, batch_format="pyarrow")
 
 
 def _range_join_events(sf_dir: str):
@@ -2344,6 +2352,22 @@ def _range_join_events(sf_dir: str):
         right_start="ts", right_end="ts_end",
         value_cols=["purchase_id"], num_groups=64,
     ).select_columns(["event_id", "purchase_id"])
+
+
+def _hash_join_orders(sf_dir: str):
+    """distributed equi-join (stages/joins.py hash_join): orders joined
+    to their customer's market segment — both sides ride ONE coarse-
+    group exchange, per-group numpy segment expansion (no broadcast:
+    exercises the two-large-sides path the enrich/semi_join broadcast
+    operators don't cover)."""
+    from tenzir_ray.stages import hash_join
+
+    left = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    right = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return hash_join(
+        left, right, on="o_custkey", right_on="c_custkey",
+        value_cols=["c_mktsegment"], num_groups=64,
+    ).select_columns(["o_orderkey", "c_mktsegment"])
 
 
 def _slice_events(sf_dir: str):
@@ -2685,13 +2709,13 @@ def _warc_ingest(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered for the driver's 50-query correctness window (insertion
-    # order, first 50 checked).  Final-round rotation: the 11 queries
+    # order, first 50 checked).  Final-round rotation: the 12 queries
     # never driver-checked lead (their only chance at a row), then the
-    # three repaired-oracle queries red in r04, then 36 of the 38
-    # queries whose latest green row predates r04 (reverse_head and
-    # distinct_collect yield their slots — trivial operators whose
-    # kernels are covered by in-window queries); the r04-green set
-    # follows after position 50.
+    # three repaired-oracle queries red in r04, then 35 of the 38
+    # queries whose latest green row predates r04 (reverse_head,
+    # distinct_collect and enumerate_sorted yield their slots — trivial
+    # operators whose kernels are covered by in-window queries); the
+    # r04-green set follows after position 50.
     return {
         # -- never driver-checked (new this round) ----------------------
         "format_roundtrip": _format_roundtrip,
@@ -2703,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zip_funcs": _zip_funcs,
         "asof_join_orders": _asof_join_orders,
         "range_join_events": _range_join_events,
+        "hash_join_orders": _hash_join_orders,
         "cron_schedule": _cron_schedule,
         "in_ternary": _in_ternary,
         # -- red in r04 (oracle strings repaired this round) ------------
@@ -2745,8 +2770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeshift_hours": _timeshift_hours,
         "syslog_parse": _syslog_parse,
         "scalar_funcs": _scalar_funcs,
-        "enumerate_sorted": _enumerate_sorted,
         # ---------------- past the 50-query window ---------------------
+        "enumerate_sorted": _enumerate_sorted,
         "reverse_head": _reverse_head,
         "distinct_collect": _distinct_collect,
         "minhash_cc_docs": _minhash_cc_docs,
@@ -3279,6 +3304,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, r.best_price
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "hash_join_orders": """
+            SELECT o.o_orderkey, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "range_join_events": """
             SELECT e.event_id, r.purchase_id

@@ -20,6 +20,7 @@ Supported operators (reference file cited in OPS below)::
     sigma rules.yml|rules-dir/   parse_kv col
     parse_syslog|cef|leef col    parse_grok col "pat"
     enrich key=c, table=f.parquet, field=v, out=name[, table_key=c2]
+    join table=f.parquet, key=c, value=v1|v2 [, table_key= how=]
     asof_join table=f.parquet, key=c, on=t, value=v1|v2
               [, table_key= table_on= direction= tolerance=N[smhd] how=]
     range_join table=f.parquet, key=c, on=t, start=s, end=e, value=v1|v2
@@ -1252,6 +1253,28 @@ class Pipeline:
             return lambda ds: ops.enrich(
                 ds, lookup, key=key, fields=fields, lookup_key=table_key,
                 out_field=out)
+        if op == "join":
+            # join table=<path.parquet>, key=<col>, value=<c1|c2>
+            #   [, table_key=<col>] [, how=inner|left] — distributed
+            # equi-join (stages/joins.py hash_join); for a SMALL right
+            # side prefer `enrich` (broadcast, no shuffle)
+            from tenzir_ray.stages.joins import hash_join
+
+            kv = dict(p.split("=", 1) for p in csv(rest))
+            try:
+                path = kv["table"].strip().strip('"')
+                key = kv["key"].strip()
+                vals = [v.strip() for v in kv["value"].split("|")]
+            except KeyError as e:
+                raise ValueError(f"join: missing required operand "
+                                 f"{e.args[0]}=") from None
+            how = kv.get("how", "inner").strip()
+            if how not in ("left", "inner"):
+                raise ValueError(f"join: bad how={how!r}")
+            table_key = kv.get("table_key", key).strip()
+            return lambda ds: hash_join(
+                ds, _read_parquet_clean(path), on=key,
+                right_on=table_key, value_cols=vals, how=how)
         if op in ("asof_join", "range_join"):
             # asof_join table=<path.parquet>, key=<col>, on=<time col>,
             #   value=<c1|c2> [, table_key=] [, table_on=]

@@ -12,7 +12,7 @@ from tenzir_ray.stages.flow import (
 from tenzir_ray.stages.chart import (
     chart_area, chart_bar, chart_line, chart_pie, chart_spec,
 )
-from tenzir_ray.stages.joins import asof_join, range_join
+from tenzir_ray.stages.joins import asof_join, hash_join, range_join
 from tenzir_ray.stages.pubsub import publish, subscribe
 from tenzir_ray.stages.serve import serve
 from tenzir_ray.stages.yara import compile_rules as yara_compile_rules
@@ -63,7 +63,7 @@ __all__ = [
     "head", "tail", "slice_", "deduplicate", "top", "rare", "enumerate_",
     "unroll", "flatten", "unflatten", "enrich", "taste", "timeshift",
     "sample", "reverse", "semi_join", "semi_join_ds", "asof_join",
-    "range_join", "repeat", "measure",
+    "range_join", "hash_join", "repeat", "measure",
     "batch",
     "assert_", "move", "distinct", "cache", "yield_", "fields_",
     "set_attributes", "get_attributes",

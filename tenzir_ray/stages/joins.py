@@ -73,13 +73,14 @@ def _tol_to_int(tolerance, time_type: pa.DataType) -> int | None:
 
 def _pad_union(
     left: Dataset, right: Dataset, *,
-    by: str, left_on: str, right_by: str, right_on: str,
+    by: str, left_on: str | None, right_by: str, right_on: str | None,
     value_cols: list[str], num_groups: int,
     rschema: pa.Schema | None = None,
 ) -> tuple[Dataset, list[str], list[str], pa.DataType]:
     """Pad both sides to the shared (__side, __g, __k, __t, left cols,
     right value cols) schema and union them. Returns (unioned dataset,
     left column names, output value column names, time type).
+    ``left_on``/``right_on`` None (equi-join) fills ``__t`` with zeros.
     ``rschema`` overrides ``right.schema()`` for callers that wrapped
     the right side in a transform (schema() is None on an empty lazy
     dataset)."""
@@ -89,15 +90,15 @@ def _pad_union(
     lnames = list(lschema.names)
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
-    for c in (right_by, right_on, *value_cols):
+    for c in (right_by, *([right_on] if right_on else []), *value_cols):
         if c not in rtypes:
             raise ValueError(f"join: right side lacks column {c!r}")
-    if by not in ltypes or left_on not in ltypes:
+    if by not in ltypes or (left_on and left_on not in ltypes):
         raise ValueError(f"join: left side lacks {by!r}/{left_on!r}")
     # value columns that clash with a left name get a _r suffix
     out_vals = [v if v not in lnames else f"{v}_r" for v in value_cols]
     key_t = ltypes[by]
-    time_t = ltypes[left_on]
+    time_t = ltypes[left_on] if left_on else pa.int64()
     mask = num_groups - 1
     if num_groups & mask:
         raise ValueError("num_groups must be a power of two")
@@ -120,7 +121,8 @@ def _pad_union(
     def _pad_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
         keys = pc.cast(t.column(by), key_t).combine_chunks()
-        times = pc.cast(t.column(left_on), pa.int64()).combine_chunks()
+        times = pc.cast(t.column(left_on), pa.int64()).combine_chunks() \
+            if left_on else pa.nulls(n, pa.int64()).fill_null(0)
         ok = pc.and_kleene(pc.is_valid(keys), pc.is_valid(times))
         ok_np = ok.to_numpy(zero_copy_only=False)
         # a null key or null time can never match — side 2 rows ride
@@ -144,7 +146,8 @@ def _pad_union(
 
     def _pad_right(t: pa.Table) -> pa.Table:
         keys = pc.cast(t.column(right_by), key_t).combine_chunks()
-        times = pc.cast(t.column(right_on), pa.int64()).combine_chunks()
+        times = pc.cast(t.column(right_on), pa.int64()).combine_chunks() \
+            if right_on else pa.nulls(t.num_rows, pa.int64()).fill_null(0)
         # null-key / null-time right rows can never match: drop here
         ok = pc.and_kleene(pc.is_valid(keys), pc.is_valid(times))
         sel = pc.fill_null(ok, False)
@@ -184,6 +187,7 @@ def asof_join(
     direction: str = "backward",
     tolerance=None,
     how: str = "left",
+    ties: tuple[str, str] | None = None,
     num_groups: int = _DEFAULT_GROUPS,
 ) -> Dataset:
     """For every left row, the single right row with the same key and
@@ -192,14 +196,23 @@ def asof_join(
     the earliest >= (``"forward"``). ``value_cols`` are gathered from
     the matched right row (null / dropped on no match per ``how``).
 
-    Right rows sharing an exact (key, time) should be pre-aggregated
-    by the caller — the kernel keeps the last one in sort order, which
-    is deterministic only if (key, time) is unique on the right.
+    Right rows sharing an exact (key, time) are resolved by ``ties=
+    ("max"|"min", <numeric value column>)`` — the matched row is the
+    one extremizing that column, decided INSIDE the single-exchange
+    kernel (no pre-aggregation shuffle; nulls always lose). Without
+    ``ties`` the kernel keeps the last duplicate in sort order, which
+    is deterministic only if (key, time) is unique on the right —
+    pre-aggregate in that case.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: bad direction {direction!r}")
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: bad how {how!r}")
+    if ties is not None and (ties[0] not in ("max", "min")
+                             or ties[1] not in value_cols):
+        raise ValueError(
+            f"asof_join: ties must be ('max'|'min', <one of "
+            f"{value_cols}>), got {ties!r}")
     u, lnames, out_vals, time_t = _pad_union(
         left, right, by=by, left_on=left_on, right_by=right_by or by,
         right_on=right_on or left_on, value_cols=value_cols,
@@ -207,6 +220,8 @@ def asof_join(
     tol = _tol_to_int(tolerance, time_t)
     fwd = direction == "forward"
     out_names = lnames + out_vals
+    # ties column name AFTER clash-suffix renaming
+    tie_out = out_vals[value_cols.index(ties[1])] if ties else None
 
     def _kernel(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -222,7 +237,20 @@ def asof_join(
         # right (side 0) sorts before left at equal time → the carry
         # at a left row includes a right row with the exact same time
         # (inclusive match, both directions)
-        order = np.lexsort((side, t, codes))
+        if tie_out is None:
+            order = np.lexsort((side, t, codes))
+        else:
+            # equal-(key,time) right duplicates: ascending tie value →
+            # the carry (max position) lands on the extremal row; left
+            # rows get +inf so they still sort after every right row
+            # at the same time (inclusive semantics preserved)
+            v = pc.cast(g.column(tie_out), pa.float64()).to_numpy(
+                zero_copy_only=False).astype(np.float64, copy=True)
+            if ties[0] == "min":
+                v = -v
+            v[np.isnan(v)] = -np.inf  # null tie values always lose
+            v[side >= 1] = np.inf
+            order = np.lexsort((side, v, t, codes))
         ss, st, sc = side[order], t[order], codes[order]
         pos = np.arange(n, dtype=np.int64)
         carry = np.maximum.accumulate(np.where(ss == 0, pos, -1))
@@ -246,6 +274,82 @@ def asof_join(
         ridx = pa.array(
             np.where(match >= 0, match, 0), pa.int64(),
             mask=match < 0)  # null index → null value (LEFT gather)
+        cols = {c: lt.column(c) for c in lnames}
+        for ov in out_vals:
+            cols[ov] = g.column(ov).combine_chunks().take(ridx)
+        return nometa(pa.table(cols))
+
+    return u.groupby("__g").map_groups(_kernel, batch_format="pyarrow")
+
+
+def hash_join(
+    left: Dataset, right: Dataset, *,
+    on: str, right_on: str | None = None,
+    value_cols: list[str],
+    how: str = "inner",
+    num_groups: int = _DEFAULT_GROUPS,
+) -> Dataset:
+    """Distributed equi-join: each left row pairs with EVERY right row
+    of the same key (one-to-many — output can exceed the left count).
+    ``value_cols`` are gathered from each matched right row; ``how=
+    "left"`` keeps unmatched left rows with null values.
+
+    Same one-exchange design as :func:`asof_join`: both sides padded to
+    a shared schema, shuffled once by coarse salt group, matched by a
+    per-group numpy segment expansion (factorize → right-segment table
+    → repeat/arange gather). Null join keys never match (SQL
+    semantics) and ride as passthroughs for ``how="left"``. Prefer the
+    broadcast paths (``enrich``/``semi_join``) when one side is small
+    enough to ``ray.put`` — this operator is for two LARGE sides."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"hash_join: bad how {how!r}")
+    u, lnames, out_vals, _ = _pad_union(
+        left, right, by=on, left_on=None, right_by=right_on or on,
+        right_on=None, value_cols=value_cols, num_groups=num_groups)
+    out_names = lnames + out_vals
+
+    def _kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return nometa(g.select(out_names))
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        k = g.column("__k").to_numpy(zero_copy_only=False)
+        codes = _codes(k)
+        lmask = side >= 1  # left rows, incl. null-key passthroughs (2)
+        rmask = side == 0
+        lrow = np.flatnonzero(lmask)
+        rrow = np.flatnonzero(rmask)
+        lc, rc = codes[lmask], codes[rmask]
+        nl, nr = len(lrow), len(rrow)
+        if nr == 0 or nl == 0:
+            ml = mr = np.zeros(0, np.int64)
+        else:
+            rorder = np.argsort(rc, kind="stable")
+            rc, rrow = rc[rorder], rrow[rorder]
+            rstarts = np.flatnonzero(np.r_[True, rc[1:] != rc[:-1]])
+            rcounts = np.diff(np.r_[rstarts, nr])
+            seg_of_code = np.full(int(codes.max()) + 1, -1, np.int64)
+            seg_of_code[rc[rstarts]] = np.arange(len(rstarts))
+            lseg = seg_of_code[lc]
+            has = (lseg >= 0) & (side[lmask] == 1)
+            lseg0 = np.maximum(lseg, 0)
+            cnt = np.where(has, rcounts[lseg0], 0)
+            total = int(cnt.sum())
+            ml = np.repeat(np.arange(nl), cnt)
+            base = np.repeat(np.where(has, rstarts[lseg0], 0), cnt)
+            csum = np.r_[0, np.cumsum(cnt)][:-1]
+            mr = base + (np.arange(total, dtype=np.int64)
+                         - np.repeat(csum, cnt))
+        out_l = lrow[ml]
+        out_r = rrow[mr] if len(mr) else np.zeros(0, np.int64)
+        if how == "left":
+            matched = np.zeros(nl, bool)
+            matched[ml] = True
+            miss = np.flatnonzero(~matched)
+            out_l = np.concatenate([out_l, lrow[miss]])
+            out_r = np.concatenate(
+                [out_r, np.full(len(miss), -1, np.int64)])
+        lt = g.select(lnames).take(pa.array(out_l, pa.int64()))
+        ridx = pa.array(np.maximum(out_r, 0), pa.int64(), mask=out_r < 0)
         cols = {c: lt.column(c) for c in lnames}
         for ov in out_vals:
             cols[ov] = g.column(ov).combine_chunks().take(ridx)

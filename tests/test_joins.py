@@ -11,7 +11,7 @@ import pytest
 
 import ray.data as rd
 
-from tenzir_ray.stages.joins import asof_join, range_join
+from tenzir_ray.stages.joins import asof_join, hash_join, range_join
 
 
 def _df(ds) -> pd.DataFrame:
@@ -262,3 +262,80 @@ def test_asof_duration_tolerance_on_int_column_raises():
         _df(asof_join(
             _left(), _right(), by="k", left_on="t", value_cols=["v"],
             tolerance=datetime.timedelta(seconds=5), num_groups=4))
+
+
+def test_asof_ties_max_min_single_exchange():
+    left = rd.from_arrow(pa.table({"k": [1, 1], "t": [10, 3]}))
+    # three right rows share (k=1, t=5); one has a null tie value
+    right = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 1],
+        "t": [5, 5, 5, 2],
+        "v": pa.array([7.0, None, 30.0, 99.0], pa.float64())}))
+    mx = _df(asof_join(
+        left, right, by="k", left_on="t", value_cols=["v"],
+        ties=("max", "v"), num_groups=4)).sort_values("t")
+    assert list(mx["v"]) == [99.0, 30.0]  # t=3 -> t=2 (v=99); t=10 -> max of the t=5 ties
+    mn = _df(asof_join(
+        left, right, by="k", left_on="t", value_cols=["v"],
+        ties=("min", "v"), num_groups=4)).sort_values("t")
+    assert list(mn["v"]) == [99.0, 7.0]  # nulls lose for min too
+    with pytest.raises(ValueError, match="ties"):
+        asof_join(left, right, by="k", left_on="t", value_cols=["v"],
+                  ties=("sum", "v"), num_groups=4)
+
+
+def test_hash_join_basic_left_and_nulls():
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, None], pa.int64()),
+        "i": [0, 1, 2, 3]}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 2, 3, None], pa.int64()),
+        "v": [10, 20, 30, 40]}))
+    inner = _df(hash_join(
+        left, right, on="k", value_cols=["v"], num_groups=4))
+    # k=2 matches both right rows for each of the two left rows
+    assert sorted(zip(inner["i"], inner["v"])) == [
+        (1, 10), (1, 20), (2, 10), (2, 20)]
+    louter = _df(hash_join(
+        left, right, on="k", value_cols=["v"], how="left", num_groups=4))
+    assert len(louter) == 6  # 4 pairs + unmatched i=0 and null-key i=3
+    assert louter["v"].isna().sum() == 2
+
+
+def test_hash_join_vs_duckdb_randomized():
+    rng = np.random.default_rng(11)
+    nl, nr = 3000, 1200
+    ldf = pd.DataFrame({
+        "k": rng.integers(0, 300, nl), "i": np.arange(nl)})
+    rdf = pd.DataFrame({
+        "k": rng.integers(0, 350, nr),
+        "v": rng.integers(0, 100_000, nr)})
+    out = _df(hash_join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf),
+        on="k", value_cols=["v"], num_groups=16))
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    want = con.sql("SELECT l.i, r.v FROM l JOIN r USING (k)").df()
+    got = out[["i", "v"]].sort_values(["i", "v"]).reset_index(drop=True)
+    exp = want.sort_values(["i", "v"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.array_equal(got["i"].to_numpy(), exp["i"].to_numpy())
+    assert np.array_equal(got["v"].to_numpy(np.int64),
+                          exp["v"].to_numpy(np.int64))
+
+
+def test_hash_join_from_pipeline_text(tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines import Pipeline
+
+    pq.write_table(
+        pa.table({"ck": [1, 2], "seg": ["A", "B"]}),
+        tmp_path / "cust.parquet")
+    left = rd.from_arrow(pa.table({"k": [1, 1, 3], "i": [0, 1, 2]}))
+    p = Pipeline.parse(
+        f"join table={tmp_path}/cust.parquet, key=k, table_key=ck, "
+        "value=seg, how=left")
+    out = _df(p.run(left)).sort_values("i")
+    assert list(out["seg"].fillna("-")) == ["A", "A", "-"]
