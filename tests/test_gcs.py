@@ -1,0 +1,73 @@
+"""Object-store path: pyarrow GcsFileSystem against the in-repo GCS
+JSON-API loopback server — resumable upload, alt=media ranged download
+with real crc32c/md5 hashes, prefix listing — plus distributed Ray Data
+read/write through it."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def gcs():
+    from tenzir_ray.sources.gcsstub import (
+        loopback_gcs_fs, mini_gcs_server)
+
+    # CreateBucket needs a project id; anything non-empty satisfies
+    # google-cloud-cpp (the stub ignores it)
+    os.environ.setdefault("GOOGLE_CLOUD_PROJECT", "test-project")
+    srv, port, objects = mini_gcs_server()
+    try:
+        yield loopback_gcs_fs(port), objects, port
+    finally:
+        srv.shutdown()
+
+
+def test_pyarrow_gcs_roundtrip_and_ranged_reads(gcs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow.fs import FileSelector
+
+    fs, objects, _ = gcs
+    fs.create_dir("bkt", recursive=False)
+    t = pa.table({"a": list(range(1000)),
+                  "b": [f"s{i}" for i in range(1000)]})
+    # Arrow's GCS output stream is the resumable-upload session path
+    pq.write_table(t, "bkt/d/p0.parquet", filesystem=fs)
+    assert ("bkt", "d/p0.parquet") in objects
+    # footer-first parquet open = ranged alt=media GETs; the client
+    # verifies the stub's crc32c/md5 hashes, so they must be real
+    back = pq.read_table("bkt/d/p0.parquet", filesystem=fs)
+    assert back.equals(t)
+    only_a = pq.read_table("bkt/d/p0.parquet", filesystem=fs,
+                           columns=["a"])
+    assert only_a.column_names == ["a"]
+    infos = fs.get_file_info(FileSelector("bkt/d/"))
+    assert [i.path for i in infos] == ["bkt/d/p0.parquet"]
+    fs.delete_file("bkt/d/p0.parquet")
+    assert ("bkt", "d/p0.parquet") not in objects
+
+
+def test_ray_data_reads_and_writes_gcs(ray_session, gcs):
+    import ray.data as rd
+
+    from tenzir_ray.sources.gcsstub import gcs_ray_compat_fs
+
+    _, objects, port = gcs
+    # Ray wraps every filesystem in a python-callback retry layer,
+    # which trips pyarrow 16.1's GcsRandomAccessFile.closed() quirk —
+    # the compat shim documents and sidesteps it (gcsstub.py)
+    fs = gcs_ray_compat_fs(port)
+    fs.create_dir("bkt", recursive=False)
+    rows = [{"id": i, "v": i * 7} for i in range(500)]
+    # distributed write: every block uploads from its own worker
+    rd.from_items(rows).repartition(4).write_parquet(
+        "bkt/out", filesystem=fs)
+    written = [n for (b, n) in objects if b == "bkt"]
+    assert len(written) >= 1
+    back = rd.read_parquet("bkt/out", filesystem=fs)
+    got = sorted(r["id"] for r in back.take_all())
+    assert got == list(range(500))
+    pruned = rd.read_parquet("bkt/out", filesystem=fs, columns=["v"])
+    assert pruned.schema().names == ["v"]
+    assert pruned.count() == 500
