@@ -18,7 +18,6 @@ containers auto-create on first write.
 """
 from __future__ import annotations
 
-import base64
 import hashlib
 import re
 import threading
@@ -85,14 +84,19 @@ def mini_azure_server(host: str = "127.0.0.1", port: int = 0,
 
         def _reply(self, code: int, body: bytes = b"",
                    headers: dict | None = None) -> None:
-            self.send_response(code)
-            self.send_header("x-ms-version", "2022-11-02")
-            for k, v in (headers or {}).items():
-                self.send_header(k, v)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            if body and self.command != "HEAD":
-                self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header("x-ms-version", "2022-11-02")
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if body and self.command != "HEAD":
+                    self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                # a client aborting a download mid-body is routine;
+                # a dead handler thread would poison its keep-alive
+                self.close_connection = True
 
         def _error(self, code: int, ms_code: str) -> None:
             if self.command == "HEAD":
@@ -177,7 +181,7 @@ def mini_azure_server(host: str = "127.0.0.1", port: int = 0,
                     "Content-Type": "application/octet-stream"}
             if rng:
                 m = re.fullmatch(r"bytes=(\d*)-(\d*)", rng.strip())
-                if not m:
+                if not m or m.group(0) == "bytes=-" or not any(m.groups()):
                     self._error(416, "InvalidRange")
                     return
                 lo_s, hi_s = m.groups()
@@ -330,7 +334,3 @@ def loopback_azure_fs(port: int, *, account: str = DEV_ACCOUNT,
         dfs_storage_authority=f"127.0.0.1:{port}",
         blob_storage_scheme="http", dfs_storage_scheme="http")
 
-
-# re-exported for tests that want to assert base64 block ids
-def decode_block_id(bid: str) -> bytes:
-    return base64.b64decode(bid)

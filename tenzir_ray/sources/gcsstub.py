@@ -32,6 +32,17 @@ from tenzir_ray.sources.kafka import crc32c
 _CREATED = "2024-01-01T00:00:00.000Z"
 
 
+@__import__("functools").lru_cache(maxsize=256)
+def _hashes(data: bytes) -> tuple[str, str, str]:
+    """(etag, md5Hash, crc32c) — content-keyed cache: every ranged GET
+    and every list row needs them, and the pure-Python CRC32C pass is
+    O(object) per call without it."""
+    md5 = hashlib.md5(data)
+    return (md5.hexdigest(),
+            base64.b64encode(md5.digest()).decode(),
+            base64.b64encode(struct.pack(">I", crc32c(data))).decode())
+
+
 def _obj_meta(bucket: str, name: str, data: bytes,
               custom: dict | None = None) -> dict:
     if custom:
@@ -46,10 +57,9 @@ def _obj_meta(bucket: str, name: str, data: bytes,
         "contentType": "application/octet-stream",
         "storageClass": "STANDARD",
         "size": str(len(data)),
-        "etag": hashlib.md5(data).hexdigest(),
-        "md5Hash": base64.b64encode(hashlib.md5(data).digest()).decode(),
-        "crc32c": base64.b64encode(
-            struct.pack(">I", crc32c(data))).decode(),
+        "etag": _hashes(data)[0],
+        "md5Hash": _hashes(data)[1],
+        "crc32c": _hashes(data)[2],
         "timeCreated": _CREATED,
         "updated": _CREATED,
         "timeStorageClassUpdated": _CREATED,
@@ -184,6 +194,9 @@ def mini_gcs_server(host: str = "127.0.0.1", port: int = 0):
                     self._error(416, "requestedRangeNotSatisfiable")
                     return
                 lo_s, hi_s = m.groups()
+                if not lo_s and not hi_s:  # "bytes=-": both empty
+                    self._error(416, "requestedRangeNotSatisfiable")
+                    return
                 lo = int(lo_s) if lo_s else max(
                     0, len(data) - int(hi_s))
                 hi = min(int(hi_s), len(data) - 1) if hi_s and lo_s \
@@ -258,8 +271,11 @@ def mini_gcs_server(host: str = "127.0.0.1", port: int = 0):
                     self._error(400, "badRequest")
                     return
                 parts = body.split(b"--" + bm.group(1).encode())
-                segs = [p.partition(b"\r\n\r\n")[2].rstrip(b"\r\n-")
-                        for p in parts if b"\r\n\r\n" in p]
+                # strip exactly the ONE CRLF that precedes the next
+                # boundary — rstrip would eat legitimate trailing
+                # '-'/CR/LF payload bytes
+                segs = [p.partition(b"\r\n\r\n")[2].removesuffix(
+                    b"\r\n") for p in parts if b"\r\n\r\n" in p]
                 if len(segs) < 2:
                     self._error(400, "badRequest")
                     return
@@ -272,6 +288,8 @@ def mini_gcs_server(host: str = "127.0.0.1", port: int = 0):
                     objects[(bucket, name)] = data
                     if custom:
                         metas[(bucket, name)] = custom
+                    else:
+                        metas.pop((bucket, name), None)
                 self._json(_obj_meta(bucket, name, data, custom))
                 return
             m = re.fullmatch(r"/storage/v1/b", path)
@@ -329,6 +347,8 @@ def mini_gcs_server(host: str = "127.0.0.1", port: int = 0):
                     objects[(bucket, name)] = bytes(buf)
                     if custom:
                         metas[(bucket, name)] = custom
+                    else:
+                        metas.pop((bucket, name), None)
                     sessions.pop(uid, None)
                     blob = objects[(bucket, name)]
             if done:
@@ -353,7 +373,11 @@ def mini_gcs_server(host: str = "127.0.0.1", port: int = 0):
                     return
                 m = re.fullmatch(r"/storage/v1/b/([^/]+)", path)
                 if m:
-                    buckets.discard(m.group(1))
+                    b = m.group(1)
+                    buckets.discard(b)
+                    for k in [k for k in objects if k[0] == b]:
+                        del objects[k]
+                        metas.pop(k, None)
                     self._reply(204)
                     return
             self._error(404)

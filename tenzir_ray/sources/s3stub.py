@@ -63,13 +63,18 @@ def mini_s3_server(host: str = "127.0.0.1", port: int = 0):
 
         def _reply(self, code: int, body: bytes = b"",
                    headers: dict | None = None) -> None:
-            self.send_response(code)
-            for k, v in (headers or {}).items():
-                self.send_header(k, v)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            if body and self.command != "HEAD":
-                self.wfile.write(body)
+            try:
+                self.send_response(code)
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if body and self.command != "HEAD":
+                    self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                # a client aborting a download mid-body is routine;
+                # a dead handler thread would poison its keep-alive
+                self.close_connection = True
 
         def _not_found(self, what: str = "NoSuchKey") -> None:
             self._reply(404, _xml(
@@ -117,6 +122,11 @@ def mini_s3_server(host: str = "127.0.0.1", port: int = 0):
             rng = self.headers.get("Range")
             if rng and rng.startswith("bytes="):
                 lo_s, _, hi_s = rng[len("bytes="):].partition("-")
+                if not lo_s and not hi_s:  # "bytes=-": both empty
+                    self._reply(416, _xml(
+                        "<Error><Code>InvalidRange</Code></Error>"), {
+                        "Content-Range": f"bytes */{len(data)}"})
+                    return
                 lo = int(lo_s) if lo_s else max(
                     0, len(data) - int(hi_s))
                 hi = min(int(hi_s), len(data) - 1) if hi_s and lo_s \

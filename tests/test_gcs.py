@@ -9,13 +9,16 @@ import pytest
 
 
 @pytest.fixture()
-def gcs():
+def gcs(monkeypatch):
     from tenzir_ray.sources.gcsstub import (
         loopback_gcs_fs, mini_gcs_server)
 
     # CreateBucket needs a project id; anything non-empty satisfies
-    # google-cloud-cpp (the stub ignores it)
-    os.environ.setdefault("GOOGLE_CLOUD_PROJECT", "test-project")
+    # google-cloud-cpp (the stub ignores it). monkeypatch undoes the
+    # env mutation per-test instead of leaking it process-wide.
+    monkeypatch.setenv(
+        "GOOGLE_CLOUD_PROJECT",
+        os.environ.get("GOOGLE_CLOUD_PROJECT", "test-project"))
     srv, port, objects = mini_gcs_server()
     try:
         yield loopback_gcs_fs(port), objects, port
