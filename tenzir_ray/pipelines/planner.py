@@ -22,7 +22,8 @@ Supported operators (reference file cited in OPS below)::
     enrich key=c, table=f.parquet, field=v, out=name[, table_key=c2]
     join table=f.parquet, key=c, value=v1|v2 [, table_key= how=]
     asof_join table=f.parquet, key=c, on=t, value=v1|v2
-              [, table_key= table_on= direction= tolerance=N[smhd] how=]
+              [, table_key= table_on= direction= tolerance=N[smhd]
+                 how= ties=max:col|min:col]
     range_join table=f.parquet, key=c, on=t, start=s, end=e, value=v1|v2
                [, table_key= how=]
     move new=old, ...            unflatten [sep]      assert <expr>
@@ -1320,12 +1321,16 @@ class Pipeline:
                 # _tol_to_int)
                 tol = (int(tol) if tol.isdigit() else _dt.timedelta(
                     seconds=_dur_seconds(tol))) if tol else None
+                ties = kv.get("ties", "").strip()  # ties=max:col
+                if ties:
+                    mode, _, tcol = ties.partition(":")
+                    ties = (mode.strip(), tcol.strip())
                 return lambda ds: asof_join(
                     ds, _read_parquet_clean(path), by=key, left_on=on,
                     right_by=table_key,
                     right_on=kv.get("table_on", on).strip(),
                     value_cols=vals, direction=direction,
-                    tolerance=tol, how=how)
+                    tolerance=tol, how=how, ties=ties or None)
             return lambda ds: range_join(
                 ds, _read_parquet_clean(path), by=key, left_on=on,
                 right_by=table_key, right_start=start,

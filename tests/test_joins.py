@@ -339,3 +339,18 @@ def test_hash_join_from_pipeline_text(tmp_path):
         "value=seg, how=left")
     out = _df(p.run(left)).sort_values("i")
     assert list(out["seg"].fillna("-")) == ["A", "A", "-"]
+
+
+def test_asof_ties_from_pipeline_text(tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines import Pipeline
+
+    pq.write_table(pa.table({
+        "k": [1, 1], "t": [5, 5], "v": [7.0, 30.0]}),
+        tmp_path / "r.parquet")
+    left = rd.from_arrow(pa.table({"k": [1], "t": [9]}))
+    p = Pipeline.parse(
+        f"asof_join table={tmp_path}/r.parquet, key=k, on=t, "
+        "value=v, ties=max:v")
+    assert list(_df(p.run(left))["v"]) == [30.0]
