@@ -21,6 +21,9 @@ Supported operators (reference file cited in OPS below)::
     parse_syslog|cef|leef col    parse_grok col "pat"
     enrich key=c, table=f.parquet, field=v, out=name[, table_key=c2]
     join table=f.parquet, key=c, value=v1|v2 [, table_key= how=]
+    publish <topic>              subscribe <topic>   // topic actors
+    context::update <name>, key=c, value=v   // named-context family
+    context::enrich <name>, key=c [, out=f]  context::reset <name>
     asof_join table=f.parquet, key=c, on=t, value=v1|v2
               [, table_key= table_on= direction= tolerance=N[smhd]
                  how= ties=max:col|min:col]
@@ -1254,6 +1257,89 @@ class Pipeline:
             return lambda ds: ops.enrich(
                 ds, lookup, key=key, fields=fields, lookup_key=table_key,
                 out_field=out)
+        if op == "publish":
+            # publish <topic> — forward the stream to the named topic
+            # actor (stages/pubsub.py); pass-through so a pipeline can
+            # both publish and keep processing. Materializes once so
+            # the published refs and the returned dataset are the same
+            # execution.
+            topic = rest.strip().strip('"')
+            if not topic:
+                raise ValueError("publish: missing topic")
+
+            def _publish(ds, _topic=topic):
+                from tenzir_ray.stages.pubsub import publish as _pub
+
+                mat = ds.materialize()
+                _pub(mat, _topic)
+                return mat
+
+            return _publish
+        if op == "subscribe":
+            # subscribe <topic> — SOURCE: replaces the upstream with
+            # the topic's buffered events (operators/subscribe.cpp)
+            topic = rest.strip().strip('"')
+            if not topic:
+                raise ValueError("subscribe: missing topic")
+
+            def _subscribe(ds, _topic=topic):
+                from tenzir_ray.stages.pubsub import subscribe as _sub
+
+                out, _seq = _sub(_topic)
+                return out
+
+            return _subscribe
+        if op.startswith("context::"):
+            # context::update <name>, key=<col>, value=<col>
+            # context::enrich <name>, key=<col> [, out=<field>]
+            # context::reset <name>  — the named-context actor family
+            # (builtins/contexts/lookup_table.cpp) from TQL text.
+            # update streams (key,value) pairs into the actor from the
+            # workers as the batch flows through (pass-through, lazy —
+            # the update lands when the pipeline executes).
+            verb = op[len("context::"):]
+            name, _, params = rest.partition(",")
+            name = name.strip().strip('"')
+            kv = dict(p.split("=", 1) for p in csv(params)) if \
+                params.strip() else {}
+            if verb == "update":
+                key, val = kv["key"].strip(), kv["value"].strip()
+
+                def _upd(t: pa.Table, _n=name, _k=key, _v=val):
+                    import ray as _ray
+
+                    from tenzir_ray.state.context import ContextActor
+
+                    actor = ContextActor(_n)
+                    _ray.get(actor.update.remote(dict(zip(
+                        t.column(_k).to_pylist(),
+                        t.column(_v).to_pylist()))))
+                    return t
+
+                return lambda ds: ds.map_batches(
+                    _upd, batch_format="pyarrow")
+            if verb == "enrich":
+                key = kv["key"].strip()
+                out = kv.get("out", "context").strip()
+
+                def _enr(ds, _n=name, _k=key, _o=out):
+                    from tenzir_ray.state.context import context_enrich
+
+                    return context_enrich(ds, _n, key=_k, out_field=_o)
+
+                return _enr
+            if verb == "reset":
+                def _rst(ds, _n=name):
+                    import ray as _ray
+
+                    from tenzir_ray.state.context import ContextActor
+
+                    _ray.get(ContextActor(_n).reset.remote())
+                    return ds
+
+                return _rst
+            raise ValueError(f"context:: unknown verb {verb!r} "
+                             "(have update/enrich/reset)")
         if op == "join":
             # join table=<path.parquet>, key=<col>, value=<c1|c2>
             #   [, table_key=<col>] [, how=inner|left] — distributed

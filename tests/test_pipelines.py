@@ -857,3 +857,34 @@ def test_more_format_ops_dispatch(ray_session):
             f"write_ndjson | compress_{codec} | decompress_{codec} "
             "| read_ndjson").run(ds)
         assert sorted(r["a"] for r in out.take_all()) == list(range(5))
+
+
+def test_pubsub_and_context_from_text(lineitem):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tenzir_ray.pipelines import Pipeline
+
+    src = rd.from_arrow(pa.table({
+        "k": [1, 2, 3], "v": ["a", "b", "c"], "x": [10, 20, 30]}))
+    # publish passes through and lands the stream on the topic
+    out = Pipeline.parse("publish tql_text_topic").run(src).to_pandas()
+    assert len(out) == 3
+    back = Pipeline.parse("subscribe tql_text_topic | select k, x") \
+        .run(rd.from_items([{"dummy": 0}])).to_pandas()
+    assert sorted(back["k"]) == [1, 2, 3]
+
+    # context family: update from one stream, enrich another
+    Pipeline.parse(
+        "context::update tql_ctx, key=k, value=v").run(src).materialize()
+    enriched = Pipeline.parse(
+        "context::enrich tql_ctx, key=k, out=label").run(
+        rd.from_arrow(pa.table({"k": [2, 9]}))).to_pandas()
+    got = dict(zip(enriched["k"], enriched["label"]))
+    assert got[2] == "b" and (got[9] is None or got[9] != got[9]
+                              or got[9] is pd.NA)
+    Pipeline.parse("context::reset tql_ctx").run(src).materialize()
+    wiped = Pipeline.parse(
+        "context::enrich tql_ctx, key=k, out=label").run(
+        rd.from_arrow(pa.table({"k": [2]}))).to_pandas()
+    assert wiped["label"].isna().all()
