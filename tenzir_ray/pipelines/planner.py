@@ -1263,7 +1263,7 @@ class Pipeline:
             # both publish and keep processing. Materializes once so
             # the published refs and the returned dataset are the same
             # execution.
-            topic = rest.strip().strip('"')
+            topic = rest.strip().strip("\"'")
             if not topic:
                 raise ValueError("publish: missing topic")
 
@@ -1278,7 +1278,7 @@ class Pipeline:
         if op == "subscribe":
             # subscribe <topic> — SOURCE: replaces the upstream with
             # the topic's buffered events (operators/subscribe.cpp)
-            topic = rest.strip().strip('"')
+            topic = rest.strip().strip("\"'")
             if not topic:
                 raise ValueError("subscribe: missing topic")
 
@@ -1299,26 +1299,49 @@ class Pipeline:
             # the update lands when the pipeline executes).
             verb = op[len("context::"):]
             name, _, params = rest.partition(",")
-            name = name.strip().strip('"')
+            name = name.strip().strip("\"'")
+            if not name:
+                raise ValueError(f"context::{verb}: missing context name")
             kv = dict(p.split("=", 1) for p in csv(params)) if \
                 params.strip() else {}
             if verb == "update":
-                key, val = kv["key"].strip(), kv["value"].strip()
+                try:
+                    key, val = kv["key"].strip(), kv["value"].strip()
+                except KeyError as e:
+                    raise ValueError(
+                        f"context::update: missing {e.args[0]}= "
+                        "operand") from None
 
-                def _upd(t: pa.Table, _n=name, _k=key, _v=val):
-                    import ray as _ray
+                class _Upd:
+                    """Actor handle resolved once per worker (not per
+                    batch); the blocking ack keeps update-then-read
+                    pipelines correct — contexts are small-side by
+                    design, so the single-actor serialization is the
+                    documented contract, not a bottleneck."""
 
-                    from tenzir_ray.state.context import ContextActor
+                    def __init__(self):
+                        from tenzir_ray.state.context import ContextActor
 
-                    actor = ContextActor(_n)
-                    _ray.get(actor.update.remote(dict(zip(
-                        t.column(_k).to_pylist(),
-                        t.column(_v).to_pylist()))))
-                    return t
+                        self._actor = ContextActor(name)
 
+                    def __call__(self, t: pa.Table) -> pa.Table:
+                        import ray as _ray
+
+                        _ray.get(self._actor.update.remote(dict(zip(
+                            t.column(key).to_pylist(),
+                            t.column(val).to_pylist()))))
+                        return t
+
+                # materialize so the updates LAND at this step's place
+                # in the pipeline — a lazy map_batches would execute
+                # AFTER an eager downstream context::enrich snapshot
                 return lambda ds: ds.map_batches(
-                    _upd, batch_format="pyarrow")
+                    _Upd, batch_format="pyarrow",
+                    concurrency=(1, 4)).materialize()
             if verb == "enrich":
+                if "key" not in kv:
+                    raise ValueError(
+                        "context::enrich: missing key= operand")
                 key = kv["key"].strip()
                 out = kv.get("out", "context").strip()
 

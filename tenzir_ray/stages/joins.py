@@ -99,14 +99,18 @@ def _pad_union(
     out_vals = [v if v not in lnames else f"{v}_r" for v in value_cols]
     key_t = ltypes[by]
     time_t = ltypes[left_on] if left_on else pa.int64()
-    if key_t is None or time_t is None:
+    bad = [c for c, t in {**ltypes,
+                          **{v: rtypes[v] for v in value_cols}}.items()
+           if t is None]
+    if bad:
         # Ray reports None for pandas extension dtypes (e.g. Int64) on
-        # pandas-block datasets — fail with the fix instead of a
+        # pandas-block datasets — every padded column needs a real
+        # Arrow type (pa.nulls below); fail with the fix instead of a
         # DataType-expected error deep in a worker
         raise TypeError(
-            f"join: column {by if key_t is None else left_on!r} has an "
-            "unresolved (pandas-extension) dtype; build the dataset "
-            "from Arrow (ray.data.from_arrow / read_parquet) instead")
+            f"join: columns {bad!r} have unresolved (pandas-extension) "
+            "dtypes; build the dataset from Arrow "
+            "(ray.data.from_arrow / read_parquet) instead")
     mask = num_groups - 1
     if num_groups & mask:
         raise ValueError("num_groups must be a power of two")

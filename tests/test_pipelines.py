@@ -860,31 +860,44 @@ def test_more_format_ops_dispatch(ray_session):
 
 
 def test_pubsub_and_context_from_text(lineitem):
+    import uuid
+
     import pyarrow as pa
     import ray.data as rd
 
     from tenzir_ray.pipelines import Pipeline
 
+    # unique names per run: topic/context actors are detached and
+    # would accumulate state across reruns in one Ray session
+    topic = f"tql_text_topic_{uuid.uuid4().hex[:8]}"
+    ctx = f"tql_ctx_{uuid.uuid4().hex[:8]}"
     src = rd.from_arrow(pa.table({
         "k": [1, 2, 3], "v": ["a", "b", "c"], "x": [10, 20, 30]}))
     # publish passes through and lands the stream on the topic
-    out = Pipeline.parse("publish tql_text_topic").run(src).to_pandas()
+    out = Pipeline.parse(f"publish {topic}").run(src).to_pandas()
     assert len(out) == 3
-    back = Pipeline.parse("subscribe tql_text_topic | select k, x") \
+    back = Pipeline.parse(f"subscribe {topic} | select k, x") \
         .run(rd.from_items([{"dummy": 0}])).to_pandas()
     assert sorted(back["k"]) == [1, 2, 3]
 
-    # context family: update from one stream, enrich another
-    Pipeline.parse(
-        "context::update tql_ctx, key=k, value=v").run(src).materialize()
+    # context family: update from one stream, enrich another — the
+    # update step materializes in place, so chaining works in order
+    chained = Pipeline.parse(
+        f"context::update {ctx}, key=k, value=v | "
+        f"context::enrich {ctx}, key=k, out=label").run(src).to_pandas()
+    assert sorted(chained["label"]) == ["a", "b", "c"]
     enriched = Pipeline.parse(
-        "context::enrich tql_ctx, key=k, out=label").run(
+        f"context::enrich {ctx}, key=k, out=label").run(
         rd.from_arrow(pa.table({"k": [2, 9]}))).to_pandas()
     got = dict(zip(enriched["k"], enriched["label"]))
-    assert got[2] == "b" and (got[9] is None or got[9] != got[9]
-                              or got[9] is pd.NA)
-    Pipeline.parse("context::reset tql_ctx").run(src).materialize()
+    assert got[2] == "b" and pd.isna(got[9])
+    Pipeline.parse(f"context::reset {ctx}").run(src).materialize()
     wiped = Pipeline.parse(
-        "context::enrich tql_ctx, key=k, out=label").run(
+        f"context::enrich {ctx}, key=k, out=label").run(
         rd.from_arrow(pa.table({"k": [2]}))).to_pandas()
     assert wiped["label"].isna().all()
+
+    with pytest.raises(ValueError, match="missing value="):
+        Pipeline.parse(f"context::update {ctx}, key=k")
+    with pytest.raises(ValueError, match="missing context name"):
+        Pipeline.parse("context::reset")
