@@ -20,14 +20,16 @@ Supported operators (reference file cited in OPS below)::
     sigma rules.yml|rules-dir/   parse_kv col
     parse_syslog|cef|leef col    parse_grok col "pat"
     enrich key=c, table=f.parquet, field=v, out=name[, table_key=c2]
-    join table=f.parquet, key=c, value=v1|v2 [, table_key= how=]
+    join table=f.parquet, key=c, value="v1|v2" [, table_key= how=]
+         // multi-col specs ("a|b") must be quoted: bare | splits ops
     publish <topic>              subscribe <topic>   // topic actors
     context::update <name>, key=c, value=v   // named-context family
     context::enrich <name>, key=c [, out=f]  context::reset <name>
-    asof_join table=f.parquet, key=c, on=t, value=v1|v2
+    asof_join table=f.parquet, key=c, on=t, value="v1|v2"
               [, table_key= table_on= direction= tolerance=N[smhd]
                  how= ties=max:col|min:col]
-    range_join table=f.parquet, key=c, on=t, start=s, end=e, value=v1|v2
+    range_join table=f.parquet, key=c, on=t, start=s, end=e,
+               value="v1|v2"
                [, table_key= how=]
     move new=old, ...            unflatten [sep]      assert <expr>
     timeshift field [-]N[smhd]   delay field [speed]  throttle rate
@@ -499,6 +501,13 @@ def _parse_aggs(aggs_text: str) -> list[tuple[str, str, str]]:
             f"summarize: cannot parse aggregate spec {bad[0]!r} "
             "(expected alias=fn(column) with a plain identifier column)")
     return specs
+
+
+def _key_spec(raw: str) -> str | list[str]:
+    """`key=a` → "a"; `key="a|b"` → ["a", "b"] (composite join key —
+    the spec must be QUOTED because a bare | separates operators)."""
+    parts = [p.strip() for p in raw.strip().strip("\"'").split("|")]
+    return parts if len(parts) > 1 else parts[0]
 
 
 def _read_parquet_clean(path: str, columns: list[str] | None = None,
@@ -1373,15 +1382,17 @@ class Pipeline:
             kv = dict(p.split("=", 1) for p in csv(rest))
             try:
                 path = kv["table"].strip().strip('"')
-                key = kv["key"].strip()
-                vals = [v.strip() for v in kv["value"].split("|")]
+                key = _key_spec(kv["key"])
+                vals = [v.strip() for v in
+                        kv["value"].strip().strip("\"'").split("|")]
             except KeyError as e:
                 raise ValueError(f"join: missing required operand "
                                  f"{e.args[0]}=") from None
             how = kv.get("how", "inner").strip()
             if how not in ("left", "inner"):
                 raise ValueError(f"join: bad how={how!r}")
-            table_key = kv.get("table_key", key).strip()
+            table_key = _key_spec(kv["table_key"]) if "table_key" in kv \
+                else key
             return lambda ds: hash_join(
                 ds, _read_parquet_clean(path), on=key,
                 right_on=table_key, value_cols=vals, how=how)
@@ -1404,7 +1415,7 @@ class Pipeline:
             kv = dict(p.split("=", 1) for p in csv(rest))
             try:
                 path = kv["table"].strip().strip('"')
-                key = kv["key"].strip()
+                key = _key_spec(kv["key"])
                 on = kv["on"].strip()
                 vals = [v.strip() for v in kv["value"].split("|")]
                 if op == "range_join":
@@ -1412,7 +1423,8 @@ class Pipeline:
             except KeyError as e:
                 raise ValueError(f"{op}: missing required operand "
                                  f"{e.args[0]}=") from None
-            table_key = kv.get("table_key", key).strip()
+            table_key = _key_spec(kv["table_key"]) if "table_key" in kv \
+                else key
             how = kv.get("how", "left" if op == "asof_join"
                           else "inner").strip()
             if how not in ("left", "inner"):

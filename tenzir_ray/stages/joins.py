@@ -87,7 +87,8 @@ def _pad_union(
     lschema = left.schema()
     if rschema is None:
         rschema = right.schema()
-    lnames = list(lschema.names)
+    # "__ck" is the internal composite-key column — never an output
+    lnames = [n for n in lschema.names if n != "__ck"]
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     for c in (right_by, *([right_on] if right_on else []), *value_cols):
@@ -183,6 +184,46 @@ def _pad_union(
     return lp.union(rp), lnames, out_vals, time_t
 
 
+def _composite_adder(cols: list[str]):
+    """Batch transform appending ``__ck``: an injective string encoding
+    of a multi-column key (per-column escape of the separator, then one
+    vectorized element-wise join). A null in ANY component yields a
+    null combined key — composite SQL equality semantics."""
+    def _add(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            s = pc.cast(t.column(c), pa.string())
+            s = pc.replace_substring(s, "\\", "\\\\")
+            s = pc.replace_substring(s, "\x1f", "\\u")
+            parts.append(s)
+        ck = pc.binary_join_element_wise(*parts, "\x1f")
+        return nometa(t.append_column("__ck", ck))
+
+    return _add
+
+
+def _maybe_composite(left: Dataset, right: Dataset, by, right_by,
+                     rschema: pa.Schema | None = None):
+    """When ``by`` is a list of columns, rewrite both sides to join on
+    the single combined ``__ck`` key (excluded from outputs by
+    _pad_union). Returns (left, right, by, right_by, rschema)."""
+    if not isinstance(by, (list, tuple)):
+        return left, right, by, right_by, rschema
+    rb = list(right_by) if right_by else list(by)
+    if len(rb) != len(by):
+        raise ValueError(
+            f"join: right_by {rb!r} must match by {list(by)!r} arity")
+    left = left.map_batches(_composite_adder(list(by)),
+                            batch_format="pyarrow")
+    right = right.map_batches(_composite_adder(rb),
+                              batch_format="pyarrow")
+    # resolve the schema AFTER the wrap: the pyarrow map_batches forces
+    # Arrow blocks, so schema() returns real Arrow types (a pandas-
+    # block input would report None for extension/object dtypes) and
+    # already includes __ck
+    return left, right, "__ck", "__ck", right.schema()
+
+
 def _codes(k: np.ndarray) -> np.ndarray:
     """Factorize the group's key values (any numpy-comparable dtype —
     int64 keys zero-copy, strings via the object path) to dense int
@@ -225,10 +266,12 @@ def asof_join(
         raise ValueError(
             f"asof_join: ties must be ('max'|'min', <one of "
             f"{value_cols}>), got {ties!r}")
+    left, right, by, right_by, rschema = _maybe_composite(
+        left, right, by, right_by)
     u, lnames, out_vals, time_t = _pad_union(
         left, right, by=by, left_on=left_on, right_by=right_by or by,
         right_on=right_on or left_on, value_cols=value_cols,
-        num_groups=num_groups)
+        num_groups=num_groups, rschema=rschema)
     tol = _tol_to_int(tolerance, time_t)
     fwd = direction == "forward"
     out_names = lnames + out_vals
@@ -315,9 +358,12 @@ def hash_join(
     enough to ``ray.put`` — this operator is for two LARGE sides."""
     if how not in ("left", "inner"):
         raise ValueError(f"hash_join: bad how {how!r}")
+    left, right, on, right_on, rschema = _maybe_composite(
+        left, right, on, right_on)
     u, lnames, out_vals, _ = _pad_union(
         left, right, by=on, left_on=None, right_by=right_on or on,
-        right_on=None, value_cols=value_cols, num_groups=num_groups)
+        right_on=None, value_cols=value_cols, num_groups=num_groups,
+        rschema=rschema)
     out_names = lnames + out_vals
 
     def _kernel(g: pa.Table) -> pa.Table:
@@ -401,7 +447,10 @@ def range_join(
         # null would poison the numpy int64 view)
         return t.filter(pc.is_valid(t.column(right_end)))
 
-    rschema = right.schema()
+    left, right, by, right_by, rschema = _maybe_composite(
+        left, right, by, right_by)
+    if rschema is None:
+        rschema = right.schema()
     right = right.map_batches(_drop_null_end, batch_format="pyarrow")
     u, lnames, out_vals, _ = _pad_union(
         left, right, by=by, left_on=left_on, right_by=right_by or by,

@@ -412,3 +412,60 @@ def test_joins_with_nulls_vs_duckdb(seed):
                           exp["i"].to_numpy(np.int64))
     assert np.array_equal(got["v"].to_numpy(np.int64),
                           exp["v"].to_numpy(np.int64))
+
+
+def test_multi_key_joins_vs_duckdb():
+    rng = np.random.default_rng(23)
+    nl, nr = 2000, 700
+    ldf = pd.DataFrame({
+        "a": rng.integers(0, 12, nl),
+        "b": rng.choice(["x", "y", "z"], nl),
+        "t": rng.integers(0, 2000, nl),
+        "i": np.arange(nl)})
+    rdf = pd.DataFrame({
+        "a": rng.integers(0, 14, nr),
+        "b": rng.choice(["x", "y", "w"], nr),
+        "t": rng.integers(0, 2000, nr),
+        "v": rng.integers(0, 100_000, nr),
+    }).drop_duplicates(["a", "b", "t"])
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    lds, rds = rd.from_pandas(ldf), rd.from_pandas(rdf)
+
+    out = _df(hash_join(
+        lds, rds, on=["a", "b"], value_cols=["v"], num_groups=8))
+    want = con.sql("SELECT l.i, r.v FROM l JOIN r USING (a, b)").df()
+    got = out[["i", "v"]].sort_values(["i", "v"]).reset_index(drop=True)
+    exp = want.sort_values(["i", "v"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.array_equal(got["v"].to_numpy(np.int64),
+                          exp["v"].to_numpy(np.int64))
+    assert "__ck" not in out.columns
+
+    aout = _df(asof_join(
+        lds, rds, by=["a", "b"], left_on="t", value_cols=["v"],
+        num_groups=8)).sort_values("i")
+    awant = con.sql(
+        "SELECT l.i, r.v FROM l ASOF LEFT JOIN r "
+        "ON l.a = r.a AND l.b = r.b AND l.t >= r.t ORDER BY l.i").df()
+    assert np.array_equal(
+        aout["v"].astype("float64").fillna(-1).to_numpy(),
+        awant["v"].astype("float64").fillna(-1).to_numpy())
+    assert "__ck" not in aout.columns
+
+
+def test_multi_key_join_from_pipeline_text(tmp_path):
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines import Pipeline
+
+    pq.write_table(pa.table({
+        "a": [1, 1], "b": ["x", "y"], "v": [10, 20]}),
+        tmp_path / "r.parquet")
+    left = rd.from_arrow(pa.table({
+        "a": [1, 1, 2], "b": ["x", "y", "x"], "i": [0, 1, 2]}))
+    p = Pipeline.parse(
+        f'join table={tmp_path}/r.parquet, key="a|b", value=v')
+    out = _df(p.run(left)).sort_values("i")
+    assert list(out["v"]) == [10, 20]
