@@ -22,6 +22,8 @@ Supported operators (reference file cited in OPS below)::
     enrich key=c, table=f.parquet, field=v, out=name[, table_key=c2]
     join table=f.parquet, key=c, value="v1|v2" [, table_key= how=]
          // multi-col specs ("a|b") must be quoted: bare | splits ops
+    export <lake_root> [, at=<epoch>] [, columns="c1|c2"]  // lake source
+    import <lake_root>, wal=<dir>            // apply WAL epochs
     publish <topic>              subscribe <topic>   // topic actors
     context::update <name>, key=c, value=v   // named-context family
     context::enrich <name>, key=c [, out=f]  context::reset <name>
@@ -1266,6 +1268,52 @@ class Pipeline:
             return lambda ds: ops.enrich(
                 ds, lookup, key=key, fields=fields, lookup_key=table_key,
                 out_field=out)
+        if op == "export":
+            # export <lake_root> [, at=<epoch>] [, columns=c1|c2] —
+            # SOURCE: merge-on-read lake state (Lake.read, one merge
+            # task per partition, optional as-of time travel +
+            # projection pushdown; operators/export.cpp:47-67)
+            name, _, params = rest.partition(",")
+            root = name.strip().strip("\"'")
+            if not root:
+                raise ValueError("export: missing lake root")
+            kv = dict(p.split("=", 1) for p in csv(params)) if \
+                params.strip() else {}
+            at = int(kv["at"]) if "at" in kv else None
+            cols = [c.strip() for c in
+                    kv["columns"].strip().strip("\"'").split("|")] \
+                if "columns" in kv else None
+
+            def _export(ds, _root=root, _at=at, _cols=cols):
+                from tenzir_ray.cdc import Lake
+
+                return Lake(_root).read(as_of_epoch=_at, columns=_cols)
+
+            return _export
+        if op == "import":
+            # import <lake_root>, wal=<dir> — apply a WAL directory's
+            # pending epochs into the lake (CLI `lake apply` analog);
+            # emits the per-epoch commit summaries as the stream
+            name, _, params = rest.partition(",")
+            root = name.strip().strip("\"'")
+            kv = dict(p.split("=", 1) for p in csv(params)) if \
+                params.strip() else {}
+            if not root or "wal" not in kv:
+                raise ValueError(
+                    "import: need `import <lake_root>, wal=<dir>`")
+            wal = kv["wal"].strip().strip("\"'")
+
+            def _import(ds, _root=root, _wal=wal):
+                import ray.data as rd
+
+                from tenzir_ray.cdc import Lake
+
+                rows = Lake(_root).apply_wal(_wal)
+                return rd.from_items([
+                    {k: r[k] for k in ("epoch", "events")}
+                    for r in rows])
+
+            return _import
         if op == "publish":
             # publish <topic> — forward the stream to the named topic
             # actor (stages/pubsub.py); pass-through so a pipeline can

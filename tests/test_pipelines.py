@@ -901,3 +901,36 @@ def test_pubsub_and_context_from_text(lineitem):
         Pipeline.parse(f"context::update {ctx}, key=k")
     with pytest.raises(ValueError, match="missing context name"):
         Pipeline.parse("context::reset")
+
+
+def test_lake_import_export_from_text(tmp_path):
+    import ray.data as rd
+
+    from tenzir_ray.cdc import generate_wal
+    from tenzir_ray.cdc.wal import WalSpec
+    from tenzir_ray.pipelines import Pipeline
+
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    generate_wal(str(wal), WalSpec(
+        n_events=2000, n_urls=300, n_epochs=2, seed=5))
+    dummy = rd.from_items([{"dummy": 0}])
+
+    applied = Pipeline.parse(
+        f"import {lake}, wal={wal}").run(dummy).to_pandas()
+    assert list(applied["epoch"]) == [0, 1]
+    assert applied["events"].sum() == 2000
+
+    state = Pipeline.parse(
+        f'export {lake}, columns="url|lang" | head 5').run(
+        dummy).to_pandas()
+    assert len(state) == 5
+    assert "url" in state.columns and "lang" in state.columns
+    # as-of time travel from text
+    old = Pipeline.parse(f"export {lake}, at=0").run(dummy)
+    assert old.count() > 0
+
+    with pytest.raises(ValueError, match="missing lake root"):
+        Pipeline.parse("export")
+    with pytest.raises(ValueError, match="wal="):
+        Pipeline.parse(f"import {lake}")
