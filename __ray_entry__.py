@@ -655,6 +655,40 @@ def _lang_quality(sf_dir: str):
     )
 
 
+def _dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): select the raw
+    documents whose hashed-unigram+bigram distribution is most
+    target-like (target = the English subset), by Gumbel-top-k over
+    importance log-weights. Map-only model fits (sparse per-block
+    partials, driver folds one 2048-long vector), one broadcast
+    log-ratio, one scalar-key sort+limit. Oracle: the sequential
+    per-doc reimplementation (text/sequential.py dsir_seq) — float
+    scores must match bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.text.dsir import dsir_select
+    from tenzir_ray.text.sequential import dsir_seq
+
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    k = max(1, n_rows * 2 // 5)
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text", "lang"])
+    if docs is not None:
+        tgt = docs.filter(pc.equal(docs.column("lang"), "en"))
+        _write_oracle("dsir_select", dsir_seq(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(),
+            tgt.column("text").to_pylist(), k, num_buckets=2048))
+    else:
+        _skip_oracle("dsir_select")
+    raw = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    target = _read(sf_dir, "documents", columns=["text", "lang"]) \
+        .filter(expr="lang == 'en'")
+    out = dsir_select(raw, target, k, num_buckets=2048)
+    return out.select_columns(["doc_id", "dsir_score"]).sort("doc_id")
+
+
 def _minhash_dedup_docs(sf_dir: str):
     """MinHash-LSH near-dup dedup, checked against a sequential
     one-doc-at-a-time reimplementation (text/sequential.py) joined back
@@ -2758,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # position 50.
     return {
         # -- never driver-checked (new this round) ----------------------
+        "dsir_select": _dsir_select,
         "format_roundtrip": _format_roundtrip,
         "kafka_roundtrip": _kafka_roundtrip,
         "group_over": _group_over,
@@ -3086,6 +3121,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_tokens": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/bpe_tokens.parquet'
+        """,
+        "dsir_select": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/dsir_select.parquet'
+            ORDER BY doc_id
         """,
         "minhash_dedup_docs": """
             SELECT d.* FROM documents d

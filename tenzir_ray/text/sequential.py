@@ -443,3 +443,64 @@ def semdedup_seq(
         "vec_id": pa.array(out_id, pa.int64()),
         "sem_cluster": pa.array(out_cl, pa.int32()),
     })
+
+
+def dsir_seq(doc_ids: list, texts: list, target_texts: list, k: int,
+             num_buckets: int = 4096, gumbel_seed: int | None = 1234
+             ) -> pa.Table:
+    """Sequential DSIR (Xie et al. 2023): per-doc Python loop over
+    hashed unigram+bigram buckets, dict-accumulated models, top-k by
+    score + deterministic Gumbel. Shares only the leaf hash primitives
+    (``pd.util.hash_array``, splitmix64 Gumbel) with the engine —
+    tokenization, counting, model fit and selection are re-derived
+    one document at a time."""
+    import re
+
+    from tenzir_ray.text.dsir import _BIGRAM_MULT, _gumbel_of_ids
+
+    b = num_buckets
+    # uint64 modulus: np.uint64 % python-int promotes to float64 under
+    # numpy 1.x and destroys the bucket — keep everything uint64
+    bu = np.uint64(num_buckets)
+
+    def grams(txt: str | None) -> list[int]:
+        words = [w for w in re.split(r"[^a-z0-9']+", (txt or "").lower())
+                 if w]
+        if not words:
+            return []
+        h = pd.util.hash_array(
+            np.array(words, dtype=object)).astype(np.uint64)
+        out = [int(x % bu) for x in h]
+        with np.errstate(over="ignore"):
+            for i in range(len(h) - 1):
+                out.append(int(((h[i] * _BIGRAM_MULT) ^ h[i + 1]) % bu))
+        return out
+
+    raw_grams = [grams(t) for t in texts]
+
+    def model(gram_lists) -> np.ndarray:
+        counts: dict[int, int] = {}
+        for gl in gram_lists:
+            for g in gl:
+                counts[g] = counts.get(g, 0) + 1
+        vec = np.zeros(b, np.int64)
+        for g, c in counts.items():
+            vec[g] = c
+        return np.log((vec + 1.0) / (vec.sum() + b))
+
+    lr = model(grams(t) for t in target_texts) - model(raw_grams)
+    keyed = []
+    for i, (d, gl) in enumerate(zip(doc_ids, raw_grams)):
+        s = np.float64(0.0)
+        for g in gl:
+            s = s + lr[g]
+        key = float(s)
+        if gumbel_seed is not None:
+            key = float(s + _gumbel_of_ids(
+                np.array([d], np.int64), gumbel_seed)[0])
+        keyed.append((key, d, float(s)))
+    keyed.sort(key=lambda x: -x[0])
+    top = sorted(keyed[:k], key=lambda x: x[1])
+    return pa.table({
+        "doc_id": pa.array([d for _, d, _ in top], pa.int64()),
+        "dsir_score": pa.array([s for _, _, s in top], pa.float64())})
