@@ -689,6 +689,105 @@ def _dsir_select(sf_dir: str):
     return out.select_columns(["doc_id", "dsir_score"]).sort("doc_id")
 
 
+_C4_JS = "please enable javascript to continue viewing."
+_C4_BRACE = "function demo block { return true value }."
+_C4_LOREM = "lorem ipsum dolor sit amet consectetur adipiscing."
+_C4_SPAN = ("shared span sentence number one here.",
+            "shared span sentence number two here.",
+            "shared span sentence number three here.")
+
+
+def _c4_decorate_seq(doc_id: int, text: str | None) -> str:
+    """Deterministic punctuation decoration (the synthetic documents
+    carry no punctuation/newlines): 5-word lines, every third line left
+    unterminated, plus modulus-keyed injections exercising each C4
+    rule. Query-local — both the engine kernel and this sequential
+    mirror produce byte-identical text."""
+    words = [w for w in (text or "").split(" ") if w]
+    lines = [
+        " ".join(words[i:i + 5]) + ("." if (i // 5) % 3 != 2 else "")
+        for i in range(0, len(words), 5)]
+    base = "\n".join(lines)
+    inj = []
+    if doc_id % 13 == 0:
+        inj.append(_C4_JS)
+    if doc_id % 17 == 0:
+        inj.append(_C4_BRACE)
+    if doc_id % 19 == 0:
+        inj.append(_C4_LOREM)
+    if doc_id % 23 == 0:
+        inj.extend(_C4_SPAN)
+    return base + "".join("\n" + ln for ln in inj)
+
+
+def _c4_clean(sf_dir: str):
+    """C4 cleaning (Raffel et al. 2020 §2.2): line filters (terminal
+    punctuation, ≥5 words, no javascript), page filters (≥3 sentences,
+    no brace / lorem ipsum), and corpus-level 3-sentence-span dedup
+    keeping the global first occurrence. Input = the documents table
+    decorated with deterministic punctuation (see _c4_decorate_seq);
+    oracle = the sequential per-doc reimplementation
+    (text/sequential.py c4_seq) — output text must match byte-for-byte."""
+    from tenzir_ray.text.c4 import c4_clean, c4_span_dedup
+    from tenzir_ray.text.dedup import _split_lines_arrow
+    from tenzir_ray.text.sequential import c4_seq
+
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        rows = sorted(zip(ids, texts))
+        deco = [_c4_decorate_seq(d, t) for d, t in rows]
+        _write_oracle("c4_clean", c4_seq([d for d, _ in rows], deco))
+    else:
+        _skip_oracle("c4_clean")
+
+    def decorate(t: pa.Table) -> pa.Table:
+        # vectorized mirror of _c4_decorate_seq: one word split, one
+        # per-word separator select, one element-wise join — no per-doc
+        # Python
+        if t.num_rows == 0:
+            return t
+        flat, counts = _split_lines_arrow(t.column("text"), " ")
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        starts = np.r_[0, np.cumsum(counts[:-1])]
+        kept = np.add.reduceat(keep.astype(np.int64), starts) \
+            if len(keep) else np.zeros(len(counts), np.int64)
+        flat = flat.filter(pa.array(keep))
+        kstarts = np.r_[0, np.cumsum(kept[:-1])]
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(kstarts, kept)
+        line_idx = pos // 5
+        is_last = pos == np.repeat(kept, kept) - 1
+        eol = ((pos + 1) % 5 == 0) | is_last
+        punct = line_idx % 3 != 2
+        sep = np.select(
+            [~eol, eol & ~is_last & punct, eol & ~is_last & ~punct,
+             is_last & punct],
+            [" ", ".\n", "\n", "."], default="").astype(object)
+        glued = pc.binary_join_element_wise(
+            flat, pa.array(sep, pa.string()), "")
+        offsets = pa.array(np.r_[0, np.cumsum(kept)], pa.int32())
+        base = pc.binary_join(pa.ListArray.from_arrays(offsets, glued), "")
+        ids = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        suf = np.where(ids % 13 == 0, "\n" + _C4_JS, "").astype(object)
+        suf = suf + np.where(ids % 17 == 0, "\n" + _C4_BRACE, "")
+        suf = suf + np.where(ids % 19 == 0, "\n" + _C4_LOREM, "")
+        suf = suf + np.where(
+            ids % 23 == 0, "".join("\n" + s for s in _C4_SPAN), "")
+        out = pc.binary_join_element_wise(
+            base, pa.array(suf.astype(str), pa.string()), "")
+        idx = t.schema.get_field_index("text")
+        t = t.set_column(idx, "text", out)
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(decorate, batch_format="pyarrow")
+    return c4_span_dedup(c4_clean(ds)).sort("doc_id")
+
+
 def _minhash_dedup_docs(sf_dir: str):
     """MinHash-LSH near-dup dedup, checked against a sequential
     one-doc-at-a-time reimplementation (text/sequential.py) joined back
@@ -2793,6 +2892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- never driver-checked (new this round) ----------------------
         "dsir_select": _dsir_select,
+        "c4_clean": _c4_clean,
         "format_roundtrip": _format_roundtrip,
         "kafka_roundtrip": _kafka_roundtrip,
         "group_over": _group_over,
@@ -3124,6 +3224,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dsir_select": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/dsir_select.parquet'
+            ORDER BY doc_id
+        """,
+        "c4_clean": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/c4_clean.parquet'
             ORDER BY doc_id
         """,
         "minhash_dedup_docs": """

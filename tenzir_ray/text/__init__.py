@@ -22,6 +22,7 @@ from tenzir_ray.text.incremental import (
     incremental_minhash_dedup,
 )
 from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
+from tenzir_ray.text.c4 import c4_clean, c4_span_dedup
 from tenzir_ray.text.dsir import dsir_score, dsir_select, fit_gram_counts
 from tenzir_ray.text.quality import analyze_documents
 from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf_search, ivf_write
@@ -40,6 +41,8 @@ __all__ = [
     "analyze_documents",
     "bpe_train",
     "bpe_tokenize",
+    "c4_clean",
+    "c4_span_dedup",
     "dsir_score",
     "dsir_select",
     "fit_gram_counts",

@@ -504,3 +504,77 @@ def dsir_seq(doc_ids: list, texts: list, target_texts: list, k: int,
     return pa.table({
         "doc_id": pa.array([d for _, d, _ in top], pa.int64()),
         "dsir_score": pa.array([s for _, _, s in top], pa.float64())})
+
+
+def c4_seq(doc_ids: list, texts: list, *, min_words: int = 5,
+           min_sentences: int = 3, badwords: tuple = (),
+           span_dedup: bool = True) -> pa.Table:
+    """Sequential C4 cleaning (Raffel et al. 2020 §2.2): per-doc Python
+    loops over the same line/page/span rules as the engine (terminal
+    punctuation, min words, javascript, brace / lorem-ipsum / blocklist
+    pages, global 3-sentence-span dedup keeping the first occurrence).
+    Shares only the leaf sentence-hash primitive."""
+    import re
+
+    from tenzir_ray.text.c4 import _SPAN_A, _SPAN_B
+
+    cleaned: list[tuple] = []
+    for d, txt in zip(doc_ids, texts):
+        lines = (txt or "").split("\n")
+        keep = []
+        for ln in lines:
+            if not re.search(r"[.!?\"']$", ln):
+                continue
+            if len(re.findall(r"\S+", ln)) < min_words:
+                continue
+            if "javascript" in ln.lower():
+                continue
+            keep.append(ln)
+        page = "\n".join(keep)
+        low = page.lower()
+        n_sent = len(re.findall(r"[.!?]\s", page)) + \
+            (1 if re.search(r"[.!?]$", page) else 0)
+        if n_sent < min_sentences or "{" in page or "lorem ipsum" in low:
+            continue
+        if any(w in low for w in badwords):
+            continue
+        cleaned.append((d, page))
+
+    if not span_dedup:
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in cleaned], pa.int64()),
+            "text": pa.array([t for _, t in cleaned], pa.string())})
+
+    def sents(page: str) -> list[str]:
+        return re.sub(r"([.!?])\s+", "\\1\x1e", page).split("\x1e")
+
+    seen: set[int] = set()
+    drops: dict[int, list[int]] = {}
+    for d, page in cleaned:
+        ss = sents(page)
+        h = pd.util.hash_array(
+            np.array(ss, dtype=object)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(len(ss) - 2):
+                tri = int((h[i] * _SPAN_A) ^ (h[i + 1] * _SPAN_B)
+                          ^ h[i + 2])
+                if tri in seen:
+                    drops.setdefault(d, []).append(i)
+                else:
+                    seen.add(tri)
+
+    out_d, out_t = [], []
+    for d, page in cleaned:
+        if d not in drops:
+            out_d.append(d)
+            out_t.append(page)
+            continue
+        ss = sents(page)
+        dead = [False] * len(ss)
+        for i in drops[d]:
+            for j in range(i, min(i + 3, len(ss))):
+                dead[j] = True
+        out_d.append(d)
+        out_t.append(" ".join(s for s, x in zip(ss, dead) if not x))
+    return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                     "text": pa.array(out_t, pa.string())})
