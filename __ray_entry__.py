@@ -2881,14 +2881,15 @@ def _warc_ingest(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered for the driver's 50-query correctness window (insertion
-    # order, first 50 checked).  Final-round rotation: the 13 queries
-    # never driver-checked lead (their only chance at a row), then the
-    # three repaired-oracle queries red in r04, then 34 of the 38
-    # queries whose latest green row predates r04 (reverse_head,
-    # distinct_collect, enumerate_sorted and kv_roundtrip yield their
-    # slots — trivial operators whose kernels are covered by in-window
-    # queries and pytest round-trips); the r04-green set follows after
-    # position 50.
+    # order, first 50 checked).  Final-round rotation: the 15 queries
+    # never driver-checked lead (their only chance at a row — incl. the
+    # session-4 dsir_select / c4_clean), then the three repaired-oracle
+    # queries red in r04, then 32 of the 38 queries whose latest green
+    # row predates r04 (reverse_head, distinct_collect,
+    # enumerate_sorted, kv_roundtrip and the two displaced by the new
+    # leads yield their slots — trivial operators whose kernels are
+    # covered by in-window queries and pytest round-trips); the
+    # r04-green set follows after position 50.
     return {
         # -- never driver-checked (new this round) ----------------------
         "dsir_select": _dsir_select,
