@@ -155,7 +155,8 @@ def bench_queries() -> dict[str, float]:
         "sliding_window", "token_budget_sample", "group_over",
         "incremental_dedup_docs", "kafka_roundtrip", "format_roundtrip",
         "zip_funcs", "asof_join_orders", "range_join_events",
-        "hash_join_orders", "s3_roundtrip",
+        "hash_join_orders", "s3_roundtrip", "dsir_select", "c4_clean",
+        "normalize_docs",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -23,6 +23,7 @@ from tenzir_ray.text.incremental import (
 )
 from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
 from tenzir_ray.text.c4 import c4_clean, c4_span_dedup
+from tenzir_ray.text.normalize import normalize_documents, normalize_text
 from tenzir_ray.text.dsir import dsir_score, dsir_select, fit_gram_counts
 from tenzir_ray.text.quality import analyze_documents
 from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf_search, ivf_write
@@ -43,6 +44,8 @@ __all__ = [
     "bpe_tokenize",
     "c4_clean",
     "c4_span_dedup",
+    "normalize_documents",
+    "normalize_text",
     "dsir_score",
     "dsir_select",
     "fit_gram_counts",

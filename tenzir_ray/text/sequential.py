@@ -578,3 +578,20 @@ def c4_seq(doc_ids: list, texts: list, *, min_words: int = 5,
         out_t.append(" ".join(s for s, x in zip(ss, dead) if not x))
     return pa.table({"doc_id": pa.array(out_d, pa.int64()),
                      "text": pa.array(out_t, pa.string())})
+
+
+def normalize_seq(doc_ids: list, texts: list, *,
+                  collapse_ws: bool = False) -> pa.Table:
+    """Sequential text normalization: one document at a time through
+    the scalar rule chain (:func:`tenzir_ray.text.normalize
+    .normalize_text` — shared by design: the rules ARE the per-doc
+    spec; what this oracle verifies is the distributed kernel's
+    vectorized fast path and its ASCII/marker routing, where the bugs
+    would live)."""
+    from tenzir_ray.text.normalize import normalize_text
+
+    return pa.table({
+        "doc_id": pa.array(list(doc_ids), pa.int64()),
+        "text": pa.array(
+            [normalize_text(t, collapse_ws=collapse_ws) for t in texts],
+            pa.string())})
