@@ -40,6 +40,8 @@ Supported operators (reference file cited in OPS below)::
     dedup_minhash [id= text= ngram= num_perm= bands= cc=]
     semdedup [threshold= clusters= id= vec=]
     scrub_passages [ngram= min_docs= id= text=]
+    normalize [text_col] [collapse_ws]   // NFC + mojibake repair
+    c4 [text= min_words= min_sentences= span_dedup= id=]
     cap <n> by <key> order_by <col> [desc|asc]
     let $name = <const>              // substitutes into later operators
     if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
@@ -1623,6 +1625,39 @@ class Pipeline:
                 text_col=kv.get("text", "text").strip(),
                 ngram=int(kv.get("ngram", 8)),
                 min_docs=int(kv.get("min_docs", 2)))
+        if op == "normalize":
+            # normalize [text_col] [collapse_ws] — NFC + control strip
+            # + mojibake repair (text/normalize.py)
+            from tenzir_ray.text.normalize import normalize_documents
+
+            parts = rest.split()
+            collapse = "collapse_ws" in parts
+            cols = [p for p in parts if p != "collapse_ws"]
+            if len(cols) > 1:
+                raise ValueError(
+                    "normalize syntax: normalize [text_col] [collapse_ws]")
+            col = cols[0] if cols else "text"
+            return lambda ds: normalize_documents(
+                ds, text_col=col, collapse_ws=collapse)
+        if op == "c4":
+            # c4 [text=text] [min_words=5] [min_sentences=3]
+            #   [span_dedup=false] [id=doc_id] — C4 line/page filters,
+            #   optionally + corpus-level 3-sentence-span dedup
+            kv = _kv(rest, "c4")
+            from tenzir_ray.text.c4 import c4_clean, c4_span_dedup
+
+            col = kv.get("text", "text").strip()
+            mw = int(kv.get("min_words", 5))
+            ms = int(kv.get("min_sentences", 3))
+            span = kv.get("span_dedup", "").lower() in ("1", "true", "yes")
+            idc = kv.get("id", "doc_id").strip()
+
+            def _c4(ds, col=col, mw=mw, ms=ms, span=span, idc=idc):
+                out = c4_clean(ds, text_col=col, min_words=mw,
+                               min_sentences=ms)
+                return c4_span_dedup(out, id_col=idc, text_col=col) \
+                    if span else out
+            return _c4
         if op == "cap":
             # cap <n> by <key> order_by <col> [desc|asc] [id <col>] —
             # per-key quota (text/curation.py cap_per_key). Tie-break id

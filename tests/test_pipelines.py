@@ -934,3 +934,38 @@ def test_lake_import_export_from_text(tmp_path):
         Pipeline.parse("export")
     with pytest.raises(ValueError, match="wal="):
         Pipeline.parse(f"import {lake}")
+
+
+def test_normalize_and_c4_from_text(ray_session):
+    """normalize / c4 reachable from pipeline text (session-4 ops)."""
+    import pyarrow as pa
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+    from tenzir_ray.text.normalize import normalize_text
+
+    moj = "cafÃ© was here"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array([moj, "étude body", "  plain  text  "]),
+    }))
+    out = run_pipeline("normalize text", docs).sort("doc_id").take_all()
+    assert out[0]["text"] == "café was here"
+    assert out[1]["text"] == normalize_text("étude body")
+    assert out[2]["text"] == "  plain  text  "  # no collapse by default
+    out = run_pipeline("normalize collapse_ws", docs) \
+        .sort("doc_id").take_all()
+    assert out[2]["text"] == "plain text"
+
+    good = "alpha beta gamma delta ends here."
+    pages = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2), pa.int64()),
+        "text": pa.array([
+            good + "\n" + good.replace("alpha", "omega")
+            + "\n" + good.replace("alpha", "zeta"),
+            "no terminal punctuation line\nshort.",
+        ]),
+    }))
+    out = run_pipeline("c4 min_words=5 min_sentences=3", pages).take_all()
+    assert [r["doc_id"] for r in out] == [0]
+    out2 = run_pipeline("c4 span_dedup=true", pages).take_all()
+    assert [r["doc_id"] for r in out2] == [0]
