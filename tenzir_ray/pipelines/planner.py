@@ -42,6 +42,7 @@ Supported operators (reference file cited in OPS below)::
     scrub_passages [ngram= min_docs= id= text=]
     normalize [text_col] [collapse_ws]   // NFC + mojibake repair
     c4 [text= min_words= min_sentences= span_dedup= id=]
+    dsir target=f.parquet, k=N [, text= id= buckets= seed=]
     cap <n> by <key> order_by <col> [desc|asc]
     let $name = <const>              // substitutes into later operators
     if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
@@ -1625,6 +1626,29 @@ class Pipeline:
                 text_col=kv.get("text", "text").strip(),
                 ngram=int(kv.get("ngram", 8)),
                 min_docs=int(kv.get("min_docs", 2)))
+        if op == "dsir":
+            # dsir target=<path.parquet>, k=<n> [, text=] [, id=]
+            #   [, buckets=4096] [, seed=1234|none] — DSIR importance
+            # resampling toward the target corpus (text/dsir.py); the
+            # target rides the same lazily-read table= spelling as the
+            # temporal joins
+            from tenzir_ray.text.dsir import dsir_select
+
+            kv = dict(p.split("=", 1) for p in csv(rest))
+            try:
+                path = kv["target"].strip().strip('"')
+                k = int(kv["k"])
+            except KeyError as e:
+                raise ValueError("dsir: missing required operand "
+                                 f"{e.args[0]}=") from None
+            seed_s = kv.get("seed", "1234").strip().lower()
+            seed = None if seed_s in ("none", "off") else int(seed_s)
+            return lambda ds: dsir_select(
+                ds, _read_parquet_clean(path), k,
+                text_col=kv.get("text", "text").strip(),
+                id_col=kv.get("id", "doc_id").strip(),
+                num_buckets=int(kv.get("buckets", 4096)),
+                gumbel_seed=seed)
         if op == "normalize":
             # normalize [text_col] [collapse_ws] — NFC + control strip
             # + mojibake repair (text/normalize.py)

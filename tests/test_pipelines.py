@@ -969,3 +969,33 @@ def test_normalize_and_c4_from_text(ray_session):
     assert [r["doc_id"] for r in out] == [0]
     out2 = run_pipeline("c4 span_dedup=true", pages).take_all()
     assert [r["doc_id"] for r in out2] == [0]
+
+
+def test_dsir_from_text(ray_session, tmp_path):
+    """dsir reachable from pipeline text, equal to the API call."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+    from tenzir_ray.text.dsir import dsir_select
+
+    target = pa.table({"text": pa.array(
+        ["quick brown fox runs", "lazy dog sleeps well"])})
+    tpath = tmp_path / "target.parquet"
+    pq.write_table(target, tpath)
+    raw = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([
+            "quick brown fox and lazy dog",
+            "stock market closed higher today",
+            "the fox runs while the dog sleeps",
+            "parliament passed the budget bill",
+        ])}))
+    got = run_pipeline(
+        f"dsir target={tpath}, k=2, buckets=256", raw) \
+        .select_columns(["doc_id"]).sort("doc_id").take_all()
+    exp = dsir_select(
+        raw, rd.read_parquet(str(tpath)), 2, num_buckets=256) \
+        .select_columns(["doc_id"]).sort("doc_id").take_all()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+    assert len(got) == 2
