@@ -94,3 +94,24 @@ def test_span_dedup_keeps_global_first_across_docs():
     # doc 20 keeps only what the duplicated span did not cover
     assert "first sentence" not in out[20]
     assert "tail sentence unique to twenty." in out[20]
+
+
+def test_randomized_corpus_matches_sequential():
+    """200 docs of seeded random sentences with heavy duplication: the
+    distributed clean+span-dedup result must equal the sequential
+    reference byte-for-byte (exercises cross-batch span collisions,
+    overlapping spans and whole-doc scrubs)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "sigma"]
+    sents = [" ".join(rng.choice(vocab, 5)) + "." for _ in range(30)]
+    rows = []
+    for d in range(200):
+        n = rng.randint(1, 8)
+        body = "\n".join(sents[i] for i in rng.randint(0, 30, n))
+        rows.append((d, body if d % 29 else None))
+    got = _run(rows)
+    exp = c4_seq([d for d, _ in rows], [t for _, t in rows])
+    assert got == list(zip(exp.column("doc_id").to_pylist(),
+                           exp.column("text").to_pylist()))
