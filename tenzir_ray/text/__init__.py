@@ -18,7 +18,9 @@ from tenzir_ray.text.dedup import (
     simhash_near_dedup,
 )
 from tenzir_ray.text.incremental import (
+    HashStore,
     SignatureStore,
+    incremental_exact_dedup,
     incremental_minhash_dedup,
 )
 from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
@@ -54,6 +56,8 @@ __all__ = [
     "ivf_build",
     "ivf_search",
     "ivf_write",
+    "HashStore",
     "SignatureStore",
+    "incremental_exact_dedup",
     "incremental_minhash_dedup",
 ]

@@ -70,7 +70,10 @@ class SignatureStore:
     """Persistent banded-signature store: ``root/e{epoch:05d}/*.parquet``
     per committed epoch plus an ``e{epoch:05d}.done`` marker. Readers see
     only committed epochs; a crashed append leaves an unmarked tmp dir
-    that the next attempt replaces."""
+    that the next attempt replaces. Subclasses override ``SCHEMA`` for
+    other key shapes (:class:`HashStore`)."""
+
+    SCHEMA = _SIG_SCHEMA
 
     def __init__(self, root: str):
         self.root = root
@@ -108,7 +111,7 @@ class SignatureStore:
             return False
         tmp = f"{self._dir(epoch)}.tmp.{os.getpid()}.{time.monotonic_ns()}"
         os.makedirs(tmp, exist_ok=True)
-        pq.write_table(sigs.cast(_SIG_SCHEMA),
+        pq.write_table(sigs.cast(self.SCHEMA),
                        os.path.join(tmp, "part-000.parquet"))
         shutil.rmtree(self._dir(epoch), ignore_errors=True)
         os.replace(tmp, self._dir(epoch))
@@ -311,3 +314,154 @@ def incremental_minhash_dedup(
     drops_ds = rd.from_arrow_refs([drop_ids_ref])
     return anti_filter_ids(ds_new, drops_ds, id_col, "__drop_id",
                            max_broadcast_bytes=max_broadcast_bytes)
+
+
+_HASH_SCHEMA = pa.schema([pa.field("h", pa.int64())])
+
+
+class HashStore(SignatureStore):
+    """Persistent content-hash store (one int64 per surviving document)
+    — the exact-dedup analog of the banded signature store, same atomic
+    epoch-commit/marker contract."""
+
+    SCHEMA = _HASH_SCHEMA
+
+
+def incremental_exact_dedup(
+    ds_new: Dataset, store: HashStore | str, epoch: int,
+    id_col: str = "doc_id", text_col: str = "text",
+    max_broadcast_bytes: int | None = None,
+) -> Dataset:
+    """Exact content dedup AT INGEST: drop a new document iff its
+    64-bit content hash was seen in any PRIOR committed epoch, or a
+    smaller-id document of the SAME epoch shares it; append the
+    survivors' hashes as this epoch's store segment (atomic,
+    idempotent — replaying a committed epoch recomputes the same drop
+    decision from the same ``< epoch`` store prefix and no-ops the
+    append). The production-default dedup-at-ingest: RefinedWeb-style,
+    dropped docs never index, the store grows with the UNIQUE corpus.
+
+    Scale shape: document text is hashed once (map-only); only
+    ``(h, id)`` int64 pairs are materialized or exchanged. The store is
+    probed file-by-file in parallel remote tasks against a broadcast
+    epoch key set (epoch-sized, not store-sized); matched keys shipped
+    back are bounded by the epoch. Null text hashes like a value (all
+    null docs are mutual duplicates), matching the batch family's
+    ``exact_dedup`` grouping semantics."""
+    import pandas as pd
+    import ray
+
+    from tenzir_ray.text.dedup import anti_filter_ids
+
+    if isinstance(store, str):
+        store = HashStore(store)
+
+    def project(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks()
+        h = pd.util.hash_array(
+            col.to_numpy(zero_copy_only=False)).view(np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.int64()),
+            "hs": pa.array(h & np.int64(1023), pa.int64()),
+            id_col: t.column(id_col).combine_chunks()})
+
+    proj = ds_new.map_batches(
+        project, batch_format="pyarrow").materialize()  # 3×int64/doc
+    proj_refs = [r for b in proj.iter_internal_ref_bundles()
+                 for r in b.block_refs]
+
+    @ray.remote
+    def _keys_of_block(t: pa.Table) -> pa.Array:
+        if t.num_rows == 0 or "h" not in t.schema.names:
+            return pa.array([], pa.int64())
+        return pa.array(np.unique(
+            t.column("h").to_numpy(zero_copy_only=False)), pa.int64())
+
+    @ray.remote
+    def _concat_unique(*arrs) -> pa.Array:
+        vals = [a.to_numpy(zero_copy_only=False) for a in arrs if len(a)]
+        if not vals:
+            return pa.array([], pa.int64())
+        return pa.array(np.unique(np.concatenate(vals)), pa.int64())
+
+    new_keys_ref = _concat_unique.remote(
+        *[_keys_of_block.remote(r) for r in proj_refs])
+
+    store_files = store.files(before_epoch=epoch)
+    if store_files:
+        @ray.remote
+        def _probe_file(path: str, keys: pa.Array) -> pa.Array:
+            t = pq.read_table(path, columns=["h"])
+            if t.num_rows == 0:
+                return pa.array([], pa.int64())
+            col = t.column("h").combine_chunks()
+            hit = pc.is_in(col, value_set=keys)
+            return pa.array(np.unique(
+                col.to_numpy(zero_copy_only=False)[
+                    hit.to_numpy(zero_copy_only=False)]), pa.int64())
+
+        matched_ref = _concat_unique.remote(
+            *[_probe_file.remote(p, new_keys_ref) for p in store_files])
+    else:
+        matched_ref = None
+
+    # within-epoch: every id but the min per hash (salt-sliced segment
+    # pass — the exact_dedup_wide losers kernel)
+    def losers(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "h" not in g.column_names:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            ("h", "ascending"), (id_col, "ascending")]))
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        firsts = np.r_[True, h[1:] != h[:-1]]
+        return g.filter(pa.array(~firsts)).select([id_col])
+
+    drops = proj.groupby("hs").map_groups(losers, batch_format="pyarrow")
+
+    if matched_ref is not None:
+        # docs whose hash was already stored: add to the drop set
+        @ray.remote
+        def _store_hit_ids(t: pa.Table, matched: pa.Array) -> pa.Table:
+            if t.num_rows == 0 or "h" not in t.schema.names \
+                    or len(matched) == 0:
+                return pa.table({id_col: pa.array([], pa.int64())})
+            hit = pc.is_in(t.column("h").combine_chunks(),
+                           value_set=matched)
+            return t.filter(hit).select([id_col])
+
+        import ray.data as rd
+
+        hit_tables = ray.get(
+            [_store_hit_ids.remote(r, matched_ref) for r in proj_refs])
+        hit_tables = [t for t in hit_tables if t.num_rows]
+        if hit_tables:
+            drops = drops.union(rd.from_arrow(
+                pa.concat_tables(hit_tables)))  # drop-set-sized
+
+    # survivor hashes -> this epoch's store segment (idempotent).
+    # The drop set is duplicate-volume-sized (losers + store hits), so
+    # collecting it once on the driver is the same bound the batch
+    # family's anti_filter_ids already accepts for its broadcast path.
+    drop_t = drops.select_columns([id_col]).take_all()
+    drop_ids = pa.array(
+        sorted({r[id_col] for r in drop_t}), pa.int64())
+    if not store.committed(epoch):
+        @ray.remote
+        def _survivor_hashes(t: pa.Table, dead: pa.Array) -> pa.Array:
+            if t.num_rows == 0 or "h" not in t.schema.names:
+                return pa.array([], pa.int64())
+            live = pc.invert(pc.is_in(
+                t.column(id_col).combine_chunks(), value_set=dead))
+            return pa.array(np.unique(
+                t.column("h").to_numpy(zero_copy_only=False)[
+                    live.to_numpy(zero_copy_only=False)]), pa.int64())
+
+        surv = ray.get(_concat_unique.remote(
+            *[_survivor_hashes.remote(r, drop_ids) for r in proj_refs]))
+        store.append(epoch, pa.table({"h": surv}))
+
+    import ray.data as rd
+
+    return anti_filter_ids(
+        ds_new, rd.from_arrow(pa.table({id_col: drop_ids})),
+        id_col, id_col, max_broadcast_bytes=max_broadcast_bytes)

@@ -595,3 +595,35 @@ def normalize_seq(doc_ids: list, texts: list, *,
         "text": pa.array(
             [normalize_text(t, collapse_ws=collapse_ws) for t in texts],
             pa.string())})
+
+
+def incremental_exact_dedup_seq(
+    doc_ids: list, texts: list, epochs: list,
+) -> list[tuple[int, int]]:
+    """Sequential oracle for
+    :func:`tenzir_ray.text.incremental.incremental_exact_dedup`:
+    epochs processed in order with a plain-set hash store; within an
+    epoch, ascending doc id order (min id per content hash wins). A doc
+    is dropped iff its hash is in the store or already seen this epoch;
+    only survivors' hashes enter the store. Returns [(epoch, doc_id)]
+    of survivors. Shares only the leaf content hash
+    (``pd.util.hash_array``)."""
+    by_epoch: dict[int, list] = {}
+    for i, txt, e in zip(doc_ids, texts, epochs):
+        by_epoch.setdefault(int(e), []).append((int(i), txt))
+    store: set[int] = set()
+    out: list[tuple[int, int]] = []
+    for e in sorted(by_epoch):
+        rows = sorted(by_epoch[e])
+        hashes = pd.util.hash_array(
+            np.array([t for _, t in rows], dtype=object)).view(np.int64)
+        seen: set[int] = set()
+        epoch_surv: set[int] = set()
+        for (i, _), h in zip(rows, hashes.tolist()):
+            if h in store or h in seen:
+                continue
+            seen.add(h)
+            epoch_surv.add(h)
+            out.append((e, i))
+        store |= epoch_surv
+    return out

@@ -1,0 +1,91 @@
+"""Incremental EXACT dedup at ingest (text/incremental.py
+incremental_exact_dedup): engine vs the sequential epoch loop, replay
+idempotence, null-text grouping, and the survivors-only hash store."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from tenzir_ray.text.incremental import HashStore, incremental_exact_dedup
+from tenzir_ray.text.sequential import incremental_exact_dedup_seq
+
+
+def _corpus(seed: int = 3, n_epochs: int = 3, per_epoch: int = 25):
+    rng = np.random.default_rng(seed)
+    base = [f"document body number {i} with shared words" for i in range(12)]
+    ids, texts, epochs = [], [], []
+    did = 0
+    for e in range(n_epochs):
+        for _ in range(per_epoch):
+            if rng.random() < 0.6:      # exact repeat (within/cross epoch)
+                texts.append(base[int(rng.integers(len(base)))])
+            else:
+                texts.append(f"unique text {did} epoch {e}")
+            ids.append(did)
+            epochs.append(e)
+            did += 1
+    texts[4] = None
+    texts[30] = None  # second null in a later epoch: must be dropped
+    return ids, texts, epochs
+
+
+def _run_engine(store_root, ids, texts, epochs):
+    surv = []
+    store = HashStore(str(store_root))
+    for e in sorted(set(epochs)):
+        sel = [i for i, ep in zip(range(len(ids)), epochs) if ep == e]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([ids[i] for i in sel], pa.int64()),
+            "text": pa.array([texts[i] for i in sel], pa.string())}))
+        out = incremental_exact_dedup(ds, store, e)
+        surv.extend((e, r["doc_id"]) for r in out.take_all())
+    return sorted(surv)
+
+
+def test_matches_sequential_across_epochs(ray_session, tmp_path):
+    ids, texts, epochs = _corpus()
+    got = _run_engine(tmp_path / "s", ids, texts, epochs)
+    exp = sorted(incremental_exact_dedup_seq(ids, texts, epochs))
+    assert got == exp
+    # sanity: the cross-epoch repeats actually fired
+    assert len(got) < len(ids)
+
+
+def test_replay_is_idempotent(ray_session, tmp_path):
+    ids, texts, epochs = _corpus(seed=9)
+    a = _run_engine(tmp_path / "s", ids, texts, epochs)
+    # replay epoch 1 against the now-committed store: same survivors,
+    # store unchanged
+    store = HashStore(str(tmp_path / "s"))
+    files_before = store.files()
+    sel = [i for i, ep in enumerate(epochs) if ep == 1]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([ids[i] for i in sel], pa.int64()),
+        "text": pa.array([texts[i] for i in sel], pa.string())}))
+    out = incremental_exact_dedup(ds, store, 1)
+    replay = sorted((1, r["doc_id"]) for r in out.take_all())
+    assert replay == [s for s in a if s[0] == 1]
+    assert store.files() == files_before
+
+
+def test_null_texts_are_mutual_duplicates(ray_session, tmp_path):
+    ids, texts, epochs = _corpus()
+    got = dict(_run_engine(tmp_path / "s", ids, texts, epochs))
+    surv_ids = {d for _, d in _run_engine(tmp_path / "s2", ids, texts,
+                                          epochs)}
+    assert 4 in surv_ids      # first null survives
+    assert 30 not in surv_ids  # later null is its duplicate
+
+
+def test_store_holds_survivor_hashes_only(ray_session, tmp_path):
+    ids, texts, epochs = _corpus(seed=5)
+    surv = _run_engine(tmp_path / "s", ids, texts, epochs)
+    store = HashStore(str(tmp_path / "s"))
+    stored = pa.concat_tables(
+        [pq.read_table(f) for f in store.files()])
+    # one hash per surviving doc, all distinct across the whole store
+    assert stored.num_rows == len(surv)
+    h = stored.column("h").to_numpy(zero_copy_only=False)
+    assert len(np.unique(h)) == len(h)
