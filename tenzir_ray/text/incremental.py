@@ -465,3 +465,78 @@ def incremental_exact_dedup(
     return anti_filter_ids(
         ds_new, rd.from_arrow(pa.table({id_col: drop_ids})),
         id_col, id_col, max_broadcast_bytes=max_broadcast_bytes)
+
+
+def compact_store(store: SignatureStore | str, before_epoch: int,
+                  files_per_output: int = 64) -> int:
+    """Merge every committed epoch segment ``< before_epoch`` into one
+    segment at the LOWEST merged epoch — the dedup-store analog of the
+    lake's ``compact()``: without it, a long-running ingest probes one
+    file set per epoch forever (1e5 epochs → 1e5 probe tasks per new
+    epoch). Returns the number of input files merged (0 = nothing to
+    do).
+
+    Semantics: probing is row-set-preserving (the merged segment holds
+    the union of the merged epochs' rows; probe hit sets are unique-ed
+    downstream, so no row-level dedup is needed), so every FUTURE epoch
+    sees exactly the same drop decisions. What compaction gives up is
+    consistent REPLAY of epochs ``< before_epoch`` (their
+    ``files(before_epoch=e)`` prefix no longer exists separately) —
+    the same finality contract as lake compaction: compact only below
+    the oldest epoch that might still need crash-resume, i.e. anything
+    below the current head is safe.
+
+    Crash safety: the merged segment is written to a tmp dir and
+    renamed over the lowest epoch's dir FIRST; the other epochs'
+    markers and dirs are removed afterwards. A crash mid-removal
+    leaves leftover epochs whose rows are duplicated in the merged
+    segment — probe-harmless — and a re-run finishes the removal
+    (idempotent). Merging runs in remote tasks (no store data crosses
+    the driver)."""
+    import ray
+
+    if isinstance(store, str):
+        store = SignatureStore(store)
+    epochs = [e for e in store.epochs() if e < before_epoch]
+    if len(epochs) <= 1:
+        return 0
+    files = store.files(before_epoch)
+    if len(files) <= 1:
+        return 0
+    base = min(epochs)
+
+    @ray.remote
+    def _merge(paths: list, out_path: str) -> int:
+        t = pa.concat_tables([pq.read_table(p) for p in paths])
+        pq.write_table(t, out_path)
+        return t.num_rows
+
+    tmp = (f"{store._dir(base)}.compact.{os.getpid()}"
+           f".{time.monotonic_ns()}")
+    os.makedirs(tmp, exist_ok=True)
+    futs = []
+    for i in range(0, len(files), files_per_output):
+        futs.append(_merge.remote(
+            files[i:i + files_per_output],
+            os.path.join(tmp, f"part-{i // files_per_output:05d}"
+                              ".parquet")))
+    total_rows = sum(ray.get(futs))
+    # 1) merged segment becomes the base epoch's dir (atomic rename)
+    old_base = f"{store._dir(base)}.old.{os.getpid()}"
+    os.replace(store._dir(base), old_base)
+    os.replace(tmp, store._dir(base))
+    shutil.rmtree(old_base, ignore_errors=True)
+    with open(store._marker(base) + ".tmp", "w") as f:
+        f.write(str(total_rows))
+    os.replace(store._marker(base) + ".tmp", store._marker(base))
+    # 2) best-effort removal of the merged-away epochs (marker first:
+    #    an unmarked dir is invisible to readers)
+    for e in epochs:
+        if e == base:
+            continue
+        try:
+            os.remove(store._marker(e))
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(store._dir(e), ignore_errors=True)
+    return len(files)

@@ -89,3 +89,72 @@ def test_store_holds_survivor_hashes_only(ray_session, tmp_path):
     assert stored.num_rows == len(surv)
     h = stored.column("h").to_numpy(zero_copy_only=False)
     assert len(np.unique(h)) == len(h)
+
+
+def test_compact_store_preserves_future_drop_decisions(ray_session,
+                                                       tmp_path):
+    from tenzir_ray.text.incremental import compact_store
+
+    ids, texts, epochs = _corpus(seed=11, n_epochs=4)
+    # control: all 4 epochs, no compaction
+    control = _run_engine(tmp_path / "a", ids, texts, epochs)
+    # compacted: epochs 0-2, compact, then epoch 3
+    store = HashStore(str(tmp_path / "b"))
+    for e in (0, 1, 2):
+        sel = [i for i, ep in enumerate(epochs) if ep == e]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([ids[i] for i in sel], pa.int64()),
+            "text": pa.array([texts[i] for i in sel], pa.string())}))
+        incremental_exact_dedup(ds, store, e).take_all()
+    merged = compact_store(store, before_epoch=3)
+    assert merged >= 3          # three epoch segments went in
+    assert store.epochs() == [0]  # one merged segment remains
+    assert len(store.files(before_epoch=3)) >= 1
+    sel = [i for i, ep in enumerate(epochs) if ep == 3]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([ids[i] for i in sel], pa.int64()),
+        "text": pa.array([texts[i] for i in sel], pa.string())}))
+    out = sorted((3, r["doc_id"]) for r in
+                 incremental_exact_dedup(ds, store, 3).take_all())
+    assert out == [s for s in control if s[0] == 3]
+    # idempotent: nothing left to merge
+    assert compact_store(store, before_epoch=3) == 0
+
+
+def test_compact_store_minhash_variant(ray_session, tmp_path):
+    """Same contract over the banded SignatureStore."""
+    import shutil as _sh
+
+    from tenzir_ray.text import SignatureStore, incremental_minhash_dedup
+    from tenzir_ray.text.incremental import compact_store
+
+    rng = np.random.default_rng(2)
+    words = [f"w{i}" for i in range(100)]
+    base = [" ".join(rng.choice(words, 30)) for _ in range(10)]
+
+    def epoch_ds(e, lo):
+        txts = [base[i % 10] if i % 2 else f"fresh {e} {i} " +
+                " ".join(rng.choice(words, 25)) for i in range(12)]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(lo, lo + 12), pa.int64()),
+            "text": pa.array(txts, pa.string())}))
+
+    # survivor decisions depend only on the FIXED base texts (odd
+    # indices are base repeats; even indices carry a unique "fresh e i"
+    # prefix and always survive), so the random tails need not match
+    # between the two runs
+    def run(root, compact_at):
+        _sh.rmtree(root, ignore_errors=True)
+        store = SignatureStore(str(root))
+        out = []
+        for e in range(4):
+            if e == compact_at:
+                compact_store(store, before_epoch=e)
+            surv = incremental_minhash_dedup(
+                epoch_ds(e, e * 12), store, e)
+            out.extend((e, r["doc_id"]) for r in surv.take_all())
+        return sorted(out)
+
+    a = run(tmp_path / "x", compact_at=None)
+    b = run(tmp_path / "y", compact_at=3)
+    assert a == b
