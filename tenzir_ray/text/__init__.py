@@ -20,6 +20,7 @@ from tenzir_ray.text.dedup import (
 from tenzir_ray.text.incremental import (
     HashStore,
     SignatureStore,
+    compact_store,
     incremental_exact_dedup,
     incremental_minhash_dedup,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "ivf_write",
     "HashStore",
     "SignatureStore",
+    "compact_store",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
 ]
