@@ -48,7 +48,7 @@ Supported operators (reference file cited in OPS below)::
     if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
     every <N[smhd]> [rounds=K] { <pipe> }
     cron "<sec min hour dom month dow>" [rounds=K] { <pipe> }
-    api </openapi|/version|/metrics|/processes|/sockets|/files/dir>
+    api </openapi|/version|/metrics|/plugins|/processes|/sockets|/files/dir>
     diagnostics [severity]       // retained engine diagnostics
     group <key>[, <key>…] { <pipe> }  // per-group Arrow-table program
     yield <path[.sub][[]]>       fields
@@ -1176,12 +1176,15 @@ class Pipeline:
                     return rd.from_items([one_row[path]()])
                 if path in ("processes", "sockets"):
                     return getattr(I, path)()
+                if path == "plugins":
+                    return rd.from_items(I.plugins())
                 if path == "files" or path.startswith("files/"):
                     _, _, d = path.partition("/")
                     return I.files("/" + d if d else "/")
                 raise ValueError(
                     f"api: unknown endpoint /{path} (have /openapi "
-                    f"/version /metrics /processes /sockets /files/<dir>)")
+                    f"/version /metrics /plugins /processes /sockets "
+                    f"/files/<dir>)")
 
             return _api
         if op == "diagnostics":

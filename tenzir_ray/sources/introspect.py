@@ -200,3 +200,37 @@ def openapi() -> dict:
 
     return {"spec": json.dumps(spec, sort_keys=True),
             "paths": sorted(spec["paths"]), "version": "3.0.0"}
+
+
+def plugins():
+    """Operator + expression-function inventory (the `plugins` /
+    `show plugins` analog, web docs operators/plugins.md): one row per
+    pipeline-text operator (scraped from the planner's dispatch via
+    ``ast`` — self-maintaining, no hand-kept list) and one per
+    whitelisted expression function. Returns a list of
+    {name, kind} dicts sorted by (kind, name)."""
+    import ast as _ast
+    import inspect
+
+    from tenzir_ray.pipelines import planner as _p
+
+    ops: set[str] = set()
+    tree = _ast.parse(inspect.getsource(_p))
+    for node in _ast.walk(tree):
+        # `if op == "name"` / `if op in ("a", "b")` dispatch arms
+        if not isinstance(node, _ast.Compare):
+            continue
+        left = node.left
+        if not (isinstance(left, _ast.Name) and left.id == "op"):
+            continue
+        cmp = node.comparators[0]
+        if isinstance(cmp, _ast.Constant) and isinstance(cmp.value, str):
+            ops.add(cmp.value)
+        elif isinstance(cmp, (_ast.Tuple, _ast.List)):
+            ops.update(e.value for e in cmp.elts
+                       if isinstance(e, _ast.Constant)
+                       and isinstance(e.value, str))
+    rows = [{"name": n, "kind": "operator"} for n in ops]
+    rows += [{"name": n, "kind": "function"}
+             for n in _p._expr_funcs()]
+    return sorted(rows, key=lambda r: (r["kind"], r["name"]))

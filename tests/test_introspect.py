@@ -97,3 +97,27 @@ def test_metrics_snapshot(ray_session):
     m = metrics()
     assert m["cpus_total"] >= 1
     assert m["object_store_bytes"] > 0
+
+
+def test_plugins_inventory(ray_session):
+    """plugins(): self-maintaining operator/function inventory, and the
+    api /plugins route (web docs operators/plugins.md analog)."""
+    import ray.data as rd
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+    from tenzir_ray.sources.introspect import plugins
+
+    rows = plugins()
+    ops = {r["name"] for r in rows if r["kind"] == "operator"}
+    fns = {r["name"] for r in rows if r["kind"] == "function"}
+    # dispatch arms scraped from the planner source: spot-check core,
+    # text-curation and session-4 operators plus function families
+    assert {"where", "summarize", "sort", "fork", "sigma", "yara",
+            "dedup_minhash", "normalize", "c4", "dsir",
+            "asof_join"} <= ops
+    assert {"sha256", "url_normalize", "to_int", "in_subnet"} <= fns
+    assert len(ops) > 60 and len(fns) > 90
+
+    got = run_pipeline("api /plugins | where kind == \"operator\"",
+                       rd.from_items([{"x": 1}])).take_all()
+    assert {r["name"] for r in got} == ops
