@@ -43,6 +43,7 @@ Supported operators (reference file cited in OPS below)::
     normalize [text_col] [collapse_ws]   // NFC + mojibake repair
     c4 [text= min_words= min_sentences= span_dedup= id=]
     dsir target=f.parquet, k=N [, text= id= buckets= seed=]
+    dedup_ingest store=<dir>, epoch=N [, mode=exact|minhash id= text=]
     cap <n> by <key> order_by <col> [desc|asc]
     let $name = <const>              // substitutes into later operators
     if <expr> { <pipe> } [else { <pipe> }]   fork { <pipe> }
@@ -1629,6 +1630,34 @@ class Pipeline:
                 text_col=kv.get("text", "text").strip(),
                 ngram=int(kv.get("ngram", 8)),
                 min_docs=int(kv.get("min_docs", 2)))
+        if op == "dedup_ingest":
+            # dedup_ingest store=<dir>, epoch=<n> [, mode=exact|minhash]
+            #   [, id=doc_id] [, text=text] — incremental dedup AT
+            # INGEST against the persistent survivor store
+            # (text/incremental.py); exact = content hash, minhash =
+            # banded LSH near-dup
+            from tenzir_ray.text.incremental import (
+                incremental_exact_dedup,
+                incremental_minhash_dedup,
+            )
+
+            kv = dict(p.split("=", 1) for p in csv(rest))
+            try:
+                root = kv["store"].strip().strip('"')
+                ep = int(kv["epoch"])
+            except KeyError as e:
+                raise ValueError("dedup_ingest: missing required operand "
+                                 f"{e.args[0]}=") from None
+            mode = kv.get("mode", "exact").strip().lower()
+            if mode not in ("exact", "minhash"):
+                raise ValueError(f"dedup_ingest: bad mode={mode!r}")
+            idc = kv.get("id", "doc_id").strip()
+            col = kv.get("text", "text").strip()
+            if mode == "exact":
+                return lambda ds: incremental_exact_dedup(
+                    ds, root, ep, id_col=idc, text_col=col)
+            return lambda ds: incremental_minhash_dedup(
+                ds, root, ep, id_col=idc, text_col=col)
         if op == "dsir":
             # dsir target=<path.parquet>, k=<n> [, text=] [, id=]
             #   [, buckets=4096] [, seed=1234|none] — DSIR importance

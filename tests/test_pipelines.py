@@ -999,3 +999,23 @@ def test_dsir_from_text(ray_session, tmp_path):
         .select_columns(["doc_id"]).sort("doc_id").take_all()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
     assert len(got) == 2
+
+
+def test_dedup_ingest_from_text(ray_session, tmp_path):
+    """dedup_ingest reachable from pipeline text: two epochs through a
+    persistent store, cross-epoch exact duplicate dropped."""
+    import pyarrow as pa
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    store = tmp_path / "hs"
+    e0 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["same body text here", "unique zero text"])}))
+    e1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([2, 3], pa.int64()),
+        "text": pa.array(["same body text here", "unique one text"])}))
+    s0 = run_pipeline(f"dedup_ingest store={store}, epoch=0", e0).take_all()
+    s1 = run_pipeline(f"dedup_ingest store={store}, epoch=1", e1).take_all()
+    assert sorted(r["doc_id"] for r in s0) == [0, 1]
+    assert sorted(r["doc_id"] for r in s1) == [3]  # 2 is a store dup
