@@ -158,8 +158,13 @@ def c4_span_dedup(
 ) -> Dataset:
     """Corpus-level C4 three-sentence-span dedup. One narrow exchange,
     broadcast loser set, map-only scrub; survivors' sentences are
-    rejoined with single spaces."""
+    rejoined with single spaces. The input is materialized once (blocks
+    pinned in the object store, spillable) because both the span pass
+    and the scrub pass consume it — without this, the entire upstream
+    (source scan + cleaning kernels) would execute twice."""
     import ray
+
+    ds = ds.materialize()
 
     def spans(t: pa.Table) -> pa.Table:
         flat, counts = _sentences(t.column(text_col))

@@ -417,9 +417,14 @@ def incremental_exact_dedup(
         return g.filter(pa.array(~firsts)).select([id_col])
 
     drops = proj.groupby("hs").map_groups(losers, batch_format="pyarrow")
+    # executes the one narrow shuffle; its blocks and the store-hit
+    # task results feed a single remote concat -- the driver holds only
+    # a ref (the minhash variant's _concat_ids contract: no corpus- or
+    # drop-set-sized rows ever cross the driver)
+    drops_refs = [r for b in drops.iter_internal_ref_bundles()
+                  for r in b.block_refs]
 
     if matched_ref is not None:
-        # docs whose hash was already stored: add to the drop set
         @ray.remote
         def _store_hit_ids(t: pa.Table, matched: pa.Array) -> pa.Table:
             if t.num_rows == 0 or "h" not in t.schema.names \
@@ -429,70 +434,86 @@ def incremental_exact_dedup(
                            value_set=matched)
             return t.filter(hit).select([id_col])
 
-        import ray.data as rd
+        store_hit_refs = [_store_hit_ids.remote(r, matched_ref)
+                          for r in proj_refs]
+    else:
+        store_hit_refs = []
 
-        hit_tables = ray.get(
-            [_store_hit_ids.remote(r, matched_ref) for r in proj_refs])
-        hit_tables = [t for t in hit_tables if t.num_rows]
-        if hit_tables:
-            drops = drops.union(rd.from_arrow(
-                pa.concat_tables(hit_tables)))  # drop-set-sized
+    @ray.remote
+    def _concat_ids(n_blocks: int, *parts) -> pa.Table:
+        blocks, hits = parts[:n_blocks], parts[n_blocks:]
+        arrs = [b.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False) for b in blocks
+            if b.num_rows and id_col in b.schema.names]
+        arrs += [t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False) for t in hits if t.num_rows]
+        ids = (np.unique(np.concatenate(arrs)) if arrs
+               else np.zeros(0, np.int64))
+        return pa.table({"__drop_id": pa.array(ids, pa.int64())})
 
-    # survivor hashes -> this epoch's store segment (idempotent).
-    # The drop set is duplicate-volume-sized (losers + store hits), so
-    # collecting it once on the driver is the same bound the batch
-    # family's anti_filter_ids already accepts for its broadcast path.
-    drop_t = drops.select_columns([id_col]).take_all()
-    drop_ids = pa.array(
-        sorted({r[id_col] for r in drop_t}), pa.int64())
+    drop_ids_ref = _concat_ids.remote(
+        len(drops_refs), *drops_refs, *store_hit_refs)
+
+    # survivor hashes -> this epoch's store segment (idempotent); the
+    # per-block filter and the parquet append run as remote tasks
+    # against the (cluster-shared, like the lake root) store filesystem
     if not store.committed(epoch):
         @ray.remote
-        def _survivor_hashes(t: pa.Table, dead: pa.Array) -> pa.Array:
+        def _survivor_hashes(t: pa.Table, drop_t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or "h" not in t.schema.names:
-                return pa.array([], pa.int64())
+                return _HASH_SCHEMA.empty_table()
+            vs = drop_t.column("__drop_id").combine_chunks()
             live = pc.invert(pc.is_in(
-                t.column(id_col).combine_chunks(), value_set=dead))
-            return pa.array(np.unique(
-                t.column("h").to_numpy(zero_copy_only=False)[
-                    live.to_numpy(zero_copy_only=False)]), pa.int64())
+                t.column(id_col).combine_chunks(), value_set=vs))
+            h = t.filter(live).column("h").to_numpy(zero_copy_only=False)
+            return pa.table({"h": pa.array(np.unique(h), pa.int64())})
 
-        surv = ray.get(_concat_unique.remote(
-            *[_survivor_hashes.remote(r, drop_ids) for r in proj_refs]))
-        store.append(epoch, pa.table({"h": surv}))
+        @ray.remote
+        def _commit(root: str, e: int, *tabs) -> bool:
+            tabs = [t for t in tabs if t.num_rows]
+            return HashStore(root).append(
+                e, pa.concat_tables(tabs) if tabs
+                else _HASH_SCHEMA.empty_table())
+
+        ray.get(_commit.remote(
+            store.root, epoch,
+            *[_survivor_hashes.remote(r, drop_ids_ref)
+              for r in proj_refs]))
 
     import ray.data as rd
 
     return anti_filter_ids(
-        ds_new, rd.from_arrow(pa.table({id_col: drop_ids})),
-        id_col, id_col, max_broadcast_bytes=max_broadcast_bytes)
+        ds_new, rd.from_arrow_refs([drop_ids_ref]), id_col, "__drop_id",
+        max_broadcast_bytes=max_broadcast_bytes)
+
 
 
 def compact_store(store: SignatureStore | str, before_epoch: int,
                   files_per_output: int = 64) -> int:
-    """Merge every committed epoch segment ``< before_epoch`` into one
-    segment at the LOWEST merged epoch — the dedup-store analog of the
+    """Merge every committed epoch segment ``< before_epoch`` into the
+    LOWEST merged epoch's directory — the dedup-store analog of the
     lake's ``compact()``: without it, a long-running ingest probes one
     file set per epoch forever (1e5 epochs → 1e5 probe tasks per new
     epoch). Returns the number of input files merged (0 = nothing to
     do).
 
-    Semantics: probing is row-set-preserving (the merged segment holds
-    the union of the merged epochs' rows; probe hit sets are unique-ed
+    Semantics: probing is row-set-preserving (the merged files hold the
+    union of the merged epochs' rows; probe hit sets are unique-ed
     downstream, so no row-level dedup is needed), so every FUTURE epoch
     sees exactly the same drop decisions. What compaction gives up is
-    consistent REPLAY of epochs ``< before_epoch`` (their
-    ``files(before_epoch=e)`` prefix no longer exists separately) —
-    the same finality contract as lake compaction: compact only below
-    the oldest epoch that might still need crash-resume, i.e. anything
-    below the current head is safe.
+    consistent REPLAY of epochs ``< before_epoch`` — the same finality
+    contract as lake compaction: compact only below the oldest epoch
+    that might still need crash-resume, i.e. anything below the current
+    head is safe.
 
-    Crash safety: the merged segment is written to a tmp dir and
-    renamed over the lowest epoch's dir FIRST; the other epochs'
-    markers and dirs are removed afterwards. A crash mid-removal
-    leaves leftover epochs whose rows are duplicated in the merged
-    segment — probe-harmless — and a re-run finishes the removal
-    (idempotent). Merging runs in remote tasks (no store data crosses
-    the driver)."""
+    Crash safety — additive, no directory renames: merged part files
+    are written into the base epoch's dir under fresh names FIRST; the
+    captured pre-existing files and the merged-away epochs (marker,
+    then dir) are removed only afterwards. A crash at ANY point leaves
+    either extra duplicate rows (probe-harmless) or leftover epochs
+    whose rows are duplicated in the merged parts — a re-run converges.
+    Merging runs in remote tasks (no store data crosses the driver;
+    the store filesystem is cluster-shared, like the lake root)."""
     import ray
 
     if isinstance(store, str):
@@ -508,29 +529,32 @@ def compact_store(store: SignatureStore | str, before_epoch: int,
     @ray.remote
     def _merge(paths: list, out_path: str) -> int:
         t = pa.concat_tables([pq.read_table(p) for p in paths])
-        pq.write_table(t, out_path)
+        tmp = f"{out_path}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, out_path)  # never expose a half-written part
         return t.num_rows
 
-    tmp = (f"{store._dir(base)}.compact.{os.getpid()}"
-           f".{time.monotonic_ns()}")
-    os.makedirs(tmp, exist_ok=True)
+    nonce = f"{os.getpid()}-{time.monotonic_ns()}"
     futs = []
     for i in range(0, len(files), files_per_output):
         futs.append(_merge.remote(
             files[i:i + files_per_output],
-            os.path.join(tmp, f"part-{i // files_per_output:05d}"
-                              ".parquet")))
+            os.path.join(store._dir(base),
+                         f"compact-{nonce}-{i // files_per_output:05d}"
+                         ".parquet")))
     total_rows = sum(ray.get(futs))
-    # 1) merged segment becomes the base epoch's dir (atomic rename)
-    old_base = f"{store._dir(base)}.old.{os.getpid()}"
-    os.replace(store._dir(base), old_base)
-    os.replace(tmp, store._dir(base))
-    shutil.rmtree(old_base, ignore_errors=True)
     with open(store._marker(base) + ".tmp", "w") as f:
         f.write(str(total_rows))
     os.replace(store._marker(base) + ".tmp", store._marker(base))
-    # 2) best-effort removal of the merged-away epochs (marker first:
-    #    an unmarked dir is invisible to readers)
+    # merged parts are durable -- now drop the inputs: first the
+    # pre-existing files of the base epoch, then the other epochs
+    # (marker before dir: an unmarked dir is invisible to readers)
+    for p in files:
+        if os.path.dirname(p) == store._dir(base):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
     for e in epochs:
         if e == base:
             continue

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from tenzir_ray.text.dedup import (
     _MERSENNE,
@@ -464,8 +465,11 @@ def dsir_seq(doc_ids: list, texts: list, target_texts: list, k: int,
     bu = np.uint64(num_buckets)
 
     def grams(txt: str | None) -> list[int]:
-        words = [w for w in re.split(r"[^a-z0-9']+", (txt or "").lower())
-                 if w]
+        # engine lowercases with Arrow utf8_lower (simple case mapping);
+        # Python str.lower() diverges on special casing (U+0130) -- use
+        # the same primitive so gram multisets match exactly
+        low = pc.utf8_lower(pa.array([txt or ""]))[0].as_py()
+        words = [w for w in re.split(r"[^a-z0-9']+", low) if w]
         if not words:
             return []
         h = pd.util.hash_array(
@@ -518,6 +522,16 @@ def c4_seq(doc_ids: list, texts: list, *, min_words: int = 5,
 
     from tenzir_ray.text.c4 import _SPAN_A, _SPAN_B
 
+    # the engine's kernels are RE2/Arrow: \s is ASCII-only and
+    # lowercasing is Arrow utf8_lower (simple Unicode case mapping, no
+    # special casing) -- pin the SAME semantics here so the comparison
+    # is exact on non-ASCII text (NBSP, Turkish dotted I)
+    _ws = "[ \\t\\n\\r\\f\\v]"
+    _nws = "[^ \\t\\n\\r\\f\\v]"
+
+    def _low(s):
+        return pc.utf8_lower(pa.array([s]))[0].as_py()
+
     cleaned: list[tuple] = []
     for d, txt in zip(doc_ids, texts):
         lines = (txt or "").split("\n")
@@ -525,14 +539,14 @@ def c4_seq(doc_ids: list, texts: list, *, min_words: int = 5,
         for ln in lines:
             if not re.search(r"[.!?\"']$", ln):
                 continue
-            if len(re.findall(r"\S+", ln)) < min_words:
+            if len(re.findall(_nws + "+", ln)) < min_words:
                 continue
-            if "javascript" in ln.lower():
+            if "javascript" in _low(ln):
                 continue
             keep.append(ln)
         page = "\n".join(keep)
-        low = page.lower()
-        n_sent = len(re.findall(r"[.!?]\s", page)) + \
+        low = _low(page)
+        n_sent = len(re.findall("[.!?]" + _ws, page)) + \
             (1 if re.search(r"[.!?]$", page) else 0)
         if n_sent < min_sentences or "{" in page or "lorem ipsum" in low:
             continue
@@ -546,7 +560,7 @@ def c4_seq(doc_ids: list, texts: list, *, min_words: int = 5,
             "text": pa.array([t for _, t in cleaned], pa.string())})
 
     def sents(page: str) -> list[str]:
-        return re.sub(r"([.!?])\s+", "\\1\x1e", page).split("\x1e")
+        return re.sub("([.!?])" + _ws + "+", "\\1\x1e", page).split("\x1e")
 
     seen: set[int] = set()
     drops: dict[int, list[int]] = {}

@@ -72,7 +72,6 @@ def test_replay_is_idempotent(ray_session, tmp_path):
 
 def test_null_texts_are_mutual_duplicates(ray_session, tmp_path):
     ids, texts, epochs = _corpus()
-    got = dict(_run_engine(tmp_path / "s", ids, texts, epochs))
     surv_ids = {d for _, d in _run_engine(tmp_path / "s2", ids, texts,
                                           epochs)}
     assert 4 in surv_ids      # first null survives

@@ -115,3 +115,19 @@ def test_randomized_corpus_matches_sequential():
     exp = c4_seq([d for d, _ in rows], [t for _, t in rows])
     assert got == list(zip(exp.column("doc_id").to_pylist(),
                            exp.column("text").to_pylist()))
+
+
+def test_nbsp_whitespace_matches_engine_semantics():
+    """RE2 \\s is ASCII-only: NBSP after a period is NOT a sentence
+    boundary in the engine; the sequential reference must agree (the
+    review repro: engine dropped the page, seq kept it)."""
+    good = "alpha beta gamma delta ends here."
+    doc = good + "\u00a0" + good.replace("alpha", "omega") \
+        + "\u00a0" + good.replace("alpha", "zeta")
+    rows = [(0, doc)]
+    got = _run(rows)
+    exp = c4_seq([0], [doc])
+    assert got == list(zip(exp.column("doc_id").to_pylist(),
+                           exp.column("text").to_pylist()))
+    # and the pinned semantics: one NBSP-glued sentence -> page dropped
+    assert got == []

@@ -108,3 +108,21 @@ def test_select_k_larger_than_corpus_keeps_all():
 def test_mismatched_logratio_length_rejected():
     with pytest.raises(ValueError, match="num_buckets"):
         dsir_score(_raw_ds(), np.zeros(8), num_buckets=16)
+
+
+def test_turkish_dotted_i_matches_engine_lowercase():
+    """Arrow utf8_lower maps U+0130 without special casing; the
+    sequential tokenizer must use the same primitive (review repro:
+    str.lower() split the token in two)."""
+    raw = RAW[:6] + ["\u0130stanbul gezisi notlar\u0131 burada", None]
+    ids = list(range(len(raw)))
+    got = dsir_select(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(raw, pa.string())})),
+        _target_ds(), len(raw), num_buckets=512) \
+        .select_columns(["doc_id", "dsir_score"]).sort("doc_id").take_all()
+    exp = dsir_seq(ids, raw, TARGET, len(raw), num_buckets=512)
+    assert [(r["doc_id"], r["dsir_score"]) for r in got] == \
+        list(zip(exp.column("doc_id").to_pylist(),
+                 exp.column("dsir_score").to_pylist()))
