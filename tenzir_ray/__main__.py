@@ -64,6 +64,28 @@ def _lake_main(args) -> int:
     return 0
 
 
+def _store_main(args) -> int:
+    """``store`` subcommands: inspect/compact an incremental-dedup
+    store (text/incremental.py) from the shell."""
+    from tenzir_ray.text.incremental import SignatureStore, compact_store
+
+    store = SignatureStore(args.store)  # layout-compatible with HashStore
+    if args.store_cmd == "epochs":
+        for e in store.epochs():
+            print(json.dumps({
+                "epoch": e, "files": len(store.files(e + 1))
+                - len(store.files(e))}))
+    elif args.store_cmd == "compact":
+        before = args.before_epoch
+        if before is None:
+            eps = store.epochs()
+            before = eps[-1] if eps else 0
+        merged = compact_store(store, before_epoch=before)
+        print(json.dumps({"merged_files": merged,
+                          "before_epoch": before}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="tenzir_ray")
     sub = ap.add_subparsers(dest="cmd")
@@ -92,13 +114,23 @@ def main(argv: list[str] | None = None) -> int:
                          "merge-required key/order/tombstone set) are "
                          "decoded from parquet")
 
+    st = sub.add_parser("store", help="operate a dedup ingest store")
+    st.add_argument("store_cmd", choices=["epochs", "compact"])
+    st.add_argument("--store", required=True,
+                    help="store root (HashStore/SignatureStore layout)")
+    st.add_argument("--before-epoch", type=int, default=None,
+                    dest="before_epoch",
+                    help="compact: merge committed epochs < N "
+                         "(default: everything below the newest)")
+    st.add_argument("--num-cpus", type=int, default=8)
+
     exe = sub.add_parser("exec", help="run a pipeline (default)")
     exe.add_argument("pipeline")
     exe.add_argument("--num-cpus", type=int, default=8)
     exe.add_argument("--limit", type=int, default=None)
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    if argv and argv[0] not in ("lake", "exec", "-h", "--help"):
+    if argv and argv[0] not in ("lake", "store", "exec", "-h", "--help"):
         argv = ["exec"] + argv  # bare pipeline string → exec
     args = ap.parse_args(argv)
 
@@ -116,8 +148,8 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    if args.cmd == "lake":
-        rc = _lake_main(args)
+    if args.cmd in ("store", "lake"):
+        rc = _store_main(args) if args.cmd == "store" else _lake_main(args)
         if owns_ray:
             ray.shutdown()
         return rc

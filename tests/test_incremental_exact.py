@@ -157,3 +157,22 @@ def test_compact_store_minhash_variant(ray_session, tmp_path):
     a = run(tmp_path / "x", compact_at=None)
     b = run(tmp_path / "y", compact_at=3)
     assert a == b
+
+
+def test_store_cli(ray_session, tmp_path, capsys):
+    """`store epochs` / `store compact` CLI over a HashStore."""
+    import json as _json
+
+    from tenzir_ray.__main__ import main
+
+    ids, texts, epochs = _corpus(seed=13)
+    _run_engine(tmp_path / "s", ids, texts, epochs)
+    root = str(tmp_path / "s")
+    assert main(["store", "epochs", "--store", root]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert [_json.loads(l)["epoch"] for l in lines] == [0, 1, 2]
+    assert main(["store", "compact", "--store", root]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["before_epoch"] == 2 and out["merged_files"] >= 2
+    store = HashStore(root)
+    assert store.epochs() == [0, 2]
