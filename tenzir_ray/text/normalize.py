@@ -96,13 +96,8 @@ def _fix_mojibake(s: str, max_rounds: int = 3) -> str:
         s = repaired
     return s
 
-def normalize_text(s: str | None, *, collapse_ws: bool = False,
-                   max_fix_rounds: int = 3) -> str:
-    """One document through the full rule chain (the per-doc slow
-    path; also the sequential-oracle kernel — kept here so both paths
-    share ONE implementation of the non-vectorizable steps)."""
-    if s is None:
-        return ""
+def _normalize_once(s: str, collapse_ws: bool,
+                    max_fix_rounds: int) -> str:
     s = _fix_mojibake(s, max_fix_rounds)
     s = unicodedata.normalize("NFC", s)
     s = s.replace("\r\n", "\n").replace("\r", "\n")
@@ -111,6 +106,26 @@ def normalize_text(s: str | None, *, collapse_ws: bool = False,
         s = re.sub(_WS_RE, " ", s)
         s = re.sub(r" ?\n ?", "\n", s)
         s = s.strip(" ")
+    return s
+
+
+def normalize_text(s: str | None, *, collapse_ws: bool = False,
+                   max_fix_rounds: int = 3) -> str:
+    """One document through the full rule chain, iterated to a
+    FIXPOINT (≤8 rounds; clean text stabilizes after one): stripping a
+    control/zero-width character can create a new mojibake adjacency
+    ("\u00c2\x00\u00a9" → "\u00c2\u00a9" → "\u00a9"), so a single
+    pass is not idempotent — and idempotence is the property dedup
+    fingerprints downstream rely on. Also the per-doc slow path of the
+    batch kernel and the sequential-oracle kernel (both paths share
+    ONE implementation of the non-vectorizable steps by design)."""
+    if s is None:
+        return ""
+    for _ in range(8):
+        out = _normalize_once(s, collapse_ws, max_fix_rounds)
+        if out == s:
+            return out
+        s = out
     return s
 
 

@@ -145,3 +145,17 @@ def test_c4_masks_equal_sequential_rules(texts):
         ok = n_sent >= 1 and "{" not in pg and "lorem ipsum" not in pg.lower()
         exp.append((pg, ok))
     assert got == exp
+
+
+@given(st.lists(st.one_of(st.none(), _noise_text), max_size=10),
+       st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_normalize_is_idempotent(texts, collapse):
+    """normalize(normalize(x)) == normalize(x): NFC, control stripping
+    and whitespace collapse are idempotent, and a repaired (or
+    unrepairable) text must not change again on a second pass."""
+    from tenzir_ray.text.normalize import normalize_text
+
+    for x in texts:
+        once = normalize_text(x, collapse_ws=collapse)
+        assert normalize_text(once, collapse_ws=collapse) == once
