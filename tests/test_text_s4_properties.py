@@ -159,3 +159,20 @@ def test_normalize_is_idempotent(texts, collapse):
     for x in texts:
         once = normalize_text(x, collapse_ws=collapse)
         assert normalize_text(once, collapse_ws=collapse) == once
+
+
+@given(st.lists(st.one_of(st.none(), _sent_text), max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_c4_clean_is_idempotent(texts):
+    """Re-cleaning already-cleaned pages must be a no-op: surviving
+    lines still pass every line filter and surviving pages every page
+    filter."""
+    from tenzir_ray.text.c4 import c4_line_page_masks
+
+    cleaned, page = c4_line_page_masks(
+        pa.array(texts, pa.string()), min_words=2, min_sentences=1)
+    kept = [c for c, p in zip(cleaned.to_pylist(), page.to_pylist()) if p]
+    again, page2 = c4_line_page_masks(
+        pa.array(kept, pa.string()), min_words=2, min_sentences=1)
+    assert again.to_pylist() == kept
+    assert all(page2.to_pylist())
