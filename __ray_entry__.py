@@ -848,6 +848,115 @@ def _normalize_docs(sf_dir: str):
     return normalize_documents(ds).sort("doc_id")
 
 
+def _decorate_html(ids: np.ndarray, texts: np.ndarray) -> np.ndarray:
+    """Deterministic web-page decoration (query-local, mirrored exactly
+    in the distributed path and the sequential oracle): the plain-text
+    documents become full HTML pages with nav/footer link boilerplate,
+    modulus-keyed script/style/comment injections (incl. an
+    unterminated comment), entity references of each decoding class
+    (common chain, html5 named, numeric, unknown), and a two-paragraph
+    body split so boilerplate smoothing sees block structure."""
+    ids = ids.astype(np.int64)
+    texts = np.where(texts == None, "", texts).astype(object)  # noqa: E711
+    nav = ('<html><head><title>d</title><style>p{x}</style></head><body>'
+           '<div><a href="/">home</a> <a href="/a">about</a> '
+           '<a href="/b">more</a></div>')
+    scr = np.where(ids % 3 == 0,
+                   "<script>var x='<p>not text</p>';</script>", "")
+    com = np.where(ids % 5 == 0, "<!-- note -->", "")
+    com = np.where(ids % 97 == 0, "<!-- unterminated", com).astype(object)
+    ent = np.where(ids % 7 == 0, " fianc&eacute;e &copy;",
+                   np.where(ids % 11 == 0, " 5 &gt; 3 &amp; 2 &lt; 4",
+                            "")).astype(object)
+    ent = np.where(ids % 13 == 0, ent + " &#8212; r&#xE9;f &bogus;",
+                   ent).astype(object)
+    p1 = np.array([t[:120] for t in texts], dtype=object)
+    p2 = np.array([t[120:] for t in texts], dtype=object)
+    tail = np.where(ids % 17 == 0, "<div>tiny</div>", "").astype(object)
+    foot = '<footer><a href="/c">contact us</a></footer></body></html>'
+    return (nav + scr.astype(object) + com + "<p>" + p1 + ent
+            + "</p><p>" + p2 + "</p>" + tail + foot)
+
+
+def _html_pages_ds(sf_dir: str):
+    """documents → decorated (doc_id, html) Dataset (shared by the two
+    HTML queries; decoration is vectorized numpy string concat)."""
+    def decorate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = t.column("text").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pages = _decorate_html(ids, texts)
+        out = pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "html": pa.array(pages.astype(str), pa.string()),
+        })
+        return out
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(decorate, batch_format="pyarrow")
+
+
+def _html_extract_docs(sf_dir: str):
+    """Rich HTML→text extraction (text/html.py html_extract: comment/
+    script/style removal, block-tag structure, HTML5 entity decoding,
+    whitespace normalization — the WARC→text step of a Common-Crawl
+    pipeline). The distributed path is Arrow-RE2 column kernels with a
+    per-doc fallback only for uncommon character references; oracle =
+    the per-doc Python-re sequential chain (sequential.py
+    html_to_text_seq) over the same decorated pages — byte-for-byte."""
+    from tenzir_ray.text.html import html_extract
+    from tenzir_ray.text.sequential import html_to_text_seq
+
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
+        ids = np.asarray(docs.column("doc_id").to_pylist())
+        texts = np.asarray(docs.column("text").to_pylist(), dtype=object)
+        pages = _decorate_html(ids, texts)
+        _write_oracle("html_extract_docs",
+                      html_to_text_seq(ids.tolist(), pages.tolist()))
+    else:
+        _skip_oracle("html_extract_docs")
+    return html_extract(_html_pages_ds(sf_dir), html_col="html",
+                        out_col="text", drop_html=True).sort("doc_id")
+
+
+# corpus-matched stoplist: the synthetic documents' function words, so
+# block stopword densities actually vary across pages (query-local,
+# passed to BOTH paths)
+_HTML_STOPLIST = frozenset({
+    "the", "a", "data", "key", "row", "table", "join", "merge",
+})
+
+
+def _boilerplate_docs(sf_dir: str):
+    """jusText-lite boilerplate removal (text/html.py
+    boilerplate_extract): block split at block-level tags, link/stopword
+    density classification, neighbor smoothing; nav/footer link blocks
+    drop, stopword-dense paragraphs survive. Actor-pool per-doc stage
+    (documents independent → embarrassingly parallel); oracle = the
+    same per-doc classifier run sequentially (sequential.py
+    justext_seq)."""
+    from tenzir_ray.text.html import boilerplate_extract
+    from tenzir_ray.text.sequential import justext_seq
+
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
+        ids = np.asarray(docs.column("doc_id").to_pylist())
+        texts = np.asarray(docs.column("text").to_pylist(), dtype=object)
+        pages = _decorate_html(ids, texts)
+        _write_oracle("boilerplate_docs", justext_seq(
+            ids.tolist(), pages.tolist(), stoplist=_HTML_STOPLIST))
+    else:
+        _skip_oracle("boilerplate_docs")
+    return boilerplate_extract(
+        _html_pages_ds(sf_dir), html_col="html", out_col="text",
+        stoplist=_HTML_STOPLIST,
+    ).drop_columns(["html"]).sort("doc_id")
+
+
 def _minhash_dedup_docs(sf_dir: str):
     """MinHash-LSH near-dup dedup, checked against a sequential
     one-doc-at-a-time reimplementation (text/sequential.py) joined back
@@ -3025,6 +3134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # follows after position 50.
     return {
         # -- never driver-checked (new this round) ----------------------
+        "html_extract_docs": _html_extract_docs,
+        "boilerplate_docs": _boilerplate_docs,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
         "normalize_docs": _normalize_docs,
@@ -3368,6 +3479,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "normalize_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/normalize_docs.parquet'
+            ORDER BY doc_id
+        """,
+        "html_extract_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/html_extract_docs.parquet'
+            ORDER BY doc_id
+        """,
+        "boilerplate_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/boilerplate_docs.parquet'
             ORDER BY doc_id
         """,
         "incremental_exact_docs": """

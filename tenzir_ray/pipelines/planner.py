@@ -1695,6 +1695,28 @@ class Pipeline:
             col = cols[0] if cols else "text"
             return lambda ds: normalize_documents(
                 ds, text_col=col, collapse_ws=collapse)
+        if op == "html_extract":
+            # html_extract [html=html] [out=text] [drop_html] — rich
+            # HTML→text (comments/script/style removal, block structure,
+            # entity decode, ws normalize; text/html.py, Arrow-RE2
+            # vectorized)
+            from tenzir_ray.text.html import html_extract
+
+            parts = rest.split()
+            drop = "drop_html" in parts
+            kv = dict(p.split("=", 1) for p in parts if "=" in p)
+            return lambda ds: html_extract(
+                ds, html_col=kv.get("html", "html").strip(),
+                out_col=kv.get("out", "text").strip(), drop_html=drop)
+        if op == "boilerplate":
+            # boilerplate [html=html] [out=text] — jusText-lite
+            # main-content extraction (text/html.py, actor pool)
+            from tenzir_ray.text.html import boilerplate_extract
+
+            kv = _kv(rest, "boilerplate")
+            return lambda ds: boilerplate_extract(
+                ds, html_col=kv.get("html", "html").strip(),
+                out_col=kv.get("out", "text").strip())
         if op == "c4":
             # c4 [text=text] [min_words=5] [min_sentences=3]
             #   [span_dedup=false] [id=doc_id] — C4 line/page filters,

@@ -26,6 +26,12 @@ from tenzir_ray.text.incremental import (
 )
 from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
 from tenzir_ray.text.c4 import c4_clean, c4_span_dedup
+from tenzir_ray.text.html import (
+    boilerplate_extract,
+    boilerplate_text,
+    html_extract,
+    html_to_text,
+)
 from tenzir_ray.text.normalize import normalize_documents, normalize_text
 from tenzir_ray.text.dsir import dsir_score, dsir_select, fit_gram_counts
 from tenzir_ray.text.quality import analyze_documents
@@ -47,6 +53,10 @@ __all__ = [
     "bpe_tokenize",
     "c4_clean",
     "c4_span_dedup",
+    "boilerplate_extract",
+    "boilerplate_text",
+    "html_extract",
+    "html_to_text",
     "normalize_documents",
     "normalize_text",
     "dsir_score",

@@ -641,3 +641,31 @@ def incremental_exact_dedup_seq(
             out.append((e, i))
         store |= epoch_surv
     return out
+
+
+def html_to_text_seq(doc_ids: list, htmls: list) -> pa.Table:
+    """Sequential oracle for :func:`tenzir_ray.text.html.html_extract`:
+    one document at a time through the per-doc rule chain
+    (``html_to_text`` — Python ``re``; the distributed path runs the
+    same spec as Arrow-RE2 column kernels, so any kernel/fallback
+    divergence shows up as a byte mismatch)."""
+    from tenzir_ray.text.html import html_to_text
+
+    return pa.table({
+        "doc_id": pa.array([int(i) for i in doc_ids], pa.int64()),
+        "text": pa.array([html_to_text(h) for h in htmls], pa.string()),
+    })
+
+
+def justext_seq(doc_ids: list, htmls: list, **kw) -> pa.Table:
+    """Sequential oracle for
+    :func:`tenzir_ray.text.html.boilerplate_extract`: per-doc
+    jusText-lite main-content selection (good blocks joined by
+    newlines)."""
+    from tenzir_ray.text.html import boilerplate_text
+
+    return pa.table({
+        "doc_id": pa.array([int(i) for i in doc_ids], pa.int64()),
+        "text": pa.array([boilerplate_text(h, **kw) for h in htmls],
+                         pa.string()),
+    })

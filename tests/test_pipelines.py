@@ -1019,3 +1019,35 @@ def test_dedup_ingest_from_text(ray_session, tmp_path):
     s1 = run_pipeline(f"dedup_ingest store={store}, epoch=1", e1).take_all()
     assert sorted(r["doc_id"] for r in s0) == [0, 1]
     assert sorted(r["doc_id"] for r in s1) == [3]  # 2 is a store dup
+
+
+def test_html_ops_from_text(ray_session):
+    """html_extract / boilerplate reachable from pipeline text
+    (session-5 ops), equal to the API calls."""
+    import pyarrow as pa
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+    from tenzir_ray.text.html import boilerplate_text, html_to_text
+
+    good = ("This is the kind of paragraph that has plenty of the "
+            "common function words in it, and it keeps going on about "
+            "the topic for long enough that the classifier can see it "
+            "is a real block of prose written for a person to read.")
+    pages = [
+        b"<p>a &amp; b</p><script>no()</script>",
+        f'<div><a href="/">nav</a></div><p>{good}</p>'.encode(),
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2), pa.int64()),
+        "html": pa.array(pages, pa.binary()),
+    }))
+    out = run_pipeline("html_extract drop_html", docs) \
+        .sort("doc_id").take_all()
+    assert [r["text"] for r in out] == [html_to_text(p) for p in pages]
+    assert "html" not in out[0]
+
+    out = run_pipeline("boilerplate out=main", docs) \
+        .sort("doc_id").take_all()
+    assert [r["main"] for r in out] == [boilerplate_text(p)
+                                        for p in pages]
+    assert "nav" not in out[1]["main"] and good in out[1]["main"]
