@@ -957,6 +957,43 @@ def _boilerplate_docs(sf_dir: str):
     ).drop_columns(["html"]).sort("doc_id")
 
 
+def _quality_classifier(sf_dir: str):
+    """fastText/CCNet-style hashed-gram quality classifier
+    (text/classifier.py): train logistic regression on a labeled sample
+    (positive = lang=='en' docs, negative = the rest — a deterministic
+    stand-in for the wiki-vs-crawl split), then score every document
+    map-only under the broadcast weight vector. Oracle = per-doc
+    sequential featurize + the same driver-side GD
+    (sequential.py classifier_seq) — scores must match BIT-for-bit
+    (the ascending-bucket summation contract)."""
+    from tenzir_ray.text.classifier import (
+        classifier_score,
+        classifier_train,
+    )
+    from tenzir_ray.text.sequential import classifier_seq
+
+    NB, EP = 1024, 30
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text", "lang"])
+    if docs is not None:
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        langs = docs.column("lang").to_pylist()
+        _write_oracle("quality_classifier", classifier_seq(
+            ids, texts,
+            [t for t, l in zip(texts, langs) if l == "en"],
+            [t for t, l in zip(texts, langs) if l != "en"],
+            num_buckets=NB, epochs=EP))
+    else:
+        _skip_oracle("quality_classifier")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model = classifier_train(
+        ds.filter(expr="lang == 'en'"), ds.filter(expr="lang != 'en'"),
+        num_buckets=NB, epochs=EP, max_sample=2000)
+    return classifier_score(ds, model) \
+        .drop_columns(["text", "lang"]).sort("doc_id")
+
+
 def _minhash_dedup_docs(sf_dir: str):
     """MinHash-LSH near-dup dedup, checked against a sequential
     one-doc-at-a-time reimplementation (text/sequential.py) joined back
@@ -3136,6 +3173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- never driver-checked (new this round) ----------------------
         "html_extract_docs": _html_extract_docs,
         "boilerplate_docs": _boilerplate_docs,
+        "quality_classifier": _quality_classifier,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
         "normalize_docs": _normalize_docs,
@@ -3487,6 +3525,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "boilerplate_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/boilerplate_docs.parquet'
+            ORDER BY doc_id
+        """,
+        "quality_classifier": """
+            SELECT * FROM
+              '/tmp/tenzir_ray_oracle/quality_classifier.parquet'
             ORDER BY doc_id
         """,
         "incremental_exact_docs": """

@@ -1695,6 +1695,35 @@ class Pipeline:
             col = cols[0] if cols else "text"
             return lambda ds: normalize_documents(
                 ds, text_col=col, collapse_ws=collapse)
+        if op == "quality_classify":
+            # quality_classify target=<path.parquet> [text=] [buckets=]
+            #   [epochs=] [max_sample=] — fastText/CCNet-style quality
+            # scoring (text/classifier.py): train wiki-vs-crawl style
+            # logistic regression with the TARGET corpus as positives
+            # and a bounded sample of the input as negatives, then
+            # score the input map-only
+            from tenzir_ray.text.classifier import (
+                classifier_score,
+                classifier_train,
+            )
+
+            kv = dict(p.split("=", 1) for p in csv(rest))
+            try:
+                path = kv["target"].strip().strip('"')
+            except KeyError:
+                raise ValueError("quality_classify: missing required "
+                                 "operand target=") from None
+            col = kv.get("text", "text").strip()
+            nb = int(kv.get("buckets", 4096))
+            ep = int(kv.get("epochs", 30))
+            ms = int(kv.get("max_sample", 20000))
+
+            def _qc(ds, path=path, col=col, nb=nb, ep=ep, ms=ms):
+                model = classifier_train(
+                    _read_parquet_clean(path), ds, text_col=col,
+                    num_buckets=nb, epochs=ep, max_sample=ms)
+                return classifier_score(ds, model, text_col=col)
+            return _qc
         if op == "html_extract":
             # html_extract [html=html] [out=text] [drop_html] — rich
             # HTML→text (comments/script/style removal, block structure,

@@ -669,3 +669,82 @@ def justext_seq(doc_ids: list, htmls: list, **kw) -> pa.Table:
         "text": pa.array([boilerplate_text(h, **kw) for h in htmls],
                          pa.string()),
     })
+
+
+def classifier_seq(doc_ids: list, texts: list, pos_texts: list,
+                   neg_texts: list, num_buckets: int = 4096,
+                   epochs: int = 50, lr: float = 2.0, l2: float = 1e-4,
+                   ) -> pa.Table:
+    """Sequential oracle for the fastText-style quality classifier
+    (text/classifier.py): per-doc dict-accumulated hashed-gram features
+    (same leaf hash primitives as dsir_seq; tokenization and counting
+    re-derived one document at a time), the SAME driver-side
+    ``logreg_fit`` (training is driver-side pure numpy in the engine
+    too — the distributed surface this oracle checks is featurization
+    and scoring), and per-doc scoring accumulated in ascending bucket
+    order (the engine's float-determinism contract)."""
+    from tenzir_ray.text.classifier import logreg_fit
+    from tenzir_ray.text.dsir import _BIGRAM_MULT
+
+    bu = np.uint64(num_buckets)
+
+    def grams(txt) -> list[int]:
+        import re as _re
+        low = pc.utf8_lower(pa.array([txt or ""], pa.string()))[0].as_py()
+        words = [w for w in _re.split(r"[^a-z0-9']+", low) if w]
+        if not words:
+            return []
+        h = pd.util.hash_array(
+            np.array(words, dtype=object)).astype(np.uint64)
+        out = [int(x % bu) for x in h]
+        with np.errstate(over="ignore"):
+            for i in range(len(h) - 1):
+                out.append(int(((h[i] * _BIGRAM_MULT) ^ h[i + 1]) % bu))
+        return out
+
+    def sparse(doc_texts) -> tuple[list, list, list]:
+        ds_, bs_, ws_ = [], [], []
+        for i, txt in enumerate(doc_texts):
+            gl = grams(txt)
+            if not gl:
+                continue
+            counts: dict[int, int] = {}
+            for g in gl:
+                counts[g] = counts.get(g, 0) + 1
+            total = float(len(gl))
+            for bkt in sorted(counts):
+                ds_.append(i)
+                bs_.append(bkt)
+                ws_.append(counts[bkt] / total)
+        return ds_, bs_, ws_
+
+    dp, bp, wp = sparse(pos_texts)
+    dn, bn, wn = sparse(neg_texts)
+    n_pos = len(pos_texts)
+    d = np.array(dp + [i + n_pos for i in dn], np.int64)
+    b = np.array(bp + bn, np.int64)
+    w = np.array(wp + wn, np.float64)
+    labels = np.zeros(n_pos + len(neg_texts), np.float64)
+    labels[:n_pos] = 1.0
+    weights, bias = logreg_fit(d, b, w, labels, num_buckets,
+                               epochs=epochs, lr=lr, l2=l2)
+
+    scores, flags = [], []
+    for txt in texts:
+        gl = grams(txt)
+        s = 0.0
+        if gl:
+            counts: dict[int, int] = {}
+            for g in gl:
+                counts[g] = counts.get(g, 0) + 1
+            total = float(len(gl))
+            for bkt in sorted(counts):
+                s += (counts[bkt] / total) * weights[bkt]
+        z = bias + s
+        scores.append(z)
+        flags.append(z > 0.0)
+    return pa.table({
+        "doc_id": pa.array([int(i) for i in doc_ids], pa.int64()),
+        "quality_score": pa.array(scores, pa.float64()),
+        "is_quality": pa.array(flags, pa.bool_()),
+    })

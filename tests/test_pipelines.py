@@ -1051,3 +1051,30 @@ def test_html_ops_from_text(ray_session):
     assert [r["main"] for r in out] == [boilerplate_text(p)
                                         for p in pages]
     assert "nav" not in out[1]["main"] and good in out[1]["main"]
+
+
+def test_quality_classify_from_text(ray_session, tmp_path):
+    """quality_classify reachable from pipeline text (CCNet shape:
+    target corpus = positives, the input itself = negatives)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    target = tmp_path / "target.parquet"
+    pq.write_table(pa.table({"text": pa.array([
+        "the cat sat on the mat and the dog sat by the door",
+        "it was the best of times and it was the worst of times",
+        "we hold these truths to be self evident that all are equal",
+    ])}), str(target))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the cat and the dog sat by the best door",
+                          "zzz qqq www kkk jjj xxx"]),
+    }))
+    out = run_pipeline(
+        f'quality_classify target="{target}", buckets=256, epochs=40',
+        docs).sort("doc_id").take_all()
+    assert out[0]["quality_score"] > out[1]["quality_score"]
+    assert set(out[0]) == {"doc_id", "text", "quality_score",
+                           "is_quality"}
