@@ -893,8 +893,11 @@ def _html_pages_ds(sf_dir: str):
         })
         return out
 
+    # the toy table is ONE parquet row group → one block; real WARC
+    # ingest arrives as many files (one read task each), so split here
+    # to restore the parallelism the at-scale input has natively
     return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(decorate, batch_format="pyarrow")
+        .repartition(32).map_batches(decorate, batch_format="pyarrow")
 
 
 def _html_extract_docs(sf_dir: str):

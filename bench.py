@@ -156,7 +156,8 @@ def bench_queries() -> dict[str, float]:
         "incremental_dedup_docs", "kafka_roundtrip", "format_roundtrip",
         "zip_funcs", "asof_join_orders", "range_join_events",
         "hash_join_orders", "s3_roundtrip", "dsir_select", "c4_clean",
-        "normalize_docs",
+        "normalize_docs", "html_extract_docs", "boilerplate_docs",
+        "quality_classifier",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -204,15 +204,17 @@ def html_extract(
         out = s.to_numpy(zero_copy_only=False).astype(object)
         slow = np.flatnonzero(left.to_numpy(zero_copy_only=False))
         if slow.size:
-            base = pc.replace_substring_regex(col, _COMMENT, " ")
+            # re-strip ONLY the slow rows (take), not the whole column
+            base = col.take(pa.array(slow, pa.int64()))
+            base = pc.replace_substring_regex(base, _COMMENT, " ")
             base = pc.replace_substring_regex(base, _CDATA, " ")
             base = pc.replace_substring_regex(base, _RAW, " ")
             base = pc.replace_substring_regex(base, _BLOCK, "\n")
             base = pc.replace_substring_regex(base, _ANYTAG, " ")
             base = pc.replace_substring_regex(base, _TAILTAG, " ")
-            for i in slow:
+            for j, i in enumerate(slow):
                 out[i] = _ws_normalize(decode_entities(
-                    base[int(i)].as_py()))
+                    base[j].as_py()))
         nm = null_mask.to_numpy(zero_copy_only=False)
         if nm.any():
             out[nm] = ""
