@@ -960,6 +960,53 @@ def _boilerplate_docs(sf_dir: str):
     ).drop_columns(["html"]).sort("doc_id")
 
 
+def _host_pagerank(sf_dir: str):
+    """Web link graph (text/linkgraph.py): href extraction over
+    deterministic decorated pages (40 synthetic hosts, 3 modulus-keyed
+    cross-host links per page — hub structure via the %5 link) →
+    host-level PageRank in FIXED-POINT int64 arithmetic, the
+    Common-Crawl host-rank recipe. Integer ops make the distributed
+    fold bit-identical to the sequential oracle (float PageRank can't
+    be hash-verified across a shuffle); oracle = per-page findall +
+    dict power iteration (sequential.py extract_links_seq /
+    pagerank_seq)."""
+    from tenzir_ray.text.linkgraph import extract_links, pagerank
+    from tenzir_ray.text.sequential import extract_links_seq, pagerank_seq
+
+    def page_of(i: int) -> tuple[str, str]:
+        url = f"http://h{i % 40}.example/p{i}"
+        html = (f'<a href="http://h{(i * 7 + 1) % 40}.example/x">a</a>'
+                f"<a href='//h{(i * 13 + 3) % 40}.example/y'>b</a>"
+                f'<a href="http://h{i % 5}.example/hub">c</a>'
+                '<a href="/self">rel</a>')
+        return url, html
+
+    ITERS = 12
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"),
+                         200_000, columns=["doc_id"])
+    if docs is not None:
+        ids = docs.column("doc_id").to_pylist()
+        pages = [page_of(int(i)) for i in ids]
+        _write_oracle("host_pagerank", pagerank_seq(
+            extract_links_seq([u for u, _ in pages],
+                              [h for _, h in pages]), iters=ITERS))
+    else:
+        _skip_oracle("host_pagerank")
+
+    def decorate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pages = [page_of(int(i)) for i in ids]
+        return pa.table({
+            "url": pa.array([u for u, _ in pages], pa.string()),
+            "html": pa.array([h for _, h in pages], pa.string()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .repartition(16).map_batches(decorate, batch_format="pyarrow")
+    return pagerank(extract_links(ds), iters=ITERS)
+
+
 def _quality_classifier(sf_dir: str):
     """fastText/CCNet-style hashed-gram quality classifier
     (text/classifier.py): train logistic regression on a labeled sample
@@ -3177,6 +3224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_docs": _html_extract_docs,
         "boilerplate_docs": _boilerplate_docs,
         "quality_classifier": _quality_classifier,
+        "host_pagerank": _host_pagerank,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
         "normalize_docs": _normalize_docs,
@@ -3534,6 +3582,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM
               '/tmp/tenzir_ray_oracle/quality_classifier.parquet'
             ORDER BY doc_id
+        """,
+        "host_pagerank": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/host_pagerank.parquet'
+            ORDER BY rank DESC, host
         """,
         "incremental_exact_docs": """
             SELECT * FROM

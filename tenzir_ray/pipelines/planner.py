@@ -1695,6 +1695,27 @@ class Pipeline:
             col = cols[0] if cols else "text"
             return lambda ds: normalize_documents(
                 ds, text_col=col, collapse_ws=collapse)
+        if op == "extract_links":
+            # extract_links [html=html] [url=url] — (url, html) pages →
+            # (src_host, dst_host) edges (text/linkgraph.py)
+            from tenzir_ray.text.linkgraph import extract_links
+
+            kv = _kv(rest, "extract_links")
+            return lambda ds: extract_links(
+                ds, html_col=kv.get("html", "html").strip(),
+                url_col=kv.get("url", "url").strip())
+        if op == "pagerank":
+            # pagerank [iters=20] — fixed-point host PageRank over a
+            # (src_host, dst_host) edge stream; emits (host, rank)
+            from tenzir_ray.text.linkgraph import pagerank
+
+            kv = _kv(rest, "pagerank")
+            iters = int(kv.get("iters", 20))
+
+            def _pr(ds, iters=iters):
+                import ray.data as _rd
+                return _rd.from_arrow(pagerank(ds, iters=iters))
+            return _pr
         if op == "quality_classify":
             # quality_classify target=<path.parquet> [text=] [buckets=]
             #   [epochs=] [max_sample=] — fastText/CCNet-style quality

@@ -27,6 +27,7 @@ from tenzir_ray.text.incremental import (
 from tenzir_ray.text.bpe import bpe_tokenize, bpe_train
 from tenzir_ray.text.c4 import c4_clean, c4_span_dedup
 from tenzir_ray.text.classifier import classifier_score, classifier_train
+from tenzir_ray.text.linkgraph import extract_links, pagerank
 from tenzir_ray.text.html import (
     boilerplate_extract,
     boilerplate_text,
@@ -58,6 +59,8 @@ __all__ = [
     "boilerplate_text",
     "classifier_score",
     "classifier_train",
+    "extract_links",
+    "pagerank",
     "html_extract",
     "html_to_text",
     "normalize_documents",

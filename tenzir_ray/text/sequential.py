@@ -748,3 +748,60 @@ def classifier_seq(doc_ids: list, texts: list, pos_texts: list,
         "quality_score": pa.array(scores, pa.float64()),
         "is_quality": pa.array(flags, pa.bool_()),
     })
+
+
+def extract_links_seq(urls: list, htmls: list) -> list[tuple[str, str]]:
+    """Sequential oracle for
+    :func:`tenzir_ray.text.linkgraph.extract_links`: per-page href
+    findall with the shared compiled pattern, per-page dedup, sorted
+    emission — one page at a time."""
+    from tenzir_ray.functions.url import url_host
+    from tenzir_ray.text.linkgraph import _HREF, _host_of_links
+
+    out: list[tuple[str, str]] = []
+    for u, h in zip(urls, htmls):
+        if h is None:
+            continue
+        if isinstance(h, bytes):
+            h = h.decode("utf-8", "replace")
+        src = url_host(pa.array([u or ""], pa.string()))[0].as_py()
+        src = (src or "").lower()
+        if not src or "href" not in h.lower():
+            continue
+        hrefs = [m.group(2) or m.group(3) or m.group(4) or ""
+                 for m in _HREF.finditer(h)]
+        for dst in sorted(_host_of_links(src, hrefs)):
+            out.append((src, dst))
+    return out
+
+
+def pagerank_seq(edge_pairs: list, damping_num: int = 85,
+                 damping_den: int = 100, iters: int = 20) -> pa.Table:
+    """Sequential fixed-point PageRank over [(src, dst)] pairs: plain
+    dict arithmetic, same integer spec (floor-divided contributions,
+    rational damping, dangling mass redistributed) — bit-identical to
+    the distributed fold because int64 addition is order-free."""
+    scale = 1 << 30
+    hosts = sorted({h for p in edge_pairs for h in p})
+    n = len(hosts)
+    if n == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64())})
+    outdeg = {h: 0 for h in hosts}
+    for s, _ in edge_pairs:
+        outdeg[s] += 1
+    rank = {h: scale // n for h in hosts}
+    base = (scale * (damping_den - damping_num) // damping_den) // n
+    for _ in range(iters):
+        acc = {h: 0 for h in hosts}
+        for s, d in edge_pairs:
+            acc[d] += rank[s] // outdeg[s]
+        dangling = sum(rank[h] for h in hosts if outdeg[h] == 0)
+        extra = dangling // n
+        rank = {h: base + (acc[h] + extra) * damping_num // damping_den
+                for h in hosts}
+    order = sorted(hosts, key=lambda h: (-rank[h], h))
+    return pa.table({
+        "host": pa.array(order, pa.string()),
+        "rank": pa.array([rank[h] for h in order], pa.int64()),
+    })

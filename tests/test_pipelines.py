@@ -1078,3 +1078,22 @@ def test_quality_classify_from_text(ray_session, tmp_path):
     assert out[0]["quality_score"] > out[1]["quality_score"]
     assert set(out[0]) == {"doc_id", "text", "quality_score",
                            "is_quality"}
+
+
+def test_linkgraph_from_text(ray_session):
+    """extract_links | pagerank reachable from pipeline text."""
+    import pyarrow as pa
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+    from tenzir_ray.text.sequential import pagerank_seq
+
+    docs = rd.from_arrow(pa.table({
+        "url": pa.array(["http://a.x/1", "http://b.x/1"], pa.string()),
+        "html": pa.array(['<a href="http://b.x/p">l</a>',
+                          '<a href="http://a.x/p">l</a>'], pa.string()),
+    }))
+    out = run_pipeline("extract_links | pagerank iters=6", docs) \
+        .take_all()
+    exp = pagerank_seq([("a.x", "b.x"), ("b.x", "a.x")], iters=6)
+    assert [(r["host"], r["rank"]) for r in out] == list(zip(
+        exp.column("host").to_pylist(), exp.column("rank").to_pylist()))
