@@ -960,6 +960,87 @@ def _boilerplate_docs(sf_dir: str):
     ).drop_columns(["html"]).sort("doc_id")
 
 
+def _wet_pipeline(sf_dir: str):
+    """Common-Crawl WET generation END-TO-END: decorated HTML pages →
+    WARC response records in gzip-per-record part files on disk →
+    read_warc → rich html_extract over the recovered payloads →
+    per-group extracted-text stats. Composes the WARC container
+    (sources/warc.py), the Arrow-RE2 extraction chain (text/html.py)
+    and summarize — the exact job that produces CC's WET files. Oracle
+    = per-doc sequential extraction over the same pages, aggregated in
+    exact int64 arithmetic."""
+    import hashlib
+    import shutil
+
+    import tenzir_ray.stages as ops
+    from tenzir_ray.sources.warc import read_warc, write_warc
+    from tenzir_ray.text.html import html_extract, html_to_text
+
+    prefix = "https://crawl.example/doc/"
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
+        ids = np.asarray(docs.column("doc_id").to_pylist())
+        texts = np.asarray(docs.column("text").to_pylist(), dtype=object)
+        pages = _decorate_html(ids, texts)
+        agg: dict[int, list] = {}
+        for i, p in zip(ids.tolist(), pages.tolist()):
+            wet = html_to_text(p)
+            g = int(i) & 7
+            n, ch, nl = agg.get(g, [0, 0, 0])
+            agg[g] = [n + 1, ch + len(wet), nl + wet.count("\n")]
+        gs = sorted(agg)
+        _write_oracle("wet_pipeline", pa.table({
+            "g": pa.array(gs, pa.int64()),
+            "n": pa.array([agg[g][0] for g in gs], pa.int64()),
+            "chars": pa.array([agg[g][1] for g in gs], pa.int64()),
+            "newlines": pa.array([agg[g][2] for g in gs], pa.int64()),
+        }))
+    else:
+        _skip_oracle("wet_pipeline")
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        url = pc.binary_join_element_wise(
+            prefix, pc.cast(ids, pa.string()), "")
+        ts = pc.cast(pc.add(ids, 1_760_000_000),
+                     pa.timestamp("s")).cast(pa.timestamp("ns"))
+        return pa.table({
+            "url": url, "warc_ts": ts,
+            "payload": pc.cast(t["html"], pa.binary()),
+        })
+
+    spool = os.path.join(
+        "/tmp", "tenzir_ray_wet_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10])
+    shutil.rmtree(spool, ignore_errors=True)
+    write_warc(_html_pages_ds(sf_dir)
+               .map_batches(mk, batch_format="pyarrow"), spool)
+    wet = html_extract(read_warc(spool), html_col="payload",
+                       out_col="text", drop_html=True)
+
+    def stats(t: pa.Table) -> pa.Table:
+        did = pc.cast(pc.utf8_slice_codeunits(
+            t["url"], start=len(prefix), stop=10_000), pa.int64())
+        txt = t.column("text")
+        nl = pc.count_substring(txt, "\n")
+        return pa.table({
+            "g": pc.bit_wise_and(did, 7),
+            "len": pc.utf8_length(txt),
+            "nl": nl,
+        })
+
+    out = ops.summarize(wet.map_batches(stats, batch_format="pyarrow"),
+                        "g", combine="auto",
+                        n="count", chars=("sum", "len"),
+                        newlines=("sum", "nl"))
+    return ops.set_(
+        out,
+        chars=lambda t: pc.cast(t["chars"], pa.int64()),
+        newlines=lambda t: pc.cast(t["newlines"], pa.int64()),
+    ).sort("g")
+
+
 def _host_pagerank(sf_dir: str):
     """Web link graph (text/linkgraph.py): href extraction over
     deterministic decorated pages (40 synthetic hosts, 3 modulus-keyed
@@ -3225,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_docs": _boilerplate_docs,
         "quality_classifier": _quality_classifier,
         "host_pagerank": _host_pagerank,
+        "wet_pipeline": _wet_pipeline,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
         "normalize_docs": _normalize_docs,
@@ -3586,6 +3668,10 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/host_pagerank.parquet'
             ORDER BY rank DESC, host
+        """,
+        "wet_pipeline": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/wet_pipeline.parquet'
+            ORDER BY g
         """,
         "incremental_exact_docs": """
             SELECT * FROM

@@ -157,7 +157,7 @@ def bench_queries() -> dict[str, float]:
         "zip_funcs", "asof_join_orders", "range_join_events",
         "hash_join_orders", "s3_roundtrip", "dsir_select", "c4_clean",
         "normalize_docs", "html_extract_docs", "boilerplate_docs",
-        "quality_classifier", "host_pagerank",
+        "quality_classifier", "host_pagerank", "wet_pipeline",
     ]
     out: dict[str, float] = {}
     for name in names:
