@@ -1728,7 +1728,7 @@ class Pipeline:
                 classifier_train,
             )
 
-            kv = dict(p.split("=", 1) for p in csv(rest))
+            kv = _kv(rest, "quality_classify")
             try:
                 path = kv["target"].strip().strip('"')
             except KeyError:

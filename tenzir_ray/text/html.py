@@ -159,13 +159,10 @@ def html_to_text(doc: bytes | str | None) -> str:
     return _ws_normalize(s)
 
 
-def html_to_text_batch(col) -> pa.Array:
-    """The full rule chain over a whole column (the batch kernel of
-    :func:`html_extract`): Arrow-RE2 for steps 2-4 and 6, the
-    six-entity chain for step 5, and the per-doc decoder ONLY for rows
-    where an uncommon character reference survives — those rows are
-    re-stripped individually (``take``), never the whole column. Null
-    input rows yield ``""`` (the per-doc contract)."""
+def utf8_string_array(col) -> pa.Array:
+    """binary/large_binary → string with a per-row ``errors="replace"``
+    fallback for invalid UTF-8 (shared by the extraction and link-graph
+    kernels; string input passes through)."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
         else col
     if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
@@ -175,6 +172,17 @@ def html_to_text_batch(col) -> pa.Array:
             col = pa.array(
                 [None if v is None else v.decode("utf-8", "replace")
                  for v in col.to_pylist()], pa.string())
+    return col
+
+
+def html_to_text_batch(col) -> pa.Array:
+    """The full rule chain over a whole column (the batch kernel of
+    :func:`html_extract`): Arrow-RE2 for steps 2-4 and 6, the
+    six-entity chain for step 5, and the per-doc decoder ONLY for rows
+    where an uncommon character reference survives — those rows are
+    re-stripped individually (``take``), never the whole column. Null
+    input rows yield ``""`` (the per-doc contract)."""
+    col = utf8_string_array(col)
     null_mask = pc.is_null(col)
     col = pc.fill_null(col, "")
     s = pc.replace_substring_regex(col, _COMMENT, " ")
@@ -222,8 +230,14 @@ def html_extract(
     with uncommon character references take the per-doc decoder."""
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            # keep the empty-block schema identical to non-empty blocks
+            # (append out_col AND honor drop_html) or downstream schema
+            # unification breaks on heterogeneous bundles
             if out_col not in t.column_names:
                 t = t.append_column(out_col, pa.array([], pa.string()))
+            if drop_html and html_col != out_col and \
+                    html_col in t.column_names:
+                t = t.drop_columns([html_col])
             return t
         arr = html_to_text_batch(t.column(html_col))
         if out_col in t.column_names:

@@ -88,23 +88,17 @@ def extract_links(
     choice (``pagerank`` counts each (page → host) once, which is the
     host-graph convention: edge weight = #linking pages)."""
     def kernel(t: pa.Table) -> pa.Table:
-        col = t.column(html_col)
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-            else col
-        if pa.types.is_binary(col.type) or \
-                pa.types.is_large_binary(col.type):
-            try:
-                col = col.cast(pa.string())
-            except pa.ArrowInvalid:
-                col = pa.array(
-                    [None if v is None else v.decode("utf-8", "replace")
-                     for v in col.to_pylist()], pa.string())
-        col = pc.fill_null(col, "")
+        from tenzir_ray.text.html import utf8_string_array
+
+        col = pc.fill_null(utf8_string_array(t.column(html_col)), "")
         srcs = url_host(pc.fill_null(
             t.column(url_col).combine_chunks()
             if isinstance(t.column(url_col), pa.ChunkedArray)
             else t.column(url_col), ""))
-        srcs = pc.utf8_lower(pc.fill_null(srcs, "")).to_pylist()
+        # strip userinfo like the destination rule (split("@")[-1]) so
+        # user@h.example and h.example are ONE node on both sides
+        srcs = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(srcs, "")), "^.*@", "").to_pylist()
         has = pc.match_substring(col, "href", ignore_case=True) \
             .to_numpy(zero_copy_only=False)
         s_out: list[str] = []
@@ -145,6 +139,11 @@ def pagerank(
     partials that the driver folds — the DSIR model-fit pattern, no
     shuffle inside the loop."""
     import ray
+
+    # the narrow two-string edge table is consumed by THREE passes
+    # (host scan, to_idx, and transitively every iteration) — pin it
+    # once so the upstream extraction pipeline never re-executes
+    edges = edges.materialize()
 
     # pass 1: node table (distinct hosts; per-block distinct → driver set)
     def uniq(t: pa.Table) -> pa.Table:

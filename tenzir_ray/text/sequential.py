@@ -765,7 +765,7 @@ def extract_links_seq(urls: list, htmls: list) -> list[tuple[str, str]]:
         if isinstance(h, bytes):
             h = h.decode("utf-8", "replace")
         src = url_host(pa.array([u or ""], pa.string()))[0].as_py()
-        src = (src or "").lower()
+        src = (src or "").lower().split("@")[-1]  # userinfo strip
         if not src or "href" not in h.lower():
             continue
         hrefs = [m.group(2) or m.group(3) or m.group(4) or ""

@@ -104,3 +104,19 @@ def test_pagerank_distributed_loop_bit_equal_to_fast_path():
     fast = pagerank(ds, iters=7)
     exp = pagerank_seq(pairs, iters=7)
     assert slow.to_pydict() == fast.to_pydict() == exp.to_pydict()
+
+
+def test_src_userinfo_strip_symmetric():
+    """user@h.example as SOURCE collapses to h.example — same rule as
+    destinations (review finding: the two sides once disagreed)."""
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["http://user@h.example/p"], pa.string()),
+        "html": pa.array(['<a href="http://h.example/x">l</a>'],
+                         pa.string()),
+    }))
+    got = [(r["src_host"], r["dst_host"])
+           for r in extract_links(ds).take_all()]
+    assert got == [("h.example", "h.example")]
+    exp = extract_links_seq(["http://user@h.example/p"],
+                            ['<a href="http://h.example/x">l</a>'])
+    assert got == exp
