@@ -11,7 +11,9 @@ main-content selection.
 ``html_to_text`` rule chain (deterministic; the spec both the
 distributed Arrow-RE2 path and the per-doc sequential oracle implement):
 
-1. bytes input decodes as UTF-8 with ``errors="replace"``.
+1. bytes input decodes charset-aware (``decode_html_bytes``): strict
+   UTF-8 first; if invalid, the page's own ``<meta charset=…>``
+   declaration (latin-1/cp1252 family); else UTF-8 with replacement.
 2. comments ``<!-- … -->`` removed (non-greedy; unterminated → to end
    of document); ``<![CDATA[ … ]]>`` likewise.
 3. raw-text elements removed WHOLE (content and tags): ``script``,
@@ -148,7 +150,7 @@ def html_to_text(doc: bytes | str | None) -> str:
     if doc is None:
         return ""
     if isinstance(doc, bytes):
-        doc = doc.decode("utf-8", "replace")
+        doc = decode_html_bytes(doc)
     s = _P_COMMENT.sub(" ", doc)
     s = _P_CDATA.sub(" ", s)
     s = _P_RAW.sub(" ", s)
@@ -159,10 +161,43 @@ def html_to_text(doc: bytes | str | None) -> str:
     return _ws_normalize(s)
 
 
+# charset declarations a real crawl actually contains (ordered aliases
+# → python codec); anything else falls back to utf-8-with-replacement
+_CHARSETS = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "latin-1", "iso8859-1": "latin-1", "latin-1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+}
+_META_CHARSET = re.compile(
+    rb"""(?is)<meta[^>]+charset\s*=\s*["']?\s*([a-z0-9_\-]+)""")
+
+
+def decode_html_bytes(b: bytes) -> str:
+    """Charset-aware page decode (the order browsers and WARC text
+    extractors effectively use): strict UTF-8 → the page's own
+    ``<meta charset=…>`` declaration (latin-1/cp1252 family) → UTF-8
+    with replacement. Only consulted when the bytes are NOT valid
+    UTF-8 — valid UTF-8 always wins regardless of a (frequently wrong)
+    declaration, which keeps the vectorized cast fast path and this
+    per-doc path in exact agreement (a UTF-8 BOM survives as U+FEFF in
+    BOTH paths; normalize strips it downstream)."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _META_CHARSET.search(b[:2048])
+    if m:
+        codec = _CHARSETS.get(m.group(1).decode("ascii", "ignore").lower())
+        if codec and codec != "utf-8":
+            return b.decode(codec, "replace")
+    return b.decode("utf-8", "replace")
+
+
 def utf8_string_array(col) -> pa.Array:
-    """binary/large_binary → string with a per-row ``errors="replace"``
-    fallback for invalid UTF-8 (shared by the extraction and link-graph
-    kernels; string input passes through)."""
+    """binary/large_binary → string; the whole-column zero-copy cast
+    when every row is valid UTF-8, else per-row charset-aware decode
+    (:func:`decode_html_bytes`). Shared by the extraction and
+    link-graph kernels; string input passes through."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
         else col
     if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
@@ -170,7 +205,7 @@ def utf8_string_array(col) -> pa.Array:
             col = col.cast(pa.string())
         except pa.ArrowInvalid:
             col = pa.array(
-                [None if v is None else v.decode("utf-8", "replace")
+                [None if v is None else decode_html_bytes(v)
                  for v in col.to_pylist()], pa.string())
     return col
 
@@ -298,7 +333,7 @@ def classify_blocks(
     if doc is None:
         return []
     if isinstance(doc, bytes):
-        doc = doc.decode("utf-8", "replace")
+        doc = decode_html_bytes(doc)
     s = _P_COMMENT.sub(" ", doc)
     s = _P_CDATA.sub(" ", s)
     s = _P_RAW.sub(" ", s)

@@ -141,3 +141,33 @@ def test_extract_idempotent_on_tagless_text():
         once = html_to_text(h)
         if "&" not in once and "<" not in once:
             assert html_to_text(once) == once
+
+
+def test_charset_sniffing():
+    from tenzir_ray.text.html import decode_html_bytes
+
+    # valid UTF-8 wins even with a (wrong) declaration
+    b = '<meta charset="windows-1252"><p>café</p>'.encode("utf-8")
+    assert "café" in decode_html_bytes(b)
+    # invalid UTF-8 + declared cp1252 → smart quotes decode
+    b = b'<meta charset="windows-1252"><p>\x93quoted\x94 caf\xe9</p>'
+    s = decode_html_bytes(b)
+    assert "“quoted”" in s and "café" in s
+    # declared latin-1
+    b = b"<meta http-equiv='Content-Type' content='text/html; " \
+        b"charset=ISO-8859-1'><p>caf\xe9</p>"
+    assert "café" in decode_html_bytes(b)
+    # no declaration, invalid bytes → replacement chars
+    assert "�" in decode_html_bytes(b"caf\xe9 plain")
+
+
+def test_charset_batch_parity():
+    pages = [
+        b'<meta charset="windows-1252"><p>\x93q\x94 ok</p>',
+        b"<p>plain utf8 caf\xc3\xa9</p>",
+        b"\xff\xfe garbage",
+        None,
+    ]
+    ds = rd.from_arrow(pa.table({"html": pa.array(pages, pa.binary())}))
+    got = [r["text"] for r in html_extract(ds).take_all()]
+    assert got == [html_to_text(p) for p in pages]
