@@ -78,3 +78,72 @@ def test_boilerplate_is_subset_of_blocks(page):
     assert txt == "\n".join(goods)
     for c, t in blocks:
         assert c in ("good", "bad")  # smoothing resolves every class
+
+
+_doc_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.sampled_from("éÉıİß \n\t'"),
+    ),
+    max_size=60)
+
+
+@given(st.lists(st.one_of(st.none(), _doc_text), max_size=8))
+@settings(max_examples=80, deadline=None)
+def test_classifier_features_match_per_doc_dict(texts):
+    """doc_features (one Arrow pass + np.unique) must equal the
+    oracle's per-doc Counter loop: same (doc, bucket, weight) triplets
+    in the same ascending (doc, bucket) order — the bit-exactness
+    contract every classifier score rests on."""
+    import re
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from tenzir_ray.text.classifier import doc_features
+    from tenzir_ray.text.dsir import _BIGRAM_MULT
+    import numpy as np
+
+    nb = 128
+    d, b, w = doc_features(pa.array(texts, pa.string()), nb)
+
+    bu = np.uint64(nb)
+    ed, eb, ew = [], [], []
+    for i, txt in enumerate(texts):
+        low = pc.utf8_lower(pa.array([txt or ""], pa.string()))[0].as_py()
+        words = [x for x in re.split(r"[^a-z0-9']+", low) if x]
+        if not words:
+            continue
+        h = pd.util.hash_array(
+            np.array(words, dtype=object)).astype(np.uint64)
+        grams = [int(x % bu) for x in h]
+        with np.errstate(over="ignore"):
+            for j in range(len(h) - 1):
+                grams.append(int(((h[j] * _BIGRAM_MULT) ^ h[j + 1]) % bu))
+        counts: dict[int, int] = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        total = float(len(grams))
+        for bkt in sorted(counts):
+            ed.append(i)
+            eb.append(bkt)
+            ew.append(counts[bkt] / total)
+    assert d.tolist() == ed
+    assert b.tolist() == eb
+    assert w.tolist() == ew  # bit-exact float division
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_decode_html_bytes_total(b):
+    """Charset-aware decode never raises and always returns str; valid
+    UTF-8 round-trips unchanged."""
+    from tenzir_ray.text.html import decode_html_bytes
+
+    s = decode_html_bytes(b)
+    assert isinstance(s, str)
+    try:
+        expect = b.decode("utf-8")
+        assert s == expect
+    except UnicodeDecodeError:
+        pass
