@@ -960,6 +960,40 @@ def _boilerplate_docs(sf_dir: str):
     ).drop_columns(["html"]).sort("doc_id")
 
 
+_UF_HOSTS = ("ads.tracker.example", "sub.spam.example", "good.example",
+             "news.example", "blog.example", "tracker.example",
+             "shop.example")
+
+
+def _url_filter_docs(sf_dir: str):
+    """URL/domain filtering (text/curation.py url_filter — the
+    FineWeb/UT1 first-stage gate): registered-domain suffix matching
+    (blocking tracker.example blocks ads.tracker.example) + an RE2 url
+    pattern, over modulus-keyed decorated urls. Oracle = pure DuckDB
+    SQL reconstructing the same urls and LIKE-matching the same
+    rules — one of the few text-family queries with a from-scratch SQL
+    oracle rather than a precomputed table."""
+    from tenzir_ray.text.curation import url_filter
+
+    def decorate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        host = np.array(_UF_HOSTS, dtype=object)[ids % 7]
+        casino = np.where(ids % 11 == 0, "/casino/x", "")
+        url = ("http://" + host + "/p/" + ids.astype(str).astype(object)
+               + casino.astype(object))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(url.astype(str), pa.string()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(decorate, batch_format="pyarrow")
+    return url_filter(
+        ds, block_domains=["tracker.example", "spam.example"],
+        block_url_re=r"/casino/").sort("doc_id")
+
+
 def _wet_pipeline(sf_dir: str):
     """Common-Crawl WET generation END-TO-END: decorated HTML pages →
     WARC response records in gzip-per-record part files on disk →
@@ -3312,6 +3346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _quality_classifier,
         "host_pagerank": _host_pagerank,
         "wet_pipeline": _wet_pipeline,
+        "url_filter_docs": _url_filter_docs,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
         "normalize_docs": _normalize_docs,
@@ -3677,6 +3712,42 @@ def oracle_sql() -> dict[str, str]:
         "wet_pipeline": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/wet_pipeline.parquet'
             ORDER BY g
+        """,
+        "url_filter_docs": """
+            WITH decorated AS (
+                SELECT doc_id,
+                       'http://' ||
+                       CASE (doc_id % 7)
+                         WHEN 0 THEN 'ads.tracker.example'
+                         WHEN 1 THEN 'sub.spam.example'
+                         WHEN 2 THEN 'good.example'
+                         WHEN 3 THEN 'news.example'
+                         WHEN 4 THEN 'blog.example'
+                         WHEN 5 THEN 'tracker.example'
+                         ELSE 'shop.example'
+                       END || '/p/' || doc_id ||
+                       CASE WHEN doc_id % 11 = 0
+                            THEN '/casino/x' ELSE '' END AS url,
+                       CASE (doc_id % 7)
+                         WHEN 0 THEN 'ads.tracker.example'
+                         WHEN 1 THEN 'sub.spam.example'
+                         WHEN 2 THEN 'good.example'
+                         WHEN 3 THEN 'news.example'
+                         WHEN 4 THEN 'blog.example'
+                         WHEN 5 THEN 'tracker.example'
+                         ELSE 'shop.example'
+                       END AS host
+                FROM documents
+            )
+            SELECT doc_id, url FROM decorated
+            WHERE NOT (
+                host = 'tracker.example'
+                OR host LIKE '%.tracker.example'
+                OR host = 'spam.example'
+                OR host LIKE '%.spam.example'
+                OR url LIKE '%/casino/%'
+            )
+            ORDER BY doc_id
         """,
         "incremental_exact_docs": """
             SELECT * FROM

@@ -1695,6 +1695,32 @@ class Pipeline:
             col = cols[0] if cols else "text"
             return lambda ds: normalize_documents(
                 ds, text_col=col, collapse_ws=collapse)
+        if op == "url_filter":
+            # url_filter [block="a.com|b.com"] [block_file=<path>]
+            #   [pattern=<re2>] [url=url] [invert] — domain-suffix +
+            # url-regex filtering (text/curation.py url_filter, the
+            # UT1/FineWeb gate); block_file is one domain per line
+            from tenzir_ray.text.curation import url_filter
+
+            parts0 = rest.split()
+            inv = "invert" in parts0
+            kv = _kv(" ".join(p for p in parts0 if p != "invert"),
+                     "url_filter")
+            domains: list[str] = []
+            if "block" in kv:
+                domains += [d for d in
+                            kv["block"].strip('"').split("|") if d]
+            if "block_file" in kv:
+                with open(kv["block_file"].strip('"')) as f:
+                    domains += [ln.strip() for ln in f
+                                if ln.strip() and not ln.startswith("#")]
+            pat = kv.get("pattern", "").strip('"') or None
+            if not domains and not pat:
+                raise ValueError("url_filter: need block=, block_file= "
+                                 "or pattern=")
+            return lambda ds: url_filter(
+                ds, url_col=kv.get("url", "url").strip(),
+                block_domains=domains, block_url_re=pat, invert=inv)
         if op == "extract_links":
             # extract_links [html=html] [url=url] — (url, html) pages →
             # (src_host, dst_host) edges (text/linkgraph.py)

@@ -36,6 +36,7 @@ from tenzir_ray.text.html import (
 )
 from tenzir_ray.text.normalize import normalize_documents, normalize_text
 from tenzir_ray.text.dsir import dsir_score, dsir_select, fit_gram_counts
+from tenzir_ray.text.curation import url_filter
 from tenzir_ray.text.quality import analyze_documents
 from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf_search, ivf_write
 
@@ -61,6 +62,7 @@ __all__ = [
     "classifier_train",
     "extract_links",
     "pagerank",
+    "url_filter",
     "html_extract",
     "html_to_text",
     "normalize_documents",

@@ -296,3 +296,67 @@ def sample_to_token_budget(
         default_rate = rate_for(null_total, default_budget)
     return sample_mixture(ds, rates, key_col=key_col, id_col=id_col,
                           default_rate=default_rate)
+
+
+def _host_suffixes(host: str) -> list[str]:
+    """All dot-suffixes of a host that could match a domain blocklist
+    entry: 'a.b.c.example' → ['a.b.c.example', 'b.c.example',
+    'c.example', 'example'] (registered-domain matching, the UT1/
+    FineWeb convention: blocking 'example.com' blocks every
+    subdomain)."""
+    parts = host.split(".")
+    return [".".join(parts[i:]) for i in range(len(parts))]
+
+
+def url_filter(
+    ds: Dataset, url_col: str = "url", *,
+    block_domains=(), block_url_re: str | None = None,
+    invert: bool = False,
+) -> Dataset:
+    """URL/domain filtering — the first stage of every crawl-curation
+    pipeline (FineWeb §3.1, CCNet; the UT1 blocklist protocol): drop a
+    row when its url's host matches ``block_domains`` at any dot-suffix
+    (blocking ``example.com`` blocks ``www.example.com``) or when the
+    full url matches ``block_url_re`` (RE2). ``invert=True`` keeps only
+    matches (allowlist mode).
+
+    Scale shape: the blocklist broadcasts ONCE via ``ray.put`` (UT1 is
+    ~4M domains ≈ 100 MB as a frozenset — every worker holds it, the
+    corpus never shuffles); per batch, hosts reduce through
+    ``np.unique`` first (web batches repeat hosts heavily) so the
+    per-unique suffix probe is bounded by distinct hosts × ~5 labels,
+    then the verdict gathers back through the inverse index. The url
+    regex runs as one Arrow RE2 kernel."""
+    import ray
+
+    from tenzir_ray.functions.url import url_host
+
+    blocked = frozenset(
+        d.strip().lower().lstrip(".") for d in block_domains if d)
+    block_ref = ray.put(blocked) if blocked else None
+
+    def kernel(t: pa.Table) -> pa.Table:
+        col = t.column(url_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        col = pc.fill_null(col, "")
+        bad = np.zeros(t.num_rows, bool)
+        if block_ref is not None:
+            bl = ray.get(block_ref)
+            hosts = pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(url_host(col), "")),
+                "^.*@", "").to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(hosts, return_inverse=True)
+            ubad = np.array(
+                [any(s in bl for s in _host_suffixes(h)) if h else False
+                 for h in uniq], bool)
+            bad |= ubad[inv]
+        if block_url_re:
+            bad |= pc.match_substring_regex(col, block_url_re) \
+                .to_numpy(zero_copy_only=False)
+        keep = bad if invert else ~bad
+        out = t.filter(pa.array(keep))
+        return out.replace_schema_metadata(None) \
+            if out.schema.metadata else out
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

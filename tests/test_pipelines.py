@@ -1097,3 +1097,34 @@ def test_linkgraph_from_text(ray_session):
     exp = pagerank_seq([("a.x", "b.x"), ("b.x", "a.x")], iters=6)
     assert [(r["host"], r["rank"]) for r in out] == list(zip(
         exp.column("host").to_pylist(), exp.column("rank").to_pylist()))
+
+
+def test_url_filter_from_text(ray_session, tmp_path):
+    """url_filter reachable from pipeline text: inline blocklist,
+    block_file, pattern, and invert (allowlist) mode."""
+    import pyarrow as pa
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "url": pa.array([
+            "http://ads.bad.example/x",       # suffix-blocked
+            "http://good.example/casino/y",   # pattern-blocked
+            "http://good.example/ok",
+            "http://bad.example/z",           # exact-blocked
+        ], pa.string()),
+    }))
+    out = run_pipeline(
+        'url_filter block="bad.example", pattern="/casino/"', docs) \
+        .take_all()
+    assert [r["doc_id"] for r in out] == [2]
+
+    bl = tmp_path / "ut1.txt"
+    bl.write_text("# comment\nbad.example\n")
+    out = run_pipeline(f'url_filter block_file="{bl}"', docs).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+    out = run_pipeline('url_filter block="bad.example" invert', docs) \
+        .take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 3]
