@@ -960,6 +960,29 @@ def _boilerplate_docs(sf_dir: str):
     ).drop_columns(["html"]).sort("doc_id")
 
 
+def _chunk_docs(sf_dir: str):
+    """Overlapping token-window chunking (text/packing.py chunk_tokens
+    — RAG/retrieval prep, the dual of sequence packing): one Arrow
+    tokenize pass, numpy window arithmetic over the flat token buffer,
+    one binary_join per batch. Oracle = per-doc Python window walk
+    (sequential.py chunk_tokens_seq), byte-for-byte."""
+    from tenzir_ray.text.packing import chunk_tokens
+    from tenzir_ray.text.sequential import chunk_tokens_seq
+
+    SIZE, OV = 48, 8
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"), 2000,
+                         columns=["doc_id", "text"])
+    if docs is not None:
+        _write_oracle("chunk_docs", chunk_tokens_seq(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(), size=SIZE, overlap=OV))
+    else:
+        _skip_oracle("chunk_docs")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_tokens(ds, size=SIZE, overlap=OV) \
+        .sort(["doc_id", "chunk_idx"])
+
+
 _UF_HOSTS = ("ads.tracker.example", "sub.spam.example", "good.example",
              "news.example", "blog.example", "tracker.example",
              "shop.example")
@@ -3347,6 +3370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _host_pagerank,
         "wet_pipeline": _wet_pipeline,
         "url_filter_docs": _url_filter_docs,
+        "chunk_docs": _chunk_docs,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
         "normalize_docs": _normalize_docs,
@@ -3712,6 +3736,10 @@ def oracle_sql() -> dict[str, str]:
         "wet_pipeline": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/wet_pipeline.parquet'
             ORDER BY g
+        """,
+        "chunk_docs": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/chunk_docs.parquet'
+            ORDER BY doc_id, chunk_idx
         """,
         "url_filter_docs": """
             WITH decorated AS (

@@ -1695,6 +1695,18 @@ class Pipeline:
             col = cols[0] if cols else "text"
             return lambda ds: normalize_documents(
                 ds, text_col=col, collapse_ws=collapse)
+        if op == "chunk":
+            # chunk [size=256] [overlap=32] [text=text] [id=doc_id] —
+            # overlapping token-window chunking for retrieval/RAG prep
+            # (text/packing.py chunk_tokens)
+            from tenzir_ray.text.packing import chunk_tokens
+
+            kv = _kv(rest, "chunk")
+            return lambda ds: chunk_tokens(
+                ds, text_col=kv.get("text", "text").strip(),
+                id_col=kv.get("id", "doc_id").strip(),
+                size=int(kv.get("size", 256)),
+                overlap=int(kv.get("overlap", 32)))
         if op == "url_filter":
             # url_filter [block="a.com|b.com"] [block_file=<path>]
             #   [pattern=<re2>] [url=url] [invert] — domain-suffix +

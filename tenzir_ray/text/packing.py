@@ -170,3 +170,91 @@ def hash_token_ids(
         return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     return ds.map_batches(tok, batch_format="pyarrow")
+
+
+def chunk_tokens(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", *,
+    size: int = 256, overlap: int = 32,
+) -> Dataset:
+    """Overlapping token-window chunking — retrieval/RAG prep (the dual
+    of packing: packing concatenates docs for training, chunking splits
+    docs for indexing). Each document's whitespace tokens emit windows
+    of ``size`` tokens at stride ``size − overlap``; the final window
+    is the tail remainder (never duplicated when the doc fits one
+    window). Chunk text re-joins tokens with single spaces — chunking
+    normalizes whitespace BY DESIGN (byte-exact with the sequential
+    oracle).
+
+    Output: (id_col, chunk_idx, n_tokens, text) — one row per window,
+    globally addressable without coordination.
+
+    Scale shape: one ``map_batches`` kernel, zero shuffle. The whole
+    batch tokenizes in ONE Arrow pass (``utf8_split_whitespace``);
+    window gather indices are pure numpy arithmetic over the flat token
+    buffer, and chunk strings materialize with a single
+    ``pc.binary_join`` over a reconstructed ListArray — no per-chunk
+    Python."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens: overlap must be < size")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        lists = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        # drop empty tokens (leading/trailing/repeated whitespace)
+        flat0 = lists.flatten()
+        keep = pc.not_equal(flat0, "").to_numpy(zero_copy_only=False)
+        lens0 = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens0)), lens0)
+        flat = flat0.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        n_tok = np.bincount(doc_of, minlength=len(lens0)).astype(np.int64)
+        starts = np.zeros(len(lens0), np.int64)
+        np.cumsum(n_tok[:-1], out=starts[1:]) if len(lens0) > 1 else None
+        # windows per doc: ceil((n - overlap) / stride) for n>size else 1
+        n_win = np.where(
+            n_tok <= size, (n_tok > 0).astype(np.int64),
+            (n_tok - overlap + stride - 1) // stride)
+        total = int(n_win.sum())
+        if total == 0:
+            return pa.table({
+                id_col: pa.array([], t.column(id_col).type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            })
+        win_doc = np.repeat(np.arange(len(lens0)), n_win)
+        win_idx = np.arange(total) - np.repeat(
+            np.cumsum(n_win) - n_win, n_win)
+        w_start = starts[win_doc] + win_idx * stride
+        w_end = np.minimum(w_start + size,
+                           starts[win_doc] + n_tok[win_doc])
+        w_len = w_end - w_start
+        # gather indices for every window token, then one ListArray
+        gather = np.repeat(w_start, w_len) + (
+            np.arange(int(w_len.sum()))
+            - np.repeat(np.cumsum(w_len) - w_len, w_len))
+        taken = flat.take(pa.array(gather, pa.int64()))
+        offsets = np.zeros(total + 1, np.int32)
+        np.cumsum(w_len, out=offsets[1:])
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), taken.cast(pa.string()))
+        texts = pc.binary_join(chunk_lists, " ")
+        ids = t.column(id_col).combine_chunks() \
+            if isinstance(t.column(id_col), pa.ChunkedArray) \
+            else t.column(id_col)
+        return pa.table({
+            id_col: ids.take(pa.array(win_doc, pa.int64())),
+            "chunk_idx": pa.array(win_idx, pa.int64()),
+            "n_tokens": pa.array(w_len, pa.int64()),
+            "text": texts.cast(pa.string()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -805,3 +805,35 @@ def pagerank_seq(edge_pairs: list, damping_num: int = 85,
         "host": pa.array(order, pa.string()),
         "rank": pa.array([rank[h] for h in order], pa.int64()),
     })
+
+
+def chunk_tokens_seq(doc_ids: list, texts: list, size: int = 256,
+                     overlap: int = 32) -> pa.Table:
+    """Sequential oracle for
+    :func:`tenzir_ray.text.packing.chunk_tokens`: per-doc Python
+    whitespace split and window walk (re-derived one document at a
+    time; shares nothing with the vectorized gather)."""
+    stride = size - overlap
+    ids_out, idx_out, n_out, txt_out = [], [], [], []
+    for i, txt in zip(doc_ids, texts):
+        toks = (txt or "").split()
+        if not toks:
+            continue
+        if len(toks) <= size:
+            wins = [0]
+        else:
+            wins = list(range(0, len(toks) - overlap, stride))
+            # match the engine's ceil((n-overlap)/stride) window count
+            wins = wins[: (len(toks) - overlap + stride - 1) // stride]
+        for ci, st in enumerate(wins):
+            w = toks[st:st + size]
+            ids_out.append(int(i))
+            idx_out.append(ci)
+            n_out.append(len(w))
+            txt_out.append(" ".join(w))
+    return pa.table({
+        "doc_id": pa.array(ids_out, pa.int64()),
+        "chunk_idx": pa.array(idx_out, pa.int64()),
+        "n_tokens": pa.array(n_out, pa.int64()),
+        "text": pa.array(txt_out, pa.string()),
+    })

@@ -1128,3 +1128,29 @@ def test_url_filter_from_text(ray_session, tmp_path):
     out = run_pipeline('url_filter block="bad.example" invert', docs) \
         .take_all()
     assert sorted(r["doc_id"] for r in out) == [0, 3]
+
+
+def test_chunk_from_text(ray_session):
+    """chunk reachable from pipeline text, equal to the sequential
+    window walk."""
+    import pyarrow as pa
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+    from tenzir_ray.text.sequential import chunk_tokens_seq
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["one two three four five six seven",
+                          "  just   two  "], pa.string()),
+    })).repartition(2)
+    out = run_pipeline("chunk size=4, overlap=1", docs) \
+        .sort(["doc_id", "chunk_idx"]).take_all()
+    exp = chunk_tokens_seq([1, 2],
+                           ["one two three four five six seven",
+                            "  just   two  "], size=4, overlap=1)
+    assert [(r["doc_id"], r["chunk_idx"], r["n_tokens"], r["text"])
+            for r in out] == list(zip(
+        exp.column("doc_id").to_pylist(),
+        exp.column("chunk_idx").to_pylist(),
+        exp.column("n_tokens").to_pylist(),
+        exp.column("text").to_pylist()))

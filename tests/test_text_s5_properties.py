@@ -147,3 +147,28 @@ def test_decode_html_bytes_total(b):
         assert s == expect
     except UnicodeDecodeError:
         pass
+
+
+@given(st.lists(st.one_of(st.none(), st.text(
+    alphabet=st.sampled_from("ab \t\n"), max_size=40)), max_size=8),
+    st.integers(2, 6), st.integers(0, 4))
+@settings(max_examples=80, deadline=None)
+def test_chunk_tokens_kernel_equals_per_doc_walk(texts, size, overlap):
+    """The vectorized window gather must equal the per-doc Python walk
+    for every (size, overlap) and whitespace shape."""
+    if overlap >= size:
+        overlap = size - 1
+    from tenzir_ray.text.packing import chunk_tokens
+    from tenzir_ray.text.sequential import chunk_tokens_seq
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    class _F:
+        def map_batches(self, fn, **kw):
+            return fn(t)
+
+    got = chunk_tokens(_F(), size=size, overlap=overlap)
+    exp = chunk_tokens_seq(list(range(len(texts))), texts,
+                           size=size, overlap=overlap)
+    assert got.to_pydict() == exp.to_pydict()
