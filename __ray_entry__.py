@@ -960,6 +960,61 @@ def _boilerplate_docs(sf_dir: str):
     ).drop_columns(["html"]).sort("doc_id")
 
 
+def _lake_wet(sf_dir: str):
+    """The FULL north-star composition in one query: WAL replay →
+    hash-partitioned LWW lake → merge-on-read export → rich HTML→text
+    extraction over the stored pages → exact-int64 corpus stats. Ties
+    the CDC core (cdc/lake.py) to the session-5 text front end
+    (text/html.py) end-to-end. Oracle = the sequential row-at-a-time
+    replay (cdc/oracle.py) with the per-doc extraction chain applied to
+    each final page."""
+    from tenzir_ray.cdc import Lake
+    from tenzir_ray.cdc.oracle import replay_wal
+    from tenzir_ray.text.html import html_extract, html_to_text
+
+    import tenzir_ray.stages as ops
+
+    wal_dir, lake_root = _cdc_scratch(sf_dir)
+    lake = Lake(lake_root, partitions=8, salt=2)
+    lake.apply_wal(wal_dir)  # idempotent when a sibling query ran first
+
+    df = replay_wal(wal_dir)
+    agg: dict[int, list] = {}
+    for url, html in zip(df["url"], df["html"]):
+        wet = html_to_text(html)
+        g = len(url) % 8
+        n, toks, chars = agg.get(g, [0, 0, 0])
+        agg[g] = [n + 1, toks + len(wet.split()), chars + len(wet)]
+    gs = sorted(agg)
+    _write_oracle("lake_wet", pa.table({
+        "g": pa.array(gs, pa.int64()),
+        "n": pa.array([agg[g][0] for g in gs], pa.int64()),
+        "toks": pa.array([agg[g][1] for g in gs], pa.int64()),
+        "chars": pa.array([agg[g][2] for g in gs], pa.int64()),
+    }))
+
+    wet = html_extract(lake.read(), html_col="html", out_col="wet_text")
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t.column("wet_text")
+        return pa.table({
+            "g": pc.cast(pc.bit_wise_and(
+                pc.utf8_length(t.column("url")), 7), pa.int64()),
+            "toks": pc.count_substring_regex(txt, r"\S+"),
+            "chars": pc.utf8_length(txt),
+        })
+
+    out = ops.summarize(wet.map_batches(stats, batch_format="pyarrow"),
+                        "g", combine="auto",
+                        n="count", toks=("sum", "toks"),
+                        chars=("sum", "chars"))
+    return ops.set_(
+        out,
+        toks=lambda t: pc.cast(t["toks"], pa.int64()),
+        chars=lambda t: pc.cast(t["chars"], pa.int64()),
+    ).sort("g")
+
+
 def _chunk_docs(sf_dir: str):
     """Overlapping token-window chunking (text/packing.py chunk_tokens
     — RAG/retrieval prep, the dual of sequence packing): one Arrow
@@ -3371,6 +3426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_pipeline": _wet_pipeline,
         "url_filter_docs": _url_filter_docs,
         "chunk_docs": _chunk_docs,
+        "lake_wet": _lake_wet,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
         "normalize_docs": _normalize_docs,
@@ -3735,6 +3791,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wet_pipeline": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/wet_pipeline.parquet'
+            ORDER BY g
+        """,
+        "lake_wet": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/lake_wet.parquet'
             ORDER BY g
         """,
         "chunk_docs": """

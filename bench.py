@@ -158,7 +158,7 @@ def bench_queries() -> dict[str, float]:
         "hash_join_orders", "s3_roundtrip", "dsir_select", "c4_clean",
         "normalize_docs", "html_extract_docs", "boilerplate_docs",
         "quality_classifier", "host_pagerank", "wet_pipeline",
-        "url_filter_docs", "chunk_docs",
+        "url_filter_docs", "chunk_docs", "lake_wet",
     ]
     out: dict[str, float] = {}
     for name in names:
