@@ -960,6 +960,59 @@ def _boilerplate_docs(sf_dir: str):
     ).drop_columns(["html"]).sort("doc_id")
 
 
+_ROBOTS_BODIES = {
+    "h0.example": "User-agent: *\nDisallow: /private/\n"
+                  "Allow: /private/ok\n",
+    "h1.example": "User-agent: *\nDisallow: /*.bin$\n",
+    "h2.example": "User-agent: crawler\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /tmp/\n",
+}
+
+
+def _robots_filter_docs(sf_dir: str):
+    """robots.txt crawl-permission filtering (text/robots.py, RFC
+    9309): longest-match Allow/Disallow with * and $ patterns, group
+    selection by user-agent token, host-keyed broadcast of parsed rule
+    sets. Urls decorate modulus-keyed so every rule class fires; oracle
+    = the per-url sequential walk through the shared spec functions."""
+    from tenzir_ray.text.robots import robots_filter
+    from tenzir_ray.text.sequential import robots_seq
+
+    def url_of(i: int) -> str:
+        host = f"h{i % 4}.example"
+        path = ["/open/", "/private/", "/private/ok", "/tmp/",
+                "/data.bin", "/doc.txt"][i % 6]
+        return f"http://{host}{path}{i}"
+
+    docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"),
+                         200_000, columns=["doc_id"])
+    if docs is not None:
+        ids = [int(i) for i in docs.column("doc_id").to_pylist()]
+        urls = [url_of(i) for i in ids]
+        keep = set(robots_seq(urls, _ROBOTS_BODIES, agent="crawler"))
+        kept = [(i, u) for i, u in zip(ids, urls) if u in keep]
+        kept.sort()
+        _write_oracle("robots_filter_docs", pa.table({
+            "doc_id": pa.array([i for i, _ in kept], pa.int64()),
+            "url": pa.array([u for _, u in kept], pa.string()),
+        }))
+    else:
+        _skip_oracle("robots_filter_docs")
+
+    def decorate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array([url_of(int(i)) for i in ids], pa.string()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(decorate, batch_format="pyarrow")
+    return robots_filter(ds, _ROBOTS_BODIES, agent="crawler") \
+        .sort("doc_id")
+
+
 def _lake_wet(sf_dir: str):
     """The FULL north-star composition in one query: WAL replay →
     hash-partitioned LWW lake → merge-on-read export → rich HTML→text
@@ -3427,6 +3480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter_docs": _url_filter_docs,
         "chunk_docs": _chunk_docs,
         "lake_wet": _lake_wet,
+        "robots_filter_docs": _robots_filter_docs,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
         "normalize_docs": _normalize_docs,
@@ -3792,6 +3846,11 @@ def oracle_sql() -> dict[str, str]:
         "wet_pipeline": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/wet_pipeline.parquet'
             ORDER BY g
+        """,
+        "robots_filter_docs": """
+            SELECT * FROM
+              '/tmp/tenzir_ray_oracle/robots_filter_docs.parquet'
+            ORDER BY doc_id
         """,
         "lake_wet": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/lake_wet.parquet'

@@ -1695,6 +1695,31 @@ class Pipeline:
             col = cols[0] if cols else "text"
             return lambda ds: normalize_documents(
                 ds, text_col=col, collapse_ws=collapse)
+        if op == "robots":
+            # robots table=<parquet(host,body)> [agent=*] [url=url]
+            #   [invert] — RFC 9309 crawl-permission filter
+            # (text/robots.py); the host→robots.txt table is the small
+            # side, read at compose time and broadcast
+            from tenzir_ray.text.robots import robots_filter
+
+            parts0 = rest.split()
+            inv = "invert" in parts0
+            kv = _kv(" ".join(p for p in parts0 if p != "invert"),
+                     "robots")
+            try:
+                path = kv["table"].strip().strip('"')
+            except KeyError:
+                raise ValueError(
+                    "robots: missing required operand table=") from None
+            import pyarrow.parquet as _pq
+
+            rt = _pq.read_table(path, columns=["host", "body"])
+            bodies = dict(zip(
+                (h.lower() for h in rt.column("host").to_pylist()),
+                rt.column("body").to_pylist()))
+            return lambda ds: robots_filter(
+                ds, bodies, url_col=kv.get("url", "url").strip(),
+                agent=kv.get("agent", "*").strip(), invert=inv)
         if op == "chunk":
             # chunk [size=256] [overlap=32] [text=text] [id=doc_id] —
             # overlapping token-window chunking for retrieval/RAG prep

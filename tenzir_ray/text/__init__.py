@@ -38,6 +38,7 @@ from tenzir_ray.text.normalize import normalize_documents, normalize_text
 from tenzir_ray.text.dsir import dsir_score, dsir_select, fit_gram_counts
 from tenzir_ray.text.curation import url_filter
 from tenzir_ray.text.packing import chunk_tokens
+from tenzir_ray.text.robots import parse_robots, robots_filter
 from tenzir_ray.text.quality import analyze_documents
 from tenzir_ray.text.ann import ann_cosine_topk, embedding_dedup, ivf_build, ivf_search, ivf_write
 
@@ -65,6 +66,8 @@ __all__ = [
     "pagerank",
     "url_filter",
     "chunk_tokens",
+    "parse_robots",
+    "robots_filter",
     "html_extract",
     "html_to_text",
     "normalize_documents",

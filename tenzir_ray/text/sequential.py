@@ -837,3 +837,22 @@ def chunk_tokens_seq(doc_ids: list, texts: list, size: int = 256,
         "n_tokens": pa.array(n_out, pa.int64()),
         "text": pa.array(txt_out, pa.string()),
     })
+
+
+def robots_seq(urls: list, robots: dict, agent: str = "*") -> list[str]:
+    """Sequential oracle for
+    :func:`tenzir_ray.text.robots.robots_filter`: one url at a time
+    through the shared RFC 9309 parse/match spec functions (the
+    distributed surface under test is the broadcast + unique-host batch
+    plumbing). Returns the allowed urls in input order."""
+    from tenzir_ray.text.robots import _path_of, allowed, parse_robots
+
+    parsed = {h.lower(): parse_robots(b) for h, b in robots.items()}
+    out = []
+    for u in urls:
+        host = (u or "").split("//", 1)[-1].split("/", 1)[0] \
+            .split("?", 1)[0].split("@")[-1].split(":", 1)[0].lower()
+        groups = parsed.get(host)
+        if not groups or allowed(groups, _path_of(u or ""), agent):
+            out.append(u)
+    return out

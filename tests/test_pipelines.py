@@ -1154,3 +1154,25 @@ def test_chunk_from_text(ray_session):
         exp.column("chunk_idx").to_pylist(),
         exp.column("n_tokens").to_pylist(),
         exp.column("text").to_pylist()))
+
+
+def test_robots_from_text(ray_session, tmp_path):
+    """robots reachable from pipeline text (host→body parquet table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.pipelines.planner import run_pipeline
+
+    rt = tmp_path / "robots.parquet"
+    pq.write_table(pa.table({
+        "host": pa.array(["x.example"], pa.string()),
+        "body": pa.array(["User-agent: *\nDisallow: /no/\n"],
+                         pa.string()),
+    }), str(rt))
+    docs = rd.from_arrow(pa.table({
+        "url": pa.array(["http://x.example/no/1", "http://x.example/ok",
+                         "http://other.example/no/2"], pa.string()),
+    }))
+    out = run_pipeline(f'robots table="{rt}"', docs).take_all()
+    assert sorted(r["url"] for r in out) == [
+        "http://other.example/no/2", "http://x.example/ok"]
