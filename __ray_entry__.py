@@ -155,6 +155,32 @@ def _cdc_asof(sf_dir: str):
     return out.map_batches(_canon_pages, batch_format="pyarrow")
 
 
+def _lake_diff(sf_dir: str):
+    """CDC changefeed between two committed snapshots (`Lake.diff`,
+    cdc/lake.py — the Delta-Lake ``table_changes`` analog; reference
+    analog: retro export over retained partitions,
+    operators/export.cpp:47-67): net insert/update/delete rows between
+    the epoch-3 and epoch-5 states of the shared WAL lake, a window that
+    spans the lang widen (e4) and text→body rename (e5). One task per
+    partition, no shuffle; candidate urls are pruned to the window's
+    delta files and both horizon reads are parquet-filter-pushdown
+    restricted to them, so unchanged urls never leave storage. Oracle =
+    the sequential dict-replay diff at the same horizons
+    (cdc/oracle.py diff_wal)."""
+    from tenzir_ray.cdc import Lake
+    from tenzir_ray.cdc.oracle import diff_wal
+
+    wal_dir, lake_root = _cdc_scratch(sf_dir)
+    lake = Lake(lake_root, partitions=8, salt=2)
+    lake.apply_wal(wal_dir)  # idempotent: no-op when a sibling ran first
+    out = lake.diff(3, 5)
+    oracle = pa.Table.from_pandas(
+        diff_wal(wal_dir, 3, 5), preserve_index=False
+    )
+    _write_oracle("lake_diff", _canon_pages(oracle))
+    return out.map_batches(_canon_pages, batch_format="pyarrow")
+
+
 def entry() -> Any:
     return _cdc_replay("/root/testdata/sf0.001")
 
@@ -3480,6 +3506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter_docs": _url_filter_docs,
         "chunk_docs": _chunk_docs,
         "lake_wet": _lake_wet,
+        "lake_diff": _lake_diff,
         "robots_filter_docs": _robots_filter_docs,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
@@ -3804,6 +3831,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_asof": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/cdc_asof.parquet'
+        """,
+        "lake_diff": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/lake_diff.parquet'
         """,
         "simhash_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/simhash_docs.parquet'

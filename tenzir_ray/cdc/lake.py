@@ -547,6 +547,99 @@ def _merge_partition(
     return pa.concat_tables(out, promote_options="permissive")
 
 
+def _file_epoch(path: str) -> int:
+    """Epoch a lake file covers: ``base-e{upto}`` / ``delta-e{epoch}-b*``."""
+    name = os.path.basename(path)
+    if name.startswith("base-e"):
+        return int(name[len("base-e"):-len(".parquet")])
+    return int(name.split("-")[1][1:])
+
+
+def _diff_partition(
+    batch: pa.Table, *, root: str, schema_a: pa.Schema | None,
+    schema_b: pa.Schema, from_epoch: int | None, to_epoch: int,
+) -> pa.Table:
+    """Changefeed for the partition ids in ``batch``: net survivor change
+    between the LWW states as-of ``from_epoch`` and as-of ``to_epoch``
+    (Delta-Lake-CDF analog over the reference's retro export,
+    operators/export.cpp:47-67).
+
+    Scale shape: NO shuffle — a url lives in exactly one partition, so
+    per-partition diff is globally correct. Candidate urls come from the
+    window's delta files only (epochs in ``(from, to]``); both horizon
+    reads are parquet-filter-pushdown restricted to those candidates, so
+    unchanged urls never leave storage. Only when compaction folded part
+    of the window into a base does the candidate set widen to that base's
+    urls (correct, just less pruned)."""
+    empty = pa.schema(
+        [f for f in _read_schema(schema_b) if f.name not in ENGINE_COLS]
+    ).append(pa.field("change", pa.string()))
+    frm = -1 if from_epoch is None else from_epoch
+    out: list[pa.Table] = []
+    for pid in batch.column("pid").to_pylist():
+        pid = int(pid)
+        files_b, _upto = _live_files(root, pid, as_of=to_epoch)
+        window = [f for f in files_b if _file_epoch(f) > frm]
+        if not window:
+            continue
+        cand = pads.dataset(
+            window, schema=_read_schema(schema_b), format="parquet"
+        ).to_table(columns=["url"])
+        if cand.num_rows == 0:
+            continue
+        filt = pads.field("url").isin(pc.unique(cand.column("url")))
+        b = _read_partition(root, pid, schema_b, filter=filt, as_of=to_epoch)
+        if b is None or b.num_rows == 0:
+            continue
+        b = lww_reduce(b)
+        a = None
+        if from_epoch is not None and schema_a is not None:
+            # horizon check: raises TimeTravelHorizonError when the
+            # from-state was compacted away — diff needs both horizons
+            a = _read_partition(root, pid, schema_a, filter=filt,
+                                as_of=from_epoch)
+            if a is not None and a.num_rows:
+                a = lww_reduce(a)
+        b_live = pc.invert(_is_delete(b)).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = b.num_rows
+        a_live = np.zeros(n, dtype=bool)
+        same_pair = np.zeros(n, dtype=bool)
+        if a is not None and a.num_rows:
+            idx = pc.index_in(b.column("url").combine_chunks(),
+                              value_set=a.column("url").combine_chunks())
+            v = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            ai = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(
+                np.int64)[v]
+            a_del = _is_delete(a).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            a_live[v] = ~a_del[ai]
+            a_ts = a.column("warc_ts").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            b_ts = b.column("warc_ts").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            a_lsn = a.column("lsn").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            b_lsn = b.column("lsn").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            same_pair[v] = (a_ts[ai] == b_ts[v]) & (a_lsn[ai] == b_lsn[v])
+        ins = b_live & ~a_live
+        upd = b_live & a_live & ~same_pair
+        dele = ~b_live & a_live
+        mask = ins | upd | dele
+        if not mask.any():
+            continue
+        change = np.full(n, "", dtype=object)
+        change[ins], change[upd], change[dele] = "insert", "update", "delete"
+        t = b.append_column("change", pa.array(change, pa.string()))
+        t = t.filter(pa.array(mask))
+        t = t.drop_columns([c for c in ENGINE_COLS if c in t.column_names])
+        out.append(t)
+    if not out:
+        return empty.empty_table()
+    return pa.concat_tables(out, promote_options="permissive")
+
+
 def _compact_partition(
     batch: pa.Table, *, root: str, schema: pa.Schema, gc_before_epoch: int | None
 ) -> pa.Table:
@@ -966,6 +1059,19 @@ class Lake:
             return {"epoch": epoch, "skipped": True, "events": 0}
         return self.apply_epoch(epoch, files)
 
+    def _pending_epochs(self, wal_dir: str) -> list[tuple[int, list[str]]]:
+        """Sealed, not-yet-committed WAL epochs (shared by the follow
+        loops). A just-mkdir'd epoch has no parts yet; producers write
+        parts first, seal last (or rename the whole dir atomically)."""
+        return [
+            (e, files) for e, files in list_epochs(wal_dir)
+            if files
+            and not self._epoch_done(e)
+            and os.path.exists(
+                os.path.join(os.path.dirname(files[0]), "_sealed")
+            )
+        ]
+
     def follow(self, wal_dir: str, poll_interval: float = 1.0,
                idle_rounds: int | None = None,
                compact_every: int | None = None):
@@ -978,16 +1084,7 @@ class Lake:
         idle = 0
         applied_batches = 0
         while idle_rounds is None or idle < idle_rounds:
-            pending = [
-                (e, files) for e, files in list_epochs(wal_dir)
-                if files  # a just-mkdir'd epoch has no parts yet
-                and not self._epoch_done(e)
-                # only sealed segments: producers write parts first, seal
-                # last (or rename the whole dir atomically)
-                and os.path.exists(
-                    os.path.join(os.path.dirname(files[0]), "_sealed")
-                )
-            ]
+            pending = self._pending_epochs(wal_dir)
             if not pending:
                 idle += 1
                 time.sleep(poll_interval)
@@ -998,6 +1095,38 @@ class Lake:
             if compact_every and applied_batches % compact_every == 0:
                 self.maybe_compact()
             yield results
+
+    def follow_changes(self, wal_dir: str, poll_interval: float = 1.0,
+                       idle_rounds: int | None = None,
+                       compact_every: int | None = None):
+        """Continuous CHANGEFEED tail: like :meth:`follow`, but after each
+        non-empty apply yields ``(from_epoch, to_epoch, Dataset)`` — the
+        net insert/update/delete feed that apply produced
+        (:meth:`diff` over the window), which is what a downstream CDC
+        consumer subscribes to (changes, not state). ``from_epoch`` is the
+        newest epoch committed before the apply (None on the first —
+        the bootstrap all-inserts feed).
+
+        The yielded Dataset is lazy: when ``compact_every`` is set,
+        consume it before advancing the generator — the next step's
+        auto-compaction may fold the feed's from-horizon into a base."""
+        idle = 0
+        applied_batches = 0
+        while idle_rounds is None or idle < idle_rounds:
+            pending = self._pending_epochs(wal_dir)
+            if not pending:
+                idle += 1
+                time.sleep(poll_interval)
+                continue
+            idle = 0
+            before = self.committed_epochs()
+            frm = max(before) if before else None
+            results = self.apply_epochs(pending)
+            to = max(r["epoch"] for r in results)
+            yield frm, to, self.diff(frm, to)
+            applied_batches += 1
+            if compact_every and applied_batches % compact_every == 0:
+                self.maybe_compact()
 
     # ------------------------------------------------------------- read
 
@@ -1051,6 +1180,59 @@ class Lake:
             keep_engine_cols=kw.get("keep_engine_cols", False),
             as_of=as_of,
             columns=kw.get("columns"),
+        )
+
+    def diff(self, from_epoch: int | None, to_epoch: int | None = None):
+        """CDC changefeed between two committed snapshots (Delta-Lake
+        ``table_changes`` analog): one row per url whose LWW survivor
+        changed between the state as-of ``from_epoch`` and as-of
+        ``to_epoch`` (default: latest committed epoch), carrying the
+        ``to``-side survivor's columns plus ``change`` ∈
+        {insert, update, delete}.
+
+        - ``insert``: live at ``to``, absent-or-tombstoned at ``from``;
+        - ``update``: live at both with a different winning
+          ``(warc_ts, lsn)`` — the CDC notion of change;
+        - ``delete``: tombstone won at ``to`` over a live ``from`` row
+          (the row carries the delete event's url/warc_ts, payload null).
+
+        ``from_epoch=None`` diffs against the empty lake (all-inserts
+        bootstrap feed). One task per partition, no shuffle; candidate
+        urls are pruned to the window's delta files and both horizon
+        reads are filter-pushdown restricted to them — at 100 TB a
+        quiet-epoch diff touches only the changed rows' row groups.
+        Raises :class:`TimeTravelHorizonError` when either horizon was
+        compacted away (sequential dual: ``cdc.oracle.diff_wal``)."""
+        import ray.data as rd
+
+        if to_epoch is None:
+            done = self.committed_epochs()
+            if not done:
+                raise ValueError("empty lake")
+            to_epoch = max(done)
+        schema_b = self.schema(as_of_epoch=to_epoch)
+        if schema_b is None:
+            raise ValueError(f"no epoch <= {to_epoch} committed")
+        schema_a = (self.schema(as_of_epoch=from_epoch)
+                    if from_epoch is not None else None)
+        # eager horizon validation (metadata-only: one dir glob per
+        # partition) — a compacted-away horizon raises HERE with a clean
+        # TimeTravelHorizonError instead of from inside a Ray task
+        if from_epoch is not None:
+            for p in range(self.P):
+                _live_files(self.root, p, as_of=from_epoch)
+        ds = rd.from_items([{"pid": p} for p in range(self.P)])
+        return ds.map_batches(
+            partial(
+                _diff_partition,
+                root=self.root,
+                schema_a=schema_a,
+                schema_b=schema_b,
+                from_epoch=from_epoch,
+                to_epoch=to_epoch,
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
         )
 
     # ------------------------------------------------------- compaction

@@ -24,6 +24,7 @@ Supported operators (reference file cited in OPS below)::
          // multi-col specs ("a|b") must be quoted: bare | splits ops
     export <lake_root> [, at=<epoch>] [, columns="c1|c2"]  // lake source
     import <lake_root>, wal=<dir>            // apply WAL epochs
+    diff <lake_root> [, from=<e>] [, to=<e>] // CDC changefeed source
     publish <topic>              subscribe <topic>   // topic actors
     context::update <name>, key=c, value=v   // named-context family
     context::enrich <name>, key=c [, out=f]  context::reset <name>
@@ -1297,6 +1298,38 @@ class Pipeline:
                 return Lake(_root).read(as_of_epoch=_at, columns=_cols)
 
             return _export
+        if op == "diff":
+            # diff <lake_root>, from=<epoch> [, to=<epoch>] — SOURCE:
+            # CDC changefeed between two committed snapshots (Lake.diff,
+            # cdc/lake.py — Delta-Lake table_changes analog): one row
+            # per url whose LWW survivor changed, to-side columns plus
+            # `change` ∈ {insert, update, delete}. `from=none` (or
+            # omitted) = bootstrap all-inserts feed; `to` defaults to
+            # the latest committed epoch.
+            name, _, params = rest.partition(",")
+            root = name.strip().strip("\"'")
+            if not root:
+                raise ValueError("diff: missing lake root")
+            kv = dict(p.split("=", 1) for p in csv(params)) if \
+                params.strip() else {}
+            bad = set(kv) - {"from", "to"}
+            if bad:
+                raise ValueError(f"diff: unknown operand(s) {sorted(bad)}")
+            frm_s = kv.get("from", "none").strip().lower()
+            try:
+                frm = None if frm_s in ("none", "null") else int(frm_s)
+                to = int(kv["to"]) if "to" in kv else None
+            except ValueError:
+                raise ValueError(
+                    "diff: from=/to= must be integer epochs (or from=none)"
+                ) from None
+
+            def _diff(ds, _root=root, _frm=frm, _to=to):
+                from tenzir_ray.cdc import Lake
+
+                return Lake(_root).diff(_frm, _to)
+
+            return _diff
         if op == "import":
             # import <lake_root>, wal=<dir> — apply a WAL directory's
             # pending epochs into the lake (CLI `lake apply` analog);

@@ -936,6 +936,38 @@ def test_lake_import_export_from_text(tmp_path):
         Pipeline.parse(f"import {lake}")
 
 
+def test_lake_diff_from_text(tmp_path):
+    """`diff <lake>, from=0` — CDC changefeed source from pipeline text."""
+    import ray.data as rd
+
+    from tenzir_ray.cdc import generate_wal
+    from tenzir_ray.cdc.wal import WalSpec
+    from tenzir_ray.pipelines import Pipeline
+
+    wal = tmp_path / "wal"
+    lake_root = tmp_path / "lake"
+    generate_wal(str(wal), WalSpec(
+        n_events=2000, n_urls=300, n_epochs=3, seed=5))
+    dummy = rd.from_items([{"dummy": 0}])
+    Pipeline.parse(f"import {lake_root}, wal={wal}").run(dummy).to_pandas()
+
+    feed = Pipeline.parse(
+        f"diff {lake_root}, from=0, to=2").run(dummy).to_pandas()
+    assert len(feed) > 0
+    assert set(feed["change"]) <= {"insert", "update", "delete"}
+    # bootstrap feed (from omitted) = full live state as inserts
+    boot = Pipeline.parse(f"diff {lake_root} | head 5").run(
+        dummy).to_pandas()
+    assert set(boot["change"]) == {"insert"}
+
+    with pytest.raises(ValueError, match="missing lake root"):
+        Pipeline.parse("diff")
+    with pytest.raises(ValueError, match="integer epochs"):
+        Pipeline.parse(f"diff {lake_root}, from=abc")
+    with pytest.raises(ValueError, match="unknown operand"):
+        Pipeline.parse(f"diff {lake_root}, since=2")
+
+
 def test_normalize_and_c4_from_text(ray_session):
     """normalize / c4 reachable from pipeline text (session-4 ops)."""
     import pyarrow as pa
