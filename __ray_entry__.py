@@ -167,17 +167,28 @@ def _lake_diff(sf_dir: str):
     restricted to them, so unchanged urls never leave storage. Oracle =
     the sequential dict-replay diff at the same horizons
     (cdc/oracle.py diff_wal)."""
+    import pyarrow.parquet as pq
+
     from tenzir_ray.cdc import Lake
     from tenzir_ray.cdc.oracle import diff_wal
+    from tenzir_ray.cdc.wal import list_epochs
 
     wal_dir, lake_root = _cdc_scratch(sf_dir)
     lake = Lake(lake_root, partitions=8, salt=2)
     lake.apply_wal(wal_dir)  # idempotent: no-op when a sibling ran first
     out = lake.diff(3, 5)
-    oracle = pa.Table.from_pandas(
-        diff_wal(wal_dir, 3, 5), preserve_index=False
-    )
-    _write_oracle("lake_diff", _canon_pages(oracle))
+    # the sequential dict-replay oracle runs the WAL twice row-at-a-time;
+    # affordable at the sf0.01 correctness gate (20 K events), skipped at
+    # bench scale (footer-only row count, same policy as _oracle_table)
+    n_events = sum(pq.read_metadata(f).num_rows
+                   for _e, fs in list_epochs(wal_dir) for f in fs)
+    if n_events <= 60_000:
+        oracle = pa.Table.from_pandas(
+            diff_wal(wal_dir, 3, 5), preserve_index=False
+        )
+        _write_oracle("lake_diff", _canon_pages(oracle))
+    else:
+        _skip_oracle("lake_diff")
     return out.map_batches(_canon_pages, batch_format="pyarrow")
 
 
