@@ -99,6 +99,17 @@ def _cdc_scratch(sf_dir: str) -> tuple[str, str]:
     return wal_dir, os.path.join(scratch, "lake")
 
 
+def _wal_rows(wal_dir: str) -> int:
+    """Total WAL event count from parquet footers only (no data read) —
+    the gate deciding whether a sequential lake oracle is affordable."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.cdc.wal import list_epochs
+
+    return sum(pq.read_metadata(f).num_rows
+               for _e, fs in list_epochs(wal_dir) for f in fs)
+
+
 def _canon_pages(t: pa.Table) -> pa.Table:
     # html → utf-8 string (BLOBs defeat hash comparators) and
     # warc_ts → µs (DuckDB timestamps are µs; the lake stores ns)
@@ -167,11 +178,8 @@ def _lake_diff(sf_dir: str):
     restricted to them, so unchanged urls never leave storage. Oracle =
     the sequential dict-replay diff at the same horizons
     (cdc/oracle.py diff_wal)."""
-    import pyarrow.parquet as pq
-
     from tenzir_ray.cdc import Lake
     from tenzir_ray.cdc.oracle import diff_wal
-    from tenzir_ray.cdc.wal import list_epochs
 
     wal_dir, lake_root = _cdc_scratch(sf_dir)
     lake = Lake(lake_root, partitions=8, salt=2)
@@ -180,9 +188,7 @@ def _lake_diff(sf_dir: str):
     # the sequential dict-replay oracle runs the WAL twice row-at-a-time;
     # affordable at the sf0.01 correctness gate (20 K events), skipped at
     # bench scale (footer-only row count, same policy as _oracle_table)
-    n_events = sum(pq.read_metadata(f).num_rows
-                   for _e, fs in list_epochs(wal_dir) for f in fs)
-    if n_events <= 60_000:
+    if _wal_rows(wal_dir) <= 60_000:
         oracle = pa.Table.from_pandas(
             diff_wal(wal_dir, 3, 5), preserve_index=False
         )
@@ -1017,8 +1023,14 @@ def _robots_filter_docs(sf_dir: str):
 
     def url_of(i: int) -> str:
         host = f"h{i % 4}.example"
+        if i % 6 == 4:
+            # id INSIDE the name: '/data{i}.bin' keeps urls unique while
+            # still ending in .bin, so the $-anchored rule class
+            # (Disallow: /*.bin$) actually fires — a trailing-id suffix
+            # would make the end anchor dead in this oracle gate
+            return f"http://{host}/data{i}.bin"
         path = ["/open/", "/private/", "/private/ok", "/tmp/",
-                "/data.bin", "/doc.txt"][i % 6]
+                None, "/doc.txt"][i % 6]
         return f"http://{host}{path}{i}"
 
     docs = _oracle_table(os.path.join(sf_dir, "documents.parquet"),
@@ -1068,20 +1080,33 @@ def _lake_wet(sf_dir: str):
     lake = Lake(lake_root, partitions=8, salt=2)
     lake.apply_wal(wal_dir)  # idempotent when a sibling query ran first
 
-    df = replay_wal(wal_dir)
-    agg: dict[int, list] = {}
-    for url, html in zip(df["url"], df["html"]):
-        wet = html_to_text(html)
-        g = len(url) % 8
-        n, toks, chars = agg.get(g, [0, 0, 0])
-        agg[g] = [n + 1, toks + len(wet.split()), chars + len(wet)]
-    gs = sorted(agg)
-    _write_oracle("lake_wet", pa.table({
-        "g": pa.array(gs, pa.int64()),
-        "n": pa.array([agg[g][0] for g in gs], pa.int64()),
-        "toks": pa.array([agg[g][1] for g in gs], pa.int64()),
-        "chars": pa.array([agg[g][2] for g in gs], pa.int64()),
-    }))
+    # sequential oracle (row-at-a-time replay + per-page extraction in
+    # the driver): affordable at the sf0.01 correctness gate, skipped at
+    # bench scale — same footer-only row-count policy as lake_diff
+    if _wal_rows(wal_dir) <= 60_000:
+        import re as _re
+
+        df = replay_wal(wal_dir)
+        agg: dict[int, list] = {}
+        for url, html in zip(df["url"], df["html"]):
+            wet = html_to_text(html)
+            g = len(url) % 8
+            n, toks, chars = agg.get(g, [0, 0, 0])
+            # token = maximal run of non-whitespace under the SAME
+            # explicit class as the engine kernel below — Python
+            # str.split() would count Unicode spaces (NBSP) differently
+            agg[g] = [n + 1,
+                      toks + len(_re.findall(r"[^\t\n\f\r ]+", wet)),
+                      chars + len(wet)]
+        gs = sorted(agg)
+        _write_oracle("lake_wet", pa.table({
+            "g": pa.array(gs, pa.int64()),
+            "n": pa.array([agg[g][0] for g in gs], pa.int64()),
+            "toks": pa.array([agg[g][1] for g in gs], pa.int64()),
+            "chars": pa.array([agg[g][2] for g in gs], pa.int64()),
+        }))
+    else:
+        _skip_oracle("lake_wet")
 
     wet = html_extract(lake.read(), html_col="html", out_col="wet_text")
 
@@ -1090,7 +1115,10 @@ def _lake_wet(sf_dir: str):
         return pa.table({
             "g": pc.cast(pc.bit_wise_and(
                 pc.utf8_length(t.column("url")), 7), pa.int64()),
-            "toks": pc.count_substring_regex(txt, r"\S+"),
+            # explicit whitespace class: RE2 \S and Python re \S disagree
+            # on \v and Unicode spaces — both sides count runs of
+            # [^\t\n\f\r ] so the hash gate holds on non-ASCII text
+            "toks": pc.count_substring_regex(txt, r"[^\t\n\f\r ]+"),
             "chars": pc.utf8_length(txt),
         })
 

@@ -480,21 +480,29 @@ def _read_schema(schema: pa.Schema) -> pa.Schema:
     return schema.append(pa.field("epoch_rec", pa.int64()))
 
 
+def _read_files(
+    files: list[str], schema: pa.Schema, filter=None,
+    columns: list[str] | None = None,
+) -> pa.Table | None:
+    """Scan an explicit lake-file list under the unified read schema.
+    Older files lack later-added columns → filled with nulls by the
+    pyarrow dataset reader (merge-time evolution). ``columns`` projects
+    at the scan: only the requested columns leave storage (parquet
+    column pruning — at 100 TB an `export | select` must not decode the
+    html payload column it never returns)."""
+    if not files:
+        return None
+    return pads.dataset(
+        files, schema=_read_schema(schema), format="parquet"
+    ).to_table(filter=filter, columns=columns)
+
+
 def _read_partition(
     root: str, pid: int, schema: pa.Schema, filter=None,
     as_of: int | None = None, columns: list[str] | None = None,
 ) -> pa.Table | None:
     files, _ = _live_files(root, pid, as_of=as_of)
-    if not files:
-        return None
-    # Explicit unified schema: older files lack later-added columns →
-    # filled with nulls by the pyarrow dataset reader (merge-time evolution).
-    # ``columns`` projects at the scan: only the requested columns leave
-    # storage (parquet column pruning — at 100 TB an `export | select`
-    # must not decode the html payload column it never returns).
-    return pads.dataset(
-        files, schema=_read_schema(schema), format="parquet"
-    ).to_table(filter=filter, columns=columns)
+    return _read_files(files, schema, filter=filter, columns=columns)
 
 
 #: columns the LWW merge itself consumes even when the caller projects
@@ -558,6 +566,7 @@ def _file_epoch(path: str) -> int:
 def _diff_partition(
     batch: pa.Table, *, root: str, schema_a: pa.Schema | None,
     schema_b: pa.Schema, from_epoch: int | None, to_epoch: int,
+    window_epochs: frozenset | None = None,
 ) -> pa.Table:
     """Changefeed for the partition ids in ``batch``: net survivor change
     between the LWW states as-of ``from_epoch`` and as-of ``to_epoch``
@@ -570,7 +579,14 @@ def _diff_partition(
     reads are parquet-filter-pushdown restricted to those candidates, so
     unchanged urls never leave storage. Only when compaction folded part
     of the window into a base does the candidate set widen to that base's
-    urls (correct, just less pruned)."""
+    urls (correct, just less pruned).
+
+    ``window_epochs`` switches from the interval window ``(from, to]`` to
+    an explicit committed-epoch SET: the change attributed to exactly
+    those epochs' deltas — the pre-state is the live file set MINUS the
+    window's delta files, which stays well-defined when a lower epoch
+    seals after a higher one was already committed (an interval diff
+    cannot express that pre-state)."""
     empty = pa.schema(
         [f for f in _read_schema(schema_b) if f.name not in ENGINE_COLS]
     ).append(pa.field("change", pa.string()))
@@ -578,8 +594,18 @@ def _diff_partition(
     out: list[pa.Table] = []
     for pid in batch.column("pid").to_pylist():
         pid = int(pid)
-        files_b, _upto = _live_files(root, pid, as_of=to_epoch)
-        window = [f for f in files_b if _file_epoch(f) > frm]
+        files_b, upto = _live_files(root, pid, as_of=to_epoch)
+        if window_epochs is not None:
+            if upto >= 0 and min(window_epochs) <= upto:
+                raise TimeTravelHorizonError(
+                    f"partition {pid}: epoch(s) "
+                    f"{sorted(e for e in window_epochs if e <= upto)} were "
+                    f"compacted into base-e{upto} — their pre-state is gone"
+                )
+            window = [f for f in files_b if _file_epoch(f) in window_epochs
+                      and not os.path.basename(f).startswith("base-e")]
+        else:
+            window = [f for f in files_b if _file_epoch(f) > frm]
         if not window:
             continue
         cand = pads.dataset(
@@ -593,7 +619,13 @@ def _diff_partition(
             continue
         b = lww_reduce(b)
         a = None
-        if from_epoch is not None and schema_a is not None:
+        if window_epochs is not None:
+            # pre-state = live files minus the window's deltas
+            a = _read_files([f for f in files_b if f not in set(window)],
+                            schema_b, filter=filt)
+            if a is not None and a.num_rows:
+                a = lww_reduce(a)
+        elif from_epoch is not None and schema_a is not None:
             # horizon check: raises TimeTravelHorizonError when the
             # from-state was compacted away — diff needs both horizons
             a = _read_partition(root, pid, schema_a, filter=filt,
@@ -1105,11 +1137,15 @@ class Lake:
         (:meth:`diff` over the window), which is what a downstream CDC
         consumer subscribes to (changes, not state). ``from_epoch`` is the
         newest epoch committed before the apply (None on the first —
-        the bootstrap all-inserts feed).
+        the bootstrap all-inserts feed). The feed itself is computed
+        with :meth:`diff_epochs` over exactly the epochs this apply
+        committed, so a lower-numbered epoch sealing AFTER a higher one
+        was committed still has its changes emitted (an interval
+        diff(from, to) would silently drop them).
 
         The yielded Dataset is lazy: when ``compact_every`` is set,
         consume it before advancing the generator — the next step's
-        auto-compaction may fold the feed's from-horizon into a base."""
+        auto-compaction may fold the feed's window into a base."""
         idle = 0
         applied_batches = 0
         while idle_rounds is None or idle < idle_rounds:
@@ -1122,8 +1158,9 @@ class Lake:
             before = self.committed_epochs()
             frm = max(before) if before else None
             results = self.apply_epochs(pending)
-            to = max(r["epoch"] for r in results)
-            yield frm, to, self.diff(frm, to)
+            new = {r["epoch"] for r in results}
+            to = max(new | before)
+            yield frm, to, self.diff_epochs(new, to_epoch=to)
             applied_batches += 1
             if compact_every and applied_batches % compact_every == 0:
                 self.maybe_compact()
@@ -1216,10 +1253,12 @@ class Lake:
         schema_a = (self.schema(as_of_epoch=from_epoch)
                     if from_epoch is not None else None)
         # eager horizon validation (metadata-only: one dir glob per
-        # partition) — a compacted-away horizon raises HERE with a clean
-        # TimeTravelHorizonError instead of from inside a Ray task
-        if from_epoch is not None:
-            for p in range(self.P):
+        # partition) — a compacted-away horizon (either end) raises HERE
+        # with a clean TimeTravelHorizonError instead of surfacing as a
+        # RayTaskError from inside a task at consume time
+        for p in range(self.P):
+            _live_files(self.root, p, as_of=to_epoch)
+            if from_epoch is not None:
                 _live_files(self.root, p, as_of=from_epoch)
         ds = rd.from_items([{"pid": p} for p in range(self.P)])
         return ds.map_batches(
@@ -1230,6 +1269,52 @@ class Lake:
                 schema_b=schema_b,
                 from_epoch=from_epoch,
                 to_epoch=to_epoch,
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+
+    def diff_epochs(self, epochs, to_epoch: int | None = None):
+        """Changefeed attributable to an explicit committed epoch SET:
+        the net insert/update/delete between the live state WITHOUT those
+        epochs' delta files and the state with them. Order-independent —
+        this stays well-defined when a lower-numbered epoch seals after a
+        higher one was already committed, where the interval form
+        :meth:`diff` cannot express the pre-state. Same output contract
+        and scale shape as :meth:`diff`."""
+        import ray.data as rd
+
+        epochs = frozenset(int(e) for e in epochs)
+        if not epochs:
+            raise ValueError("diff_epochs: empty epoch set")
+        committed = self.committed_epochs()
+        missing = epochs - committed
+        if missing:
+            raise ValueError(
+                f"diff_epochs: epoch(s) {sorted(missing)} not committed")
+        if to_epoch is None:
+            to_epoch = max(committed)
+        schema_b = self.schema(as_of_epoch=to_epoch)
+        # eager horizon validation (metadata-only): a window epoch folded
+        # into a base has no recoverable pre-state
+        for p in range(self.P):
+            _files, upto = _live_files(self.root, p, as_of=to_epoch)
+            if upto >= 0 and min(epochs) <= upto:
+                raise TimeTravelHorizonError(
+                    f"partition {p}: epoch(s) "
+                    f"{sorted(e for e in epochs if e <= upto)} were "
+                    f"compacted into base-e{upto}"
+                )
+        ds = rd.from_items([{"pid": p} for p in range(self.P)])
+        return ds.map_batches(
+            partial(
+                _diff_partition,
+                root=self.root,
+                schema_a=None,
+                schema_b=schema_b,
+                from_epoch=None,
+                to_epoch=to_epoch,
+                window_epochs=epochs,
             ),
             batch_format="pyarrow",
             batch_size=1,

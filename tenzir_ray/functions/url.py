@@ -56,6 +56,18 @@ def url_path(arr) -> pa.Array:
     return _field(arr, "path")
 
 
+def normalized_host(arr) -> pa.Array:
+    """THE host identity every URL gate uses (domain blocklists,
+    robots filtering, link-graph nodes): lowercased ``url_host`` with
+    any ``user[:pass]@`` userinfo stripped, nulls → "". One shared
+    definition so the gates cannot disagree on what a host is (port is
+    kept; IDNA normalization is out of scope)."""
+    col = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(url_host(pc.fill_null(col, "")), "")),
+        "^.*@", "")
+
+
 def url_query(arr) -> pa.Array:
     return _field(arr, "query")
 

@@ -1782,8 +1782,11 @@ class Pipeline:
                             kv["block"].strip('"').split("|") if d]
             if "block_file" in kv:
                 with open(kv["block_file"].strip('"')) as f:
-                    domains += [ln.strip() for ln in f
-                                if ln.strip() and not ln.startswith("#")]
+                    # strip once, then comment-check: an INDENTED
+                    # '# comment' line must not become a blocklist entry
+                    lines = (ln.strip() for ln in f)
+                    domains += [ln for ln in lines
+                                if ln and not ln.startswith("#")]
             pat = kv.get("pattern", "").strip('"') or None
             if not domains and not pat:
                 raise ValueError("url_filter: need block=, block_file= "

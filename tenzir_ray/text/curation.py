@@ -329,8 +329,6 @@ def url_filter(
     regex runs as one Arrow RE2 kernel."""
     import ray
 
-    from tenzir_ray.functions.url import url_host
-
     blocked = frozenset(
         d.strip().lower().lstrip(".") for d in block_domains if d)
     block_ref = ray.put(blocked) if blocked else None
@@ -342,10 +340,10 @@ def url_filter(
         col = pc.fill_null(col, "")
         bad = np.zeros(t.num_rows, bool)
         if block_ref is not None:
+            from tenzir_ray.functions.url import normalized_host
+
             bl = ray.get(block_ref)
-            hosts = pc.replace_substring_regex(
-                pc.utf8_lower(pc.fill_null(url_host(col), "")),
-                "^.*@", "").to_numpy(zero_copy_only=False)
+            hosts = normalized_host(col).to_numpy(zero_copy_only=False)
             uniq, inv = np.unique(hosts, return_inverse=True)
             ubad = np.array(
                 [any(s in bl for s in _host_suffixes(h)) if h else False

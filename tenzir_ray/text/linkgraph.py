@@ -45,8 +45,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from tenzir_ray.functions.url import url_host
-
 # href="..." / href='...' / href=bare (the three HTML spellings);
 # value captured without quotes. Compiled once per process.
 _HREF = re.compile(
@@ -90,15 +88,12 @@ def extract_links(
     def kernel(t: pa.Table) -> pa.Table:
         from tenzir_ray.text.html import utf8_string_array
 
+        from tenzir_ray.functions.url import normalized_host
+
         col = pc.fill_null(utf8_string_array(t.column(html_col)), "")
-        srcs = url_host(pc.fill_null(
-            t.column(url_col).combine_chunks()
-            if isinstance(t.column(url_col), pa.ChunkedArray)
-            else t.column(url_col), ""))
-        # strip userinfo like the destination rule (split("@")[-1]) so
-        # user@h.example and h.example are ONE node on both sides
-        srcs = pc.replace_substring_regex(
-            pc.utf8_lower(pc.fill_null(srcs, "")), "^.*@", "").to_pylist()
+        # shared host identity (lower + userinfo strip) so src nodes and
+        # the destination rule (_host_of_links) agree on what a host is
+        srcs = normalized_host(t.column(url_col)).to_pylist()
         has = pc.match_substring(col, "href", ignore_case=True) \
             .to_numpy(zero_copy_only=False)
         s_out: list[str] = []

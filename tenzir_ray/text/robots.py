@@ -83,10 +83,8 @@ def parse_robots(content: str | bytes | None
             if not agents:
                 continue
             if not value:
-                if field == "disallow":
-                    continue  # empty Disallow: allow-all (no-op rule)
-                else:
-                    continue
+                continue  # empty rule is a no-op (empty Disallow =
+                # allow-all; empty Allow allows nothing new)
             rule = (len(value), field == "allow", _rule_regex(value))
             for a in agents:
                 groups.setdefault(a, []).append(rule)
@@ -133,6 +131,27 @@ def _path_of(url: str) -> str:
     return rest[i:].split("#", 1)[0] or "/"
 
 
+#: per-worker-process parse cache keyed by broadcast-ref hex — a plain
+#: closure dict would be re-serialized EMPTY into every task, re-parsing
+#: the whole host→rules table once per block instead of once per worker
+_PARSED_CACHE: dict[str, dict] = {}
+
+
+def _paths_of(col: pa.Array) -> np.ndarray:
+    """Vectorized dual of :func:`_path_of` over a url column — pinned
+    byte-equal by test_robots (including scheme-less urls with ``//`` in
+    the path, where a naive scheme-prefix regex diverges from
+    ``split("//", 1)``)."""
+    rest = pc.replace_substring_regex(
+        col, r"(?s)^.*?//", "", max_replacements=1)
+    path = pc.replace_substring_regex(
+        rest, r"^[^/]*", "", max_replacements=1)
+    path = pc.replace_substring_regex(
+        path, r"(?s)#.*$", "", max_replacements=1)
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+    return path.to_numpy(zero_copy_only=False)
+
+
 def robots_filter(
     ds: Dataset, robots: dict[str, str | bytes] | "object",
     url_col: str = "url", *, agent: str = "*", invert: bool = False,
@@ -140,39 +159,63 @@ def robots_filter(
     """Keep rows whose url a compliant ``agent`` may fetch under its
     host's robots.txt. ``robots`` maps host (lower) → robots.txt body
     (or a ``ray.ObjectRef`` to such a dict — broadcast once, parsed
-    once per task process and cached). Hosts without an entry are
-    allowed. ``invert=True`` keeps the FORBIDDEN rows (audit mode)."""
+    once per worker process and cached). Hosts without an entry are
+    allowed. ``invert=True`` keeps the FORBIDDEN rows (audit mode).
+
+    Matching is vectorized per unique host: each of the host's (few)
+    rules runs once over that host's path sub-array as an anchored RE2
+    kernel, with longest-match/Allow-tie precedence folded in numpy —
+    no per-row Python on the hot path (a rule whose escape sequence RE2
+    rejects falls back to the per-path Python matcher for that host)."""
     import ray
 
-    from tenzir_ray.functions.url import url_host
+    from tenzir_ray.functions.url import normalized_host
 
     ref = robots if isinstance(robots, ray.ObjectRef) else ray.put(robots)
-    _cache: dict = {}
+    key = ref.hex()
 
     def kernel(t: pa.Table) -> pa.Table:
-        if id(ref) not in _cache:
+        parsed = _PARSED_CACHE.get(key)
+        if parsed is None:
             raw = ray.get(ref)
-            _cache.clear()
-            _cache[id(ref)] = {h.lower(): parse_robots(b)
-                               for h, b in raw.items()}
-        parsed = _cache[id(ref)]
+            parsed = {h.lower(): parse_robots(b) for h, b in raw.items()}
+            _PARSED_CACHE.clear()
+            _PARSED_CACHE[key] = parsed
         col = t.column(url_col)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
             else col
         col = pc.fill_null(col, "")
-        hosts = pc.replace_substring_regex(
-            pc.utf8_lower(pc.fill_null(url_host(col), "")),
-            "^.*@", "").to_numpy(zero_copy_only=False)
-        urls = col.to_numpy(zero_copy_only=False)
+        hosts = normalized_host(col).to_numpy(zero_copy_only=False)
+        paths = _paths_of(col)
         ok = np.ones(t.num_rows, bool)
         uniq, inv = np.unique(hosts, return_inverse=True)
         for ui, h in enumerate(uniq):
             groups = parsed.get(h)
             if not groups:
                 continue
+            rules = _group_for(groups, agent)
+            if not rules:
+                continue
             rows = np.flatnonzero(inv == ui)
-            for r in rows:
-                ok[r] = allowed(groups, _path_of(urls[r]), agent)
+            sub = pa.array(paths[rows], pa.string())
+            k = len(rows)
+            best_len = np.full(k, -1, np.int64)
+            best_allow = np.ones(k, bool)
+            try:
+                # rule order mirrors allowed(): update on strictly-longer
+                # match, or equal-length Allow (the RFC tie rule)
+                for rlen, allow, rx in rules:
+                    hit = pc.match_substring_regex(sub, rx.pattern) \
+                        .to_numpy(zero_copy_only=False)
+                    upd = hit & ((rlen > best_len)
+                                 | ((rlen == best_len) & allow))
+                    best_allow = np.where(upd, allow, best_allow)
+                    best_len = np.where(upd, rlen, best_len)
+            except pa.ArrowInvalid:
+                best_allow = np.array(
+                    [allowed(groups, p, agent) for p in paths[rows]],
+                    bool)
+            ok[rows] = best_allow
         keep = ~ok if invert else ok
         out = t.filter(pa.array(keep))
         return out.replace_schema_metadata(None) \

@@ -763,7 +763,13 @@ def extract_links_seq(urls: list, htmls: list) -> list[tuple[str, str]]:
         if h is None:
             continue
         if isinstance(h, bytes):
-            h = h.decode("utf-8", "replace")
+            # SAME charset-aware decode as the engine's shared
+            # utf8_string_array path — plain utf-8/replace would turn a
+            # <meta charset> cp1252 byte inside an href into U+FFFD and
+            # break engine/oracle host parity
+            from tenzir_ray.text.html import decode_html_bytes
+
+            h = decode_html_bytes(h)
         src = url_host(pa.array([u or ""], pa.string()))[0].as_py()
         src = (src or "").lower().split("@")[-1]  # userinfo strip
         if not src or "href" not in h.lower():

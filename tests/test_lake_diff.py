@@ -184,6 +184,61 @@ def test_follow_changes_feed_replays_to_state(tmp_path):
     assert state == want
 
 
+def test_follow_changes_late_sealed_epoch_not_dropped(tmp_path):
+    """A lower-numbered epoch sealing AFTER a higher one was committed
+    must still have its changes emitted (diff_epochs window semantics —
+    an interval diff(from,to) would yield an empty feed and the
+    consumer's replica would silently diverge)."""
+    import shutil
+
+    wal_src = str(tmp_path / "staging")
+    generate_wal(wal_src, WalSpec(
+        n_events=3000, n_urls=400, n_epochs=3, seed=11))
+    eps = dict(list_epochs(wal_src))
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal, exist_ok=True)
+
+    def land(e):
+        src = os.path.dirname(eps[e][0])
+        shutil.copytree(src, os.path.join(wal, os.path.basename(src)))
+
+    lake = Lake(str(tmp_path / "lake"), partitions=4, salt=1)
+    state: dict[str, tuple] = {}
+
+    def consume(gen_round):
+        for frm, to, ds in gen_round:
+            df = ds.to_pandas()
+            for r in df.itertuples(index=False):
+                if r.change == "delete":
+                    state.pop(r.url, None)
+                else:
+                    state[r.url] = (r.warc_ts, r.text)
+
+    land(0)
+    land(2)  # epoch 2 seals BEFORE epoch 1
+    consume(lake.follow_changes(wal, poll_interval=0.05, idle_rounds=2))
+    assert lake.committed_epochs() == {0, 2}
+    land(1)  # the late epoch
+    feeds = list(lake.follow_changes(wal, poll_interval=0.05,
+                                     idle_rounds=2))
+    assert len(feeds) == 1
+    frm, to, ds = feeds[0]
+    late = ds.to_pandas()
+    assert len(late) > 0  # the late epoch's changes ARE emitted
+    for r in late.itertuples(index=False):
+        if r.change == "delete":
+            state.pop(r.url, None)
+        else:
+            state[r.url] = (r.warc_ts, r.text)
+
+    live = lake.read_table()
+    assert sorted(state) == sorted(live.column("url").to_pylist())
+    want = dict(zip(live.column("url").to_pylist(),
+                    zip(live.column("warc_ts").to_pandas(),
+                        live.column("text").to_pylist())))
+    assert state == want
+
+
 def test_diff_past_compaction_horizon_raises(tmp_path):
     wal = str(tmp_path / "wal")
     generate_wal(wal, WalSpec(n_events=2000, n_urls=300, n_epochs=4, seed=5))

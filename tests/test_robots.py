@@ -86,3 +86,51 @@ def test_filter_agent_and_invert():
     assert robots_filter(ds, ROBOTS, agent="megabot").count() == 0
     assert robots_filter(ds, ROBOTS, agent="megabot",
                          invert=True).count() == 1
+
+
+def test_paths_of_matches_path_of():
+    """Vectorized path extraction is byte-equal to the per-url Python
+    dual, including the edge shapes where a naive scheme regex diverges
+    from split('//', 1)."""
+    from tenzir_ray.text.robots import _path_of, _paths_of
+
+    urls = [
+        "http://h.example/a/b?q=1#frag",
+        "https://h.example",            # bare host → "/"
+        "http://h.example/",            # root
+        "//h.example/x",                # protocol-relative
+        "h.example/x/y",                # scheme-less
+        "a/b//c",                       # scheme-less with // in path
+        "http://h.example/a//b",        # double slash in path
+        "http://h#frag/x",              # '#' before first '/'
+        "http://h.example/x#f/g",       # fragment containing '/'
+        "",                             # empty
+        "http://h.example/%7Euser/%2F", # percent-encoding kept literal
+        "ftp://h.example/d",            # other scheme
+    ]
+    got = list(_paths_of(pa.array(urls, pa.string())))
+    want = [_path_of(u) for u in urls]
+    assert got == want
+
+
+def test_vectorized_matcher_matches_allowed():
+    """The per-host RE2 rule kernel (longest-match + Allow tie) agrees
+    with the sequential allowed() walk on every rule class, including
+    the $-anchored and *-wildcard rules."""
+    from tenzir_ray.text.robots import _path_of
+
+    urls = [
+        f"http://a.example{p}" for p in [
+            "/private/x", "/private/okay", "/private/ok", "/doc.pdf",
+            "/doc.pdfx", "/deep/doc.pdf", "/", "/open",
+        ]
+    ] + ["http://b.example/tmp/x", "http://b.example/ok"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(urls)), pa.int64()),
+        "url": pa.array(urls, pa.string()),
+    })).repartition(2)
+    got = sorted(r["url"] for r in robots_filter(ds, ROBOTS).take_all())
+    exp = sorted(robots_seq(urls, ROBOTS))
+    assert got == exp
+    assert "http://a.example/doc.pdfx" in got      # $ anchor respected
+    assert "http://a.example/deep/doc.pdf" not in got  # * wildcard
