@@ -198,6 +198,32 @@ def _lake_diff(sf_dir: str):
     return out.map_batches(_canon_pages, batch_format="pyarrow")
 
 
+def _lake_replicate(sf_dir: str):
+    """Lake→replica CDC replication (`Lake.replicate_from`, cdc/lake.py
+    — Debezium-follower analog, no reference dual): sync a fresh replica
+    off the shared WAL lake's committed epochs using its own delta files
+    as WAL segments, then read the REPLICA's merged state. Exactly-once
+    via the replica's manifests (re-runs no-op); correctness = the
+    replica must equal the same sequential replay oracle as cdc_replay.
+    The replica re-buckets under its own partitioning (P=4 vs src 8)."""
+    from tenzir_ray.cdc import Lake
+    from tenzir_ray.cdc.oracle import replay_wal
+
+    wal_dir, lake_root = _cdc_scratch(sf_dir)
+    src = Lake(lake_root, partitions=8, salt=2)
+    src.apply_wal(wal_dir)  # idempotent: no-op when a sibling ran first
+    replica = Lake(lake_root + "_replica", partitions=4, salt=2)
+    replica.replicate_from(src)  # incremental; no-op once converged
+    out = replica.read()
+    if _wal_rows(wal_dir) <= 60_000:
+        oracle = pa.Table.from_pandas(replay_wal(wal_dir),
+                                      preserve_index=False)
+        _write_oracle("lake_replicate", _canon_pages(oracle))
+    else:
+        _skip_oracle("lake_replicate")
+    return out.map_batches(_canon_pages, batch_format="pyarrow")
+
+
 def entry() -> Any:
     return _cdc_replay("/root/testdata/sf0.001")
 
@@ -3546,6 +3572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _chunk_docs,
         "lake_wet": _lake_wet,
         "lake_diff": _lake_diff,
+        "lake_replicate": _lake_replicate,
         "robots_filter_docs": _robots_filter_docs,
         "dsir_select": _dsir_select,
         "c4_clean": _c4_clean,
@@ -3873,6 +3900,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lake_diff": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/lake_diff.parquet'
+        """,
+        "lake_replicate": """
+            SELECT * FROM '/tmp/tenzir_ray_oracle/lake_replicate.parquet'
         """,
         "simhash_docs": """
             SELECT * FROM '/tmp/tenzir_ray_oracle/simhash_docs.parquet'

@@ -159,7 +159,7 @@ def bench_queries() -> dict[str, float]:
         "normalize_docs", "html_extract_docs", "boilerplate_docs",
         "quality_classifier", "host_pagerank", "wet_pipeline",
         "url_filter_docs", "chunk_docs", "lake_wet",
-        "robots_filter_docs", "lake_diff",
+        "robots_filter_docs", "lake_diff", "lake_replicate",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -211,6 +211,12 @@ def _normalize_batch(
         t = t.drop_columns(["path"])
     else:
         epochs = np.full(t.num_rows, epoch, np.int64)
+    if "epoch_rec" in t.column_names:
+        # RESERVED engine column (epoch-of-record): present when the
+        # input is another lake's delta/base files (replication) —
+        # dropped and recomputed from THIS apply's epoch label, never
+        # treated as producer data
+        t = t.drop_columns(["epoch_rec"])
     t = align_table(t, target, aliases)
     t = t.append_column(_EPOCH, pa.array(epochs))
     # key hash added once here: reused by the combiner's sort, the bucket
@@ -886,7 +892,10 @@ class Lake:
             # chain folds INCREMENTALLY (unify is a join — associative),
             # not O(epochs^2) re-unifications of the whole prefix
             for f in files:
-                footer_schemas[f] = pq.read_schema(f)
+                s0 = pq.read_schema(f)
+                if "epoch_rec" in s0.names:  # reserved (see _normalize_batch)
+                    s0 = s0.remove(s0.get_field_index("epoch_rec"))
+                footer_schemas[f] = s0
             running = unify_schemas(
                 ([running] if running is not None else [])
                 + [footer_schemas[f] for f in files], self.aliases)
@@ -1090,6 +1099,86 @@ class Lake:
         if not files:
             return {"epoch": epoch, "skipped": True, "events": 0}
         return self.apply_epoch(epoch, files)
+
+    def _live_files_by_epoch(self) -> dict[int, list[str]]:
+        """All live files across partitions, grouped by the epoch they
+        replicate under: ``delta-e{e}`` → e, ``base-e{upto}`` → upto
+        (a base stands in for every epoch it absorbed)."""
+        out: dict[int, list[str]] = {}
+        for p in range(self.P):
+            files, _upto = _live_files(self.root, p)
+            for f in files:
+                out.setdefault(_file_epoch(f), []).append(f)
+        return out
+
+    def replicate_from(self, src: "Lake") -> list[dict]:
+        """Incremental lake→replica CDC sync: apply every epoch committed
+        in ``src`` but not yet here, using src's own live base/delta
+        parquet as the WAL segments (Debezium-replica / cross-region
+        follower analog; no reference dual — Tenzir nodes don't
+        replicate stores).
+
+        Correct by LWW idempotence: delta rows are the epoch's
+        survivors, and re-applying any subset converges to the same
+        state, so retries, crashes and overlapping syncs are all safe.
+        Exactly-once via THIS lake's commit manifests — a crash mid-sync
+        resumes from the first uncommitted epoch; re-running after
+        convergence is a no-op. A src base file replicates under its
+        covering epoch (src compaction collapses below-horizon epochs
+        into one bootstrap apply); epochs absorbed by a base commit here
+        as zero-event skip rows so the replica's manifest set catches up
+        with src's. Scale shape: file COPIES never happen — segments are
+        symlink-staged and stream through the same single-exchange apply
+        path as a WAL tail."""
+        import shutil
+        import tempfile
+
+        src_done = src.committed_epochs()
+        pend = sorted(src_done - self.committed_epochs())
+        if not pend:
+            return []
+        by_epoch = src._live_files_by_epoch()
+        results: list[dict] = []
+        stage = tempfile.mkdtemp(prefix="tenzir_ray_replicate_")
+        try:
+            batch: list[tuple[int, list[str]]] = []
+            for e in pend:
+                files = by_epoch.get(e)
+                if not files:
+                    # absorbed into a src base below the compaction
+                    # horizon: its surviving rows ride the base's
+                    # covering-epoch apply; commit an empty marker (and
+                    # the historical schema, which src retains past
+                    # compaction) so this epoch never re-pends
+                    s_hist = src.schema(as_of_epoch=e)
+                    if s_hist is not None:
+                        self._commit_schema(e, s_hist)
+                    _atomic_write(
+                        os.path.join(self.root, "_manifest",
+                                     f"e{e:05d}.done"),
+                        json.dumps({"epoch": e, "buckets": 0,
+                                    "absorbed": True}).encode(),
+                    )
+                    results.append(
+                        {"epoch": e, "skipped": True, "events": 0})
+                    continue
+                # stage as epoch=N/ symlinks: the apply path recovers
+                # each row's epoch from its segment path (mixed-epoch
+                # single-exchange batching), and lake file names don't
+                # carry the epoch= marker it looks for
+                edir = os.path.join(stage, f"epoch={e}")
+                os.makedirs(edir, exist_ok=True)
+                links = []
+                for i, f in enumerate(files):
+                    ln = os.path.join(edir, f"seg{i:05d}.parquet")
+                    os.symlink(os.path.abspath(f), ln)
+                    links.append(ln)
+                batch.append((e, links))
+            if batch:
+                results.extend(self.apply_epochs(batch))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return results
 
     def _pending_epochs(self, wal_dir: str) -> list[tuple[int, list[str]]]:
         """Sealed, not-yet-committed WAL epochs (shared by the follow

@@ -25,6 +25,7 @@ Supported operators (reference file cited in OPS below)::
     export <lake_root> [, at=<epoch>] [, columns="c1|c2"]  // lake source
     import <lake_root>, wal=<dir>            // apply WAL epochs
     diff <lake_root> [, from=<e>] [, to=<e>] // CDC changefeed source
+    replicate <dst_root>, from=<src_root>    // lake→replica sync
     publish <topic>              subscribe <topic>   // topic actors
     context::update <name>, key=c, value=v   // named-context family
     context::enrich <name>, key=c [, out=f]  context::reset <name>
@@ -1330,6 +1331,37 @@ class Pipeline:
                 return Lake(_root).diff(_frm, _to)
 
             return _diff
+        if op == "replicate":
+            # replicate <dst_lake_root>, from=<src_lake_root> — sync a
+            # replica lake off the source's committed epochs
+            # (Lake.replicate_from); emits the per-epoch sync summaries
+            name, _, params = rest.partition(",")
+            dst_root = name.strip().strip("\"'")
+            kv = dict(p.split("=", 1) for p in csv(params)) if \
+                params.strip() else {}
+            if not dst_root or "from" not in kv:
+                raise ValueError(
+                    "replicate: need `replicate <dst_root>, from=<src_root>`")
+            src_root = kv["from"].strip().strip("\"'")
+
+            def _replicate(ds, _dst=dst_root, _src=src_root):
+                import ray.data as rd
+
+                from tenzir_ray.cdc import Lake
+
+                rows = Lake(_dst).replicate_from(Lake(_src))
+                if not rows:  # already converged: empty typed stream
+                    return rd.from_arrow(pa.table({
+                        "epoch": pa.array([], pa.int64()),
+                        "events": pa.array([], pa.int64()),
+                        "skipped": pa.array([], pa.bool_())}))
+                return rd.from_items([
+                    {"epoch": r["epoch"],
+                     "events": int(r.get("events", 0)),
+                     "skipped": bool(r.get("skipped", False))}
+                    for r in rows])
+
+            return _replicate
         if op == "import":
             # import <lake_root>, wal=<dir> — apply a WAL directory's
             # pending epochs into the lake (CLI `lake apply` analog);

@@ -936,6 +936,36 @@ def test_lake_import_export_from_text(tmp_path):
         Pipeline.parse(f"import {lake}")
 
 
+def test_lake_replicate_from_text(tmp_path):
+    """`replicate <dst>, from=<src>` — replica sync from pipeline text."""
+    import ray.data as rd
+
+    from tenzir_ray.cdc import Lake, generate_wal
+    from tenzir_ray.cdc.wal import WalSpec
+    from tenzir_ray.pipelines import Pipeline
+
+    wal = tmp_path / "wal"
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    generate_wal(str(wal), WalSpec(
+        n_events=2000, n_urls=300, n_epochs=2, seed=5))
+    dummy = rd.from_items([{"dummy": 0}])
+    Pipeline.parse(f"import {src}, wal={wal}").run(dummy).to_pandas()
+
+    synced = Pipeline.parse(
+        f"replicate {dst}, from={src}").run(dummy).to_pandas()
+    assert list(synced["epoch"]) == [0, 1]
+    assert Lake(str(dst)).read_table().num_rows == \
+        Lake(str(src)).read_table().num_rows
+    # converged → empty typed stream
+    again = Pipeline.parse(
+        f"replicate {dst}, from={src}").run(dummy).to_pandas()
+    assert len(again) == 0
+
+    with pytest.raises(ValueError, match="from="):
+        Pipeline.parse(f"replicate {dst}")
+
+
 def test_lake_diff_from_text(tmp_path):
     """`diff <lake>, from=0` — CDC changefeed source from pipeline text."""
     import ray.data as rd

@@ -172,3 +172,26 @@ def test_chunk_tokens_kernel_equals_per_doc_walk(texts, size, overlap):
     exp = chunk_tokens_seq(list(range(len(texts))), texts,
                            size=size, overlap=overlap)
     assert got.to_pydict() == exp.to_pydict()
+
+
+# ---- robots path extraction: vectorized RE2 dual vs Python split chain
+
+_url_frag = st.sampled_from([
+    "http://", "https://", "//", "", "h.example", "sub.h.example:8080",
+    "user@h.example", "/", "//", "/path", "/a/b", "?q=1&r=2", "#frag",
+    "#a/b", "%7E", ".bin", "..", ":", "@", "http:", "x//y", "é",
+])
+_url = st.lists(_url_frag, max_size=8).map("".join)
+
+
+@given(st.lists(_url, max_size=12))
+@settings(max_examples=150, deadline=None)
+def test_paths_of_property(urls):
+    """_paths_of (Arrow RE2, the robots hot path) is byte-equal to the
+    per-url _path_of split chain on arbitrary url-ish soup — including
+    scheme-less '//' shapes, userinfo, ports, fragments-before-slash."""
+    from tenzir_ray.text.robots import _path_of, _paths_of
+
+    got = list(_paths_of(pa.array(urls, pa.string())))
+    want = [_path_of(u) for u in urls]
+    assert got == want
