@@ -3556,11 +3556,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # boilerplate_docs / quality_classifier / host_pagerank /
     # wet_pipeline), then the three repaired-oracle queries red in r04,
     # then 22 of the queries whose latest green row predates r04 —
-    # oldest-green first.  The window is zero-sum: each session-5 lead
-    # displaces one r03-green query (agg_extended2 … adaptive_sample
-    # land just past 50); they keep their r03 rows and their kernels
-    # stay covered by the in-repo gate (scripts/check_correctness.py
-    # runs ALL queries) and pytest.  The r04-green set follows last.
+    # oldest-green first.  The window is zero-sum: each session-5/6 lead
+    # (incl. the session-6 lake_diff / lake_replicate) displaces one
+    # later entry past 50 (simhash_near_docs, bpe_tokens … — all with
+    # r04-green rows they keep); every displaced kernel stays covered by
+    # the in-repo gate (scripts/check_correctness.py runs ALL queries)
+    # and pytest.  The r04-green set follows last.
     return {
         # -- never driver-checked (new this round) ----------------------
         "html_extract_docs": _html_extract_docs,
