@@ -573,6 +573,7 @@ def _diff_partition(
     batch: pa.Table, *, root: str, schema_a: pa.Schema | None,
     schema_b: pa.Schema, from_epoch: int | None, to_epoch: int,
     window_epochs: frozenset | None = None,
+    columns: list[str] | None = None,
 ) -> pa.Table:
     """Changefeed for the partition ids in ``batch``: net survivor change
     between the LWW states as-of ``from_epoch`` and as-of ``to_epoch``
@@ -593,9 +594,26 @@ def _diff_partition(
     window's delta files, which stays well-defined when a lower epoch
     seals after a higher one was already committed (an interval diff
     cannot express that pre-state)."""
-    empty = pa.schema(
-        [f for f in _read_schema(schema_b) if f.name not in ENGINE_COLS]
-    ).append(pa.field("change", pa.string()))
+    rs = _read_schema(schema_b)
+    out_cols = None
+    scan_b = None
+    if columns is not None:
+        # projection pushdown: output = url + requested + change; the B
+        # scan additionally reads only what classification consumes
+        # (key/order/tombstone) — a `diff | select url, lang` never
+        # decodes the html payload column it doesn't return
+        out_cols = ["url"] + [c for c in columns
+                              if c not in ("url", "change")] + ["change"]
+        scan_b = list(dict.fromkeys(
+            [c for c in out_cols if c != "change"]
+            + [c for c in _MERGE_COLS]))
+        empty = pa.schema(
+            [rs.field(c) for c in out_cols if c != "change"]
+        ).append(pa.field("change", pa.string()))
+    else:
+        empty = pa.schema(
+            [f for f in rs if f.name not in ENGINE_COLS]
+        ).append(pa.field("change", pa.string()))
     frm = -1 if from_epoch is None else from_epoch
     out: list[pa.Table] = []
     for pid in batch.column("pid").to_pylist():
@@ -620,22 +638,27 @@ def _diff_partition(
         if cand.num_rows == 0:
             continue
         filt = pads.field("url").isin(pc.unique(cand.column("url")))
-        b = _read_partition(root, pid, schema_b, filter=filt, as_of=to_epoch)
+        b = _read_partition(root, pid, schema_b, filter=filt,
+                            as_of=to_epoch, columns=scan_b)
         if b is None or b.num_rows == 0:
             continue
         b = lww_reduce(b)
+        # the A side only drives CLASSIFICATION (live/survivor-pair):
+        # scan just key/order/tombstone — the from-horizon's payload
+        # bytes are never needed, at any projection
+        a_cols = list(_MERGE_COLS)
         a = None
         if window_epochs is not None:
             # pre-state = live files minus the window's deltas
             a = _read_files([f for f in files_b if f not in set(window)],
-                            schema_b, filter=filt)
+                            schema_b, filter=filt, columns=a_cols)
             if a is not None and a.num_rows:
                 a = lww_reduce(a)
         elif from_epoch is not None and schema_a is not None:
             # horizon check: raises TimeTravelHorizonError when the
             # from-state was compacted away — diff needs both horizons
             a = _read_partition(root, pid, schema_a, filter=filt,
-                                as_of=from_epoch)
+                                as_of=from_epoch, columns=a_cols)
             if a is not None and a.num_rows:
                 a = lww_reduce(a)
         b_live = pc.invert(_is_delete(b)).combine_chunks().to_numpy(
@@ -671,7 +694,11 @@ def _diff_partition(
         change[ins], change[upd], change[dele] = "insert", "update", "delete"
         t = b.append_column("change", pa.array(change, pa.string()))
         t = t.filter(pa.array(mask))
-        t = t.drop_columns([c for c in ENGINE_COLS if c in t.column_names])
+        if out_cols is not None:
+            t = t.select(out_cols)
+        else:
+            t = t.drop_columns(
+                [c for c in ENGINE_COLS if c in t.column_names])
         out.append(t)
     if not out:
         return empty.empty_table()
@@ -1308,7 +1335,8 @@ class Lake:
             columns=kw.get("columns"),
         )
 
-    def diff(self, from_epoch: int | None, to_epoch: int | None = None):
+    def diff(self, from_epoch: int | None, to_epoch: int | None = None,
+             columns: list[str] | None = None):
         """CDC changefeed between two committed snapshots (Delta-Lake
         ``table_changes`` analog): one row per url whose LWW survivor
         changed between the state as-of ``from_epoch`` and as-of
@@ -1327,7 +1355,10 @@ class Lake:
         urls are pruned to the window's delta files and both horizon
         reads are filter-pushdown restricted to them — at 100 TB a
         quiet-epoch diff touches only the changed rows' row groups.
-        Raises :class:`TimeTravelHorizonError` when either horizon was
+        ``columns`` pushes a projection into the scan (output =
+        url + columns + change; the from-horizon always reads only the
+        key/order/tombstone set). Raises
+        :class:`TimeTravelHorizonError` when either horizon was
         compacted away (sequential dual: ``cdc.oracle.diff_wal``)."""
         import ray.data as rd
 
@@ -1341,6 +1372,11 @@ class Lake:
             raise ValueError(f"no epoch <= {to_epoch} committed")
         schema_a = (self.schema(as_of_epoch=from_epoch)
                     if from_epoch is not None else None)
+        if columns is not None:
+            known = set(_read_schema(schema_b).names)
+            bad = [c for c in columns if c not in known]
+            if bad:
+                raise ValueError(f"diff: unknown column(s) {bad}")
         # eager horizon validation (metadata-only: one dir glob per
         # partition) — a compacted-away horizon (either end) raises HERE
         # with a clean TimeTravelHorizonError instead of surfacing as a
@@ -1358,6 +1394,7 @@ class Lake:
                 schema_b=schema_b,
                 from_epoch=from_epoch,
                 to_epoch=to_epoch,
+                columns=columns,
             ),
             batch_format="pyarrow",
             batch_size=1,

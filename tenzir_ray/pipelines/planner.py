@@ -1313,7 +1313,7 @@ class Pipeline:
                 raise ValueError("diff: missing lake root")
             kv = dict(p.split("=", 1) for p in csv(params)) if \
                 params.strip() else {}
-            bad = set(kv) - {"from", "to"}
+            bad = set(kv) - {"from", "to", "columns"}
             if bad:
                 raise ValueError(f"diff: unknown operand(s) {sorted(bad)}")
             frm_s = kv.get("from", "none").strip().lower()
@@ -1324,11 +1324,14 @@ class Pipeline:
                 raise ValueError(
                     "diff: from=/to= must be integer epochs (or from=none)"
                 ) from None
+            cols = [c.strip() for c in
+                    kv["columns"].strip().strip("\"'").split("|")] \
+                if "columns" in kv else None
 
-            def _diff(ds, _root=root, _frm=frm, _to=to):
+            def _diff(ds, _root=root, _frm=frm, _to=to, _cols=cols):
                 from tenzir_ray.cdc import Lake
 
-                return Lake(_root).diff(_frm, _to)
+                return Lake(_root).diff(_frm, _to, columns=_cols)
 
             return _diff
         if op == "replicate":

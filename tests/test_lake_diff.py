@@ -123,6 +123,25 @@ def test_diff_default_to_latest(lake_and_wal):
     assert list(a["change"]) == list(b["change"])
 
 
+def test_diff_column_projection(lake_and_wal):
+    """columns= pushes the projection into the scan: output is exactly
+    url + requested + change, and the classification (rows + change
+    labels) is identical to the unprojected diff."""
+    lake, _ = lake_and_wal
+    full = (lake.diff(2, 5).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    slim = (lake.diff(2, 5, columns=["lang"]).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    assert list(slim.columns) == ["url", "lang", "change"]
+    assert list(slim["url"]) == list(full["url"])
+    assert list(slim["change"]) == list(full["change"])
+    la = slim["lang"].where(slim["lang"].notna(), None)
+    lb = full["lang"].where(full["lang"].notna(), None)
+    assert list(la) == list(lb)
+    with pytest.raises(ValueError, match="unknown column"):
+        lake.diff(2, 5, columns=["nope"])
+
+
 def test_diff_schema_evolution_columns(lake_and_wal):
     """Window spans the widen+rename: output carries the unified to-side
     schema (title present, text not body) plus the change column."""
