@@ -66,6 +66,13 @@ _EPOCH = "__epoch"
 _HASH = "__h"
 
 
+class ReplicaLagError(RuntimeError):
+    """A replica already committed an epoch whose siblings the source
+    has since compacted away — incremental catch-up is impossible
+    (the Kafka consumer-off-the-retention-window analog); re-bootstrap
+    a fresh replica."""
+
+
 class TimeTravelHorizonError(ValueError):
     """Requested ``as_of_epoch`` precedes the compaction/GC horizon: the
     per-epoch deltas needed to reconstruct that state were folded into a
@@ -1127,6 +1134,25 @@ class Lake:
             return {"epoch": epoch, "skipped": True, "events": 0}
         return self.apply_epoch(epoch, files)
 
+    def _replica_horizon(self) -> int:
+        """Lowest epoch whose state this lake can materialize. Normally
+        tracked implicitly by base files; a REPLICA of a compacted
+        source has no base of its own, so replication records the
+        absorbed range here (``_manifest/_horizon``)."""
+        try:
+            with open(os.path.join(self.root, "_manifest",
+                                   "_horizon")) as f:
+                return int(f.read())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _check_horizon(self, as_of: int | None) -> None:
+        hz = self._replica_horizon()
+        if as_of is not None and as_of < hz:
+            raise TimeTravelHorizonError(
+                f"state as of epoch {as_of} predates this replica's "
+                f"replicated-base horizon (epoch {hz})")
+
     def _live_files_by_epoch(self) -> dict[int, list[str]]:
         """All live files across partitions, grouped by the epoch they
         replicate under: ``delta-e{e}`` → e, ``base-e{upto}`` → upto
@@ -1153,41 +1179,97 @@ class Lake:
         convergence is a no-op. A src base file replicates under its
         covering epoch (src compaction collapses below-horizon epochs
         into one bootstrap apply); epochs absorbed by a base commit here
-        as zero-event skip rows so the replica's manifest set catches up
-        with src's. Scale shape: file COPIES never happen — segments are
-        symlink-staged and stream through the same single-exchange apply
-        path as a WAL tail."""
+        as zero-event markers AFTER the batch apply succeeds, so a crash
+        mid-sync never claims epochs whose data is absent. A source
+        BASE only replicates onto a replica with no commits at or below
+        its covering epoch (fresh bootstrap): compaction may have GC'd
+        the tombstones that would mask older replica state, and a
+        replica that committed an epoch the source later folded past has
+        unreachable siblings — both shapes raise
+        :class:`ReplicaLagError` (the Kafka
+        consumer-off-the-retention-window analog) — re-bootstrap a
+        fresh replica. A
+        fresh replica (no commits) adopts the source's aliases/extract
+        config; a non-fresh config mismatch raises. Replicated rows
+        already carry the source's final ``text``, so extraction is
+        skipped during the apply (also preserves a src ``extract=False``
+        producer-text contract). Scale shape: file COPIES never happen —
+        segments are symlink-staged under the cluster-visible stage dir
+        and stream through the same single-exchange apply path as a WAL
+        tail. Caveat: the symlinks point at src's LIVE files — if src
+        compaction GCs them mid-sync the apply fails (cleanly retryable:
+        manifests make the re-run resume); pause src auto-compaction
+        around a sync to avoid the race."""
         import shutil
-        import tempfile
 
         src_done = src.committed_epochs()
         pend = sorted(src_done - self.committed_epochs())
         if not pend:
             return []
+        mine_done = self.committed_epochs()
+        if not mine_done:
+            # fresh replica adopts the source's data-shaping config —
+            # a silent aliases/extract mismatch would diverge the state
+            if (self.aliases != src.aliases
+                    or self.extract != src.extract):
+                self.aliases = dict(src.aliases)
+                self.extract = src.extract
+                _atomic_write(
+                    os.path.join(self.root, "_config.json"),
+                    json.dumps({"partitions": self.P, "salt": self.salt,
+                                "aliases": self.aliases,
+                                "extract": self.extract}).encode(),
+                )
+        elif self.aliases != src.aliases:
+            raise ValueError(
+                "replicate_from: replica aliases differ from source — "
+                "create the replica with the source's config")
         by_epoch = src._live_files_by_epoch()
+        # epochs with a base file in their list: a base absorbs every
+        # epoch <= its covering label
+        base_uptos = sorted(
+            e for e, fs in by_epoch.items()
+            if any(os.path.basename(f).startswith("base-e") for f in fs))
+        # a base may only land on a replica holding NO commits at or
+        # below its covering epoch: src compaction may have GC'd the
+        # tombstones, so overlaying a base on older partial state would
+        # silently resurrect deleted rows
+        for u in base_uptos:
+            if u in pend and any(m <= u for m in mine_done):
+                raise ReplicaLagError(
+                    f"source base covering epoch {u} must replicate onto "
+                    f"a replica with no commits <= {u} (its tombstones "
+                    f"may be compacted away) — this replica already "
+                    f"committed {sorted(m for m in mine_done if m <= u)}; "
+                    f"re-bootstrap a fresh replica")
         results: list[dict] = []
-        stage = tempfile.mkdtemp(prefix="tenzir_ray_replicate_")
+        # stage under the cluster-aware exchange dir (NOT a driver-local
+        # mkdtemp): on a multi-node cluster the apply's read tasks run on
+        # other nodes and must see the symlinks
+        stage = os.path.join(
+            self.stage_dir, f"replicate-{os.getpid()}-{time.monotonic_ns()}")
+        os.makedirs(stage, exist_ok=True)
         try:
             batch: list[tuple[int, list[str]]] = []
+            absorbed: list[int] = []
             for e in pend:
                 files = by_epoch.get(e)
                 if not files:
-                    # absorbed into a src base below the compaction
-                    # horizon: its surviving rows ride the base's
-                    # covering-epoch apply; commit an empty marker (and
-                    # the historical schema, which src retains past
-                    # compaction) so this epoch never re-pends
-                    s_hist = src.schema(as_of_epoch=e)
-                    if s_hist is not None:
-                        self._commit_schema(e, s_hist)
-                    _atomic_write(
-                        os.path.join(self.root, "_manifest",
-                                     f"e{e:05d}.done"),
-                        json.dumps({"epoch": e, "buckets": 0,
-                                    "absorbed": True}).encode(),
-                    )
-                    results.append(
-                        {"epoch": e, "skipped": True, "events": 0})
+                    # data lives in a src base; safe ONLY if that base is
+                    # part of THIS sync (its covering epoch is pending) —
+                    # otherwise the replica already committed the covering
+                    # epoch from deltas and the absorbed rows are
+                    # unreachable: it lagged past src's retention
+                    covering = next((u for u in base_uptos
+                                     if u >= e and u in pend), None)
+                    if covering is None:
+                        raise ReplicaLagError(
+                            f"epoch {e}'s data was compacted into a "
+                            f"source base whose covering epoch is already "
+                            f"committed on this replica — the replica "
+                            f"lagged past the source's retention; "
+                            f"re-bootstrap a fresh replica")
+                    absorbed.append(e)
                     continue
                 # stage as epoch=N/ symlinks: the apply path recovers
                 # each row's epoch from its segment path (mixed-epoch
@@ -1202,7 +1284,39 @@ class Lake:
                     links.append(ln)
                 batch.append((e, links))
             if batch:
-                results.extend(self.apply_epochs(batch))
+                # replicated rows already carry src's final text —
+                # skip re-extraction during this apply (idempotent when
+                # src extracted; REQUIRED when src.extract=False)
+                old_extract, self.extract = self.extract, False
+                try:
+                    results.extend(self.apply_epochs(batch))
+                finally:
+                    self.extract = old_extract
+            # absorbed markers AFTER the batch apply: a crash above
+            # leaves them uncommitted and the next sync re-pends them
+            for e in absorbed:
+                s_hist = src.schema(as_of_epoch=e)
+                if s_hist is not None:
+                    self._commit_schema(e, s_hist)
+                _atomic_write(
+                    os.path.join(self.root, "_manifest",
+                                 f"e{e:05d}.done"),
+                    json.dumps({"epoch": e, "buckets": 0,
+                                "absorbed": True}).encode(),
+                )
+                results.append({"epoch": e, "skipped": True, "events": 0})
+            if absorbed:
+                # replica time-travel horizon: states at/below the
+                # absorbed range predate the replicated base and must
+                # raise, not silently read empty (the replica has no
+                # base file of its own for _live_files to notice)
+                hz = max(absorbed) + 1
+                cur = self._replica_horizon()
+                if hz > cur:
+                    _atomic_write(os.path.join(
+                        self.root, "_manifest", "_horizon"),
+                        str(hz).encode())
+            results.sort(key=lambda r: r["epoch"])
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         return results
@@ -1301,6 +1415,7 @@ class Lake:
         `export | select url, lang` never decodes the html payload."""
         import ray.data as rd
 
+        self._check_horizon(as_of_epoch)
         schema = self.schema(as_of_epoch=as_of_epoch)
         if schema is None:
             raise ValueError("empty lake" if as_of_epoch is None else
@@ -1323,6 +1438,7 @@ class Lake:
     def read_table(self, **kw) -> pa.Table:
         """Small-scale convenience: full merged state as one Arrow table."""
         as_of = kw.get("as_of_epoch")
+        self._check_horizon(as_of)
         schema = self.schema(as_of_epoch=as_of)
         if schema is None:
             raise ValueError("empty lake")
@@ -1372,8 +1488,10 @@ class Lake:
             raise ValueError(f"no epoch <= {to_epoch} committed")
         schema_a = (self.schema(as_of_epoch=from_epoch)
                     if from_epoch is not None else None)
+        self._check_horizon(from_epoch)
+        self._check_horizon(to_epoch)
         if columns is not None:
-            known = set(_read_schema(schema_b).names)
+            known = set(_read_schema(schema_b).names) | {"change"}
             bad = [c for c in columns if c not in known]
             if bad:
                 raise ValueError(f"diff: unknown column(s) {bad}")
@@ -1420,6 +1538,7 @@ class Lake:
                 f"diff_epochs: epoch(s) {sorted(missing)} not committed")
         if to_epoch is None:
             to_epoch = max(committed)
+        self._check_horizon(min(epochs))
         schema_b = self.schema(as_of_epoch=to_epoch)
         # eager horizon validation (metadata-only): a window epoch folded
         # into a base has no recoverable pre-state

@@ -1345,6 +1345,10 @@ class Pipeline:
             if not dst_root or "from" not in kv:
                 raise ValueError(
                     "replicate: need `replicate <dst_root>, from=<src_root>`")
+            bad = set(kv) - {"from"}
+            if bad:
+                raise ValueError(
+                    f"replicate: unknown operand(s) {sorted(bad)}")
             src_root = kv["from"].strip().strip("\"'")
 
             def _replicate(ds, _dst=dst_root, _src=src_root):

@@ -140,6 +140,9 @@ def test_diff_column_projection(lake_and_wal):
     assert list(la) == list(lb)
     with pytest.raises(ValueError, match="unknown column"):
         lake.diff(2, 5, columns=["nope"])
+    # naming the documented output column is allowed, not an error
+    ok = lake.diff(2, 5, columns=["lang", "change"]).schema()
+    assert ok.names == ["url", "lang", "change"]
 
 
 def test_diff_schema_evolution_columns(lake_and_wal):

@@ -97,6 +97,68 @@ def test_replay_safety_partial_sync_resume(src_wal, tmp_path):
     _assert_same_state(src, dst)
 
 
+def test_replica_lag_past_retention_raises(src_wal, tmp_path):
+    """A replica that committed a HIGHER epoch before a lower one was
+    folded into the source's base cannot catch up incrementally — it
+    must get a clean ReplicaLagError (the silent path produced a
+    permanently diverged replica claiming convergence)."""
+    from tenzir_ray.cdc.lake import ReplicaLagError
+
+    root, wal = src_wal
+    eps = list_epochs(wal)
+    src = Lake(str(tmp_path / "src"), partitions=4, salt=2)
+    src.apply_epochs(eps[:4])
+    src.compact()  # 0..3 folded into base-e03
+    src.apply_epochs([eps[4]])  # epoch 4 delta above the base
+
+    dst = Lake(str(tmp_path / "dst"), partitions=4, salt=2)
+    # replica got epochs 0,1,3 from its own tail, never epoch 2 —
+    # epoch 2's rows live only inside base-e03, whose covering epoch
+    # the replica ALREADY committed: unrecoverable incrementally
+    dst.apply_epochs([eps[0], eps[1], eps[3]])
+    with pytest.raises(ReplicaLagError):
+        dst.replicate_from(src)
+
+    # a replica merely BEHIND (commits below the base, no gap) must
+    # also re-bootstrap: the src base may have GC'd the tombstones that
+    # would mask the replica's stale rows (overlaying it would
+    # resurrect deleted urls)
+    dst2 = Lake(str(tmp_path / "dst2"), partitions=4, salt=2)
+    dst2.apply_epochs([eps[0], eps[1]])
+    with pytest.raises(ReplicaLagError):
+        dst2.replicate_from(src)
+
+    # a FRESH replica bootstraps from the same mixed base+delta source
+    dst3 = Lake(str(tmp_path / "dst3"), partitions=4, salt=2)
+    dst3.replicate_from(src)
+    _assert_same_state(src, dst3)
+    assert dst3.committed_epochs() == src.committed_epochs()
+
+
+def test_replica_horizon_guards_time_travel(src_wal, tmp_path):
+    """After a compacted-source bootstrap the replica must refuse
+    time-travel below the replicated base (it used to return a silent
+    empty state) and refuse diffs across that boundary (they came back
+    as a wrong all-inserts feed)."""
+    from tenzir_ray.cdc.lake import TimeTravelHorizonError
+
+    root, wal = src_wal
+    eps = list_epochs(wal)
+    src = Lake(str(tmp_path / "src"), partitions=4, salt=2)
+    src.apply_epochs(eps)
+    src.compact()
+    dst = Lake(str(tmp_path / "dst"), partitions=4, salt=2)
+    dst.replicate_from(src)
+
+    with pytest.raises(TimeTravelHorizonError):
+        dst.read_table(as_of_epoch=1)
+    with pytest.raises(TimeTravelHorizonError):
+        dst.diff(1, 4)
+    # head state and head diff still work
+    assert dst.read_table().num_rows == src.read_table().num_rows
+    assert set(dst.diff(None).to_pandas()["change"]) == {"insert"}
+
+
 def test_replica_partition_count_may_differ(src_wal, tmp_path):
     """The replica re-buckets by its own partitioning — a follower with
     different P still converges to the same logical state."""
